@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship TPC-H q1 on sf0.001 (smoke check).
+``queries()`` — every implemented operator/query from SURVEY.md §2 corpora.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (correctness gate).
+
+Implementation lives in :mod:`ballista_spark`; this module is a thin shim.
 """
 
 from __future__ import annotations
@@ -14,25 +14,49 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _corpora():
+    from ballista_spark.queries.tpch import TPCH_QUERIES
+
+    corpora: dict[str, object] = {}
+    corpora.update(TPCH_QUERIES)
+    for mod, attr in (
+        ("ballista_spark.queries.coverage", "COVERAGE_QUERIES"),
+        ("ballista_spark.queries.pipeline", "PIPELINE_QUERIES"),
+    ):
+        try:
+            m = __import__(mod, fromlist=[attr])
+            corpora.update(getattr(m, attr))
+        except ImportError:
+            pass
+    return corpora
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H q1) on /root/testdata/sf0.001."""
+    from ballista_spark.queries.tpch import TPCH_QUERIES
+    from ballista_spark.session import tune_session
+
+    tune_session(spark)
+    return TPCH_QUERIES["tpch_q1"].run(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ballista_spark.session import tune_session
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, q in _corpora().items():
+        def _runner(spark: SparkSession, sf_dir: str, _q=q) -> DataFrame:
+            tune_session(spark)
+            return _q.run(spark, sf_dir)
+
+        out[name] = _runner
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, q in _corpora().items():
+        text = q.oracle_text()
+        if text is not None:
+            out[name] = text
+    return out

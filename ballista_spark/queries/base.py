@@ -1,0 +1,90 @@
+"""Query-corpus plumbing shared by the TPC-H / coverage / pipeline suites.
+
+Each suite is a ``dict[name, Query]``.  A ``Query`` carries the Spark-side
+implementation (SQL text or a DataFrame builder) and, when the semantics are
+SQL-expressible, a DuckDB oracle SQL string used by the driver's correctness
+gate (and by our own tests).
+
+Hash-stability discipline (why the SQL below looks the way it does):
+the driver compares Spark vs DuckDB results by value hash, so floating-point
+aggregates must be *bit-identical* across engines.  Double summation is
+order-dependent, so every money/quantity sum goes through
+``CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)``:
+
+- the per-row expression is IEEE-double arithmetic — deterministic and
+  identical in both engines;
+- the cast to DECIMAL(18,6) rounds to nearest; exact-halfway ties cannot
+  occur at scale 6 (x.0000005 is not representable as a binary double);
+- decimal summation is exact and order-independent;
+- the final cast to DOUBLE is deterministic.
+
+Integer-typed results are cast to BIGINT on both sides (DuckDB's SUM(int)
+returns HUGEINT, EXTRACT returns BIGINT vs Spark's INT, …).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ballista_spark.sources.registry import TABLES, register_tables
+
+
+@dataclass(frozen=True)
+class Query:
+    """One corpus entry.
+
+    ``sql``     — Spark SQL text (run over the registered canonical tables), or
+    ``builder`` — a (spark, sf_dir) -> DataFrame callable for DataFrame-API /
+                  non-SQL operators.
+    ``oracle``  — DuckDB SQL for the driver's correctness gate; None for
+                  non-SQL-expressible ops (driver then does a rows-only check).
+                  Defaults to ``sql`` when oracle_same_as_sql.
+    """
+
+    doc: str
+    sql: str | None = None
+    builder: Callable[[SparkSession, str], DataFrame] | None = None
+    oracle: str | None = None
+    oracle_same_as_sql: bool = True
+    tables: tuple[str, ...] = field(default=TABLES)
+
+    def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.builder is not None:
+            return self.builder(spark, sf_dir)
+        register_tables(spark, sf_dir, self.tables)
+        assert self.sql is not None
+        return spark.sql(self.sql)
+
+    def oracle_text(self) -> str | None:
+        if self.oracle is not None:
+            return self.oracle
+        return self.sql if self.oracle_same_as_sql else None
+
+
+def dec_sum(expr: str, alias: str | None = None) -> str:
+    """Order-independent, engine-identical SUM over a double expression."""
+    s = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"{s} AS {alias}" if alias else s
+
+
+def dec_avg(expr: str, alias: str | None = None) -> str:
+    """Exact-sum / count — deterministic average of a double expression."""
+    s = (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+    return f"{s} AS {alias}" if alias else s
+
+
+def big_sum(expr: str, alias: str | None = None) -> str:
+    """SUM of an integer expression, pinned to BIGINT on both engines."""
+    s = f"CAST(SUM({expr}) AS BIGINT)"
+    return f"{s} AS {alias}" if alias else s
+
+
+def year_of(expr: str) -> str:
+    """EXTRACT(YEAR ...) pinned to BIGINT (Spark: INT, DuckDB: BIGINT)."""
+    return f"CAST(EXTRACT(YEAR FROM {expr}) AS BIGINT)"

@@ -1,0 +1,65 @@
+"""Table loaders for the driver's synthetic TPC-H-ish data (TESTDATA.md).
+
+Mirrors the reference's table registration loop
+(``rust/benchmarks/tpch/src/main.rs:117-139``: register each table, then run
+queries).  Handles per-table physical quirks so every consumer (queries,
+bench, tests) sees one canonical schema:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  rejects; we read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``)
+  and rebuild a microsecond TimestampType column with integer arithmetic
+  (``ts div 1000`` — no double round-trip, so no precision loss at 1.7e18 ns).
+
+Scale notes: loaders return plain scans — no ``.cache()``, no collect — so
+Catalyst keeps pushdown/pruning, and at 100 TB each table is just a
+partitioned parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: canonical table names (TESTDATA.md)
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table from a TESTDATA scale-factor directory."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            raw = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        # ns → µs with integer division; DuckDB's CAST(ts AS TIMESTAMP)
+        # truncates identically, keeping oracle comparisons exact.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every canonical table as a temp view; returns the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

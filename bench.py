@@ -1,0 +1,85 @@
+"""Benchmark harness — the BENCH gate (BASELINE.md).
+
+Port of the reference benchmark loop (``rust/benchmarks/tpch/src/main.rs:
+117-183``: register tables, run each query, report per-query seconds) onto
+the engine.  Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is end-to-end per query: plan build + execution to a count-style
+action (results are consumed, not printed), matching how the reference
+timed `collect` round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # the reference's integration set (rust/benchmarks/tpch/run.sh:6)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    # heavier shapes: subqueries + wide joins
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ballista_spark.queries.tpch import TPCH_QUERIES
+    from ballista_spark.session import get_spark
+
+    queries = dict(TPCH_QUERIES)
+    try:
+        from ballista_spark.queries.pipeline import PIPELINE_QUERIES
+
+        queries.update(PIPELINE_QUERIES)
+        headline = HEADLINE + ["dedup_minhash_lsh", "ann_cosine_topk"]
+    except ImportError:
+        headline = list(HEADLINE)
+
+    spark = get_spark(app_name="ballista_spark_bench")
+    # warm the JVM + parquet footers with a trivial action so q1 doesn't
+    # pay one-time session costs (the reference also excluded cluster
+    # startup from its per-query timings).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        q = queries[name]
+        t0 = time.perf_counter()
+        df = q.run(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "tpch_headline_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

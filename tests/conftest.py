@@ -1,0 +1,105 @@
+"""Shared fixtures: one local SparkSession, a DuckDB oracle, an exact
+Spark-vs-DuckDB comparator mirroring the driver's correctness gate
+(row-count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from ballista_spark.session import get_spark
+
+SF_SMOKE = os.environ.get("BS_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_CORRECT = os.environ.get("BS_TEST_SF_CORRECT_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ballista_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    # Register the canonical tables the way the driver does: one view per
+    # parquet file, both scale factors under schema-qualified names.
+    for sf_dir, schema in ((SF_SMOKE, "smoke"), (SF_CORRECT, "correct")):
+        con.execute(f"CREATE SCHEMA IF NOT EXISTS {schema}")
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            con.execute(
+                f"CREATE VIEW {schema}.{name} AS SELECT * FROM read_parquet('{p}')"
+            )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows — the driver's
+    order-insensitive compare."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+            pdf[c] = s.apply(bytes)
+    sort_cols = [c for c in pdf.columns if pdf[c].dtype != object or True]
+    try:
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    except Exception:
+        pdf = pdf.sort_values(by=sort_cols[:1], kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True) -> None:
+    """Exact value comparison; float_exact=False allows 1e-9 relative slack
+    (used only for intentionally approximate operators)."""
+    left = _normalize(spark_df.toPandas())
+    right = _normalize(duck_rel.df())
+    assert left.shape == right.shape, (
+        f"shape mismatch: spark={left.shape} duck={right.shape}\n"
+        f"spark cols={list(left.columns)} duck cols={list(right.columns)}"
+    )
+    assert list(left.columns) == list(right.columns)
+    for c in left.columns:
+        lv, rv = left[c], right[c]
+        if pd.api.types.is_float_dtype(lv):
+            l_arr = lv.to_numpy(dtype=np.float64)
+            r_arr = rv.to_numpy(dtype=np.float64)
+            both_nan = np.isnan(l_arr) & np.isnan(r_arr)
+            if float_exact:
+                ok = (l_arr == r_arr) | both_nan
+            else:
+                ok = np.isclose(l_arr, r_arr, rtol=1e-9, atol=1e-12) | both_nan
+            assert ok.all(), (
+                f"float mismatch in {c}: "
+                f"{l_arr[~ok][:5]} vs {r_arr[~ok][:5]}"
+            )
+        else:
+            lv2 = lv.astype(str) if lv.dtype != rv.dtype else lv
+            rv2 = rv.astype(str) if lv.dtype != rv.dtype else rv
+            eq = (lv2 == rv2) | (lv.isna() & rv.isna())
+            assert eq.all(), (
+                f"value mismatch in {c}:\n{left[~eq].head()}\nvs\n{right[~eq].head()}"
+            )
+
+
+def run_compare(spark, duck, query, sf_dir: str, schema: str, *, float_exact=True):
+    """Run one corpus Query on Spark and its oracle on DuckDB; compare."""
+    sdf = query.run(spark, sf_dir)
+    oracle = query.oracle_text()
+    if oracle is None:
+        assert sdf.count() >= 0  # rows-only check
+        return
+    duck.execute(f"SET schema '{schema}'")
+    rel = duck.sql(oracle)
+    assert_frames_match(sdf, rel, float_exact=float_exact)
