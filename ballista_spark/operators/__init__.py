@@ -1,0 +1,44 @@
+"""Large-scale training-data-pipeline operators (beyond reference parity).
+
+These are first-class engine components (BASELINE.json north star, SURVEY.md
+§7.3 step 7): deduplication, similarity search, text analysis, and multimodal
+column plumbing — each designed for a 1000-executor / 100 TB deployment:
+declarative DataFrame plans, one shuffle where one is needed, broadcast for
+small sides, no driver-side collection anywhere.
+"""
+
+from ballista_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ballista_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from ballista_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle_sets",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_neardup_pairs",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+]

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
+the 100 TB scale path (signatures bucket the corpus so each query touches a
+sliver).  All math is JVM-side higher-order array functions in DOUBLE
+(deterministic left-fold order — no Python in the hot path).
+
+Scale design:
+
+- query sets are broadcast (they are small by construction);
+- corpus-side norms/signatures are computed once in a projection — at scale
+  they'd be persisted next to the vectors;
+- top-k uses a per-query window (shuffle keyed by query id, k rows kept per
+  partition via rank filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Deterministic left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine); ties broken by neighbor
+    id so the result set is deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplane(dim: int, plane: int, table: int = 0) -> F.Column:
+    """Deterministic pseudo-random hyperplane component array.
+
+    Components derive from xxhash64(table, plane, dim_index) scaled to
+    [-0.5, 0.5) — reproducible across runs/executors with no driver-side RNG
+    state, and independent across tables.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(
+                F.xxhash64(F.lit(f"t{table}p{plane}"), i), F.lit(100000)
+            ).cast("double")
+            / 100000.0
+            - 0.5
+        ),
+    )
+
+
+def lsh_signature(vec: F.Column, dim: int, n_planes: int = 16, table: int = 0) -> F.Column:
+    """Random-hyperplane (sign) LSH signature as a LONG bucket id."""
+    bits = [
+        F.when(_dot(vec, _hyperplane(dim, p, table)) >= 0, F.lit(1 << p)).otherwise(0)
+        for p in range(n_planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only corpus vectors sharing an LSH bucket
+    with the query in any of ``n_tables`` independent sign-LSH tables.
+
+    Recall is tunable via (n_planes, n_tables) — 4×8 gives ~0.98 single-pair
+    recall at cosine 0.5 ((1-(1-θ/π)^4)^8 with θ=60°); the bucket join
+    replaces the cross join, which is what survives a 100 TB corpus.
+    Returns (query_id, rank, neighbor_id, cosine) like :func:`cosine_topk`.
+    """
+
+    def with_sigs(df: DataFrame, ident: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(ident), _as_double(F.col(vec_col)).alias(f"{ident}_v")
+        )
+        sigs = F.array(
+            *[
+                lsh_signature(F.col(f"{ident}_v"), dim, n_planes, table=t)
+                + F.lit(t << 32)
+                for t in range(n_tables)
+            ]
+        )
+        # one row per (vector, table-bucket); the t<<32 offset keeps buckets
+        # from different tables disjoint in one join key space
+        return out.withColumn("bucket", F.explode(sigs))
+
+    c = with_sigs(corpus, "neighbor_id")
+    q = with_sigs(queries, "query_id")
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("neighbor_id_v"), F.col("query_id_v"))
+        / (_norm(F.col("neighbor_id_v")) * _norm(F.col("query_id_v"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Brute-force pair enumeration — correct at test scale; the production
+    path at 100 TB buckets by :func:`lsh_signature` first (same verify).
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything is a pure JVM Column expression (split / higher-order array
+functions / integer arithmetic) so the operators whole-stage-codegen and
+scale linearly — no Python UDFs.  The formulas are deliberately
+integer/exact-division based so a SQL oracle can reproduce them bit-for-bit
+on another engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "y"],
+    "zh": ["de", "shi", "le"],
+}
+
+_M31 = 2_147_483_647  # 2^31 - 1
+_PHI = 2_654_435_761  # Knuth multiplicative constant
+
+
+def _tokens(text) -> F.Column:
+    return F.split(F.trim(F.col(text) if isinstance(text, str) else text), " ")
+
+
+def token_count(text="text") -> F.Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(_tokens(text)).cast("bigint")
+
+
+def _substr_count(padded: F.Column, needle: str) -> F.Column:
+    """Non-overlapping substring occurrence count via replace-length."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def stopword_hits(text, words: list[str]) -> F.Column:
+    """Count of token-bounded occurrences of any word in ``words``."""
+    padded = F.concat(F.lit(" "), F.trim(F.col(text) if isinstance(text, str) else text), F.lit(" "))
+    out = F.lit(0).cast("bigint")
+    for w in words:
+        out = out + _substr_count(padded, f" {w} ")
+    return out
+
+
+def quality_score(text="text") -> F.Column:
+    """Composite quality score in [0, ~2]: token-length sanity + stopword
+    presence + length band.  Deterministic double arithmetic (exact integer
+    inputs, one division per term)."""
+    col = F.col(text) if isinstance(text, str) else text
+    ntok = token_count(text)
+    nchar = F.length(col).cast("bigint")
+    avg_tok_len = (nchar - ntok + 1).cast("double") / ntok.cast("double")
+    stop_ratio = stopword_hits(text, LANG_STOPWORDS["en"]).cast("double") / ntok.cast("double")
+    len_band = (
+        F.when((nchar >= 100) & (nchar <= 2000), F.lit(1.0))
+        .when(nchar >= 50, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    tok_band = (
+        F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    )
+    return len_band * 0.4 + tok_band * 0.3 + stop_ratio * 0.3
+
+
+def lang_id(text="text") -> F.Column:
+    """Stopword-list language ID with fixed precedence tie-break (en > fr >
+    de > es > zh).  Exact integer scores → deterministic prediction."""
+    scores = {lang: stopword_hits(text, ws) for lang, ws in LANG_STOPWORDS.items()}
+    order = list(LANG_STOPWORDS)
+    expr = None
+    for i, lang in enumerate(order):
+        cond = None
+        for other in order[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        for prev in order[:i]:
+            c = scores[lang] > scores[prev]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(F.lit(order[0]))
+
+
+def fingerprint(text="text") -> F.Column:
+    """Position-weighted rolling document fingerprint (BIGINT).
+
+    fp = SUM_i ((i * PHI + tokval(t_i)) mod M31) mod M31 with
+    tokval = (len*65599 + 256*ascii(first) + ascii(last)) mod M31 — exact
+    integer arithmetic reproducible in any ANSI SQL engine (the oracle
+    recomputes it verbatim); order-aware yet commutative-sum based, so the
+    aggregation parallelizes without an ordered fold."""
+    toks = _tokens(text)
+    terms = F.transform(
+        toks,
+        lambda x, i: (
+            (i + 1) * F.lit(_PHI)
+            + (
+                F.length(x) * 65599
+                + F.ascii(F.substring(x, 1, 1)) * 256
+                + F.ascii(F.substring(x, -1, 1))
+            )
+            % _M31
+        )
+        % _M31,
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (total % _M31).cast("bigint")

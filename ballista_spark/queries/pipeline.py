@@ -1,0 +1,326 @@
+"""Training-data-pipeline corpus: dedup / similarity / text / multimodal
+entries over the ``documents`` and ``embeddings`` tables.
+
+Each entry runs a real operator from :mod:`ballista_spark.operators` and,
+where the semantics are ANSI-SQL-expressible, carries a DuckDB oracle that
+recomputes the ground truth (exact jaccard via shingle self-join, cosine via
+``list_cosine_similarity`` in double, integer-exact text formulas).  The
+hash-dependent operators (SimHash, LSH ANN — Spark's xxhash64 has no DuckDB
+equivalent) are rows-only here and verified against NumPy/pure-Python
+references in ``tests/test_pipeline.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballista_spark.operators import dedup as D
+from ballista_spark.operators import multimodal as M
+from ballista_spark.operators import similarity as S
+from ballista_spark.operators import text as X
+from ballista_spark.queries.base import Query
+from ballista_spark.sources.registry import load_table
+
+PIPELINE_QUERIES: dict[str, Query] = {}
+
+
+def _b(name: str, doc: str, builder, oracle: str | None) -> None:
+    PIPELINE_QUERIES[name] = Query(doc=doc, builder=builder, oracle=oracle)
+
+
+# DuckDB shingle CTE shared by the jaccard oracles (3-gram, space tokens —
+# must mirror operators.dedup.shingle_sets exactly).
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - 2)) AS g(i)
+  WHERE LEN(l) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""{_SHINGLE_CTE}
+SELECT key_a, key_b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON key_a = sa.doc_id
+JOIN sizes sb ON key_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}
+ORDER BY key_a, key_b
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+_b(
+    "dedup_exact",
+    "Exact dedup (hash-groupBy, operators.dedup.exact_dedup): per-source "
+    "document and canonical counts.",
+    lambda spark, sf: (
+        D.exact_dedup(load_table(spark, sf, "documents"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        )
+        .orderBy("source")
+    ),
+    oracle="""
+WITH h AS (SELECT doc_id, source, MD5(text) AS ch FROM documents),
+m AS (SELECT ch, MIN(doc_id) AS keep FROM h GROUP BY ch)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+FROM h JOIN m USING (ch)
+GROUP BY source ORDER BY source
+""",
+)
+
+_b(
+    "dedup_minhash_lsh",
+    "MinHash(128) + LSH banding(32x4) + exact-jaccard verify "
+    "(operators.dedup.minhash_lsh_pairs); oracle is the brute-force "
+    "shingle-join jaccard at the same threshold — LSH recall at j>=0.8 "
+    "makes them equal w.h.p. (P(miss) < 5e-8).",
+    lambda spark, sf: D.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), threshold=0.8
+    ).orderBy("key_a", "key_b"),
+    oracle=_jaccard_oracle(0.8),
+)
+
+_b(
+    "dedup_ngram_jaccard",
+    "Exact all-pairs 3-gram Jaccard >= 0.2 "
+    "(operators.dedup.ngram_jaccard_pairs).",
+    lambda spark, sf: D.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.2
+    ).orderBy("key_a", "key_b"),
+    oracle=_jaccard_oracle(0.2),
+)
+
+_b(
+    "dedup_simhash",
+    "SimHash(60-bit) near-dup pairs, Hamming <= 3 "
+    "(operators.dedup.simhash_pairs). Rows-only for the driver (xxhash64 "
+    "has no DuckDB equivalent); verified vs a NumPy reference in tests.",
+    lambda spark, sf: D.simhash_pairs(load_table(spark, sf, "documents")).orderBy(
+        "key_a", "key_b"
+    ),
+    oracle=None,
+)
+
+_b(
+    "dedup_embedding_cosine",
+    "Embedding-cosine near-dup pairs (>= 0.40, threshold sits in a 5e-4 "
+    "gap of the data's cosine distribution so float noise cannot flip "
+    "membership) — operators.similarity.embedding_neardup_pairs.",
+    lambda spark, sf: S.embedding_neardup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.40
+    ).orderBy("id_a", "id_b"),
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.40
+ORDER BY id_a, id_b
+""",
+)
+
+# --- similarity search ------------------------------------------------------
+
+_b(
+    "ann_cosine_topk",
+    "Exact brute-force cosine top-5 for 10 query vectors "
+    "(operators.similarity.cosine_topk); scores excluded from the output so "
+    "sub-ulp cross-engine float noise cannot affect the compare (adjacent "
+    "rank gaps in this data are >= 1.9e-5).",
+    lambda spark, sf: (
+        S.cosine_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10),
+            k=5,
+        )
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    ),
+    oracle="""
+WITH c AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                                CAST(n.embedding AS DOUBLE[])) AS s
+  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+  FROM c
+) t WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+
+_b(
+    "ann_lsh_bucketed",
+    "Sign-LSH bucketed approximate top-5 (operators.similarity.lsh_ann_topk; "
+    "8 planes x 4 tables). Approximate by design → rows-only for the "
+    "driver; recall vs brute force asserted in tests.",
+    lambda spark, sf: (
+        S.lsh_ann_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10),
+            k=5,
+        )
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    ),
+    oracle=None,
+)
+
+# --- text analysis ----------------------------------------------------------
+
+_b(
+    "text_stats",
+    "Token count / quality score / rolling fingerprint per document "
+    "(operators.text) — integer-exact formulas recomputed verbatim by the "
+    "oracle.",
+    lambda spark, sf: (
+        load_table(spark, sf, "documents").select(
+            "doc_id",
+            X.token_count("text").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_m"),
+            X.fingerprint("text").alias("fp"),
+            X.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, TRIM(text) AS txt, STRING_SPLIT(TRIM(text), ' ') AS l,
+         ' ' || TRIM(text) || ' ' AS pad
+  FROM documents
+), base AS (
+  SELECT doc_id, txt, l,
+         CAST(LEN(l) AS BIGINT) AS n_tokens,
+         CAST(STRLEN(txt) AS BIGINT) AS n_chars,
+         CAST((STRLEN(pad) - STRLEN(REPLACE(pad, ' the ', ''))) / 5
+              + (STRLEN(pad) - STRLEN(REPLACE(pad, ' a ', ''))) / 3
+              + (STRLEN(pad) - STRLEN(REPLACE(pad, ' of ', ''))) / 4
+              AS BIGINT) AS en_hits
+  FROM t
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM((i * 2654435761
+                   + (STRLEN(l[i]) * 65599
+                      + ASCII(SUBSTR(l[i], 1, 1)) * 256
+                      + ASCII(SUBSTR(l[i], -1, 1))) % 2147483647)
+                  % 2147483647) % 2147483647 AS BIGINT) AS fp
+  FROM t, UNNEST(GENERATE_SERIES(1, LEN(l))) AS g(i)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_chars AS n_chars_m, fp.fp,
+       (CASE WHEN b.n_chars BETWEEN 100 AND 2000 THEN 1.0
+             WHEN b.n_chars >= 50 THEN 0.5 ELSE 0.0 END) * CAST(0.4 AS DOUBLE)
+       + (CASE WHEN CAST(b.n_chars - b.n_tokens + 1 AS DOUBLE) / b.n_tokens
+                    BETWEEN 3.0 AND 10.0
+               THEN 1.0 ELSE 0.5 END) * CAST(0.3 AS DOUBLE)
+       + (CAST(b.en_hits AS DOUBLE) / b.n_tokens) * CAST(0.3 AS DOUBLE)
+           AS quality
+FROM base b JOIN fp USING (doc_id)
+ORDER BY b.doc_id
+""",
+)
+
+
+def _langid_oracle() -> str:
+    """Generate the CASE chain from LANG_STOPWORDS so oracle and operator
+    can never drift apart."""
+    hits = {
+        lang: " + ".join(
+            f"CAST((STRLEN(pad) - STRLEN(REPLACE(pad, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in ws
+        )
+        for lang, ws in X.LANG_STOPWORDS.items()
+    }
+    order = list(X.LANG_STOPWORDS)
+    branches = []
+    for i, lang in enumerate(order):
+        conds = [f"s_{lang} >= s_{o}" for o in order[i + 1 :]]
+        conds += [f"s_{lang} > s_{p}" for p in order[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{order[0]}' END"
+    score_cols = ",\n         ".join(f"{e} AS s_{lang}" for lang, e in hits.items())
+    return f"""
+WITH t AS (SELECT doc_id, lang, ' ' || TRIM(text) || ' ' AS pad FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM t
+)
+SELECT doc_id, lang, {case} AS predicted_lang, s_en AS en_hits
+FROM s ORDER BY doc_id
+"""
+
+
+_b(
+    "text_langid",
+    "Stopword-heuristic language ID (operators.text.lang_id) with fixed "
+    "precedence tie-break; the oracle CASE chain is generated from the same "
+    "stopword table.",
+    lambda spark, sf: (
+        load_table(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            X.lang_id("text").alias("predicted_lang"),
+            X.stopword_hits("text", X.LANG_STOPWORDS["en"]).alias("en_hits"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle=_langid_oracle(),
+)
+
+# --- multimodal -------------------------------------------------------------
+
+_b(
+    "multimodal_meta",
+    "Binary payload plumbing (operators.multimodal.attach_media): byte "
+    "length + content hash over the binary column.",
+    lambda spark, sf: (
+        M.attach_media(load_table(spark, sf, "documents"))
+        .select(
+            "media_id",
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("payload_sha"),
+            F.col("meta.modality").alias("modality"),
+        )
+        .orderBy("media_id")
+    ),
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       SHA256(text) AS payload_sha,
+       'text' AS modality
+FROM documents ORDER BY media_id
+""",
+)
+
+_b(
+    "multimodal_features",
+    "mapInPandas feature extraction over Arrow batches "
+    "(operators.multimodal.extract_features — decode stubbed, plumbing "
+    "real). Rows-only; histogram checked vs a Python reference in tests.",
+    lambda spark, sf: (
+        M.extract_features(M.attach_media(load_table(spark, sf, "documents")))
+        .select("media_id", "n_bytes", F.round(F.element_at("features", 7), 9).alias("f7"))
+        .orderBy("media_id")
+    ),
+    oracle=None,
+)

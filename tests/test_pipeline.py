@@ -1,0 +1,125 @@
+"""Pipeline corpus vs DuckDB oracle + reference checks for the
+hash-dependent operators (SimHash, LSH ANN, multimodal features)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ballista_spark.queries.pipeline import PIPELINE_QUERIES
+from ballista_spark.sources.registry import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE, run_compare
+
+FULL = os.environ.get("BS_TEST_FULL") == "1"
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
+def test_pipeline_smoke_scale(spark, duck, name):
+    run_compare(spark, duck, PIPELINE_QUERIES[name], SF_SMOKE, "smoke")
+
+
+@pytest.mark.skipif(not FULL, reason="set BS_TEST_FULL=1 for sf0.01 scale")
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
+def test_pipeline_correctness_scale(spark, duck, name):
+    run_compare(spark, duck, PIPELINE_QUERIES[name], SF_CORRECT, "correct")
+
+
+# --- reference checks for rows-only operators -------------------------------
+
+
+def _xxhash64(spark, values: list[str]) -> dict[str, int]:
+    """Ground-truth xxhash64 via Spark itself (values driven through a
+    one-column frame) — lets the NumPy reference share Spark's hash."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    rows = df.select("v", F.xxhash64("v").alias("h")).collect()
+    return {r["v"]: r["h"] for r in rows}
+
+
+def test_simhash_matches_python_reference(spark):
+    """simhash_pairs output equals a pure-Python simhash + brute-force
+    hamming scan at smoke scale."""
+    from ballista_spark.operators.dedup import SIMHASH_BITS, simhash_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    tokens = {r.doc_id: r.text.strip().split(" ") for r in docs.itertuples()}
+    vocab = sorted({t for ts in tokens.values() for t in ts})
+    h = _xxhash64(spark, vocab)
+
+    def simhash(toks: list[str]) -> int:
+        votes = [0] * SIMHASH_BITS
+        for t in toks:
+            hv = h[t]
+            for j in range(SIMHASH_BITS):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
+
+    sigs = {d: simhash(ts) for d, ts in tokens.items()}
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expected.add((a, b))
+
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in simhash_pairs(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """LSH ANN top-5 must recover >= 60% of the exact top-5 at smoke scale
+    (recall is parameter-tunable; this guards against a broken bucketer
+    returning junk)."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH ANN recall too low: {recall:.2f}"
+
+
+def test_multimodal_features_reference(spark):
+    """mapInPandas byte-histogram features equal the Python reference."""
+    from ballista_spark.operators.multimodal import (
+        N_FEATURES,
+        attach_media,
+        extract_features,
+        _fake_features,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = extract_features(attach_media(docs)).orderBy("media_id").limit(20).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.orderBy("doc_id").limit(20).collect()
+    }
+    assert len(out) == 20
+    for r in out:
+        payload = texts[r["media_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(payload)
+        assert len(r["features"]) == N_FEATURES
+        np.testing.assert_allclose(r["features"], _fake_features(payload), rtol=1e-12)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from ballista_spark.operators.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00", "image/png")
