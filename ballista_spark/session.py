@@ -34,6 +34,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet pushdown is on by default; pin it so a misconfigured parent
     # session can't silently disable the scan-level filters the plans rely on.
     "spark.sql.parquet.filterPushdown": "true",
+    # wide aggregates (128-column MinHash signatures) must stay inside
+    # whole-stage codegen; the default cutoff is 100 fields
+    "spark.sql.codegen.maxFields": "256",
     "spark.sql.ui.explainMode": "formatted",
 }
 
@@ -44,6 +47,7 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.codegen.maxFields": "256",
 }
 
 
