@@ -1,0 +1,13 @@
+from ballista_spark.streaming.events import (
+    read_events_stream,
+    sessionized_activity,
+    stateful_user_totals,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "sessionized_activity",
+    "stateful_user_totals",
+]

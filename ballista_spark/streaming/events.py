@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference engine is pure batch — no watermarks, windows, or stateful
+operators anywhere (SURVEY.md §2.10) — so this module is a beyond-parity
+extension built the idiomatic Spark way: ``readStream`` → declarative
+transforms → ``writeStream``, watermarks for late data, ``session_window``
+for gap sessionization, ``applyInPandasWithState`` for custom state.
+
+Scale notes: event-time windows + watermark bound state size; the groupBy
+keys (window, event_type) and (user_id) hash-partition state across
+executors; a production deployment swaps the file source for Kafka and the
+memory sink for a transactional ``foreachBatch`` writer without touching the
+transforms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: physical schema of events.parquet (ts stored as TIMESTAMP(NANOS) →
+#: read as long under nanosAsLong, rebuilt to µs timestamps below)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (smoke path; Kafka in prod)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums per type."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_activity(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user gap-based sessions (``session_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total double, n long"
+_OUT_SCHEMA = "user_id long, total double, n long"
+
+
+def _running_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running (sum, count) per user."""
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [key[0]], "total": [total], "n": [n]})
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful per-user running totals via
+    ``applyInPandasWithState`` — the custom-stateful-operator escape hatch
+    the reference never had."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,60 @@
+"""Plan-quality gates: the 100 TB traits (pushdown, pruning, broadcast,
+bounded shuffles) asserted on the headline queries.  A query that passes the
+oracle but regresses here is wrong at scale."""
+
+from __future__ import annotations
+
+from ballista_spark.plans.explain import explain_text, plan_summary
+from ballista_spark.queries.tpch import TPCH_QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def _summary(spark, name):
+    return plan_summary(TPCH_QUERIES[name].run(spark, SF_CORRECT))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    s = _summary(spark, "tpch_q1")
+    li = s.scan_for("lineitem")
+    assert li is not None
+    assert any("l_shipdate" in f for f in li["pushed_filters"]), li
+    # projection pruning: lineitem has 11 columns, q1 needs 7
+    assert len(li["read_schema"]) <= 7, li["read_schema"]
+    assert s.joins == []
+
+
+def test_q6_full_pushdown_single_exchange(spark):
+    s = _summary(spark, "tpch_q6")
+    li = s.scan_for("lineitem")
+    pushed = " ".join(li["pushed_filters"])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert len(li["read_schema"]) <= 4
+    # global agg: one shuffle (partial -> final), nothing else
+    assert s.n_shuffles <= 1, s
+
+
+def test_q3_broadcasts_small_dimensions(spark):
+    s = _summary(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in s.joins, s.joins
+    # customer/orders broadcast; no sort-merge join should appear at this SF
+    assert s.n_broadcast_exchanges >= 1
+
+
+def test_q5_six_way_join_stays_broadcast_at_test_scale(spark):
+    s = _summary(spark, "tpch_q5")
+    assert "BroadcastHashJoin" in s.joins
+    # region/nation/supplier are tiny: they must never shuffle
+    assert s.n_shuffles <= 3, s
+
+
+def test_explain_modes_render(spark):
+    df = TPCH_QUERIES["tpch_q1"].run(spark, SF_CORRECT)
+    for mode in ("simple", "extended", "formatted", "cost"):
+        text = explain_text(df, mode)
+        assert "lineitem" in text or "Aggregate" in text or "Scan" in text
+
+
+def test_aqe_enabled_in_plans(spark):
+    s = _summary(spark, "tpch_q18")
+    assert s.has_aqe

@@ -1,0 +1,82 @@
+"""Structured Streaming operators driven to completion via the memory sink,
+cross-checked against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.sources.registry import load_table
+from ballista_spark.streaming import (
+    read_events_stream,
+    sessionized_activity,
+    stateful_user_totals,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(windowed_event_counts(stream), "win_counts", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+        )
+        .collect()
+    )
+    expected = {(r["w"]["start"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sessionization_runs_and_covers_all_users(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(sessionized_activity(stream), "sessions", "complete")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    n_events = sum(r["n_events"] for r in rows)
+    assert n_events == load_table(spark, SF_SMOKE, "events").count()
+    for r in rows[:50]:
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_stateful_user_totals_match_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(stateful_user_totals(stream), "user_totals", "update")
+    # update mode may emit several rows per user across epochs; the final
+    # (max-n) row per user is the converged state
+    rows = spark.sql(
+        """
+        SELECT user_id, total, n FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC) rn
+          FROM user_totals) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (round(r["total"], 6), r["n"]) for r in rows}
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count("*").alias("n"))
+        .collect()
+    )
+    expected = {r["user_id"]: (round(r["t"], 6), r["n"]) for r in batch}
+    assert got == expected
