@@ -123,20 +123,12 @@ def round(x, scale: int = 0) -> Column:  # noqa: A001 - reference name
 
 
 def trunc(x, scale: int = 0) -> Column:
-    """Numeric truncation toward zero (Arrow's trunc kernel)."""
-    if scale == 0:
-        return F.expr(f"CAST(TRUNC(CAST(({_sql(x)}) AS DOUBLE), 0) AS DOUBLE)")
-    return F.expr(f"CAST(TRUNC(CAST(({_sql(x)}) AS DOUBLE), {int(scale)}) AS DOUBLE)")
-
-
-def _sql(x) -> str:
-    # Column → SQL text for expr() composition; plain names pass through.
-    if isinstance(x, Column):
-        try:
-            return x._jc.toString()  # type: ignore[attr-defined]
-        except Exception:
-            return str(x)
-    return str(x)
+    """Numeric truncation toward zero (Arrow's trunc kernel; Spark's TRUNC
+    is date-only, so compose sign·floor(|x|·10^s)/10^s).  Valid for
+    |x|·10^s < 2^63 — ample for the engine's numeric ranges."""
+    c = _c(x).cast("double")
+    p = F.lit(float(10 ** scale))
+    return F.signum(c) * F.floor(F.abs(c) * p).cast("double") / p
 
 
 abs = F.abs  # noqa: A001 - reference name

@@ -690,3 +690,99 @@ FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
 """,
 )
+
+# --- as-of join / sessionization / percentiles / grouping sets --------------
+# (beyond-reference operators the guide calls out for time-series and OLAP)
+
+
+def _asof_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        asof_join(purchases, views, on="ts", by="user_id",
+                  value_cols=["event_id", "value"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("event_id_asof").alias("view_event_id"),
+            F.col("value_asof").alias("view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_b(
+    "cov_asof_join",
+    "Backward as-of join (operators.asof.asof_join — union+window "
+    "composition, one shuffle): each purchase matched to the user's latest "
+    "prior view.  Oracle uses DuckDB's native ASOF LEFT JOIN.",
+    _asof_builder,
+    oracle="""
+SELECT l.event_id, l.user_id,
+       r.event_id AS view_event_id, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+)
+
+_q(
+    "cov_sessionize_batch",
+    "Batch sessionization via LAG + gap threshold (10 min) — the windowed "
+    "counterpart of streaming session_window.",
+    """
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN ts - prev > INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       COUNT(*) + 1 AS n_events
+FROM (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events
+) t
+WHERE prev IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+
+_q(
+    "cov_percentile",
+    "Exact MEDIAN / PERCENTILE aggregates (beyond the 5-function wire enum).",
+    """
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS med_qty,
+       PERCENTILE(l_quantity, 0.25) AS q1_qty,
+       PERCENTILE(l_quantity, 0.75) AS q3_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS med_qty,
+       QUANTILE_CONT(l_quantity, 0.25) AS q1_qty,
+       QUANTILE_CONT(l_quantity, 0.75) AS q3_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+_q(
+    "cov_grouping_sets",
+    "Explicit GROUPING SETS (beyond reference — SURVEY.md §2.8).",
+    f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {dec_sum("o_totalprice", "total")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)

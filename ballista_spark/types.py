@@ -13,6 +13,8 @@ the Python string aliases (``python/src/datatypes.rs:256-269`` — "i32",
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import types as T
 
 __all__ = ["arrow_name_to_spark", "spark_type_to_arrow_name", "schema"]
@@ -96,7 +98,10 @@ def arrow_name_to_spark(name: str) -> T.DataType:
         # fixed_size_list<t, n> — drop the length (Spark arrays are unsized)
         inner = inner.rsplit(",", 1)[0] if key.startswith("fixed_size_list") else inner
         return T.ArrayType(arrow_name_to_spark(inner))
-    # decimal(p, s), struct<...>, map<...> — Spark DDL handles these
+    m = re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    # struct<...>, map<...> — Spark DDL parser (requires an active session)
     return T._parse_datatype_string(name)  # type: ignore[attr-defined]
 
 

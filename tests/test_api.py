@@ -1,0 +1,193 @@
+"""API-surface tests mirroring the reference's serde round-trip suite
+(rust/core/src/serde/logical_plan/mod.rs — SURVEY.md §5.1): type mapping
+round-trips, the full declared function enum, DataFrame operator surface,
+context registration, and sink round-trips."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+import ballista_spark.functions as bf
+from ballista_spark.context import BallistaContext
+from ballista_spark.types import arrow_name_to_spark, schema, spark_type_to_arrow_name
+from tests.conftest import SF_SMOKE
+
+# --- types (ballista.proto:750-785; python/src/datatypes.rs:256-269) --------
+
+ROUND_TRIP = [
+    ("bool", T.BooleanType()),
+    ("int8", T.ByteType()),
+    ("int16", T.ShortType()),
+    ("int32", T.IntegerType()),
+    ("int64", T.LongType()),
+    ("float32", T.FloatType()),
+    ("float64", T.DoubleType()),
+    ("utf8", T.StringType()),
+    ("binary", T.BinaryType()),
+    ("date32", T.DateType()),
+    ("timestamp", T.TimestampType()),
+]
+
+
+@pytest.mark.parametrize("name,expected", ROUND_TRIP)
+def test_type_round_trip(name, expected):
+    dt = arrow_name_to_spark(name)
+    assert dt == expected
+    assert arrow_name_to_spark(spark_type_to_arrow_name(dt)) == dt
+
+
+def test_unsigned_widening_policy():
+    # SURVEY.md §1.3: unsigned widens to the next signed type
+    assert arrow_name_to_spark("u8") == T.ShortType()
+    assert arrow_name_to_spark("u16") == T.IntegerType()
+    assert arrow_name_to_spark("u32") == T.LongType()
+    assert arrow_name_to_spark("u64") == T.DecimalType(20, 0)
+
+
+def test_nested_and_parameterized_types():
+    assert arrow_name_to_spark("list<i32>") == T.ArrayType(T.IntegerType())
+    assert arrow_name_to_spark("decimal(12,3)") == T.DecimalType(12, 3)
+    assert arrow_name_to_spark("dictionary<i32, utf8>") == T.StringType()
+    with pytest.raises(ValueError):
+        arrow_name_to_spark("union")
+
+
+def test_schema_builder():
+    s = schema({"id": "i64", "name": "utf8", "v": "f64"})
+    assert [f.name for f in s] == ["id", "name", "v"]
+    assert s["v"].dataType == T.DoubleType()
+
+
+# --- functions: full declared enum (ballista.proto:80-127) ------------------
+
+
+def test_all_33_scalar_functions_evaluate(spark):
+    """Every function in the wire enum (plus the python-only extras) must
+    produce a value — including the eight whose wire deserialization was
+    broken in the reference (from_proto.rs:898-923)."""
+    df = spark.range(1).select(
+        bf.lit(0.5).alias("x"), bf.lit("  Ab  ").alias("s"), bf.lit("2024-03-15 10:30:00").alias("t")
+    )
+    row = df.select(
+        bf.sqrt("x"), bf.sin("x"), bf.cos("x"), bf.tan("x"), bf.asin("x"),
+        bf.acos("x"), bf.atan("x"), bf.exp("x"), bf.log("x"), bf.ln("x"),
+        bf.log2("x"), bf.log10("x"), bf.floor("x"), bf.ceil("x"),
+        bf.round(bf.col("x"), 1), bf.trunc(bf.col("x")), bf.abs(bf.lit(-2.0)),
+        bf.signum(bf.lit(-3.0)), bf.octet_length("s"),
+        bf.concat(bf.col("s"), bf.lit("!")), bf.lower("s"), bf.upper("s"),
+        bf.trim("s"), bf.ltrim("s"), bf.rtrim("s"),
+        bf.to_timestamp("t"), bf.array(bf.col("x"), bf.col("x")),
+        bf.nullif(bf.col("s"), bf.lit("zzz")), bf.date_trunc("day", bf.to_timestamp("t")),
+        bf.md5("s"), bf.sha224("s"), bf.sha256("s"), bf.sha384("s"), bf.sha512("s"),
+    ).collect()[0]
+    vals = list(row)
+    assert math.isclose(vals[0], math.sqrt(0.5))
+    assert vals[18] == 6  # octet_length of "  Ab  "
+    assert len(vals[30]) == 56 and len(vals[32]) == 96  # sha224 / sha384 hex
+    assert all(v is not None for v in vals)
+
+
+def test_aggregates_and_count_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (2, 5.0)], ["k", "v"]
+    )
+    row = df.select(
+        bf.min("v"), bf.max("v"), bf.sum("v"), bf.avg("v"), bf.count("v"),
+        bf.count_distinct("k"),
+    ).collect()[0]
+    assert list(row) == [1.0, 5.0, 9.0, 3.0, 3, 2]
+
+
+def test_case_builder(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["v"])
+    out = df.select(
+        bf.case(bf.col("v")).when(1, "one").when(2, "two").otherwise("many").alias("w")
+    ).collect()
+    assert [r["w"] for r in out] == ["one", "two", "many"]
+    out2 = df.select(
+        bf.case().when(bf.col("v") > 2, "big").otherwise("small").alias("w")
+    ).collect()
+    assert [r["w"] for r in out2] == ["small", "small", "big"]
+
+
+# --- DataFrame surface + sinks (SURVEY.md §2.1, §2.9) -----------------------
+
+
+def test_dataframe_surface_chain(spark):
+    ctx = BallistaContext(spark)
+    ctx.register_parquet("part_t", os.path.join(SF_SMOKE, "part.parquet"))
+    out = (
+        ctx.table("part_t")
+        .select_columns("p_partkey", "p_size", "p_retailprice")
+        .filter(bf.col("p_size") > 25)
+        .aggregate([bf.col("p_size")], [bf.count(bf.lit(1)).alias("n")])
+        .sort(bf.col("p_size").asc_nulls_first())
+        .limit(5)
+    )
+    rows = out.collect()
+    assert len(rows) <= 5
+    assert rows == sorted(rows, key=lambda r: r["p_size"])
+    assert out.schema()["n"].dataType == T.LongType()
+
+
+def test_sink_round_trips(spark, tmp_path=None):
+    ctx = BallistaContext(spark)
+    ctx.register_parquet("nation_t", os.path.join(SF_SMOKE, "nation.parquet"))
+    df = ctx.table("nation_t")
+    d = tempfile.mkdtemp()
+    for fmt, writer, reader in [
+        ("parquet", "write_parquet", "read_parquet"),
+        ("csv", "write_csv", None),
+        ("json", "write_json", None),
+    ]:
+        path = os.path.join(d, fmt)
+        getattr(df, writer)(path)
+        if fmt == "parquet":
+            back = ctx.read_parquet(path)
+        elif fmt == "csv":
+            back = ctx.read_csv(
+                path, schema={"n_nationkey": "i32", "n_name": "utf8", "n_regionkey": "i32"},
+                has_header=True,
+            )
+        else:
+            back = ctx.read_json(path)
+        assert back.count() == 25, fmt
+
+
+def test_tbl_pipe_delimited_read(spark):
+    """The reference's .tbl variant (rust/benchmarks/tpch/src/main.rs:130-139)."""
+    ctx = BallistaContext(spark)
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "region.tbl"), "w") as f:
+        f.write("0|AFRICA\n1|AMERICA\n")
+    df = ctx.read_csv(
+        d, schema={"r_regionkey": "i32", "r_name": "utf8"},
+        delimiter="|", file_extension=".tbl",
+    )
+    assert [tuple(r) for r in df.sort(bf.col("r_regionkey")).collect()] == [
+        (0, "AFRICA"), (1, "AMERICA"),
+    ]
+
+
+def test_create_external_table_and_sql(spark):
+    ctx = BallistaContext(spark)
+    ctx.create_external_table("ext_orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    n = ctx.sql("SELECT COUNT(*) AS n FROM ext_orders").collect()[0]["n"]
+    assert n > 0
+    assert "ext_orders" in ctx.tables()
+
+
+def test_explain_surface(spark, capsys):
+    ctx = BallistaContext(spark)
+    ctx.register_parquet("li", os.path.join(SF_SMOKE, "lineitem.parquet"))
+    df = ctx.sql("SELECT COUNT(*) FROM li")
+    df.explain(False)
+    df.explain(True)
+    df.explain("formatted")
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
