@@ -53,13 +53,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: Per-session registration cache — re-registration re-reads every parquet
+#: footer (~1.3 s for 10 tables), which would otherwise be paid per query in
+#: the bench/driver loop.  Keyed by session so a session switching sf_dir
+#: gets a full re-register (the temp views are names shared across dirs).
+_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Register every canonical table as a temp view; returns the frames."""
-    out: dict[str, DataFrame] = {}
+    """Register every canonical table as a temp view (cached per session
+    while the scale-factor dir is unchanged); returns the frames."""
+    cached_dir, cached = _REGISTERED.get(id(spark), (None, {}))
+    if cached_dir != sf_dir:
+        cached = {}
+    out = dict(cached)
     for name in names:
+        if name in out:
+            continue
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    return out
+    _REGISTERED[id(spark)] = (sf_dir, out)
+    return {n: out[n] for n in names}
