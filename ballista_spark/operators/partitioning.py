@@ -1,0 +1,120 @@
+"""Partitioning strategies for the 100 TB deployment: bucketing for
+co-located (shuffle-free) joins and salting for skewed keys.
+
+The reference's only partitioning controls were hash/round-robin
+Repartition nodes (ballista.proto:219-230) and a static stage planner;
+Spark adds storage-level bucketing and AQE skew handling, and these helpers
+make the two deliberate patterns first-class:
+
+- *bucketing*: write both join sides bucketed by the join key → later joins
+  read co-partitioned data and skip the exchange entirely (verified by
+  ``tests/test_partitioning.py`` asserting a zero-Exchange join plan).
+- *salting*: explode a hot key into ``n_salts`` sub-keys for the heavy
+  (first) aggregation phase, then combine — bounds any single task's input
+  regardless of skew.  AQE's skew-join splitting handles the join case
+  automatically; salted_agg covers the aggregation case AQE doesn't.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Joins/aggregations on ``bucket_cols`` between tables bucketed with the
+    same count read co-located partitions — no shuffle at query time; with
+    ``sort_cols`` a sort-merge join also skips its sort.
+    """
+    if mode == "overwrite":
+        # make overwrite idempotent across sessions: a dead session can leave
+        # the managed location on disk while the new catalog has no entry,
+        # which fails saveAsTable with LOCATION_ALREADY_EXISTS
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def salt_column(n_salts: int, *cols: str) -> Column:
+    """Deterministic salt in [0, n_salts) derived from row content — spreads
+    a hot key across ``n_salts`` reducers without RNG state."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    agg_exprs: dict[str, str],
+    salt_cols: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups by (key, salt) — skewed keys split across ``n_salts``
+    tasks; phase 2 combines the partials.  ``agg_exprs`` maps output column
+    name → one of sum/count/min/max (the algebraic aggregates that
+    re-combine losslessly; count re-combines via sum).
+    """
+    combiners = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for out, spec in agg_exprs.items():
+        fn, _, _col = spec.partition(":")
+        if fn not in combiners:
+            raise ValueError(f"unsupported salted aggregate: {spec}")
+
+    salted = df.withColumn("__salt", salt_column(n_salts, *salt_cols))
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[
+            combiners[spec.partition(":")[0]](spec.partition(":")[2]).alias(out)
+            for out, spec in agg_exprs.items()
+        ]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[
+            recombine[spec.partition(":")[0]](out).alias(out)
+            for out, spec in agg_exprs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side's key, replicate the other
+    side across every salt value, join on (key, salt).
+
+    Prefer AQE's automatic skew-join splitting where it applies; this is the
+    explicit fallback for engines/stages AQE doesn't cover (and documents
+    the pattern).  ``other`` is replicated ``n_salts`` times — use only when
+    it is the small side.
+    """
+    salted = skewed.withColumn("__salt", salt_column(n_salts, on))
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted.join(replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
