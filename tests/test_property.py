@@ -1,0 +1,97 @@
+"""Randomized-input equivalence tests (fixed seeds): the dedup and
+similarity operators must agree with brute-force references on data they
+were not tuned on — guards against constants overfit to the driver's
+testdata."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from ballista_spark.operators.similarity import cosine_topk
+
+VOCAB = [f"w{i}" for i in range(50)]
+
+
+def _random_docs(seed: int, n: int = 60, dup_frac: float = 0.25):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n):
+        length = rng.randint(20, 80)
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(length))))
+    # plant near-duplicates: copy a doc and perturb a few tokens
+    n_dups = int(n * dup_frac)
+    for j in range(n_dups):
+        src_id, text = docs[rng.randrange(n)]
+        toks = text.split(" ")
+        for _ in range(max(1, len(toks) // 20)):
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        docs.append((n + j, " ".join(toks)))
+    return docs
+
+
+def _exact_jaccard_pairs(docs, threshold):
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 99, 1234])
+def test_minhash_lsh_equals_brute_force_on_random_docs(spark, seed):
+    docs = _random_docs(seed)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    expected = _exact_jaccard_pairs(docs, 0.8)
+    assert set(got) == set(expected), (
+        f"seed={seed}: LSH pairs {set(got) ^ set(expected)} differ"
+    )
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_ngram_jaccard_equals_brute_force(spark, seed):
+    docs = _random_docs(seed, n=40)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["key_a"], r["key_b"]) for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert got == set(_exact_jaccard_pairs(docs, 0.3))
+
+
+def test_cosine_topk_equals_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {}
+    for r in cosine_topk(df, df.where(F.col("vec_id") < 5), k=3).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for q in range(5):
+        sims = (v64 @ v64[q]) / (norms * norms[q])
+        sims[q] = -np.inf
+        order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))[:3]
+        assert got[q] == order, f"query {q}: {got[q]} != {order}"
