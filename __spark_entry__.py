@@ -22,6 +22,7 @@ def _corpora():
     for mod, attr in (
         ("ballista_spark.queries.coverage", "COVERAGE_QUERIES"),
         ("ballista_spark.queries.pipeline", "PIPELINE_QUERIES"),
+        ("ballista_spark.queries.tpch_df", "TPCH_DF_QUERIES"),
     ):
         try:
             m = __import__(mod, fromlist=[attr])

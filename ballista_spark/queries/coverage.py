@@ -786,3 +786,52 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
 )
+
+
+def _range_join_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end"),
+        )
+    )
+    joined = range_join(
+        ev.select("user_id", "ts", "event_id"),
+        intervals,
+        by="user_id",
+        bin_width="30 minute",
+    )
+    return (
+        joined.groupBy("signup_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("signup_id")
+    )
+
+
+_b(
+    "cov_range_join",
+    "Point-in-interval range join (operators.rangejoin.range_join — "
+    "bin-bucketed equi-join + exact filter, no n^2): events within 30 "
+    "minutes after each signup, per user.  Oracle is DuckDB's native "
+    "inequality join.",
+    _range_join_builder,
+    oracle="""
+SELECT s.signup_id, COUNT(*) AS n_events
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+JOIN (
+  SELECT user_id, event_id AS signup_id,
+         CAST(ts AS TIMESTAMP) AS s_ts,
+         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e_ts
+  FROM events WHERE event_type = 'signup'
+) s
+  ON e.user_id = s.user_id AND e.ts >= s.s_ts AND e.ts < s.e_ts
+GROUP BY s.signup_id
+ORDER BY s.signup_id
+""",
+)

@@ -1,0 +1,186 @@
+"""The reference's integration query set (q1,3,5,6,10,12 —
+``rust/benchmarks/tpch/run.sh:6``) re-expressed through the
+BallistaDataFrame / functions client API instead of SQL.
+
+This is the surface the reference's DataFrame clients would have used
+(``rust/client/src/context.rs:241-314``, ``python/src/dataframe.rs`` — where
+join was still a TODO).  Each builder produces the same result as its SQL
+twin in :mod:`ballista_spark.queries.tpch` (asserted by
+``tests/test_tpch_df.py``) and shares its DuckDB oracle, so the DataFrame
+surface itself is under the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import ballista_spark.functions as bf
+from ballista_spark.dataframe import BallistaDataFrame
+from ballista_spark.queries.base import Query
+from ballista_spark.queries.tpch import TPCH_QUERIES
+from ballista_spark.sources.registry import load_table
+
+TPCH_DF_QUERIES: dict[str, Query] = {}
+
+_DEC = "decimal(18,6)"
+
+
+def _dsum(expr) -> F.Column:
+    return bf.sum(bf.cast(expr, _DEC)).cast("double")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> BallistaDataFrame:
+    return BallistaDataFrame(load_table(spark, sf_dir, name))
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = bf.col("l_extendedprice") * (1 - bf.col("l_discount"))
+    return (
+        li.filter(bf.col("l_shipdate") <= bf.lit("2001-09-02").cast("timestamp"))
+        .aggregate(
+            [bf.col("l_returnflag"), bf.col("l_linestatus")],
+            [
+                _dsum(bf.col("l_quantity")).alias("sum_qty"),
+                _dsum(bf.col("l_extendedprice")).alias("sum_base_price"),
+                _dsum(rev).alias("sum_disc_price"),
+                _dsum(rev * (1 + bf.col("l_tax"))).alias("sum_charge"),
+                (_dsum(bf.col("l_quantity")) / bf.count("l_quantity")).alias("avg_qty"),
+                (_dsum(bf.col("l_extendedprice")) / bf.count("l_extendedprice")).alias("avg_price"),
+                (_dsum(bf.col("l_discount")) / bf.count("l_discount")).alias("avg_disc"),
+                bf.count(F.lit(1)).alias("count_order"),
+            ],
+        )
+        .sort(bf.col("l_returnflag").asc(), bf.col("l_linestatus").asc())
+        .df
+    )
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(bf.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        bf.col("o_orderdate") < bf.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        bf.col("l_shipdate") > bf.lit("1998-03-15").cast("timestamp")
+    )
+    rev = bf.col("l_extendedprice") * (1 - bf.col("l_discount"))
+    return (
+        cust.join(orders, on=[cust.df.c_custkey == orders.df.o_custkey])
+        .join(li, on=[F.col("o_orderkey") == li.df.l_orderkey])
+        .aggregate(
+            [bf.col("l_orderkey"), bf.col("o_orderdate"), bf.col("o_orderpriority")],
+            [_dsum(rev).alias("revenue")],
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .sort(bf.col("revenue").desc(), bf.col("o_orderdate").asc(), bf.col("l_orderkey").asc())
+        .limit(10)
+        .df
+    )
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (bf.col("o_orderdate") >= bf.lit("1996-01-01").cast("timestamp"))
+        & (bf.col("o_orderdate") < bf.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(bf.col("r_name") == "ASIA")
+    rev = bf.col("l_extendedprice") * (1 - bf.col("l_discount"))
+    return (
+        cust.join(orders, on=[cust.df.c_custkey == orders.df.o_custkey])
+        .join(li, on=[F.col("o_orderkey") == li.df.l_orderkey])
+        .join(
+            supp,
+            on=[
+                (F.col("l_suppkey") == supp.df.s_suppkey)
+                & (F.col("c_nationkey") == supp.df.s_nationkey)
+            ],
+        )
+        .join(nation, on=[F.col("s_nationkey") == nation.df.n_nationkey])
+        .join(region, on=[F.col("n_regionkey") == region.df.r_regionkey])
+        .aggregate([bf.col("n_name")], [_dsum(rev).alias("revenue")])
+        .sort(bf.col("revenue").desc(), bf.col("n_name").asc())
+        .df
+    )
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (bf.col("l_shipdate") >= bf.lit("1997-01-01").cast("timestamp"))
+            & (bf.col("l_shipdate") < bf.lit("1998-01-01").cast("timestamp"))
+            & bf.col("l_discount").between(0.03, 0.07)
+            & (bf.col("l_quantity") < 24)
+        )
+        .aggregate(
+            [],
+            [_dsum(bf.col("l_extendedprice") * bf.col("l_discount")).alias("revenue")],
+        )
+        .df
+    )
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (bf.col("o_orderdate") >= bf.lit("1997-10-01").cast("timestamp"))
+        & (bf.col("o_orderdate") < bf.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(bf.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = bf.col("l_extendedprice") * (1 - bf.col("l_discount"))
+    return (
+        cust.join(orders, on=[cust.df.c_custkey == orders.df.o_custkey])
+        .join(li, on=[F.col("o_orderkey") == li.df.l_orderkey])
+        .join(nation, on=[F.col("c_nationkey") == nation.df.n_nationkey])
+        .aggregate(
+            [bf.col("c_custkey"), bf.col("c_name"), bf.col("c_acctbal"), bf.col("n_name")],
+            [_dsum(rev).alias("revenue")],
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .sort(bf.col("revenue").desc(), bf.col("c_custkey").asc())
+        .limit(20)
+        .df
+    )
+
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (bf.col("l_shipdate") >= bf.lit("1997-01-01").cast("timestamp"))
+        & (bf.col("l_shipdate") < bf.lit("1998-01-01").cast("timestamp"))
+    )
+    high = bf.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, on=[orders.df.o_orderkey == li.df.l_orderkey])
+        .aggregate(
+            [bf.col("l_returnflag")],
+            [
+                bf.sum(bf.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+                bf.sum(bf.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            ],
+        )
+        .sort(bf.col("l_returnflag").asc())
+        .df
+    )
+
+
+for _name, _builder in [
+    ("tpch_df_q1", _q1), ("tpch_df_q3", _q3), ("tpch_df_q5", _q5),
+    ("tpch_df_q6", _q6), ("tpch_df_q10", _q10), ("tpch_df_q12", _q12),
+]:
+    _sql_twin = _name.replace("_df", "")
+    TPCH_DF_QUERIES[_name] = Query(
+        doc=(
+            f"DataFrame-API twin of {_sql_twin} (client surface of "
+            "rust/client/src/context.rs:241-314); same oracle."
+        ),
+        builder=_builder,
+        oracle=TPCH_QUERIES[_sql_twin].oracle_text(),
+    )
