@@ -559,7 +559,7 @@ _q(
     "DATE_TRUNC (ballista.proto:108 DATETRUNC) + EXTRACT family over the "
     "events stream table.",
     """
-SELECT DATE_TRUNC('day', ts) AS day,
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
        CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
        CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS m,
        CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
@@ -569,7 +569,7 @@ GROUP BY 1, 2, 3, 4
 ORDER BY day, h
 """,
     oracle="""
-SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
        CAST(EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
        CAST(EXTRACT(MONTH FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS m,
        CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
@@ -833,5 +833,100 @@ JOIN (
   ON e.user_id = s.user_id AND e.ts >= s.s_ts AND e.ts < s.e_ts
 GROUP BY s.signup_id
 ORDER BY s.signup_id
+""",
+)
+
+
+def _approx_distinct_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn(
+            "within_5pct",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.05
+            ),
+        )
+        .select("l_returnflag", "exact_parts", "within_5pct")
+        .orderBy("l_returnflag")
+    )
+
+
+_b(
+    "cov_approx_distinct",
+    "HyperLogLog++ approx_count_distinct (the sketch path for 100 TB "
+    "cardinalities) — the oracle checks the exact count and that the "
+    "sketch landed within 5% (sketch values themselves are "
+    "engine-specific).",
+    _approx_distinct_builder,
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+_q(
+    "cov_funnel",
+    "Event funnel: users reaching signup -> view -> purchase in order "
+    "(MIN-timestamp staging per user; the standard conversion query).",
+    """
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+FROM (
+    SELECT s.user_id,
+           MIN(v.ts) AS v_ts,
+           MIN(p.ts) AS p_ts
+    FROM (SELECT user_id, MIN(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id) s
+    LEFT JOIN events v
+      ON v.user_id = s.user_id AND v.event_type = 'view' AND v.ts > s.s_ts
+    LEFT JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts > s.s_ts
+    GROUP BY s.user_id
+) funnel
+""",
+)
+
+_q(
+    "cov_retention",
+    "Daily retention cohorts: first-activity day x activity day counts.",
+    """
+SELECT cohort_day, activity_day, COUNT(DISTINCT user_id) AS n_users
+FROM (
+    SELECT e.user_id,
+           CAST(DATE_TRUNC('day', f.first_ts) AS DATE) AS cohort_day,
+           CAST(DATE_TRUNC('day', e.ts) AS DATE) AS activity_day
+    FROM events e
+    JOIN (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id) f
+      ON e.user_id = f.user_id
+) t
+WHERE activity_day <= cohort_day + INTERVAL 3 DAY
+GROUP BY cohort_day, activity_day
+ORDER BY cohort_day, activity_day
+""",
+    oracle="""
+SELECT cohort_day, activity_day, COUNT(DISTINCT user_id) AS n_users
+FROM (
+    SELECT e.user_id,
+           CAST(DATE_TRUNC('day', CAST(f.first_ts AS TIMESTAMP)) AS DATE) AS cohort_day,
+           CAST(DATE_TRUNC('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS activity_day
+    FROM events e
+    JOIN (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+          FROM events GROUP BY user_id) f
+      ON e.user_id = f.user_id
+) t
+WHERE activity_day <= cohort_day + INTERVAL 3 DAY
+GROUP BY cohort_day, activity_day
+ORDER BY cohort_day, activity_day
 """,
 )
