@@ -20,6 +20,14 @@ from ballista_spark.operators.similarity import (
     embedding_neardup_pairs,
     lsh_ann_topk,
 )
+from ballista_spark.operators.asof import asof_join
+from ballista_spark.operators.dataset import hash_split, merge_upsert
+from ballista_spark.operators.partitioning import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from ballista_spark.operators.rangejoin import range_join
 from ballista_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -41,4 +49,11 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "asof_join",
+    "range_join",
+    "hash_split",
+    "merge_upsert",
+    "write_bucketed",
+    "salted_agg",
+    "salted_join",
 ]
