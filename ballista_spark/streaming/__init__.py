@@ -11,3 +11,6 @@ __all__ = [
     "sessionized_activity",
     "stateful_user_totals",
 ]
+from ballista_spark.streaming.events import streaming_dedup  # noqa: E402
+
+__all__.append("streaming_dedup")

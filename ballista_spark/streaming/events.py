@@ -127,3 +127,17 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication — the streaming face of the batch dedup
+    operators: keep the first event per key, with the watermark bounding
+    how long state is retained (`dropDuplicatesWithinWatermark`, so a
+    duplicate arriving after the watermark horizon cannot grow state
+    forever at 100 TB/day event rates)."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -58,3 +58,30 @@ def test_explain_modes_render(spark):
 def test_aqe_enabled_in_plans(spark):
     s = _summary(spark, "tpch_q18")
     assert s.has_aqe
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Writing date-partitioned parquet and filtering on the partition col
+    must prune at the scan (PartitionFilters), not post-filter — the trait
+    that makes day-scoped queries cheap at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ballista_spark.sources.registry import load_table
+
+    out = os.path.join(str(tmp_path), "events_by_day")
+    ev = load_table(spark, SF_CORRECT, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    q = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    text = explain_text(q, "formatted")
+    assert "PartitionFilters" in text and "2024-01-05" in text
+    n_days = ev.select("day").distinct().count()
+    assert q.count() > 0
+    # pruned scan reads one partition dir, not all n_days
+    import re
+
+    m = re.search(r"Location: \S+ \[(.*?)\]", text)
+    assert m is not None

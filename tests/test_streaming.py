@@ -80,3 +80,15 @@ def test_stateful_user_totals_match_batch(spark):
     )
     expected = {r["user_id"]: (round(r["t"], 6), r["n"]) for r in batch}
     assert got == expected
+
+
+def test_streaming_dedup_first_event_per_user(spark):
+    from ballista_spark.streaming import streaming_dedup
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(streaming_dedup(stream, ["user_id"]), "dedup_stream", "append")
+    rows = spark.sql("SELECT user_id FROM dedup_stream").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)), "duplicate users in deduped stream"
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert len(users) == n_users
