@@ -191,3 +191,18 @@ def test_explain_surface(spark, capsys):
     df.explain("formatted")
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """Approximate quantile sketch lands near the exact percentile
+    (engine-specific values → test-only, like HLL)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    row = df.select(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= row["exact"] * 0.05
