@@ -114,3 +114,15 @@ def fingerprint(text="text") -> F.Column:
     )
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (total % _M31).cast("bigint")
+
+
+#: GPT-2-ish pretokenizer classes: letter runs, digit runs, punctuation runs
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+"
+
+
+def token_count_regex(text="text", pattern: str = BPE_TOKEN_PATTERN) -> F.Column:
+    """BPE-style pretokenizer count (letter/digit/punct runs) — the
+    "whitespace + BPE-ish regex" token counter; RE2-compatible pattern so
+    SQL oracles reproduce it exactly."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")

@@ -324,3 +324,103 @@ _b(
     ),
     oracle=None,
 )
+
+
+_b(
+    "text_token_regex",
+    "BPE-ish regex token counting (operators.text.token_count_regex — "
+    "letter/digit/punct runs) next to the whitespace count.",
+    lambda spark, sf: (
+        load_table(spark, sf, "documents").select(
+            "doc_id",
+            X.token_count("text").alias("n_ws_tokens"),
+            X.token_count_regex("text").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+
+_b(
+    "emb_label_centroids",
+    "Per-label embedding centroids (posexplode + decimal-exact per-"
+    "dimension mean) — the vector-analytics building block for IVF "
+    "coarse quantizers.",
+    lambda spark, sf: (
+        load_table(spark, sf, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .where(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,12)")).cast("double")
+                / F.count("v")
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    ),
+    oracle="""
+SELECT label, i - 1 AS dim,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+           / COUNT(*) AS centroid
+FROM embeddings, UNNEST(GENERATE_SERIES(1, 8)) AS g(i)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+
+_b(
+    "text_tfidf_top_terms",
+    "Top-3 TF-IDF terms per document (explode -> tf and df counts -> "
+    "ratio-based idf, window top-k). Ratio idf (n_docs/df) keeps the "
+    "score an exact-integer division — no cross-libm log.",
+    lambda spark, sf: _tfidf_builder(spark, sf),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, rank, term
+FROM (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term
+         ) AS BIGINT) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) t
+WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+
+
+def _tfidf_builder(spark, sf):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar driver-side constant (table size, not data)
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term")
+        .orderBy("doc_id", "rank")
+    )
