@@ -182,3 +182,83 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def _nearest_centroids(
+    vecs: DataFrame, centroids: DataFrame, id_col: str, vec_alias: str, n_probe: int
+) -> DataFrame:
+    """Rank centroids per vector by cosine; keep the top n_probe."""
+    from pyspark.sql.window import Window
+
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "__c_sim",
+        _dot(F.col(vec_alias), F.col("centroid_v"))
+        / (_norm(F.col(vec_alias)) * _norm(F.col("centroid_v"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__c_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__c_rank", F.row_number().over(w))
+        .where(F.col("__c_rank") <= n_probe)
+        .drop("__c_sim", "__c_rank", "centroid_v")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells
+    (here: per-``label`` centroids — at deploy, k-means centroids), assign
+    each corpus vector to its nearest cell, and search each query only in
+    its ``n_probe`` nearest cells.
+
+    This is the other canonical ANN scale path next to sign-LSH: the cell
+    equi-join replaces the cross join, candidates ≈ n_probe/n_cells of the
+    corpus.  Returns (query_id, rank, neighbor_id, cosine).
+    """
+    from pyspark.sql.window import Window
+
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col),
+    )
+    # centroids: per-cell mean vector (array-wise mean via posexplode)
+    cent = (
+        base.select(F.col(label_col).alias("centroid_id"), F.posexplode("cv").alias("dim", "v"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "centroid_id",
+            F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid_v"),
+        )
+    )
+    # corpus cell assignment = nearest centroid (n_probe=1)
+    assigned = _nearest_centroids(
+        base, cent, "neighbor_id", "cv", n_probe=1
+    ).withColumnRenamed("centroid_id", "cell")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = _nearest_centroids(q, cent, "query_id", "qv", n_probe=n_probe).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -123,3 +123,25 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"\x00", "image/png")
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF (label-centroid cells, 5 probes of 10) must recover >= 50% of
+    exact top-5 — guards the cell assignment + probe plumbing (the synthetic
+    labels cluster only weakly, so half the cells must be probed)."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, queries, k=5, n_probe=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
