@@ -91,3 +91,21 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         )
         out.scans.append(scan)
     return out
+
+
+def executed_plan_text(df: DataFrame) -> str:
+    """The AQE-final executed plan (run the query first — ``isFinalPlan``
+    only becomes true after execution).  This is where WholeStageCodegen
+    spans and the chosen join strategies are visible, unlike the
+    pre-execution formatted plan."""
+    df.foreach(lambda _: None)  # execute without collecting to the driver
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans in the executed plan
+    (the ``*(n)`` operator prefixes) — the 'widen these' metric from the
+    100 TB guidance.  0 means the plan fell out of codegen entirely."""
+    text = executed_plan_text(df)
+    final = text.split("== Initial Plan ==")[0]
+    return len(set(re.findall(r"\*\((\d+)\)", final)))

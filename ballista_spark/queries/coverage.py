@@ -930,3 +930,29 @@ GROUP BY cohort_day, activity_day
 ORDER BY cohort_day, activity_day
 """,
 )
+
+
+def _union_by_name_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = BallistaDataFrame(load_table(spark, sf_dir, "customer"))
+    hi = cust.filter(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_custkey").alias("k"), F.lit("hi").alias("tag")
+    )
+    # deliberately reversed column order: unionByName must align by name
+    lo = cust.filter(F.col("c_acctbal") < -900.0).select(
+        F.lit("lo").alias("tag"), F.col("c_custkey").alias("k")
+    )
+    return hi.union(lo).sort(F.col("k").asc(), F.col("tag").asc()).df
+
+
+_b(
+    "cov_union_by_name",
+    "unionByName with reversed column order (BallistaDataFrame.union aligns "
+    "by name, not position — a positional UNION would cross-type here).",
+    _union_by_name_builder,
+    oracle="""
+SELECT c_custkey AS k, 'hi' AS tag FROM customer WHERE c_acctbal > 9000.0
+UNION ALL BY NAME
+SELECT 'lo' AS tag, c_custkey AS k FROM customer WHERE c_acctbal < -900.0
+ORDER BY k, tag
+""",
+)

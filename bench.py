@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q12",
     # heavier shapes: subqueries + wide joins
+    "tpch_q2",
     "tpch_q9",
     "tpch_q18",
     "tpch_q21",
@@ -46,7 +47,7 @@ def main() -> None:
         from ballista_spark.queries.pipeline import PIPELINE_QUERIES
 
         queries.update(PIPELINE_QUERIES)
-        headline = HEADLINE + ["dedup_minhash_lsh", "ann_cosine_topk"]
+        headline = HEADLINE + ["dedup_minhash_lsh", "ann_cosine_topk", "text_stats"]
     except ImportError:
         headline = list(HEADLINE)
 

@@ -85,3 +85,14 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
 
     m = re.search(r"Location: \S+ \[(.*?)\]", text)
     assert m is not None
+
+
+def test_codegen_spans_in_executed_plans(spark):
+    """Headline queries must run inside whole-stage codegen (>=1 span);
+    q1's wide aggregate must not fall out (codegen.maxFields=256)."""
+    from ballista_spark.plans.explain import codegen_span_count
+
+    for name, minimum in (("tpch_q1", 1), ("tpch_q6", 1), ("tpch_q3", 1)):
+        df = TPCH_QUERIES[name].run(spark, SF_CORRECT)
+        n = codegen_span_count(df)
+        assert n >= minimum, f"{name}: {n} codegen spans"
