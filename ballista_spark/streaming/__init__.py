@@ -14,3 +14,6 @@ __all__ = [
 from ballista_spark.streaming.events import streaming_dedup  # noqa: E402
 
 __all__.append("streaming_dedup")
+from ballista_spark.streaming.sinks import write_stream_parquet_exactly_once  # noqa: E402
+
+__all__.append("write_stream_parquet_exactly_once")

@@ -1,0 +1,43 @@
+"""Streaming sinks: exactly-once-style parquet writing via ``foreachBatch``.
+
+The built-in file sink is append-only with its own log; ``foreachBatch``
+is the production pattern for transactional/idempotent sinks (MERGE into a
+lakehouse table, JDBC upsert, …).  Here each micro-batch lands in an
+``epoch=N`` partition directory with dynamic partition overwrite — replaying
+a batch after a failure overwrites the same directory instead of
+duplicating rows (idempotent per epoch, the foreachBatch contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_stream_parquet_exactly_once(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Start a foreachBatch parquet writer with per-epoch idempotency."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -92,3 +92,25 @@ def test_streaming_dedup_first_event_per_user(spark):
     assert len(users) == len(set(users)), "duplicate users in deduped stream"
     n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
     assert len(users) == n_users
+
+
+def test_foreachbatch_parquet_sink_idempotent(spark, tmp_path):
+    """foreachBatch parquet sink: rows land once; re-running the same
+    stream from a fresh checkpoint overwrites epochs instead of
+    duplicating."""
+    import os
+
+    from ballista_spark.streaming import write_stream_parquet_exactly_once
+
+    out = os.path.join(str(tmp_path), "out")
+    total = load_table(spark, SF_SMOKE, "events").count()
+    for attempt in ("cp1", "cp2"):  # second run simulates a full replay
+        q = write_stream_parquet_exactly_once(
+            read_events_stream(spark, SF_SMOKE),
+            out,
+            os.path.join(str(tmp_path), attempt),
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == total, attempt
+        assert got.select("event_id").distinct().count() == total
