@@ -358,17 +358,22 @@ _b(
         .where(F.col("dim") < 8)
         .groupBy("label", "dim")
         .agg(
-            (
+            # ROUND(.,9) absorbs the one place cross-engine float noise can
+            # enter: float32 values are dyadic rationals that can terminate
+            # exactly on a decimal halfway digit, where Spark's HALF_UP and
+            # DuckDB's binary-exact double->decimal casts round differently
+            F.round(
                 F.sum(F.col("v").cast("double").cast("decimal(18,12)")).cast("double")
-                / F.count("v")
+                / F.count("v"),
+                9,
             ).alias("centroid")
         )
         .orderBy("label", "dim")
     ),
     oracle="""
 SELECT label, i - 1 AS dim,
-       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
-           / COUNT(*) AS centroid
+       ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*), 9) AS centroid
 FROM embeddings, UNNEST(GENERATE_SERIES(1, 8)) AS g(i)
 GROUP BY label, dim
 ORDER BY label, dim
