@@ -65,16 +65,25 @@ class Query:
 
 
 def dec_sum(expr: str, alias: str | None = None) -> str:
-    """Order-independent, engine-identical SUM over a double expression."""
-    s = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    """Order-independent, engine-identical SUM over a double expression.
+
+    The final ROUND(…, 2) (money granularity; identical half-away-from-zero
+    decimal rounding in both engines) absorbs the one residual cross-engine
+    divergence: at very large row counts a handful of per-row double→decimal
+    casts can land on exact decimal halfway points where Spark's
+    shortest-repr HALF_UP and DuckDB's binary-exact casts disagree, nudging
+    the exact sums apart by ~1e-6.
+    """
+    s = f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), 2) AS DOUBLE)"
     return f"{s} AS {alias}" if alias else s
 
 
 def dec_avg(expr: str, alias: str | None = None) -> str:
-    """Exact-sum / count — deterministic average of a double expression."""
+    """Exact-sum / count, rounded to 6 decimals (same rationale as
+    :func:`dec_sum` — the quotient inherits any sub-ulp sum divergence)."""
     s = (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr})"
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}), 6)"
     )
     return f"{s} AS {alias}" if alias else s
 

@@ -48,8 +48,9 @@ def _b(name: str, doc: str, builder, oracle: str) -> None:
 
 
 def _dsum(col: str) -> F.Column:
-    """DataFrame-side decimal-exact sum (mirror of base.dec_sum)."""
-    return F.sum(F.col(col).cast(_DEC)).cast("double")
+    """DataFrame-side decimal-exact sum (mirror of base.dec_sum, incl. the
+    money-granularity ROUND that absorbs large-scale halfway-cast drift)."""
+    return F.round(F.sum(F.col(col).cast(_DEC)), 2).cast("double")
 
 
 # --- projection / selection / predicates ------------------------------------
@@ -136,12 +137,12 @@ _b(
     _join_builder(
         "inner",
         "SELECT c_mktsegment, COUNT(*) AS n, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total "
         "FROM {v} GROUP BY c_mktsegment ORDER BY c_mktsegment",
     ),
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
@@ -307,8 +308,8 @@ SELECT o_orderstatus,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
        {dec_sum("o_totalprice", "sum_price")},
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice)
-           AS avg_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice), 6) AS avg_price,
        COUNT(*) AS n,
        COUNT(DISTINCT o_custkey) AS n_cust
 FROM orders
@@ -357,7 +358,7 @@ def _pivot_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2).cast("double"))
         .orderBy("o_orderpriority")
     )
 
@@ -368,12 +369,12 @@ _b(
     _pivot_builder,
     oracle="""
 SELECT o_orderpriority,
-       CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "O",
-       CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "F",
-       CAST(SUM(CASE WHEN o_orderstatus = 'P'
-                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "P"
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "O",
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "F",
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "P"
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
 )
@@ -428,7 +429,7 @@ def _window_agg_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2).cast("double").alias("running_total"),
         F.lag("o_totalprice", 1).over(lagw).alias("prev_price"),
         F.lead("o_totalprice", 1).over(lagw).alias("next_price"),
     ).orderBy("o_custkey", "o_orderkey")
@@ -441,9 +442,9 @@ _b(
     _window_agg_builder,
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS running_total,
        LAG(o_totalprice, 1) OVER w AS prev_price,
        LEAD(o_totalprice, 1) OVER w AS next_price
@@ -640,7 +641,7 @@ def _repartition_builder(kind: str):
 _REPART_ORACLE = """
 SELECT l_returnflag,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -193,10 +193,10 @@ _q(
     "ratio; decimal-exact numerator/denominator.",
     f"""
 SELECT o_year,
-       CAST(SUM(CASE WHEN nation = 'NATION_3'
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
                      THEN CAST(volume AS DECIMAL(18,6))
                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 9) AS mkt_share
 FROM (
     SELECT {year_of("o_orderdate")} AS o_year,
            {REV} AS volume,
@@ -323,10 +323,10 @@ _q(
     "Promotion effect (queries/q14.sql) — CASE-in-SUM percentage with "
     "decimal-exact numerator/denominator.",
     f"""
-SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+SELECT ROUND(CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
                               THEN CAST(({REV}) AS DECIMAL(18,6))
                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-       / CAST(SUM(CAST(({REV}) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+       / CAST(SUM(CAST(({REV}) AS DECIMAL(18,6))) AS DOUBLE) , 9) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= DATE '1997-09-01'
@@ -359,7 +359,7 @@ _q(
     "Small-quantity-order revenue (queries/q17.sql) — correlated AVG scalar "
     "subquery per part.",
     """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
        AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey

@@ -26,8 +26,18 @@ TPCH_DF_QUERIES: dict[str, Query] = {}
 _DEC = "decimal(18,6)"
 
 
+def _dsum_raw(expr) -> F.Column:
+    return bf.sum(bf.cast(expr, _DEC))
+
+
 def _dsum(expr) -> F.Column:
-    return bf.sum(bf.cast(expr, _DEC)).cast("double")
+    # mirror of base.dec_sum incl. the money-granularity ROUND
+    return F.round(_dsum_raw(expr), 2).cast("double")
+
+
+def _davg(expr, count_col) -> F.Column:
+    # mirror of base.dec_avg: round(sum_dec_as_double / count, 6)
+    return F.round(_dsum_raw(expr).cast("double") / bf.count(count_col), 6)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> BallistaDataFrame:
@@ -46,9 +56,9 @@ def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dsum(bf.col("l_extendedprice")).alias("sum_base_price"),
                 _dsum(rev).alias("sum_disc_price"),
                 _dsum(rev * (1 + bf.col("l_tax"))).alias("sum_charge"),
-                (_dsum(bf.col("l_quantity")) / bf.count("l_quantity")).alias("avg_qty"),
-                (_dsum(bf.col("l_extendedprice")) / bf.count("l_extendedprice")).alias("avg_price"),
-                (_dsum(bf.col("l_discount")) / bf.count("l_discount")).alias("avg_disc"),
+                _davg(bf.col("l_quantity"), "l_quantity").alias("avg_qty"),
+                _davg(bf.col("l_extendedprice"), "l_extendedprice").alias("avg_price"),
+                _davg(bf.col("l_discount"), "l_discount").alias("avg_disc"),
                 bf.count(F.lit(1)).alias("count_order"),
             ],
         )
