@@ -121,3 +121,58 @@ def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, use_stub: bool = True
+) -> DataFrame:
+    """Image resize over Arrow batches — map-only, schema-preserving.
+
+    The stub 'resize' deterministically truncates/pads the payload to
+    width*height bytes (stands in for a real resampler) and rewrites the
+    metadata struct; the real path dispatches to a codec (absent here).
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:  # pragma: no cover - real codecs absent
+                pdf["payload"].map(lambda p: _decode_real(p, "image/*"))
+
+            def fake_resize(p: bytes | None) -> bytes:
+                if not p:  # None or empty payload → zero canvas
+                    return b"\x00" * target
+                return (p * (target // len(p) + 1))[:target]
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(fake_resize)
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame.
+
+    The frame *extraction* is a stub (byte-slice windows of the payload);
+    the Spark shape is the real one — posexplode fan-out, frame index
+    carried, no shuffle introduced.
+    """
+    from pyspark.sql import functions as F
+
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.substring(
+            F.col("payload").cast("string"),
+            (i * F.octet_length("payload") / n_frames).cast("int") + 1,
+            8,
+        ).cast("binary"),
+    )
+    return media.select(
+        "media_id",
+        "meta",
+        F.posexplode(frames).alias("frame_idx", "frame_payload"),
+    )

@@ -145,3 +145,25 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from ballista_spark.operators.multimodal import (
+        attach_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = attach_media(load_table(spark, SF_SMOKE, "documents")).limit(10)
+    resized = resize_images(media, width=16, height=16).collect()
+    assert len(resized) == 10
+    for r in resized:
+        assert len(r["payload"]) == 256
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 16
+
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 media x 4 frames
+    idx = sorted({r["frame_idx"] for r in rows})
+    assert idx == [0, 1, 2, 3]
+    assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows)
