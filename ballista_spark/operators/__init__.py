@@ -18,6 +18,7 @@ from ballista_spark.operators.dedup import (
 from ballista_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from ballista_spark.operators.asof import asof_join
@@ -56,4 +57,5 @@ __all__ = [
     "write_bucketed",
     "salted_agg",
     "salted_join",
+    "ivf_ann_topk",
 ]
