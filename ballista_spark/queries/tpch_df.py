@@ -194,3 +194,84 @@ for _name, _builder in [
         builder=_builder,
         oracle=TPCH_QUERIES[_sql_twin].oracle_text(),
     )
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS rewritten as a left-semi join (SURVEY §7.4: 'if the DataFrame
+    API must express them, rewrite as joins')."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (bf.col("o_orderdate") >= bf.lit("1997-07-01").cast("timestamp"))
+        & (bf.col("o_orderdate") < bf.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        on=[
+            (orders.df.o_orderkey == li.df.l_orderkey)
+            & (li.df.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        ],
+        how="left_semi",
+    )
+    return (
+        matched.aggregate([bf.col("o_orderpriority")], [bf.count(F.lit(1)).alias("order_count")])
+        .sort(bf.col("o_orderpriority").asc())
+        .df
+    )
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN with an extra join predicate + double aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        on=[
+            (cust.df.c_custkey == orders.df.o_custkey)
+            & (orders.df.o_orderpriority != "5-LOW")
+        ],
+        how="left",
+    )
+    counts = joined.aggregate(
+        [bf.col("c_custkey")], [bf.count("o_orderkey").alias("c_count")]
+    )
+    return (
+        counts.aggregate([bf.col("c_count")], [bf.count(F.lit(1)).alias("custdist")])
+        .sort(bf.col("custdist").desc(), bf.col("c_count").desc())
+        .df
+    )
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN rewritten as a left-anti join + COUNT(DISTINCT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (bf.col("p_brand") != "Brand#1") & bf.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(bf.col("s_acctbal") < 0).select("s_suppkey")
+    li_ok = li.join(bad_supp, on=[li.df.l_suppkey == F.col("s_suppkey")], how="left_anti")
+    return (
+        li_ok.join(part, on=[F.col("l_partkey") == part.df.p_partkey])
+        .aggregate(
+            [bf.col("p_brand"), bf.col("p_type"), bf.col("p_size")],
+            [bf.count_distinct("l_suppkey").alias("supplier_cnt")],
+        )
+        .sort(
+            bf.col("supplier_cnt").desc(), bf.col("p_brand").asc(),
+            bf.col("p_type").asc(), bf.col("p_size").asc(),
+        )
+        .df
+    )
+
+
+for _name, _builder in [
+    ("tpch_df_q4", _q4), ("tpch_df_q13", _q13), ("tpch_df_q16", _q16),
+]:
+    _sql_twin = _name.replace("_df", "")
+    TPCH_DF_QUERIES[_name] = Query(
+        doc=(
+            f"DataFrame-API twin of {_sql_twin}: subquery shape rewritten as "
+            "semi/anti/outer join (SURVEY §7.4); same oracle."
+        ),
+        builder=_builder,
+        oracle=TPCH_QUERIES[_sql_twin].oracle_text(),
+    )
