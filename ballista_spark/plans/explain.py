@@ -109,3 +109,30 @@ def codegen_span_count(df: DataFrame) -> int:
     text = executed_plan_text(df)
     final = text.split("== Initial Plan ==")[0]
     return len(set(re.findall(r"\*\((\d+)\)", final)))
+
+
+def plan_dot(df: DataFrame) -> str:
+    """GraphViz DOT rendering of the physical plan tree — the analog of the
+    reference's ``produce_diagram`` (rust/core/src/utils.rs:190-212), which
+    emitted dot for its query-stage DAG."""
+    text = explain_text(df, "formatted")
+    tree = text.split("\n\n")[0].splitlines()
+    nodes: list[tuple[int, int, str]] = []  # (depth, id, label)
+    for line in tree:
+        m = re.match(r"^([ :+*-]*)\s*(?:\* )?([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)", line)
+        if not m:
+            continue
+        indent, label, nid = m.groups()
+        nodes.append((len(indent), int(nid), label.strip()))
+    out = ["digraph physical_plan {", "  node [shape=box];"]
+    for _, nid, label in nodes:
+        out.append(f'  n{nid} [label="{label} ({nid})"];')
+    stack: list[tuple[int, int]] = []  # (depth, id)
+    for depth, nid, _ in nodes:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            out.append(f"  n{nid} -> n{stack[-1][1]};")
+        stack.append((depth, nid))
+    out.append("}")
+    return "\n".join(out)

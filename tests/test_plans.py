@@ -96,3 +96,12 @@ def test_codegen_spans_in_executed_plans(spark):
         df = TPCH_QUERIES[name].run(spark, SF_CORRECT)
         n = codegen_span_count(df)
         assert n >= minimum, f"{name}: {n} codegen spans"
+
+
+def test_plan_dot_renders_tree(spark):
+    from ballista_spark.plans.explain import plan_dot
+
+    dot = plan_dot(TPCH_QUERIES["tpch_q3"].run(spark, SF_CORRECT))
+    assert dot.startswith("digraph physical_plan {") and dot.endswith("}")
+    assert "Scan parquet" in dot or "ColumnarToRow" in dot
+    assert "->" in dot  # at least one edge
