@@ -957,3 +957,40 @@ SELECT 'lo' AS tag, c_custkey AS k FROM customer WHERE c_acctbal < -900.0
 ORDER BY k, tag
 """,
 )
+
+
+_q(
+    "cov_window_distribution",
+    "Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST "
+    "(integer-ratio semantics — exact cross-engine).",
+    """
+SELECT c_custkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM customer
+WHERE c_custkey < 200
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+""",
+)
+
+_q(
+    "cov_string_advanced",
+    "Extended string surface: regexp_replace, lpad/rpad, split_part, "
+    "reverse, repeat, translate, strpos-family.",
+    """
+SELECT c_custkey,
+       REGEXP_REPLACE(c_name, '[0-9]+', '#') AS squashed,
+       LPAD(c_mktsegment, 12, '.') AS padded_l,
+       RPAD(c_mktsegment, 12, '.') AS padded_r,
+       SPLIT_PART(c_name, '#', 2) AS num_part,
+       REVERSE(c_mktsegment) AS rev,
+       REPEAT('ab', 3) AS rep,
+       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+       CAST(INSTR(c_name, '#') AS BIGINT) AS hash_pos
+FROM customer
+WHERE c_custkey <= 100
+ORDER BY c_custkey
+""",
+)
