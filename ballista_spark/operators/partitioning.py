@@ -57,8 +57,23 @@ def write_bucketed(
 
 def salt_column(n_salts: int, *cols: str) -> Column:
     """Deterministic salt in [0, n_salts) derived from row content — spreads
-    a hot key across ``n_salts`` reducers without RNG state."""
+    a hot key across ``n_salts`` reducers without RNG state.
+
+    The salt must vary *within* the hot key: derive it from columns that are
+    not (a subset of) the grouping/join key, otherwise every row of the key
+    hashes to one salt and the skew mitigation is a no-op.
+    """
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def row_salt(n_salts: int) -> Column:
+    """Row-dependent salt in [0, n_salts): deterministic for a given
+    partition layout (``monotonically_increasing_id`` is per-row unique), and
+    — unlike any function of the key — guaranteed to split a hot key across
+    ``n_salts`` reducers."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+        "int"
+    )
 
 
 def salted_agg(
@@ -81,6 +96,13 @@ def salted_agg(
         fn, _, _col = spec.partition(":")
         if fn not in combiners:
             raise ValueError(f"unsupported salted aggregate: {spec}")
+    if set(salt_cols) <= set(group_cols):
+        # a salt that is a function of the group key gives every row of a
+        # hot key the same salt — phase 1 would not split it at all
+        raise ValueError(
+            "salt_cols must include at least one column outside group_cols; "
+            f"got salt_cols={list(salt_cols)} ⊆ group_cols={list(group_cols)}"
+        )
 
     salted = df.withColumn("__salt", salt_column(n_salts, *salt_cols))
     phase1 = salted.groupBy(*group_cols, "__salt").agg(
@@ -111,8 +133,12 @@ def salted_join(
     explicit fallback for engines/stages AQE doesn't cover (and documents
     the pattern).  ``other`` is replicated ``n_salts`` times — use only when
     it is the small side.
+
+    The skewed side's salt is *row-dependent* (:func:`row_salt`): salting by
+    any function of the join key would put every row of the hot key on one
+    reducer again, making the whole exercise a no-op.
     """
-    salted = skewed.withColumn("__salt", salt_column(n_salts, on))
+    salted = skewed.withColumn("__salt", row_salt(n_salts))
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

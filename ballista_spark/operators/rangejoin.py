@@ -34,7 +34,16 @@ def range_join(
 
     ``bin_width`` is a SQL interval literal body (e.g. ``'1 hour'``); pick
     it near the typical interval length so most intervals cover 1-2 bins.
+
+    ``how`` may be ``inner`` or ``left``: the exact interval predicate is
+    part of the *join condition* (not a post-filter), so a left point whose
+    bin candidates all fail the predicate is still emitted once,
+    null-extended — true left-join semantics.  An interval spanning more
+    than ``max_bins`` bins raises at execution time (silent truncation
+    would silently drop matches).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     secs = F.unix_timestamp  # seconds resolution is enough for binning
     # bin id = floor(epoch_seconds / width_seconds); width from the interval
     # literal: cast (TIMESTAMP '1970-01-01' + interval) to seconds
@@ -49,21 +58,37 @@ def range_join(
         .withColumn("__b1", (secs(F.col(end_col)).cast("bigint") / width_expr).cast("bigint"))
         .withColumn("__nbins", F.col("__b1") - F.col("__b0") + 1)
     )
-    # guard runaway interval/bin-width mismatches
+    # fail loudly on runaway interval/bin-width mismatches — truncating the
+    # bin range would silently lose every match past the cap
     iv = iv.withColumn(
         "__nbins",
-        F.when(F.col("__nbins") > max_bins, F.lit(max_bins)).otherwise(F.col("__nbins")),
+        F.when(
+            F.col("__nbins") > max_bins,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"range_join: interval spans more than max_bins={max_bins} "
+                        f"bins of width '{bin_width}' — widen bin_width or raise "
+                        "max_bins (interval covers "
+                    ),
+                    F.col("__nbins").cast("string"),
+                    F.lit(" bins)"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("__nbins")),
     )
     iv = iv.withColumn(
         "__bin", F.explode(F.sequence(F.col("__b0"), F.col("__b0") + F.col("__nbins") - 1))
     ).drop("__b0", "__b1", "__nbins")
 
-    on = [p["__bin"] == iv["__bin"]]
-    if by:
-        on.append(p[by] == iv[by])
-    joined = p.join(iv, on, how)
+    # a point occupies exactly one bin, so it meets at most one exploded row
+    # of each interval: with the exact predicate inside the join condition,
+    # inner emits one row per true (point, interval) match and left
+    # additionally emits one null-extended row per unmatched point.
     exact = (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
-    out = joined.where(exact) if how == "inner" else joined.where(exact | F.col(start_col).isNull())
-    drop = ["__bin"] + ([by] if by else [])
+    on = p["__bin"] == iv["__bin"]
+    if by:
+        on = on & (p[by] == iv[by])
+    joined = p.join(iv, on & exact, how)
     # drop the duplicated right-side key column and both bin columns
-    return out.drop(iv["__bin"]).drop(p["__bin"]).drop(*([iv[by]] if by else []))
+    return joined.drop(iv["__bin"]).drop(p["__bin"]).drop(*([iv[by]] if by else []))

@@ -18,6 +18,7 @@ partitioned parquet scan.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,27 +54,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: Per-session registration cache — re-registration re-reads every parquet
-#: footer (~1.3 s for 10 tables), which would otherwise be paid per query in
-#: the bench/driver loop.  Keyed by session so a session switching sf_dir
-#: gets a full re-register (the temp views are names shared across dirs).
-_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+#: Per-session DataFrame cache — re-loading re-reads every parquet footer
+#: (~1.3 s for 10 tables), which would otherwise be paid per query in the
+#: bench/driver loop.  Keyed by a *weak* reference to the session: a plain
+#: ``id(spark)`` key can be reused by CPython for a new session after the
+#: old one is collected, silently inheriting stale entries.  Only the loaded
+#: DataFrames are cached — ``createOrReplaceTempView`` is a cheap catalog
+#: operation and is re-issued on every call, so a caller who rebound one of
+#: the canonical view names always gets the canonical binding back.
+_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Register every canonical table as a temp view (cached per session
-    while the scale-factor dir is unchanged); returns the frames."""
-    cached_dir, cached = _REGISTERED.get(id(spark), (None, {}))
+    """Register every canonical table as a temp view (frames cached per
+    session while the scale-factor dir is unchanged); returns the frames."""
+    cached_dir, cached = _REGISTERED.get(spark, (None, {}))
     if cached_dir != sf_dir:
         cached = {}
     out = dict(cached)
     for name in names:
-        if name in out:
-            continue
-        df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    _REGISTERED[id(spark)] = (sf_dir, out)
+        if name not in out:
+            out[name] = load_table(spark, sf_dir, name)
+        out[name].createOrReplaceTempView(name)
+    _REGISTERED[spark] = (sf_dir, out)
     return {n: out[n] for n in names}
