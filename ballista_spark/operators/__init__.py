@@ -20,6 +20,7 @@ from ballista_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_ann_topk,
     lsh_ann_topk,
+    lsh_neardup_pairs,
 )
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import hash_split, merge_upsert
@@ -46,6 +47,7 @@ __all__ = [
     "cosine_topk",
     "lsh_ann_topk",
     "embedding_neardup_pairs",
+    "lsh_neardup_pairs",
     "token_count",
     "quality_score",
     "lang_id",

@@ -159,6 +159,70 @@ def lsh_ann_topk(
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.40,
+    dim: int = 64,
+    n_planes: int = 2,
+    n_tables: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-LSH buckets + exact verify.
+
+    The 100 TB shape of :func:`embedding_neardup_pairs`: corpus vectors are
+    bucketed by ``n_tables`` independent sign-LSH signatures, candidates are
+    same-bucket pairs (a *bucket equi-join* — never an all-pairs inequality
+    join), and every candidate is verified with the exact cosine so the
+    output equals the brute-force answer whenever recall holds.
+
+    Recall math: a pair at cosine θc collides in one table with
+    p = (1 - acos(θc)/π)^n_planes; missing all tables is (1-p)^n_tables.
+    The defaults (2 planes × 40 tables) give per-pair miss ≈ 1.5e-9 at
+    cosine 0.40.  Pruning power depends on the *margin* between threshold
+    and the background cosine distribution — at production near-dup
+    thresholds (0.8+) a handful of planes prunes hard; tune
+    (n_planes, n_tables) per deployment.
+
+    The bucket join runs on skinny (bucket, id) rows — vectors are joined
+    back only for the verified candidate set, so the ×n_tables explode never
+    amplifies the 64-float payload.  No broadcast of any corpus-derived
+    side; AQE may still choose one at runtime if a side measures small.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    sigs = F.array(
+        *[
+            lsh_signature(F.col("v"), dim, n_planes, table=t) + F.lit(t << 32)
+            for t in range(n_tables)
+        ]
+    )
+    buckets = base.select("id", F.explode(sigs).alias("bucket"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.40,

@@ -134,6 +134,25 @@ ORDER BY id_a, id_b
 """,
 )
 
+_b(
+    "dedup_embedding_lsh",
+    "Embedding near-dup pairs via sign-LSH buckets + exact-cosine verify "
+    "(operators.similarity.lsh_neardup_pairs, 2 planes x 40 tables: "
+    "per-pair miss ~1.5e-9 at cosine 0.40) — the 100 TB scale path whose "
+    "plan is a bucket equi-join, never an all-pairs join; oracle is the "
+    "same brute-force cosine ground truth as dedup_embedding_cosine.",
+    lambda spark, sf: S.lsh_neardup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.40
+    ).orderBy("id_a", "id_b"),
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.40
+ORDER BY id_a, id_b
+""",
+)
+
 # --- similarity search ------------------------------------------------------
 
 _b(
@@ -178,6 +197,27 @@ _b(
             load_table(spark, sf, "embeddings"),
             load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10),
             k=5,
+        )
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    ),
+    oracle=None,
+)
+
+_b(
+    "ivf_ann_topk",
+    "IVF-style approximate top-5 (operators.similarity.ivf_ann_topk): "
+    "per-label centroid coarse quantizer, corpus assigned to nearest cell, "
+    "queries probe n_probe=3 cells — the cell equi-join replaces the "
+    "corpus cross join (the only cross join touches the 6-row constant "
+    "centroid table). Approximate by design → rows-only for the driver; "
+    "recall vs brute force asserted in tests.",
+    lambda spark, sf: (
+        S.ivf_ann_topk(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10),
+            k=5,
+            n_probe=3,
         )
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
