@@ -1,0 +1,47 @@
+"""Graded (driver-window) corpus vs DuckDB oracle, plus the 50-entry
+window-contract invariants the round-1 verdict flagged."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ballista_spark.queries.graded import GRADED_COVERAGE
+from tests.conftest import SF_CORRECT, SF_SMOKE, run_compare
+
+FULL = os.environ.get("BS_TEST_FULL") == "1"
+
+
+@pytest.mark.parametrize("name", sorted(GRADED_COVERAGE))
+def test_graded_smoke_scale(spark, duck, name):
+    run_compare(spark, duck, GRADED_COVERAGE[name], SF_SMOKE, "smoke")
+
+
+@pytest.mark.skipif(not FULL, reason="set BS_TEST_FULL=1 for sf0.01 scale")
+@pytest.mark.parametrize("name", sorted(GRADED_COVERAGE))
+def test_graded_correctness_scale(spark, duck, name):
+    run_compare(spark, duck, GRADED_COVERAGE[name], SF_CORRECT, "correct")
+
+
+def test_corpus_is_exactly_the_driver_window():
+    """The driver oracle-checks the first 50 queries() entries; every graded
+    entry must sit inside that window, so the corpus is exactly 50."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert len(qs) == 50, sorted(qs)
+    # 21 TPC-H first, then the 16 pipeline operators, then 13 coverage
+    names = list(qs)
+    assert sum(n.startswith("tpch_") for n in names[:21]) == 21
+    assert len([n for n in names if n.startswith("cov_")]) == 13
+    # every entry has an oracle except the four honestly-approximate /
+    # hash-engine-specific ones (driver records rows-only for those)
+    osql = e.oracle_sql()
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "dedup_simhash",
+        "ann_lsh_bucketed",
+        "ivf_ann_topk",
+        "multimodal_features",
+    }
