@@ -97,3 +97,45 @@ def big_sum(expr: str, alias: str | None = None) -> str:
 def year_of(expr: str) -> str:
     """EXTRACT(YEAR ...) pinned to BIGINT (Spark: INT, DuckDB: BIGINT)."""
     return f"CAST(EXTRACT(YEAR FROM {expr}) AS BIGINT)"
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parens after {open_idx}: {s[open_idx:open_idx+80]}")
+
+
+def spec_dialect(sql: str) -> str:
+    """Strip the oracle hash-stability decimal casts, restoring plain TPC-H
+    spec arithmetic: every ``CAST(x AS DECIMAL(18,6))`` becomes ``(x)``.
+
+    The decimal-cast discipline exists solely so DuckDB and Spark produce
+    bit-identical value hashes in the correctness gate; its *per-row*
+    decimal128 arithmetic costs ~5× on aggregate-heavy queries vs native
+    double sums (measured on q1: 2.5 s vs 0.45 s steady-state at sf0.1).
+    The benchmark — like the reference, whose q1.sql sums raw doubles —
+    times this dialect; the oracle corpus keeps the decimal form.  Residual
+    ROUND/CAST-to-DOUBLE wrappers are per-*group* and cost nothing.  Purely
+    mechanical (paren-matched), so the two dialects cannot drift
+    structurally — tests assert value agreement within the documented
+    rounding quanta.
+    """
+    suffix = " AS DECIMAL(18,6))"
+    pos = 0
+    while (i := sql.find("CAST(", pos)) != -1:
+        close = _matching_paren(sql, i + len("CAST"))
+        segment = sql[i : close + 1]
+        if segment.endswith(suffix):
+            expr = sql[i + len("CAST(") : close + 1 - len(suffix)]
+            sql = sql[:i] + f"({expr})" + sql[close + 1 :]
+            pos = i  # rescan from here: expr may contain nested casts
+        else:
+            pos = i + len("CAST(")
+    return sql

@@ -29,3 +29,36 @@ def test_bench_emits_one_json_line():
     assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
     assert len(payload["queries"]) >= 10
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_spec_dialect_matches_oracle_dialect_semantics(spark, duck):
+    """The bench's spec-arithmetic rewrite of every TPC-H query must stay
+    semantically identical to the oracle-dialect original: same schema
+    (column names), same row count, and identical non-float values — only
+    the float aggregation arithmetic (decimal-exact vs native double) may
+    differ, and then only in final ulps."""
+    import math
+
+    from ballista_spark.queries.base import spec_dialect
+    from ballista_spark.queries.tpch import TPCH_QUERIES
+    from ballista_spark.sources.registry import register_tables
+    from tests.conftest import SF_SMOKE
+
+    register_tables(spark, SF_SMOKE)
+    for name, q in TPCH_QUERIES.items():
+        sql = spec_dialect(q.sql)
+        assert "DECIMAL(18,6)" not in sql, name
+        a = q.run(spark, SF_SMOKE).collect()
+        b = spark.sql(sql).collect()
+        assert len(a) == len(b), name
+        assert a[0].__fields__ == b[0].__fields__ if a else True, name
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                if isinstance(va, float):
+                    # oracle dialect rounds money sums at 2 and averages at
+                    # 6 decimals; allow exactly that quantization headroom
+                    assert vb == va or math.isclose(
+                        va, vb, rel_tol=1e-4, abs_tol=5e-3
+                    ), (name, va, vb)
+                else:
+                    assert va == vb, (name, va, vb)
