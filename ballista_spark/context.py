@@ -56,19 +56,47 @@ class BallistaContext:
         """CSV scan with the reference's option names
         (python/src/context.rs:84-139). ``file_extension`` supports the
         TPC-H ``.tbl`` pipe-delimited variant
-        (rust/benchmarks/tpch/src/main.rs:130-139) via path glob."""
+        (rust/benchmarks/tpch/src/main.rs:130-139) via path glob.
+
+        ``schema_infer_max_records`` has the reference's *exact* record-cap
+        semantics (python/src/context.rs:126-129): the schema is inferred
+        from at most that many records, then the full path is scanned with
+        the pinned schema — Spark's native ``samplingRatio`` is ratio-based
+        and would read every record at 1.0."""
         reader = self.spark.read.option("header", has_header).option("delimiter", delimiter)
+        if file_extension and file_extension != ".csv":
+            path = path.rstrip("/") + f"/*{file_extension}" if "*" not in path and not path.endswith(file_extension) else path
         if schema is not None:
             if isinstance(schema, Mapping):
                 schema = _schema(schema)
-            reader = reader.schema(schema)
         else:
-            reader = reader.option("inferSchema", True).option(
-                "samplingRatio", 1.0
-            )  # schema_infer_max_records analog: Spark samples; keep exact
-        if file_extension and file_extension != ".csv":
-            path = path.rstrip("/") + f"/*{file_extension}" if "*" not in path and not path.endswith(file_extension) else path
-        return BallistaDataFrame(reader.csv(path))
+            schema = self._infer_csv_schema(
+                path, has_header, delimiter, int(schema_infer_max_records)
+            )
+        return BallistaDataFrame(reader.schema(schema).csv(path))
+
+    def _infer_csv_schema(
+        self, path: str, has_header: bool, delimiter: str, max_records: int
+    ) -> T.StructType:
+        """Record-capped CSV schema inference: read at most ``max_records``
+        lines (driver-side, bounded by contract — the reference client did
+        the same), drop repeated per-file header lines, and let Spark's CSV
+        inference type the sample."""
+        lines = [
+            r.value for r in self.spark.read.text(path).limit(max_records + 1).collect()
+        ]
+        if has_header and lines:
+            header = lines[0]
+            lines = [header] + [l for l in lines[1:] if l != header]
+        lines = lines[: max_records + (1 if has_header else 0)]
+        sample = self.spark.sparkContext.parallelize(lines, 1)
+        return (
+            self.spark.read.option("header", has_header)
+            .option("delimiter", delimiter)
+            .option("inferSchema", True)
+            .csv(sample)
+            .schema
+        )
 
     def read_json(self, path: str, schema: T.StructType | Mapping[str, str] | None = None) -> BallistaDataFrame:
         """NdJson scan (declared in reference FileType enum, never finished)."""
@@ -125,6 +153,53 @@ class BallistaContext:
             self.register_json(name, path, schema=schema, **options)
         else:
             raise ValueError(f"unsupported file type: {file_type}")
+
+    # -- file metadata (rust/scheduler/src/lib.rs:184-222 GetFileMetadata) ----
+
+    def parquet_schema(self, path: str) -> T.StructType:
+        """Schema of a parquet file/directory without planning a query —
+        the reference scheduler's ``GetFileMetadata`` RPC
+        (``rust/scheduler/src/lib.rs:184-222``, parquet-only there too).
+
+        Reads footer metadata only (no data pages): pyarrow's dataset probe
+        when available, else a Spark scan's inferred schema (footer-only as
+        well — Spark never touches row groups for ``.schema``).
+        """
+        try:
+            import pyarrow.dataset as ds
+
+            arrow_schema = ds.dataset(path, format="parquet").schema
+            return T.StructType.fromDDL(
+                ", ".join(
+                    f"`{f.name}` {self._arrow_to_spark_ddl(f.type)}"
+                    for f in arrow_schema
+                )
+            )
+        except Exception:
+            return self.spark.read.parquet(path).schema
+
+    @staticmethod
+    def _arrow_to_spark_ddl(t) -> str:
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_list(t):
+            inner = BallistaContext._arrow_to_spark_ddl(t.value_type)
+            return f"array<{inner}>"
+        mapping = {
+            "int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "bigint", "float": "float", "double": "double",
+            "string": "string", "large_string": "string", "bool": "boolean",
+            "binary": "binary", "large_binary": "binary",
+            "date32[day]": "date",
+        }
+        key = str(t)
+        if key in mapping:
+            return mapping[key]
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        raise ValueError(f"unmapped arrow type: {t}")
 
     # -- convenience for the driver's test data -------------------------------
 

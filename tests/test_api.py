@@ -206,3 +206,34 @@ def test_percentile_approx_within_tolerance(spark):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= row["exact"] * 0.05
+
+
+def test_parquet_schema_probe(spark):
+    """GetFileMetadata parity (rust/scheduler/src/lib.rs:184-222): footer-only
+    schema probe agrees with the full reader's schema."""
+    from ballista_spark.context import BallistaContext
+
+    ctx = BallistaContext(spark)
+    for table in ("customer", "embeddings", "documents"):
+        path = f"/root/testdata/sf0.001/{table}.parquet"
+        probed = ctx.parquet_schema(path)
+        scanned = spark.read.parquet(path).schema
+        assert [f.name for f in probed] == [f.name for f in scanned]
+        assert [f.dataType.simpleString() for f in probed] == [
+            f.dataType.simpleString() for f in scanned
+        ], table
+
+
+def test_schema_infer_max_records_is_record_capped(spark, tmp_path):
+    """Exact reference semantics (python/src/context.rs:126-129): inference
+    reads at most N records — rows past the cap cannot influence types."""
+    from ballista_spark.context import BallistaContext
+
+    p = tmp_path / "mixed.csv"
+    rows = ["a,b"] + [f"{i},{i*2}" for i in range(20)] + ["oops,not_an_int"]
+    p.write_text("\n".join(rows) + "\n")
+    ctx = BallistaContext(spark)
+    capped = ctx.read_csv(str(p), has_header=True, schema_infer_max_records=10)
+    assert [f.dataType.simpleString() for f in capped.df.schema] == ["int", "int"]
+    full = ctx.read_csv(str(p), has_header=True, schema_infer_max_records=1000)
+    assert [f.dataType.simpleString() for f in full.df.schema] == ["string", "string"]
