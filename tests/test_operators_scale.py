@@ -160,3 +160,34 @@ def test_row_salt_splits_hot_key(spark):
     hot = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id"))
     n = hot.select(row_salt(16).alias("s")).distinct().count()
     assert n == 16
+
+
+def test_bucketed_embedding_ops_have_no_allpairs_join(spark):
+    """The graded dedup/ANN scale paths must plan bucket equi-joins — never
+    a cartesian / broadcast-nested-loop over the corpus."""
+    from ballista_spark.operators.similarity import ivf_ann_topk, lsh_neardup_pairs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lsh_plan = (
+        lsh_neardup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    ivf_plan = (
+        ivf_ann_topk(emb, emb.where(F.col("vec_id") < 10))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # IVF's only non-equi join is against the n_cells-row (6-row) centroid
+    # aggregate — broadcast of a constant, which is the legitimate pattern;
+    # a cartesian over the corpus itself must never appear
+    assert "CartesianProduct" not in ivf_plan
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    from ballista_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
