@@ -114,3 +114,29 @@ def test_foreachbatch_parquet_sink_idempotent(spark, tmp_path):
         got = spark.read.parquet(out)
         assert got.count() == total, attempt
         assert got.select("event_id").distinct().count() == total
+
+
+def test_streaming_windowed_counts_match_duckdb_oracle(spark, duck):
+    """Cross-ENGINE streaming check: the streamed windowed aggregation must
+    equal an independent DuckDB computation over the same parquet — the
+    strongest oracle available for a streaming operator (the batch-equality
+    test above shares Spark's execution; this one does not)."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(windowed_event_counts(stream), "win_oracle", "complete")
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win_oracle").collect()
+    )
+    duck.execute("SET schema 'smoke'")
+    want = sorted(
+        (w, et, n, round(tv, 6))
+        for w, et, n, tv in duck.sql(
+            """
+            SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+            FROM events GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
