@@ -107,6 +107,25 @@ class BallistaContext:
             reader = reader.schema(schema)
         return BallistaDataFrame(reader.json(path))
 
+    def read_orc(self, path: str) -> BallistaDataFrame:
+        """ORC scan — beyond the reference's FileType enum (CSV/Parquet/NdJson,
+        ballista.proto:244-248); native columnar source with the same
+        pushdown/pruning properties as parquet."""
+        return BallistaDataFrame(self.spark.read.orc(path))
+
+    def read_avro(self, path: str) -> BallistaDataFrame:
+        """Avro scan — requires the spark-avro datasource module, which is not
+        bundled with the pip pyspark distribution; raises a clear error when
+        absent (same honest-gate pattern as sources/connectors.py)."""
+        try:
+            return BallistaDataFrame(self.spark.read.format("avro").load(path))
+        except Exception as exc:  # pragma: no cover - environment-dependent
+            raise RuntimeError(
+                "Avro source requires the org.apache.spark:spark-avro package "
+                "on the session classpath (not bundled with pip pyspark); "
+                "start the session with spark.jars.packages set"
+            ) from exc
+
     # -- registry (rust/client/src/context.rs:112-128) ------------------------
 
     def register_table(self, name: str, df: BallistaDataFrame | DataFrame) -> None:
@@ -122,6 +141,9 @@ class BallistaContext:
 
     def register_json(self, name: str, path: str, **options) -> None:
         self.register_table(name, self.read_json(path, **options))
+
+    def register_orc(self, name: str, path: str) -> None:
+        self.register_table(name, self.read_orc(path))
 
     def tables(self) -> list[str]:
         return sorted(self._tables)
@@ -151,6 +173,10 @@ class BallistaContext:
             self.register_csv(name, path, schema=schema, **options)
         elif ft in ("json", "ndjson"):
             self.register_json(name, path, schema=schema, **options)
+        elif ft == "orc":
+            self.register_orc(name, path)
+        elif ft == "avro":
+            self.register_table(name, self.read_avro(path))
         else:
             raise ValueError(f"unsupported file type: {file_type}")
 

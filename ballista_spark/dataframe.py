@@ -154,6 +154,15 @@ class BallistaDataFrame:
         (ballista.proto:244-248) but never finished there."""
         self._df.write.mode(mode).json(path)
 
+    def write_orc(self, path: str, mode: str = "overwrite",
+                  compression: str = "zstd",
+                  partition_by: Sequence[str] | None = None) -> None:
+        """ORC sink (native columnar alternative to parquet)."""
+        w = self._df.write.mode(mode).option("compression", compression)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
     # -- niceties ------------------------------------------------------------
 
     def union(self, other: "BallistaDataFrame | DataFrame") -> "BallistaDataFrame":

@@ -34,8 +34,8 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet pushdown is on by default; pin it so a misconfigured parent
     # session can't silently disable the scan-level filters the plans rely on.
     "spark.sql.parquet.filterPushdown": "true",
-    # wide aggregates (128-column MinHash signatures) must stay inside
-    # whole-stage codegen; the default cutoff is 100 fields
+    # keep wide plans (60-column SimHash bit votes, wide coverage selects)
+    # inside whole-stage codegen; the default cutoff is 100 fields
     "spark.sql.codegen.maxFields": "256",
     "spark.sql.ui.explainMode": "formatted",
 }

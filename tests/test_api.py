@@ -159,6 +159,29 @@ def test_sink_round_trips(spark, tmp_path=None):
         assert back.count() == 25, fmt
 
 
+def test_orc_round_trip_and_avro_gate(spark):
+    """ORC is a native Spark columnar source/sink; Avro's datasource module is
+    absent from the pip distribution, so read_avro must raise its documented
+    gate error rather than an opaque ClassNotFound."""
+    ctx = BallistaContext(spark)
+    ctx.register_parquet("nation_o", os.path.join(SF_SMOKE, "nation.parquet"))
+    df = ctx.table("nation_o")
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "orc")
+    df.write_orc(path)
+    back = ctx.read_orc(path)
+    assert back.count() == 25
+    assert {f.name for f in back.schema()} == {f.name for f in df.schema()}
+    ctx.create_external_table("nation_orc_ext", path, file_type="orc")
+    assert ctx.sql("SELECT COUNT(*) AS n FROM nation_orc_ext").collect()[0]["n"] == 25
+    try:
+        ctx.read_avro(path)
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+    else:  # pragma: no cover - only if the env gains the avro module
+        pass
+
+
 def test_tbl_pipe_delimited_read(spark):
     """The reference's .tbl variant (rust/benchmarks/tpch/src/main.rs:130-139)."""
     ctx = BallistaContext(spark)
