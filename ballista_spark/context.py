@@ -81,7 +81,16 @@ class BallistaContext:
         """Record-capped CSV schema inference: read at most ``max_records``
         lines (driver-side, bounded by contract — the reference client did
         the same), drop repeated per-file header lines, and let Spark's CSV
-        inference type the sample."""
+        inference type the sample.
+
+        Known approximations (inference-only — the actual scan reads every
+        row with the pinned schema): a data line byte-equal to the header is
+        excluded from the sample, and for multi-file globs the per-file
+        repeated headers count against the record cap before removal, so
+        inference may see slightly fewer than ``max_records`` data rows.
+        Line boundaries per file aren't visible from ``spark.read.text``
+        without an extra pass; both effects can only widen inferred types,
+        never corrupt the scan."""
         lines = [
             r.value for r in self.spark.read.text(path).limit(max_records + 1).collect()
         ]
@@ -190,6 +199,15 @@ class BallistaContext:
         Reads footer metadata only (no data pages): pyarrow's dataset probe
         when available, else a Spark scan's inferred schema (footer-only as
         well — Spark never touches row groups for ``.schema``).
+
+        TIMESTAMP(NANOS) columns (e.g. the driver's ``events.ts``) report as
+        ``timestamp`` — matching the canonical loader
+        (``sources/registry.load_table``), which reads nanos as long and
+        rebuilds a microsecond TimestampType column.  The Spark fallback
+        probes with ``nanosAsLong`` on retry, so it never throws on such
+        files, but reports those columns as ``bigint`` (without pyarrow the
+        footer's logical-type detail isn't visible to name which columns to
+        rebuild).
         """
         try:
             import pyarrow.dataset as ds
@@ -202,7 +220,19 @@ class BallistaContext:
                 )
             )
         except Exception:
-            return self.spark.read.parquet(path).schema
+            try:
+                return self.spark.read.parquet(path).schema
+            except Exception:
+                prev = self.spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong", "false"
+                )
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                try:
+                    return self.spark.read.parquet(path).schema
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.legacy.parquet.nanosAsLong", prev
+                    )
 
     @staticmethod
     def _arrow_to_spark_ddl(t) -> str:

@@ -77,9 +77,18 @@ def range_join(
             ).cast("bigint"),
         ).otherwise(F.col("__nbins")),
     )
-    iv = iv.withColumn(
-        "__bin", F.explode(F.sequence(F.col("__b0"), F.col("__b0") + F.col("__nbins") - 1))
-    ).drop("__b0", "__b1", "__nbins")
+    # malformed intervals (end < start → nbins <= 0) match no point under
+    # half-open [start, end) semantics; drop them BEFORE the sequence —
+    # sequence(b0, b0+nbins-1) with a negative nbins would silently generate
+    # an unbounded *descending* phantom-bin range that bypasses the cap above
+    iv = (
+        iv.where(F.col("__nbins") >= 1)
+        .withColumn(
+            "__bin",
+            F.explode(F.sequence(F.col("__b0"), F.col("__b0") + F.col("__nbins") - 1)),
+        )
+        .drop("__b0", "__b1", "__nbins")
+    )
 
     # a point occupies exactly one bin, so it meets at most one exploded row
     # of each interval: with the exact predicate inside the join condition,

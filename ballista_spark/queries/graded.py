@@ -62,8 +62,12 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.context import BallistaContext
 
     part = load_table(spark, sf_dir, "part")
+    # per-process path: a fixed shared dir would race when a pytest run and
+    # a driver gate run (or xdist workers) overwrite/rename concurrently
     out = os.path.join(
-        tempfile.gettempdir(), "bs_csv_scan", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        f"bs_csv_scan_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
     )
     part.write.mode("overwrite").option("delimiter", "|").csv(out)
     for f in os.listdir(out):

@@ -137,12 +137,18 @@ ORDER BY id_a, id_b
 _b(
     "dedup_embedding_lsh",
     "Embedding near-dup pairs via sign-LSH buckets + exact-cosine verify "
-    "(operators.similarity.lsh_neardup_pairs, 2 planes x 40 tables: "
-    "per-pair miss ~1.5e-9 at cosine 0.40) — the 100 TB scale path whose "
-    "plan is a bucket equi-join, never an all-pairs join; oracle is the "
-    "same brute-force cosine ground truth as dedup_embedding_cosine.",
+    "(operators.similarity.lsh_neardup_pairs) — the plan shape that scales: "
+    "bucket equi-join, never an all-pairs inequality join. The driver's "
+    "synthetic embeddings have no margin (no pair above cosine ~0.5), so "
+    "this entry pins wide-OR parameters (2 planes x 40 tables: per-pair "
+    "miss ~1.5e-9 at cosine 0.40) where candidates are near-exhaustive by "
+    "information-theoretic necessity; the production regime (threshold "
+    "0.8+, the function defaults 8x16) prunes to ~0.4%/table background "
+    "selectivity — tests/test_operators_scale.py asserts that cardinality "
+    "drop on clustered data. Oracle: same brute-force ground truth as "
+    "dedup_embedding_cosine.",
     lambda spark, sf: S.lsh_neardup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.40
+        load_table(spark, sf, "embeddings"), threshold=0.40, n_planes=2, n_tables=40
     ).orderBy("id_a", "id_b"),
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -18,7 +18,6 @@ partitioned parquet scan.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,15 +53,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: Per-session DataFrame cache — re-loading re-reads every parquet footer
-#: (~1.3 s for 10 tables), which would otherwise be paid per query in the
-#: bench/driver loop.  Keyed by a *weak* reference to the session: a plain
-#: ``id(spark)`` key can be reused by CPython for a new session after the
-#: old one is collected, silently inheriting stale entries.  Only the loaded
-#: DataFrames are cached — ``createOrReplaceTempView`` is a cheap catalog
-#: operation and is re-issued on every call, so a caller who rebound one of
-#: the canonical view names always gets the canonical binding back.
-_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+#: Attribute under which the per-session DataFrame cache lives ON the
+#: session object itself.  Re-loading re-reads every parquet footer (~1.3 s
+#: for 10 tables), which would otherwise be paid per query in the bench/
+#: driver loop.  The cache must not live in any module-level mapping: a
+#: plain ``id(spark)`` key can be reused by CPython after the session is
+#: collected (stale inheritance), and a ``WeakKeyDictionary`` never evicts
+#: here because the cached DataFrames strongly reference their session —
+#: value → key — which pins the entry for process lifetime.  An attribute
+#: on the session has exactly the right lifetime: it is collected with the
+#: session (reference cycles through the session's own attributes are
+#: handled by Python's cycle collector).  Only the loaded DataFrames are
+#: cached — ``createOrReplaceTempView`` is a cheap catalog operation and is
+#: re-issued on every call, so a caller who rebound one of the canonical
+#: view names always gets the canonical binding back.
+_CACHE_ATTR = "_ballista_spark_table_cache"
 
 
 def register_tables(
@@ -70,7 +75,7 @@ def register_tables(
 ) -> dict[str, DataFrame]:
     """Register every canonical table as a temp view (frames cached per
     session while the scale-factor dir is unchanged); returns the frames."""
-    cached_dir, cached = _REGISTERED.get(spark, (None, {}))
+    cached_dir, cached = getattr(spark, _CACHE_ATTR, (None, {}))
     if cached_dir != sf_dir:
         cached = {}
     out = dict(cached)
@@ -78,5 +83,8 @@ def register_tables(
         if name not in out:
             out[name] = load_table(spark, sf_dir, name)
         out[name].createOrReplaceTempView(name)
-    _REGISTERED[spark] = (sf_dir, out)
+    try:
+        setattr(spark, _CACHE_ATTR, (sf_dir, out))
+    except AttributeError:  # pragma: no cover - session type forbids attrs
+        pass
     return {n: out[n] for n in names}

@@ -247,6 +247,22 @@ def test_parquet_schema_probe(spark):
         ], table
 
 
+def test_parquet_schema_probe_nanos_timestamp(spark):
+    """The TIMESTAMP(NANOS) table must probe without throwing and agree with
+    the canonical loader's rebuilt schema (registry.load_table: nanos read as
+    long, rebuilt as microsecond timestamp)."""
+    from ballista_spark.context import BallistaContext
+    from ballista_spark.sources.registry import load_table
+
+    ctx = BallistaContext(spark)
+    probed = ctx.parquet_schema("/root/testdata/sf0.001/events.parquet")
+    canonical = load_table(spark, "/root/testdata/sf0.001", "events").schema
+    assert [f.name for f in probed] == [f.name for f in canonical]
+    assert [f.dataType.simpleString() for f in probed] == [
+        f.dataType.simpleString() for f in canonical
+    ]
+
+
 def test_schema_infer_max_records_is_record_capped(spark, tmp_path):
     """Exact reference semantics (python/src/context.rs:126-129): inference
     reads at most N records — rows past the cap cannot influence types."""

@@ -185,6 +185,52 @@ def test_bucketed_embedding_ops_have_no_allpairs_join(spark):
     assert "CartesianProduct" not in ivf_plan
 
 
+def test_lsh_prunes_candidates_with_margin(spark):
+    """In the production regime (threshold 0.8+, defaults 8 planes × 16
+    tables) the bucket join must touch a small fraction of the pair space —
+    and still find every planted near-dup exactly.
+
+    Clustered data: 40 planted pairs at cosine ≥ 0.97 (tiny perturbations)
+    inside 400 random background vectors (64-dim background cosine ≈ 0±0.12,
+    far below threshold)."""
+    import numpy as np
+
+    from ballista_spark.operators.similarity import (
+        _as_double,
+        _lsh_candidates,
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base_vecs = rng.normal(size=(400, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base_vecs)]
+    # planted near-dups: ids 1000+i is a small perturbation of vector i
+    for i in range(40):
+        pert = base_vecs[i] + rng.normal(scale=0.05, size=64)
+        rows.append((1000 + i, [float(x) for x in pert]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.8).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.8).collect()
+    )
+    assert got == want
+    assert len(want) >= 40  # every planted pair present in the ground truth
+
+    base = emb.select(F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v"))
+    n = emb.count()
+    n_pairs = n * (n - 1) // 2
+    n_cand = _lsh_candidates(base, dim=64, n_planes=8, n_tables=16).count()
+    # 16 tables × 2^-8 background selectivity ≈ 6% of the pair space;
+    # assert an order-of-magnitude prune with headroom for clustering
+    assert n_cand < n_pairs * 0.25, (n_cand, n_pairs)
+
+
 def test_minhash_plan_has_no_cartesian(spark):
     from ballista_spark.operators.dedup import minhash_lsh_pairs
 
