@@ -1,0 +1,92 @@
+"""Benchmark decontamination: flag training documents that overlap a
+held-out evaluation set by word n-grams.
+
+The standard contamination check for LLM training corpora: a document is
+contaminated when a large fraction of its n-grams also appear anywhere in
+the benchmark (eval prompts/answers).  Expressed entirely as DataFrame
+ops over the shingle machinery shared with :mod:`.dedup` — no Python UDFs.
+
+Scale shape (100 TB corpus, bounded benchmark):
+
+- The benchmark n-gram set is *eval-set-sized* (thousands of documents →
+  at most a few hundred MB of distinct n-grams), bounded by construction,
+  not corpus-sized — the one side of this problem that is legitimately
+  broadcastable.  ``broadcast_benchmark=False`` switches to a shuffle join
+  for unusually large benchmark suites.
+- The corpus side is a map-side shingle explode followed by one groupBy on
+  the document key: a single shuffle whose width is the corpus's shingle
+  count, with map-side partial aggregation.  No self-join, no pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.dedup import shingle_sets
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The distinct word ``n``-grams of the eval set (one column ``s``)."""
+    return (
+        shingle_sets(benchmark, text_col, key_col, n)
+        .select(F.col("shingle").alias("s"))
+        .distinct()
+    )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document n-gram overlap against the benchmark.
+
+    Returns ``(key, n_ngrams, n_hits, contamination)`` — ``contamination``
+    is the fraction of the document's distinct n-grams found in the
+    benchmark (``n_hits / n_ngrams``, IEEE double, cross-engine exact).
+    Documents shorter than ``n`` tokens have no n-grams and are omitted
+    (they cannot be contaminated *by this measure*; callers keep them).
+    """
+    doc_sh = shingle_sets(docs, text_col, key_col, n)
+    bench = benchmark_ngrams(benchmark, text_col, key_col, n)
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = doc_sh.join(bench, doc_sh["shingle"] == bench["s"], "left")
+    return (
+        hits.groupBy("key")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("s").alias("n_hits"),
+        )
+        .withColumn("contamination", F.col("n_hits") / F.col("n_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    max_contamination: float = 0.2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds
+    ``max_contamination``; documents with fewer than ``n`` tokens are kept
+    (no n-grams → no evidence of contamination)."""
+    stats = contamination_stats(
+        docs, benchmark, text_col, key_col, n, broadcast_benchmark
+    )
+    flagged = stats.where(F.col("contamination") > max_contamination).select(
+        F.col("key").alias(key_col)
+    )
+    return docs.join(flagged, on=key_col, how="left_anti")

@@ -1,0 +1,128 @@
+"""Deterministic sampling operators: hash-lottery Bernoulli, stratified
+rates, and per-group caps.
+
+Training-data pipelines need *reproducible* sampling at 100 TB —
+``DataFrame.sample`` / ``sampleBy`` draw from partition-local RNG streams,
+so the selected set changes with partitioning, task retries, and cluster
+size.  These operators derive the lottery from a content hash instead:
+
+- :func:`hash_sample` — keep a row iff the md5 of (seed, key) falls below
+  the rate threshold.  A pure projection: no shuffle, no RNG state, the
+  same rows selected on any cluster, and cross-engine reproducible (md5 is
+  standardized, unlike xxhash64).
+- :func:`stratified_sample` — per-stratum rates (e.g. downsample crawl data
+  to 10% while keeping 100% of curated sources) via a threshold per stratum
+  on the same lottery.
+- :func:`group_cap` — at most ``cap`` rows per group (per-domain document
+  caps — the standard web-corpus balancing step), chosen deterministically
+  by lottery order.  One shuffle (the window partition); no group blowup:
+  rank is computed streaming per partition, never materializing a group in
+  memory.
+
+The md5 lottery maps a row to a uniform 60-bit value: the first 15 hex
+digits of ``md5(seed <US> key...)`` compared lexicographically against a
+threshold literal (equal-length lowercase hex compares identically to the
+numeric compare, and 16^15 = 2^60 fits signed-64 exactly for the threshold
+computation).  A seed change re-draws the whole lottery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: hex digits of the lottery (60 bits — below any float/rounding concern)
+_LOTTERY_HEX = 15
+_LOTTERY_SPACE = 16**_LOTTERY_HEX
+#: unit separator — cannot appear in numeric keys; avoids "a"+"bc" == "ab"+"c"
+_SEP = "\x1f"
+
+
+def rate_threshold(rate: float) -> str:
+    """The zero-padded hex literal a lottery value must stay below to be
+    kept with probability ``rate`` (exact for rates that are multiples of
+    2^-60 — i.e. every float).  ``rate == 1.0`` returns ``"g"``, which
+    sorts above every hex digit, so the compare keeps all rows."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        return "g"
+    return format(int(rate * _LOTTERY_SPACE), f"0{_LOTTERY_HEX}x")
+
+
+def lottery_column(key_cols: Sequence[str], seed: str = "sample") -> F.Column:
+    """The uniform hex lottery value for a row (same key → same value,
+    everywhere, forever)."""
+    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, _LOTTERY_HEX)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    rate: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample at ``rate`` keyed on ``key_cols``.
+
+    A filter-only plan (pushdown-friendly, no shuffle): at 100 TB this is a
+    map-side scan that never moves data.
+    """
+    return df.where(lottery_column(key_cols, seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_rate: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: a row in stratum ``s`` survives
+    with probability ``rates.get(s, default_rate)``.
+
+    Still filter-only — the stratum→threshold mapping folds into one CASE
+    expression, so skewed strata cost nothing extra (no per-stratum jobs,
+    unlike ``sampleBy``).
+    """
+    thresh = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(rate_threshold(rate))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        thresh.otherwise(F.lit(rate_threshold(default_rate)))
+        if thresh is not None
+        else F.lit(rate_threshold(default_rate))
+    )
+    return df.where(lottery_column(key_cols, seed) < thresh)
+
+
+def group_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    key_cols: Sequence[str],
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected by lottery order
+    (key columns break exact-tie lottery values, so the result is total-
+    order deterministic).
+
+    One hash shuffle on the group columns; a hot group (one domain with
+    10^9 pages) ranks streaming within its partition — memory stays
+    bounded by the sort spill, never by group size.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    order = [lottery_column(key_cols, seed)] + [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -1,0 +1,190 @@
+"""Deterministic sampling + benchmark decontamination vs DuckDB oracles.
+
+The md5 lottery is standardized, so DuckDB recomputes the *identical*
+selection — these are exact set compares, not statistical ones."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.decontam import contamination_stats, decontaminate
+from ballista_spark.operators.sampling import (
+    group_cap,
+    hash_sample,
+    rate_threshold,
+    stratified_sample,
+)
+from ballista_spark.sources.registry import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_frames_match
+
+FULL = os.environ.get("BS_TEST_FULL") == "1"
+SCALES = [(SF_SMOKE, "smoke")] + ([(SF_CORRECT, "correct")] if FULL else [])
+
+#: DuckDB twin of sampling.lottery_column (seed, key cast to varchar,
+#: unit-separator joined, first 15 md5 hex digits)
+def _duck_lottery(seed: str, key_expr: str) -> str:
+    return f"SUBSTR(MD5(CONCAT_WS(CHR(31), '{seed}', {key_expr})), 1, 15)"
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+@pytest.mark.parametrize("rate", [0.0, 0.3, 1.0])
+def test_hash_sample_matches_oracle(spark, duck, sf_dir, schema, rate):
+    docs = load_table(spark, sf_dir, "documents")
+    got = hash_sample(docs, ["doc_id"], rate).select("doc_id", "source")
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""SELECT doc_id, source FROM documents
+            WHERE {_duck_lottery('sample', 'CAST(doc_id AS VARCHAR)')}
+                  < '{rate_threshold(rate)}'"""
+    )
+    assert_frames_match(got, oracle)
+
+
+def test_hash_sample_rate_is_calibrated(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    kept = hash_sample(docs, ["doc_id"], 0.5).count()
+    assert abs(kept / n - 0.5) < 0.1, (kept, n)
+
+
+def test_hash_sample_is_partitioning_invariant(spark):
+    """Same selection regardless of physical layout — the property
+    DataFrame.sample does NOT have."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r.doc_id for r in hash_sample(docs, ["doc_id"], 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), ["doc_id"], 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_plan_is_filter_only(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = hash_sample(docs, ["doc_id"], 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_stratified_sample_matches_oracle(spark, duck, sf_dir, schema):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    got = stratified_sample(
+        docs, "source", rates, ["doc_id"], default_rate=0.1
+    ).select("doc_id", "source")
+    case = " ".join(
+        f"WHEN source = '{s}' THEN '{rate_threshold(r)}'" for s, r in sorted(rates.items())
+    )
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""SELECT doc_id, source FROM documents
+            WHERE {_duck_lottery('sample', 'CAST(doc_id AS VARCHAR)')}
+                  < (CASE {case} ELSE '{rate_threshold(0.1)}' END)"""
+    )
+    assert_frames_match(got, oracle)
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_group_cap_matches_oracle(spark, duck, sf_dir, schema):
+    docs = load_table(spark, sf_dir, "documents")
+    got = group_cap(docs, ["source"], 5, ["doc_id"]).select("doc_id", "source")
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_duck_lottery('cap', 'CAST(doc_id AS VARCHAR)')}, doc_id
+                     ) AS rk
+              FROM documents) WHERE rk <= 5"""
+    )
+    assert_frames_match(got, oracle)
+
+
+def test_group_cap_caps_every_group(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = group_cap(docs, ["source"], 3, ["doc_id"]).groupBy("source").count()
+    assert counts.where(F.col("count") > 3).count() == 0
+
+
+#: benchmark stand-in: one source's documents play the eval set
+_BENCH_SRC = "src0"
+
+#: DuckDB twin of contamination_stats (shingle CTE mirrors
+#: queries/pipeline._SHINGLE_CTE / operators.dedup.shingle_sets)
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - 2)) AS g(i)
+  WHERE LEN(l) >= 3
+), bench AS (
+  SELECT DISTINCT sh.s FROM sh
+  JOIN documents d ON sh.doc_id = d.doc_id AND d.source = '{_BENCH_SRC}'
+)
+SELECT sh.doc_id AS key, COUNT(*) AS n_ngrams,
+       COUNT(bench.s) AS n_hits,
+       COUNT(bench.s) * 1.0 / COUNT(*) AS contamination
+FROM sh LEFT JOIN bench ON sh.s = bench.s
+GROUP BY sh.doc_id
+"""
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_contamination_stats_match_oracle(spark, duck, sf_dir, schema):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == _BENCH_SRC)
+    got = contamination_stats(docs, bench)
+    duck.execute(f"SET schema '{schema}'")
+    assert_frames_match(got, duck.sql(_CONTAM_ORACLE))
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_decontaminate_matches_oracle(spark, duck, sf_dir, schema):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == _BENCH_SRC)
+    got = decontaminate(docs, bench, max_contamination=0.2).select("doc_id")
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT key FROM ({_CONTAM_ORACLE}) WHERE contamination > 0.2)"""
+    )
+    assert_frames_match(got, oracle)
+
+
+def test_decontaminate_drops_exact_benchmark_members(spark):
+    """A document verbatim in the benchmark is 100% contaminated and must
+    be removed; unrelated long documents survive."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.where(F.col("source") == _BENCH_SRC)
+    clean = decontaminate(docs, bench, max_contamination=0.99)
+    # every benchmark member with >= 3 tokens is gone
+    leaked = clean.join(bench.select("doc_id"), "doc_id", "inner").where(
+        F.size(F.split(F.trim("text"), " ")) >= 3
+    )
+    assert leaked.count() == 0
+
+
+def test_decontam_plan_shape(spark):
+    """Broadcast on the benchmark side by default; shuffle join when
+    disabled (the unbounded-benchmark escape hatch)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.where(F.col("source") == _BENCH_SRC)
+    bcast = (
+        contamination_stats(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bcast or "BroadcastExchange" in bcast, bcast
+    shuf = (
+        contamination_stats(docs, bench, broadcast_benchmark=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ResolvedHint" not in shuf
