@@ -24,6 +24,12 @@ from ballista_spark.operators.similarity import (
 )
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import hash_split, merge_upsert
+from ballista_spark.operators.decontam import contamination_stats, decontaminate
+from ballista_spark.operators.sampling import (
+    group_cap,
+    hash_sample,
+    stratified_sample,
+)
 from ballista_spark.operators.partitioning import (
     salted_agg,
     salted_join,
@@ -60,4 +66,9 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "ivf_ann_topk",
+    "hash_sample",
+    "stratified_sample",
+    "group_cap",
+    "contamination_stats",
+    "decontaminate",
 ]

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from ballista_spark.dataframe import BallistaDataFrame
 from ballista_spark.queries.base import Query, dec_sum
-from ballista_spark.queries.coverage import COVERAGE_QUERIES
 from ballista_spark.sources.registry import load_table, register_tables
 
 GRADED_COVERAGE: dict[str, Query] = {}
@@ -946,8 +945,172 @@ ORDER BY op, k1, k2
 """,
 )
 
-# --- 13. HyperLogLog approximate distinct (sketch path) ---------------------
+# --- 13. sketches + deterministic sampling + decontamination ----------------
 
-# unchanged from the fine-grained corpus: the entry is already consolidated
-# (exact count + sketch-within-5% predicate, both oracle-comparable)
-GRADED_COVERAGE["cov_approx_distinct"] = COVERAGE_QUERIES["cov_approx_distinct"]
+
+def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch + the deterministic corpus-surgery operators in one tagged
+    result: hash-lottery Bernoulli/stratified sampling and per-group caps
+    (operators/sampling.py — the md5 lottery is standardized, so DuckDB
+    recomputes the identical selected set) and benchmark decontamination
+    (operators/decontam.py, ``src0`` documents standing in for the eval
+    set).  Selected sets are pinned exactly via (count, sum of ids) per
+    source; contamination via the (hits, ngrams) integer totals."""
+    from ballista_spark.operators.decontam import contamination_stats, decontaminate
+    from ballista_spark.operators.sampling import (
+        group_cap,
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def two(df: DataFrame, op: str) -> DataFrame:
+        g = df.groupBy("source").agg(
+            F.count("*").alias("n"), F.sum("doc_id").alias("s")
+        )
+        return g.select(
+            F.lit(op).alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        ).unionAll(
+            g.select(F.lit(op), F.col("source"), F.lit("sum_ids"), F.col("s").cast("long"))
+        )
+
+    hll = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ex"),
+    )
+    hll_rows = hll.select(
+        F.lit("hll").alias("op"),
+        F.col("l_returnflag").alias("k"),
+        F.lit("exact_parts").alias("metric"),
+        F.col("ex").cast("long").alias("v"),
+    ).unionAll(
+        hll.select(
+            F.lit("hll"),
+            F.col("l_returnflag"),
+            F.lit("within_5pct"),
+            (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.05).cast("long"),
+        )
+    )
+
+    bench = docs.where(F.col("source") == "src0")
+    stats = contamination_stats(docs, bench)
+    contam_rows = (
+        stats.join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+        .groupBy("source")
+        .agg(F.sum("n_hits").alias("h"), F.sum("n_ngrams").alias("g"))
+    )
+    contam_tagged = contam_rows.select(
+        F.lit("contam").alias("op"),
+        F.col("source").alias("k"),
+        F.lit("hits").alias("metric"),
+        F.col("h").cast("long").alias("v"),
+    ).unionAll(
+        contam_rows.select(
+            F.lit("contam"), F.col("source"), F.lit("ngrams"), F.col("g").cast("long")
+        )
+    )
+
+    return (
+        hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
+        .unionAll(
+            two(
+                stratified_sample(
+                    docs,
+                    "source",
+                    {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                    ["doc_id"],
+                    default_rate=0.1,
+                ),
+                "sample_stratified",
+            )
+        )
+        .unionAll(two(group_cap(docs, ["source"], 5, ["doc_id"]), "group_cap"))
+        .unionAll(two(decontaminate(docs, bench, 0.2), "decontam_keep"))
+        .unionAll(contam_tagged)
+        .orderBy("op", "k", "metric")
+    )
+
+
+def _sketch_sampling_oracle() -> str:
+    from ballista_spark.operators.sampling import rate_threshold
+
+    th03 = rate_threshold(0.3)
+    strat_case = (
+        f"CASE WHEN source = 'src0' THEN '{rate_threshold(1.0)}' "
+        f"WHEN source = 'src1' THEN '{rate_threshold(0.5)}' "
+        f"WHEN source = 'src2' THEN '{rate_threshold(0.25)}' "
+        f"ELSE '{rate_threshold(0.1)}' END"
+    )
+    return f"""
+WITH lot AS (
+  SELECT doc_id, source,
+         SUBSTR(MD5(CONCAT_WS(CHR(31), 'sample', CAST(doc_id AS VARCHAR))), 1, 15) AS lv
+  FROM documents
+), capd AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+           SUBSTR(MD5(CONCAT_WS(CHR(31), 'cap', CAST(doc_id AS VARCHAR))), 1, 15),
+           doc_id) AS rk
+  FROM documents
+), toks AS (
+  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - 2)) AS g(i)
+  WHERE LEN(l) >= 3
+), bench AS (
+  SELECT DISTINCT sh.s FROM sh
+  JOIN documents d ON sh.doc_id = d.doc_id AND d.source = 'src0'
+), contam AS (
+  SELECT sh.doc_id AS key, COUNT(*) AS n_ngrams, COUNT(bench.s) AS n_hits,
+         COUNT(bench.s) * 1.0 / COUNT(*) AS c
+  FROM sh LEFT JOIN bench ON sh.s = bench.s
+  GROUP BY sh.doc_id
+), hll AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ex FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
+       CAST(ex AS BIGINT) AS v FROM hll
+UNION ALL SELECT 'hll', l_returnflag, 'within_5pct', CAST(1 AS BIGINT) FROM hll
+UNION ALL SELECT 'sample_bernoulli', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM lot WHERE lv < '{th03}' GROUP BY source
+UNION ALL SELECT 'sample_bernoulli', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM lot WHERE lv < '{th03}' GROUP BY source
+UNION ALL SELECT 'sample_stratified', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM lot WHERE lv < ({strat_case}) GROUP BY source
+UNION ALL SELECT 'sample_stratified', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM lot WHERE lv < ({strat_case}) GROUP BY source
+UNION ALL SELECT 'group_cap', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM capd WHERE rk <= 5 GROUP BY source
+UNION ALL SELECT 'group_cap', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM capd WHERE rk <= 5 GROUP BY source
+UNION ALL SELECT 'decontam_keep', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM documents WHERE doc_id NOT IN (SELECT key FROM contam WHERE c > 0.2)
+  GROUP BY source
+UNION ALL SELECT 'decontam_keep', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM documents WHERE doc_id NOT IN (SELECT key FROM contam WHERE c > 0.2)
+  GROUP BY source
+UNION ALL SELECT 'contam', d.source, 'hits', CAST(SUM(n_hits) AS BIGINT)
+  FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
+UNION ALL SELECT 'contam', d.source, 'ngrams', CAST(SUM(n_ngrams) AS BIGINT)
+  FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
+ORDER BY op, k, metric
+"""
+
+
+_b(
+    "cov_sketch_sampling",
+    "HLL approx_count_distinct (exact count + sketch-within-5% predicate) "
+    "consolidated with the deterministic corpus-surgery operators: "
+    "md5-lottery Bernoulli + stratified sampling, per-source document caps, "
+    "and benchmark n-gram decontamination — every selected set pinned "
+    "exactly cross-engine (count + sum of ids per source).",
+    _sketch_sampling_builder,
+    oracle=_sketch_sampling_oracle(),
+)
