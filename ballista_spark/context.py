@@ -223,16 +223,12 @@ class BallistaContext:
             try:
                 return self.spark.read.parquet(path).schema
             except Exception:
-                prev = self.spark.conf.get(
-                    "spark.sql.legacy.parquet.nanosAsLong", "false"
-                )
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                try:
-                    return self.spark.read.parquet(path).schema
-                finally:
-                    self.spark.conf.set(
-                        "spark.sql.legacy.parquet.nanosAsLong", prev
-                    )
+                # isolated child session: flipping nanosAsLong on the shared
+                # session would leak into any query planned concurrently
+                # (SQL confs are session-scoped, newSession() gets its own)
+                probe = self.spark.newSession()
+                probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                return probe.read.parquet(path).schema
 
     @staticmethod
     def _arrow_to_spark_ddl(t) -> str:

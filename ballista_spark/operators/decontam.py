@@ -79,13 +79,21 @@ def decontaminate(
     key_col: str = "doc_id",
     n: int = 3,
     broadcast_benchmark: bool = True,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents whose benchmark n-gram overlap exceeds
     ``max_contamination``; documents with fewer than ``n`` tokens are kept
-    (no n-grams → no evidence of contamination)."""
-    stats = contamination_stats(
-        docs, benchmark, text_col, key_col, n, broadcast_benchmark
-    )
+    (no n-grams → no evidence of contamination).
+
+    Pass a precomputed :func:`contamination_stats` frame via ``stats`` when
+    the caller also needs the per-document numbers — the corpus-wide
+    tokenize/shingle/explode is the expensive shuffle here, and recomputing
+    it inside this call would double it.
+    """
+    if stats is None:
+        stats = contamination_stats(
+            docs, benchmark, text_col, key_col, n, broadcast_benchmark
+        )
     flagged = stats.where(F.col("contamination") > max_contamination).select(
         F.col("key").alias(key_col)
     )

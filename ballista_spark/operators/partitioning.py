@@ -67,10 +67,15 @@ def salt_column(n_salts: int, *cols: str) -> Column:
 
 
 def row_salt(n_salts: int) -> Column:
-    """Row-dependent salt in [0, n_salts): deterministic for a given
-    partition layout (``monotonically_increasing_id`` is per-row unique), and
-    — unlike any function of the key — guaranteed to split a hot key across
-    ``n_salts`` reducers."""
+    """Row-position salt in [0, n_salts) via ``monotonically_increasing_id``.
+
+    Splits a hot key across reducers regardless of column values — but it is
+    only deterministic when the input partition *contents and order* are
+    deterministic (a direct file scan).  Downstream of a shuffle, a stage
+    retry can re-fetch rows in a different order and re-salt them
+    differently, duplicating/dropping join rows mid-recovery.  Prefer
+    :func:`salt_column` over the row's content (retry-safe); use this only
+    directly over deterministic scans."""
     return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
         "int"
     )
@@ -134,11 +139,22 @@ def salted_join(
     the pattern).  ``other`` is replicated ``n_salts`` times — use only when
     it is the small side.
 
-    The skewed side's salt is *row-dependent* (:func:`row_salt`): salting by
-    any function of the join key would put every row of the hot key on one
-    reducer again, making the whole exercise a no-op.
+    The skewed side's salt is a content hash of *every* column
+    (:func:`salt_column`) — it varies within a hot key whenever any non-key
+    column varies, yet is a pure function of the row, so a stage retry
+    re-salts identically (a positional salt such as
+    ``monotonically_increasing_id`` is not stable across shuffle-fetch
+    reorderings and can silently duplicate/drop rows on recovery).  Fully
+    identical duplicate rows share a salt; residual skew is then bounded by
+    the duplicate multiplicity — exact-dedup upstream if that matters.
     """
-    salted = skewed.withColumn("__salt", row_salt(n_salts))
+    if set(skewed.columns) == {on}:
+        raise ValueError(
+            "skewed side has only the join key column — a content salt "
+            "cannot vary within the hot key; add payload columns or "
+            "distinct() the key side instead"
+        )
+    salted = skewed.withColumn("__salt", salt_column(n_salts, *skewed.columns))
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

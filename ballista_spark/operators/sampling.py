@@ -53,10 +53,22 @@ def rate_threshold(rate: float) -> str:
     return format(int(rate * _LOTTERY_SPACE), f"0{_LOTTERY_HEX}x")
 
 
+#: stand-in for a NULL key part — ``concat_ws`` *skips* NULL arguments, so
+#: without it every NULL-key row would hash to the identical lottery value
+#: (all kept or all dropped together — a grossly mis-calibrated rate) and
+#: composite keys like (NULL,'x') / ('x',NULL) would collide.  CHR(30)
+#: (record separator) cannot appear in numeric keys; a real string key that
+#: *equals* it would collide with NULL — acceptable for control characters.
+_NULL = "\x1e"
+
+
 def lottery_column(key_cols: Sequence[str], seed: str = "sample") -> F.Column:
     """The uniform hex lottery value for a row (same key → same value,
-    everywhere, forever)."""
-    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in key_cols]
+    everywhere, forever).  NULL key parts are encoded as :data:`_NULL`;
+    the DuckDB mirror is ``COALESCE(CAST(k AS VARCHAR), CHR(30))``."""
+    parts = [F.lit(seed)] + [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in key_cols
+    ]
     return F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, _LOTTERY_HEX)
 
 

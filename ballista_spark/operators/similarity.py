@@ -38,6 +38,21 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine(dot: F.Column, norm_prod: F.Column) -> F.Column:
+    """Cosine with a zero-norm guard: NULL instead of 0/0.
+
+    Spark's NaN ordering treats NaN as *greater than* every number, so an
+    unguarded 0/0 cosine would rank a zero vector (failed encoder, padding
+    row) above every real neighbor and pass every ``>= threshold`` filter.
+    NULL instead: comparisons are NULL→dropped by filters, and ``desc``
+    windows order it nulls-last — degenerate vectors match nothing and rank
+    after every real neighbor.  DuckDB's ``LIST_COSINE_SIMILARITY`` guards
+    internally (returns -1.0 for a zero vector), which fails thresholds and
+    ranks last the same way, so the oracles agree without changes.
+    """
+    return F.when(norm_prod != 0.0, dot / norm_prod)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,7 +74,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+        .withColumn("cosine", _cosine(_dot(F.col("cv"), F.col("qv")), F.col("cn") * F.col("qn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -146,8 +161,10 @@ def lsh_ann_topk(
     )
     scored = cand.withColumn(
         "cosine",
-        _dot(F.col("neighbor_id_v"), F.col("query_id_v"))
-        / (_norm(F.col("neighbor_id_v")) * _norm(F.col("query_id_v"))),
+        _cosine(
+            _dot(F.col("neighbor_id_v"), F.col("query_id_v")),
+            _norm(F.col("neighbor_id_v")) * _norm(F.col("query_id_v")),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -228,8 +245,7 @@ def lsh_neardup_pairs(
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _cosine(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
@@ -255,7 +271,7 @@ def embedding_neardup_pairs(
     ).withColumn("nb", _norm(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cosine", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
@@ -269,8 +285,10 @@ def _nearest_centroids(
 
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "__c_sim",
-        _dot(F.col(vec_alias), F.col("centroid_v"))
-        / (_norm(F.col(vec_alias)) * _norm(F.col("centroid_v"))),
+        _cosine(
+            _dot(F.col(vec_alias), F.col("centroid_v")),
+            _norm(F.col(vec_alias)) * _norm(F.col("centroid_v")),
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__c_sim").desc(), F.col("centroid_id"))
     return (
@@ -331,7 +349,7 @@ def ivf_ann_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+        "cosine", _cosine(_dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

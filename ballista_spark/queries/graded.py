@@ -21,7 +21,10 @@ pins, ROUND(…, 9) on cross-libm math).
 
 from __future__ import annotations
 
+import atexit
+import glob
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +35,9 @@ from ballista_spark.queries.base import Query, dec_sum
 from ballista_spark.sources.registry import load_table, register_tables
 
 GRADED_COVERAGE: dict[str, Query] = {}
+
+#: temp dirs this process created for the CsvScan roundtrip (cleaned at exit)
+_CSV_SCAN_DIRS: set[str] = set()
 
 _DEC = "decimal(18,6)"
 
@@ -62,12 +68,24 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     # per-process path: a fixed shared dir would race when a pytest run and
-    # a driver gate run (or xdist workers) overwrite/rename concurrently
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"bs_csv_scan_{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    # a driver gate run (or xdist workers) overwrite/rename concurrently.
+    # The dir must outlive this (lazy) DataFrame, so it is removed at
+    # process exit — and stale dirs left by crashed processes are reaped
+    # here (kill(pid, 0) probes liveness without signalling).
+    root = os.path.join(tempfile.gettempdir(), f"bs_csv_scan_{os.getpid()}")
+    if root not in _CSV_SCAN_DIRS:
+        _CSV_SCAN_DIRS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "bs_csv_scan_*")):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except (ValueError, PermissionError, OSError):
+            pass
+    out = os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
     part.write.mode("overwrite").option("delimiter", "|").csv(out)
     for f in os.listdir(out):
         if f.endswith(".csv"):
@@ -979,6 +997,10 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.select(F.lit(op), F.col("source"), F.lit("sum_ids"), F.col("s").cast("long"))
         )
 
+    # within_10pct, not 5: rsd=0.02 puts 10% at ~5 sigma, so the predicate
+    # holds for any data the driver could regenerate, not just the two
+    # scale factors it was observed on — a sketch-accuracy miss must not
+    # poison the 12 exact sampling/decontam checks unioned into this entry
     hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
         F.countDistinct("l_partkey").alias("ex"),
@@ -992,8 +1014,8 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll.select(
             F.lit("hll"),
             F.col("l_returnflag"),
-            F.lit("within_5pct"),
-            (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.05).cast("long"),
+            F.lit("within_10pct"),
+            (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.10).cast("long"),
         )
     )
 
@@ -1030,7 +1052,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionAll(two(group_cap(docs, ["source"], 5, ["doc_id"]), "group_cap"))
-        .unionAll(two(decontaminate(docs, bench, 0.2), "decontam_keep"))
+        .unionAll(two(decontaminate(docs, bench, 0.2, stats=stats), "decontam_keep"))
         .unionAll(contam_tagged)
         .orderBy("op", "k", "metric")
     )
@@ -1077,7 +1099,7 @@ WITH lot AS (
 )
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
-UNION ALL SELECT 'hll', l_returnflag, 'within_5pct', CAST(1 AS BIGINT) FROM hll
+UNION ALL SELECT 'hll', l_returnflag, 'within_10pct', CAST(1 AS BIGINT) FROM hll
 UNION ALL SELECT 'sample_bernoulli', source, 'n', CAST(COUNT(*) AS BIGINT)
   FROM lot WHERE lv < '{th03}' GROUP BY source
 UNION ALL SELECT 'sample_bernoulli', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)

@@ -14,6 +14,7 @@ from ballista_spark.operators.decontam import contamination_stats, decontaminate
 from ballista_spark.operators.sampling import (
     group_cap,
     hash_sample,
+    lottery_column,
     rate_threshold,
     stratified_sample,
 )
@@ -104,6 +105,36 @@ def test_group_cap_matches_oracle(spark, duck, sf_dir, schema):
               FROM documents) WHERE rk <= 5"""
     )
     assert_frames_match(got, oracle)
+
+
+def test_hash_sample_null_keys_match_oracle(spark, duck):
+    """NULL key parts are encoded (CHR(30)), not skipped: composite keys
+    (NULL,'x') and ('x',NULL) must draw different lottery values, and the
+    documented DuckDB mirror must reproduce the exact selection."""
+    rows = [
+        (1, None, "x"), (2, "x", None), (3, None, None),
+        (4, "x", "x"), (5, "y", "z"), (6, None, "y"), (7, "y", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+    got = {r.id for r in hash_sample(df, ["k1", "k2"], 0.5).select("id").collect()}
+    duck.execute("CREATE OR REPLACE TEMP TABLE nk(id BIGINT, k1 VARCHAR, k2 VARCHAR)")
+    duck.executemany("INSERT INTO nk VALUES (?, ?, ?)", rows)
+    key = "COALESCE(k1, CHR(30)), COALESCE(k2, CHR(30))"
+    want = {
+        r[0]
+        for r in duck.execute(
+            f"""SELECT id FROM nk
+                WHERE {_duck_lottery('sample', key)} < '{rate_threshold(0.5)}'"""
+        ).fetchall()
+    }
+    assert got == want
+    lottery = {
+        (r.k1, r.k2): r.lv
+        for r in df.select(
+            "k1", "k2", lottery_column(["k1", "k2"]).alias("lv")
+        ).collect()
+    }
+    assert lottery[(None, "x")] != lottery[("x", None)]
 
 
 def test_group_cap_caps_every_group(spark):
