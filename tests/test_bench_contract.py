@@ -26,7 +26,8 @@ def test_bench_emits_one_json_line():
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(payload)
+    assert payload["iterations"] == 2  # steady-state policy (bench.py docstring)
     assert len(payload["queries"]) >= 10
     assert all(v >= 0 for v in payload["queries"].values())
 
