@@ -5,10 +5,14 @@ Mirrors the reference's table registration loop
 queries).  Handles per-table physical quirks so every consumer (queries,
 bench, tests) sees one canonical schema:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  rejects; we read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``)
-  and rebuild a microsecond TimestampType column with integer arithmetic
-  (``ts div 1000`` — no double round-trip, so no precision loss at 1.7e18 ns).
+- ``events.ts`` has shipped in several physical encodings across testdata
+  generations: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it, so we
+  read nanos as long under ``spark.sql.legacy.parquet.nanosAsLong`` and
+  rebuild µs timestamps with integer arithmetic — no double round-trip, no
+  precision loss at 1.7e18 ns), plain ``timestamp[us]`` with no UTC flag
+  (Spark reads TIMESTAMP_NTZ), and µs-UTC (TimestampType).  ``load_table``
+  branches on the dtype actually read, so all three normalize to one
+  canonical UTC TimestampType column.
 
 Scale notes: loaders return plain scans — no ``.cache()``, no collect — so
 Catalyst keeps pushdown/pruning, and at 100 TB each table is just a
@@ -21,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: canonical table names (TESTDATA.md)
 TABLES: tuple[str, ...] = (
@@ -37,19 +42,39 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to UTC TimestampType from any physical read type.
+
+    - LongType: raw nanos (nanosAsLong read of TIMESTAMP(NANOS)); ns → µs
+      with integer division — DuckDB's CAST(ts AS TIMESTAMP) truncates
+      identically, keeping oracle comparisons exact.
+    - TimestampNTZType: ``timestamp[us]`` parquet without the UTC flag; the
+      session timezone is pinned UTC (session.py), so the cast relabels the
+      same wall-clock instant.
+    - TimestampType: already canonical.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table from a TESTDATA scale-factor directory."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # nanosAsLong only affects TIMESTAMP(NANOS) columns; µs files read
+        # under it unchanged, so setting it is safe for every generation of
+        # the events file and the dtype branch picks the right rebuild.
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             raw = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        # ns → µs with integer division; DuckDB's CAST(ts AS TIMESTAMP)
-        # truncates identically, keeping oracle comparisons exact.
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(raw)
     return spark.read.parquet(path)
 
 

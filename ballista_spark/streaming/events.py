@@ -15,40 +15,39 @@ transforms.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: physical schema of events.parquet (ts stored as TIMESTAMP(NANOS) →
-#: read as long under nanosAsLong, rebuilt to µs timestamps below)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ballista_spark.sources.registry import normalize_events_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (smoke path; Kafka in prod)."""
+    """File-source stream of the events table (smoke path; Kafka in prod).
+
+    The physical ``ts`` encoding has varied across testdata generations
+    (TIMESTAMP(NANOS), µs-NTZ, µs-UTC), so probe the footer with a batch
+    read and stream with that exact schema, then normalize like the batch
+    loader does.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    # nanosAsLong only affects TIMESTAMP(NANOS) files; leave it on for the
+    # stream's microbatch reads in case the file is a nanos generation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
     # the file source requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(

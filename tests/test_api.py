@@ -263,6 +263,41 @@ def test_parquet_schema_probe_nanos_timestamp(spark):
     ]
 
 
+def test_events_ts_encodings_all_normalize(spark, tmp_path):
+    """The driver's events.ts physical type has changed between testdata
+    generations (round 2: TIMESTAMP(NANOS) → plain timestamp[us], which
+    Spark reads as TIMESTAMP_NTZ — broke every events-loading query).
+    load_table must normalize every encoding to the same UTC TimestampType
+    column with identical values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_spark.sources.registry import load_table
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+    ]
+    micros = [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+              for t in instants]
+    encodings = {
+        "nanos_ntz": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "micros_ntz": pa.array(micros, pa.timestamp("us")),
+        "micros_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    for label, ts_arr in encodings.items():
+        sf_dir = tmp_path / label
+        sf_dir.mkdir()
+        tbl = pa.table({"event_id": pa.array([1, 2], pa.int64()), "ts": ts_arr})
+        pq.write_table(tbl, sf_dir / "events.parquet")
+        out = load_table(spark, str(sf_dir), "events")
+        assert out.schema["ts"].dataType.simpleString() == "timestamp", label
+        got = [r.ts for r in out.orderBy("event_id").collect()]
+        assert got == instants, (label, got)
+
+
 def test_schema_infer_max_records_is_record_capped(spark, tmp_path):
     """Exact reference semantics (python/src/context.rs:126-129): inference
     reads at most N records — rows past the cap cannot influence types."""
