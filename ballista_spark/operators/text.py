@@ -116,6 +116,29 @@ def fingerprint(text="text") -> F.Column:
     return (total % _M31).cast("bigint")
 
 
+def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
+    """Within-document repetition: fraction of word n-grams that are
+    repeats of an earlier n-gram (DOUBLE in [0, 1)).
+
+    The Gopher/C4-style repetition quality filter — boilerplate and
+    templated spam score high, prose scores near 0.  Computed as
+    ``(total_ngrams - distinct_ngrams) / total_ngrams`` entirely in array
+    expressions (transform/slice/array_distinct), so it codegens and is
+    reproducible bit-for-bit by a SQL oracle (exact integer counts, one
+    final division).  Documents with fewer than ``n`` tokens score 0.0.
+    """
+    toks = _tokens(text)
+    m = (F.size(toks) - F.lit(n - 1)).cast("bigint")
+    grams = F.transform(
+        # sequence() is descending when start > stop, so clamp to 1 and
+        # gate the whole expression on m >= 1 below
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+    return F.when(m >= 1, dup / m.cast("double")).otherwise(F.lit(0.0))
+
+
 #: GPT-2-ish pretokenizer classes: letter runs, digit runs, punctuation runs
 BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+"
 

@@ -235,9 +235,9 @@ _b(
 
 _b(
     "text_stats",
-    "Token count / quality score / rolling fingerprint per document "
-    "(operators.text) — integer-exact formulas recomputed verbatim by the "
-    "oracle.",
+    "Token count / quality score / rolling fingerprint / Gopher-style "
+    "duplicate-bigram repetition per document (operators.text) — "
+    "integer-exact formulas recomputed verbatim by the oracle.",
     lambda spark, sf: (
         load_table(spark, sf, "documents").select(
             "doc_id",
@@ -245,6 +245,7 @@ _b(
             F.length("text").cast("bigint").alias("n_chars_m"),
             X.fingerprint("text").alias("fp"),
             X.quality_score("text").alias("quality"),
+            X.dup_ngram_fraction("text", 2).alias("rep2"),
         )
         .orderBy("doc_id")
     ),
@@ -271,6 +272,17 @@ WITH t AS (
                   % 2147483647) % 2147483647 AS BIGINT) AS fp
   FROM t, UNNEST(GENERATE_SERIES(1, LEN(l))) AS g(i)
   GROUP BY doc_id
+), rep AS (
+  SELECT doc_id, m,
+         CASE WHEN m >= 1
+              THEN (LEN(grams) - LEN(LIST_DISTINCT(grams)))::DOUBLE / m
+              ELSE 0.0 END AS rep2
+  FROM (
+    SELECT doc_id, LEN(l) - 1 AS m,
+           LIST_TRANSFORM(RANGE(1, GREATEST(LEN(l) - 1, 1) + 1),
+                          i -> ARRAY_TO_STRING(l[i:i+1], ' ')) AS grams
+    FROM t
+  )
 )
 SELECT b.doc_id, b.n_tokens, b.n_chars AS n_chars_m, fp.fp,
        (CASE WHEN b.n_chars BETWEEN 100 AND 2000 THEN 1.0
@@ -279,8 +291,9 @@ SELECT b.doc_id, b.n_tokens, b.n_chars AS n_chars_m, fp.fp,
                     BETWEEN 3.0 AND 10.0
                THEN 1.0 ELSE 0.5 END) * CAST(0.3 AS DOUBLE)
        + (CAST(b.en_hits AS DOUBLE) / b.n_tokens) * CAST(0.3 AS DOUBLE)
-           AS quality
-FROM base b JOIN fp USING (doc_id)
+           AS quality,
+       rep.rep2
+FROM base b JOIN fp USING (doc_id) JOIN rep USING (doc_id)
 ORDER BY b.doc_id
 """,
 )

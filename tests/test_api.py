@@ -263,6 +263,55 @@ def test_parquet_schema_probe_nanos_timestamp(spark):
     ]
 
 
+#: Canonical post-load schema contract for the driver's testdata tables.
+#: A tripwire, not documentation: the driver regenerates /root/testdata
+#: between rounds and has already changed physical types once (events.ts
+#: nanos → µs-NTZ, which silently broke every events query in round 2) —
+#: this makes any future drift fail the first local pytest run instead of
+#: surfacing as a red driver gate.  Temporal columns accept the encodings
+#: the query corpus provably handles (oracle-green for each).
+_CANONICAL_SCHEMAS = {
+    "region": "r_regionkey:int, r_name:string",
+    "nation": "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer": "c_custkey:bigint, c_name:string, c_nationkey:int, "
+                "c_acctbal:double, c_mktsegment:string",
+    "supplier": "s_suppkey:bigint, s_name:string, s_nationkey:int, "
+                "s_acctbal:double",
+    "part": "p_partkey:bigint, p_name:string, p_brand:string, p_type:string, "
+            "p_size:int, p_retailprice:double",
+    "orders": "o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, "
+              "o_totalprice:double, o_orderdate:TEMPORAL, "
+              "o_orderpriority:string",
+    "lineitem": "l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, "
+                "l_linenumber:int, l_quantity:double, l_extendedprice:double, "
+                "l_discount:double, l_tax:double, l_returnflag:string, "
+                "l_linestatus:string, l_shipdate:TEMPORAL",
+    # events.ts is normalized by load_table, so it must be exactly timestamp
+    "events": "event_id:bigint, ts:timestamp, user_id:bigint, "
+              "event_type:string, value:double, props:string",
+    "documents": "doc_id:bigint, text:string, lang:string, source:string, "
+                 "n_chars:bigint",
+    "embeddings": "vec_id:bigint, embedding:array<float>, label:int",
+}
+
+_TEMPORAL_OK = {"timestamp", "timestamp_ntz", "date"}
+
+
+def test_canonical_table_schema_contract(spark):
+    from ballista_spark.sources.registry import register_tables
+
+    tables = register_tables(spark, SF_SMOKE)
+    for name, want in _CANONICAL_SCHEMAS.items():
+        got = [(f.name, f.dataType.simpleString()) for f in tables[name].schema]
+        expect = [tuple(c.strip().split(":", 1)) for c in want.split(", ")]
+        assert [g[0] for g in got] == [e[0] for e in expect], name
+        for (gn, gt), (_, et) in zip(got, expect):
+            if et == "TEMPORAL":
+                assert gt in _TEMPORAL_OK, (name, gn, gt)
+            else:
+                assert gt == et, (name, gn, gt)
+
+
 def test_events_ts_encodings_all_normalize(spark, tmp_path):
     """The driver's events.ts physical type has changed between testdata
     generations (round 2: TIMESTAMP(NANOS) → plain timestamp[us], which

@@ -27,6 +27,57 @@ def test_pipeline_correctness_scale(spark, duck, name):
     run_compare(spark, duck, PIPELINE_QUERIES[name], SF_CORRECT, "correct")
 
 
+def test_dup_ngram_fraction_vs_duckdb(spark, duck):
+    """The Gopher-style repetition filter reproduces exactly in DuckDB's
+    list dialect (same n-gram construction, same exact division), and edge
+    cases (short docs, all-repeat docs) behave as documented."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.text import dup_ngram_fraction
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in docs.select(
+            "doc_id", dup_ngram_fraction("text", 2).alias("rep")
+        ).collect()
+    }
+    oracle = duck.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS l
+          FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        ), g AS (
+          SELECT doc_id, len(l) - 1 AS m,
+                 list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                                i -> array_to_string(l[i:i+1], ' ')) AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN m >= 1
+                    THEN (len(grams) - len(list_distinct(grams)))::double / m
+                    ELSE 0.0 END AS rep
+        FROM g
+        """
+    ).fetchall()
+    want = {doc_id: rep for doc_id, rep in oracle}
+    assert got == want
+    # edge cases: < n tokens -> 0.0; pure repetition -> (m - 1) / m
+    edge = spark.createDataFrame(
+        [(1, "one"), (2, "spam spam spam spam"), (3, "all words differ here")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["rep"]
+        for r in edge.select(
+            "doc_id", dup_ngram_fraction("text", 2).alias("rep")
+        ).collect()
+    }
+    assert rows[1] == 0.0
+    assert rows[2] == pytest.approx(2 / 3)
+    assert rows[3] == 0.0
+
+
 # --- reference checks for rows-only operators -------------------------------
 
 
