@@ -123,18 +123,25 @@ def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
     The Gopher/C4-style repetition quality filter — boilerplate and
     templated spam score high, prose scores near 0.  Computed as
     ``(total_ngrams - distinct_ngrams) / total_ngrams`` entirely in array
-    expressions (transform/slice/array_distinct), so it codegens and is
-    reproducible bit-for-bit by a SQL oracle (exact integer counts, one
-    final division).  Documents with fewer than ``n`` tokens score 0.0.
+    expressions so it stays JVM-side and is reproducible bit-for-bit by a
+    SQL oracle (exact integer counts, one final division).  The n-gram
+    array is built from ``n`` whole-array slices zipped together — O(n)
+    array passes per document — NOT a per-position ``transform`` over
+    per-gram ``slice`` calls, which is O(L·n) allocations and measured 3.5×
+    slower at sf0.1.  Documents with fewer than ``n`` tokens score 0.0.
     """
     toks = _tokens(text)
     m = (F.size(toks) - F.lit(n - 1)).cast("bigint")
-    grams = F.transform(
-        # sequence() is descending when start > stop, so clamp to 1 and
-        # gate the whole expression on m >= 1 below
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    mc = F.greatest(m, F.lit(0)).cast("int")
+    # grams[i] = toks[i] + " " + toks[i+1] + ... + toks[i+n-1]; all slices
+    # share length mc, so zip_with never pads
+    grams = F.slice(toks, 1, mc)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, mc),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
     return F.when(m >= 1, dup / m.cast("double")).otherwise(F.lit(0.0))
 

@@ -22,6 +22,7 @@ partitioned parquet scan.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,17 +100,53 @@ def register_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     """Register every canonical table as a temp view (frames cached per
-    session while the scale-factor dir is unchanged); returns the frames."""
+    session while the scale-factor dir is unchanged); returns the frames.
+
+    Load failures are *per-table*, not global: one unreadable/mis-typed
+    table (the round-2 incident: an events.ts encoding change) must not
+    take down every query that merely shares the registration loop.  A
+    table that fails to load is skipped (warning to stderr) and only the
+    queries that actually reference it fail — with the root cause chained
+    onto the resolution error via the recorded exception.
+    """
     cached_dir, cached = getattr(spark, _CACHE_ATTR, (None, {}))
     if cached_dir != sf_dir:
         cached = {}
     out = dict(cached)
+    errors: dict[str, Exception] = {}
     for name in names:
         if name not in out:
-            out[name] = load_table(spark, sf_dir, name)
+            try:
+                out[name] = load_table(spark, sf_dir, name)
+            except Exception as exc:  # noqa: BLE001 - isolate per table
+                errors[name] = exc
+                print(
+                    f"ballista_spark: failed to load table {name!r} from "
+                    f"{sf_dir}: {exc}",
+                    file=sys.stderr,
+                )
+                continue
         out[name].createOrReplaceTempView(name)
     try:
         setattr(spark, _CACHE_ATTR, (sf_dir, out))
     except AttributeError:  # pragma: no cover - session type forbids attrs
         pass
-    return {n: out[n] for n in names}
+    result = {n: out[n] for n in names if n in out}
+    if errors:
+        result = _ErrorReportingTables(result, errors)
+    return result
+
+
+class _ErrorReportingTables(dict):
+    """dict of loaded tables that re-raises the original load error when a
+    failed table is accessed — so ``tables["events"]`` surfaces the real
+    parquet/type problem instead of a bare KeyError."""
+
+    def __init__(self, loaded: dict, errors: dict):
+        super().__init__(loaded)
+        self._errors = errors
+
+    def __missing__(self, key: str):
+        if key in self._errors:
+            raise self._errors[key]
+        raise KeyError(key)

@@ -312,6 +312,30 @@ def test_canonical_table_schema_contract(spark):
                 assert gt == et, (name, gn, gt)
 
 
+def test_register_tables_isolates_per_table_failures(spark, tmp_path):
+    """One broken table must not take down every query sharing the
+    registration loop (the round-2 cascade: events.ts broke all 22 TPC-H
+    entries).  Broken tables are skipped; accessing one re-raises the real
+    load error."""
+    import shutil
+
+    from ballista_spark.sources.registry import register_tables
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    (tmp_path / "events.parquet").write_text("not parquet at all")
+    tables = register_tables(spark, str(tmp_path))
+    assert "lineitem" in tables and "documents" in tables
+    assert "events" not in tables
+    assert spark.sql("SELECT COUNT(*) FROM lineitem").collect()[0][0] > 0
+    with pytest.raises(Exception) as exc_info:
+        tables["events"]
+    assert not isinstance(exc_info.value, KeyError)  # the root cause, chained
+    # restore the canonical registrations for subsequent tests
+    register_tables(spark, SF_SMOKE)
+
+
 def test_events_ts_encodings_all_normalize(spark, tmp_path):
     """The driver's events.ts physical type has changed between testdata
     generations (round 2: TIMESTAMP(NANOS) → plain timestamp[us], which

@@ -1,0 +1,119 @@
+"""10× scale-stress harness — evidence the plans scale (BASELINE.md §10×).
+
+Replicates the sf0.1 testdata ~10× into a scratch directory (lineitem ≈ 6M
+rows ≈ TPC-H SF1, documents ≈ 50k) with shifted keys, then times the
+headline query shapes at both scales and prints the ratio table.  The
+point is the *ratios*: a plan whose runtime grows super-linearly at 10×
+is a plan that dies at 100 TB.
+
+Replication is done in-engine (union of key-shifted scans, one parquet
+write) — no driver-side loops.  Document replicas get a per-replica token
+appended to odd replicas so the dedup stress exercises BOTH skew paths:
+byte-identical replicas collapse in the exact-dedup pre-pass, perturbed
+replicas flow through the full signature/banding/verify pipeline.
+
+Usage::
+
+    python tools/stress.py             # writes /tmp/bs_stress_sf1, times queries
+    SPARK_GRAFT_STRESS_DIR=... python tools/stress.py
+    SPARK_GRAFT_STRESS_SKIP_GEN=1 python tools/stress.py  # reuse written data
+
+Measurement discipline: run this with NOTHING else on the box — a
+concurrent Spark job (even a test run) inflates ratios by 5-10x and the
+resulting table is garbage.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPLICAS = 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/bs_stress_sf1")
+
+#: queries timed at both scales (spec arithmetic — what the reference runs)
+QUERIES = ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "tpch_q21"]
+PIPELINE = ["dedup_minhash_lsh", "text_stats"]
+
+
+def replicate(spark) -> None:
+    from ballista_spark.sources.registry import TABLES, load_table
+
+    os.makedirs(DST, exist_ok=True)
+    for name in TABLES:
+        src = load_table(spark, SRC, name)
+        if name in ("region", "nation", "customer", "supplier", "part"):
+            out = src  # dims stay fixed — replicated facts join the same dims
+        elif name in ("orders", "lineitem"):
+            key = {"orders": "o_orderkey", "lineitem": "l_orderkey"}[name]
+            shift = src.agg(F.max(key)).collect()[0][0] + 1
+            out = None
+            for i in range(REPLICAS):
+                rep = src.withColumn(key, F.col(key) + F.lit(i * shift))
+                out = rep if out is None else out.unionAll(rep)
+        elif name == "documents":
+            shift = src.agg(F.max("doc_id")).collect()[0][0] + 1
+            out = None
+            for i in range(REPLICAS):
+                rep = src.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+                if i % 2 == 1:  # perturb odd replicas → near-dups, not exact
+                    rep = rep.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                    )
+                out = rep if out is None else out.unionAll(rep)
+        else:  # events, embeddings: keep at base scale (not in stress set)
+            out = src
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
+    print(f"# replicated {REPLICAS}x -> {DST}", file=sys.stderr)
+
+
+def time_queries(spark, sf_dir: str, iters: int = 2) -> dict[str, float]:
+    from ballista_spark.queries.base import spec_dialect
+    from ballista_spark.queries.pipeline import PIPELINE_QUERIES
+    from ballista_spark.queries.tpch import TPCH_QUERIES
+    from ballista_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name in QUERIES + PIPELINE:
+        q = TPCH_QUERIES.get(name) or PIPELINE_QUERIES[name]
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            df = (
+                spark.sql(spec_dialect(q.sql))
+                if q.sql is not None
+                else q.run(spark, sf_dir)
+            )
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+        out[name] = min(runs)
+        print(f"# {sf_dir} {name}: {out[name]:.2f}s rows={n} "
+              f"runs={[round(r, 2) for r in runs]}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    from ballista_spark.session import get_spark
+
+    spark = get_spark(app_name="ballista_spark_stress")
+    if os.environ.get("SPARK_GRAFT_STRESS_SKIP_GEN") != "1":
+        replicate(spark)
+    base = time_queries(spark, SRC)
+    # new session state not needed — register_tables rebinds the views
+    big = time_queries(spark, DST)
+    print(f"\n{'query':<22}{'sf0.1':>9}{'10x':>9}{'ratio':>8}")
+    for name in base:
+        r = big[name] / base[name]
+        print(f"{name:<22}{base[name]:>9.2f}{big[name]:>9.2f}{r:>7.1f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
