@@ -78,6 +78,74 @@ def test_dup_ngram_fraction_vs_duckdb(spark, duck):
     assert rows[3] == 0.0
 
 
+def test_int8_quantization_roundtrip_and_recall(spark, duck):
+    """Quantize→dequantize error is bounded by scale/2 per dimension, the
+    quantization formula reproduces exactly in DuckDB, and quantized
+    brute-force top-1 agrees with the float path on >= 90% of queries at
+    smoke scale (int8 is a storage trade, not an approximation free-for-all)."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_int8,
+        quantize_int8,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    both = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        quantize_int8("embedding").alias("qs"),
+    ).withColumn("dq", dequantize_int8("qs"))
+    rows = both.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.aggregate(
+            F.zip_with("v", "dq", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+    ).collect()
+    for r in rows:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, r["vec_id"]
+
+    # exact DuckDB twin of the scale + code formula
+    spark_q = {
+        r["vec_id"]: (r["scale"], r["codes"])
+        for r in both.select(
+            "vec_id", F.col("qs.scale").alias("scale"), F.col("qs.q").alias("codes")
+        ).collect()
+    }
+    duck_q = duck.execute(
+        f"""
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+                   AS scale,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                         x -> floor(x::DOUBLE / (list_max(list_transform(embedding,
+                              y -> abs(y::DOUBLE))) / 127.0) + 0.5)::TINYINT)
+               END AS codes
+        FROM read_parquet('{SF_SMOKE}/embeddings.parquet')
+        """
+    ).fetchall()
+    for vec_id, scale, codes in duck_q:
+        s_scale, s_codes = spark_q[vec_id]
+        assert s_scale == pytest.approx(scale, rel=1e-12), vec_id
+        assert list(s_codes) == list(codes), vec_id
+
+    # recall of the quantized scan vs the float scan
+    queries = emb.orderBy("vec_id").limit(10)
+    top_f = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(emb, queries, k=1).collect()}
+    top_q = {r["query_id"]: r["neighbor_id"]
+             for r in quantized_cosine_topk(emb, queries, k=1).collect()}
+    agree = sum(top_f[q] == top_q[q] for q in top_f)
+    assert agree >= 9, (agree, top_f, top_q)
+
+
 # --- reference checks for rows-only operators -------------------------------
 
 
