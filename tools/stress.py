@@ -39,7 +39,7 @@ DST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/bs_stress_sf1")
 
 #: queries timed at both scales (spec arithmetic — what the reference runs)
 QUERIES = ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "tpch_q21"]
-PIPELINE = ["dedup_minhash_lsh", "text_stats"]
+PIPELINE = ["dedup_minhash_lsh", "text_stats", "ann_lsh_bucketed", "ivf_ann_topk"]
 
 
 def replicate(spark) -> None:
@@ -67,7 +67,28 @@ def replicate(spark) -> None:
                         "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                     )
                 out = rep if out is None else out.unionAll(rep)
-        else:  # events, embeddings: keep at base scale (not in stress set)
+        elif name == "embeddings":
+            # replicate with a deterministic per-replica rotation of the
+            # vector (swap halves + sign flip on odd replicas) so replicas
+            # are genuinely different points, not exact copies that an ANN
+            # index would bucket trivially
+            shift = src.agg(F.max("vec_id")).collect()[0][0] + 1
+            out = None
+            for i in range(REPLICAS):
+                rep = src.withColumn("vec_id", F.col("vec_id") + F.lit(i * shift))
+                if i % 2 == 1:
+                    half = (F.size("embedding") / F.lit(2)).cast("int")
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(F.col("embedding"), half + 1, F.size("embedding")),
+                            F.transform(
+                                F.slice(F.col("embedding"), 1, half), lambda x: -x
+                            ),
+                        ),
+                    )
+                out = rep if out is None else out.unionAll(rep)
+        else:  # events: keep at base scale (not in stress set)
             out = src
         out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
     print(f"# replicated {REPLICAS}x -> {DST}", file=sys.stderr)
