@@ -95,3 +95,70 @@ def test_cosine_topk_equals_numpy(spark):
         sims[q] = -np.inf
         order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))[:3]
         assert got[q] == order, f"query {q}: {got[q]} != {order}"
+
+
+@pytest.mark.parametrize("seed", [3, 41, 777])
+@pytest.mark.parametrize("n", [2, 3])
+def test_dup_ngram_fraction_equals_python_reference(spark, seed, n):
+    """Repetition filter vs a direct Python recomputation on random docs
+    (including degenerate repeats and sub-n-token documents)."""
+    from ballista_spark.operators.text import dup_ngram_fraction
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(40):
+        length = rng.randint(1, 60)
+        vocab = VOCAB[: rng.randint(2, 12)]  # small vocab → real repetition
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    docs += [(100, "x"), (101, "spam spam spam"), (102, "a b")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", dup_ngram_fraction("text", n).alias("rep")
+        ).collect()
+    }
+
+    def ref(text):
+        toks = text.strip().split(" ")
+        m = len(toks) - (n - 1)
+        if m < 1:
+            return 0.0
+        grams = [" ".join(toks[i : i + n]) for i in range(m)]
+        return (len(grams) - len(set(grams))) / m
+
+    for doc_id, text in docs:
+        assert got[doc_id] == pytest.approx(ref(text), abs=1e-12), (doc_id, text)
+
+
+@pytest.mark.parametrize("seed", [11, 222])
+def test_int8_quantization_properties_random_vectors(spark, seed):
+    """Quantization invariants on random vectors: codes stay in [-127, 127],
+    the reconstruction error bound holds, quantization is scale-invariant
+    (q(c*v) == q(v) for c > 0), and zero vectors map to zero codes."""
+    from ballista_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    rng = np.random.default_rng(seed)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(30)]
+    vecs.append((100, [0.0] * 16))
+    vecs.append((101, [float(x) * 1e-6 for x in rng.normal(0, 1, 16)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    scaled = df.withColumn(
+        "embedding2", F.transform("embedding", lambda x: x * 3.5)
+    )
+    rows = scaled.select(
+        "vec_id",
+        "embedding",
+        quantize_int8("embedding").alias("qs"),
+        quantize_int8("embedding2").alias("qs2"),
+        dequantize_int8(quantize_int8("embedding")).alias("dq"),
+    ).collect()
+    for r in rows:
+        codes = list(r["qs"]["q"])
+        assert all(-127 <= c <= 127 for c in codes), r["vec_id"]
+        assert list(r["qs2"]["q"]) == codes, ("scale invariance", r["vec_id"])
+        scale = r["qs"]["scale"]
+        for orig, rec in zip(r["embedding"], r["dq"]):
+            assert abs(orig - rec) <= scale / 2 + 1e-15, r["vec_id"]
+        if r["vec_id"] == 100:
+            assert codes == [0] * 16 and scale == 0.0
