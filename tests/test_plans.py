@@ -105,3 +105,35 @@ def test_plan_dot_renders_tree(spark):
     assert dot.startswith("digraph physical_plan {") and dot.endswith("}")
     assert "Scan parquet" in dot or "ColumnarToRow" in dot
     assert "->" in dot  # at least one edge
+
+
+def test_text_stats_is_map_only(spark):
+    """The per-document text metrics (token count, quality, fingerprint,
+    repetition) are pure projections — the plan must contain NO exchange
+    besides the final sort's: at 100 TB this operator is a single map pass
+    over the corpus."""
+    from ballista_spark.queries.pipeline import PIPELINE_QUERIES
+
+    df = PIPELINE_QUERIES["text_stats"].run(spark, SF_CORRECT)
+    s = plan_summary(df)
+    assert s.joins == [], s.joins
+    # the orderBy for deterministic output adds at most one exchange
+    assert s.n_shuffles <= 1, s
+    txt = explain_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_quantized_scan_has_no_python_and_no_corpus_shuffle(spark):
+    """int8 quantize/dequantize + scoring stay JVM-side; the corpus side is
+    scanned once with the (bounded) query side broadcast — no shuffle of
+    the corpus, no Python eval nodes."""
+    from ballista_spark.operators.similarity import quantized_cosine_topk
+    from ballista_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = quantized_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+    txt = explain_text(q)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    assert "BroadcastExchange" in txt  # query side
+    assert "CartesianProduct" not in txt  # broadcast NLJ, never a shuffle product
