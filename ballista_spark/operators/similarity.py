@@ -430,3 +430,95 @@ def quantized_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# --- k-means training (Lloyd's) ---------------------------------------------
+
+
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iters: int = 10,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Train k centroids with Lloyd's iterations — the coarse-quantizer
+    trainer for :func:`ivf_ann_topk` when no label column exists.
+
+    The Spark-idiomatic shape for iterative algorithms over huge data
+    (same structure as MLlib's KMeans): per iteration ONE distributed
+    pass — assign every vector to its nearest centroid (JVM array
+    expressions, centroids inlined as literals) and reduce per-cluster
+    dimension means — then collect exactly ``k`` centroid rows to the
+    driver (k is tiny by definition; the corpus is never collected).
+    Convergence = max centroid shift below ``tol``.
+
+    Determinism: seeds are the k vectors with the smallest
+    ``xxhash64(id)`` (stable under any partitioning/row order), distance
+    ties break toward the lower centroid id, and per-cluster means are
+    ``avg`` over doubles whose inputs are identical regardless of
+    partitioning (floating-point summation order can vary across runs on
+    different partitionings — for the oracle-free trainer this is
+    acceptable; tests pin well-separated data where it cannot flip an
+    assignment).
+
+    Returns the centroids as a plain list (row i = centroid i) so callers
+    can feed them back as literals, persist them, or hand them to IVF.
+    """
+    v = vecs.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        v.withColumn("__h", F.xxhash64(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in seeds]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+
+    for _ in range(max_iters):
+        dist_structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        assigned = v.withColumn("__cell", F.array_min(dist_structs).getField("c"))
+        new_rows = (
+            assigned.select("__cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("__cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "__cell",
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias("cv"),
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep their previous centroid
+        for r in new_rows:
+            new_cents[r["__cell"]] = list(r["cv"])
+        shift = max(
+            max(abs(a - b) for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents

@@ -286,3 +286,47 @@ def test_multimodal_resize_and_frame_sample(spark):
     idx = sorted({r["frame_idx"] for r in rows})
     assert idx == [0, 1, 2, 3]
     assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows)
+
+
+def test_kmeans_fit_recovers_separated_blobs(spark):
+    """Lloyd's trainer on three well-separated Gaussian blobs: centroids
+    land within 3 sigma/sqrt(n) of the true means, every point's nearest
+    trained centroid is its generating blob, and the result is identical
+    under a different partitioning (determinism)."""
+    import numpy as np
+
+    from ballista_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(42)
+    means = [np.array([10.0, 0.0, 0.0]), np.array([0.0, 10.0, 0.0]),
+             np.array([0.0, 0.0, 10.0])]
+    pts, labels = [], []
+    for bi, mu in enumerate(means):
+        for _ in range(60):
+            pts.append(mu + rng.normal(0, 0.5, 3))
+            labels.append(bi)
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = kmeans_fit(df, k=3, max_iters=20)
+    assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+    # each true mean is close to exactly one trained centroid
+    matched = set()
+    for mu in means:
+        dists = [float(np.linalg.norm(mu - np.array(c))) for c in cents]
+        j = int(np.argmin(dists))
+        assert dists[j] < 0.5, (mu, cents)
+        matched.add(j)
+    assert matched == {0, 1, 2}
+    # assignment purity: nearest trained centroid == generating blob
+    cent_arr = np.array(cents)
+    blob_of_cent = {}
+    for bi, mu in enumerate(means):
+        blob_of_cent[int(np.argmin(np.linalg.norm(cent_arr - mu, axis=1)))] = bi
+    for p, lbl in zip(pts, labels):
+        nearest = int(np.argmin(np.linalg.norm(cent_arr - p, axis=1)))
+        assert blob_of_cent[nearest] == lbl
+    # determinism under repartitioning
+    cents2 = kmeans_fit(df.repartition(7), k=3, max_iters=20)
+    for c1, c2 in zip(cents, cents2):
+        assert c1 == pytest.approx(c2, abs=1e-9)
