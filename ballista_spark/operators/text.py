@@ -156,3 +156,39 @@ def token_count_regex(text="text", pattern: str = BPE_TOKEN_PATTERN) -> F.Column
     SQL oracles reproduce it exactly."""
     col = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")
+
+
+#: RE2-compatible PII patterns (no backrefs/lookarounds, so Spark and any
+#: SQL oracle agree): email, international-ish phone, IPv4.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+    "ipv4": "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+}
+
+
+def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
+    """Scrub PII-looking spans, replacing each with ``<CATEGORY>``.
+
+    The C4-style pre-training scrub as a pure ``regexp_replace`` chain —
+    JVM-side, codegen-friendly, and reproducible by any regex-capable SQL
+    engine (patterns are RE2-compatible: no backreferences or lookarounds).
+    Categories apply in dict order, so an email is redacted before its
+    digits can match the phone pattern.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for name, pat in (patterns or PII_PATTERNS).items():
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return col
+
+
+def pii_hit_counts(text="text", patterns: dict[str, str] | None = None) -> F.Column:
+    """Per-category PII match counts as a struct — the audit twin of
+    :func:`redact_pii` (count before you scrub; a corpus where 30% of
+    documents carry emails needs different handling than one with 0.1%)."""
+    col = F.col(text) if isinstance(text, str) else text
+    fields = [
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(name)
+        for name, pat in (patterns or PII_PATTERNS).items()
+    ]
+    return F.struct(*fields)

@@ -359,3 +359,52 @@ def test_kmeans_fit_recovers_separated_blobs(spark):
     cents2 = kmeans_fit(df.repartition(7), k=3, max_iters=20)
     for c1, c2 in zip(cents, cents2):
         assert c1 == pytest.approx(c2, abs=1e-9)
+
+
+def test_redact_pii_and_hit_counts(spark, duck):
+    """PII scrub + audit counts: exact DuckDB twin on synthetic documents
+    (same regexp chain, same counts) and no-PII texts pass through
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.text import PII_PATTERNS, pii_hit_counts, redact_pii
+
+    docs = [
+        (1, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+        (2, "call +1 (555) 867-5309 or 020 7946 0958 now"),
+        (3, "server at 192.168.1.1 and 10.0.0.255 responded"),
+        (4, "mixed: a@b.io via 8.8.8.8 phone 555-123-4567 end"),
+        (5, "perfectly clean prose with no identifiers at all"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["red"], r["hits"]["email"], r["hits"]["phone"], r["hits"]["ipv4"])
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_hit_counts("text").alias("hits"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TEMP TABLE pii_docs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pii_docs VALUES (?, ?)", docs)
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    want = {
+        row[0]: tuple(row[1:])
+        for row in duck.execute(
+            f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{em}', '<EMAIL>', 'g'),
+                       '{ph}', '<PHONE>', 'g'),
+                       '{ip}', '<IPV4>', 'g') AS red,
+                   len(regexp_extract_all(text, '{em}')) AS email,
+                   len(regexp_extract_all(text, '{ph}')) AS phone,
+                   len(regexp_extract_all(text, '{ip}')) AS ipv4
+            FROM pii_docs
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert got[5][0] == docs[4][1]  # clean text unchanged
+    assert got[5][1:] == (0, 0, 0)
