@@ -107,7 +107,12 @@ def register_tables(
     take down every query that merely shares the registration loop.  A
     table that fails to load is skipped (warning to stderr) and only the
     queries that actually reference it fail — with the root cause chained
-    onto the resolution error via the recorded exception.
+    onto the resolution error via the recorded exception.  Any temp view
+    left by a *previous* registration of the failed name is dropped, so
+    SQL against it fails loudly instead of silently serving the stale
+    (possibly different-sf_dir) data.  Failures are also exposed on the
+    returned mapping as ``.load_errors`` so callers iterating the dict can
+    distinguish "not requested" from "failed to load" without indexing.
     """
     cached_dir, cached = getattr(spark, _CACHE_ATTR, (None, {}))
     if cached_dir != sf_dir:
@@ -125,28 +130,36 @@ def register_tables(
                     f"{sf_dir}: {exc}",
                     file=sys.stderr,
                 )
+                try:  # never serve a stale view for a failed table
+                    spark.catalog.dropTempView(name)
+                except Exception:  # pragma: no cover - catalog unavailable
+                    pass
                 continue
         out[name].createOrReplaceTempView(name)
     try:
         setattr(spark, _CACHE_ATTR, (sf_dir, out))
     except AttributeError:  # pragma: no cover - session type forbids attrs
         pass
-    result = {n: out[n] for n in names if n in out}
-    if errors:
-        result = _ErrorReportingTables(result, errors)
-    return result
+    # always the error-reporting flavor so `.load_errors` is uniformly
+    # present (empty when everything loaded)
+    return _ErrorReportingTables({n: out[n] for n in names if n in out}, errors)
 
 
 class _ErrorReportingTables(dict):
     """dict of loaded tables that re-raises the original load error when a
     failed table is accessed — so ``tables["events"]`` surfaces the real
-    parquet/type problem instead of a bare KeyError."""
+    parquet/type problem instead of a bare KeyError.
+
+    ``load_errors`` (public) maps failed table name → the original load
+    exception, for callers that use membership tests / ``.items()`` /
+    ``dict(...)`` copies (which cannot trigger ``__missing__``).
+    """
 
     def __init__(self, loaded: dict, errors: dict):
         super().__init__(loaded)
-        self._errors = errors
+        self.load_errors = dict(errors)
 
     def __missing__(self, key: str):
-        if key in self._errors:
-            raise self._errors[key]
+        if key in self.load_errors:
+            raise self.load_errors[key]
         raise KeyError(key)

@@ -36,10 +36,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader does.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    # nanosAsLong only affects TIMESTAMP(NANOS) files; leave it on for the
-    # stream's microbatch reads in case the file is a nanos generation.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong only affects TIMESTAMP(NANOS) files.  Probe under the
+    # flag, then RESTORE it unless the file actually is a nanos generation:
+    # for µs files the flag is irrelevant and leaving it set would silently
+    # turn every later batch read of a TIMESTAMP(NANOS) parquet in this
+    # session into LongType columns.  For a genuine nanos file the flag
+    # must stay on for the lifetime of the stream's microbatch reads (it is
+    # a session conf, not a per-read option) — a documented session-wide
+    # side effect of streaming that generation.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
     raw_schema = spark.read.parquet(path).schema
+    from pyspark.sql import types as T
+
+    if not isinstance(raw_schema["ts"].dataType, T.LongType):
+        spark.conf.set(key, prev)
     # the file source requires a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(raw_schema)

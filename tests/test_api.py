@@ -325,6 +325,10 @@ def test_register_tables_isolates_per_table_failures(spark, tmp_path):
               "lineitem", "documents", "embeddings"):
         shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
     (tmp_path / "events.parquet").write_text("not parquet at all")
+    # leave a stale 'events' view from a previous (good) registration: a
+    # failed re-registration must DROP it, not silently serve its data
+    register_tables(spark, SF_SMOKE, ("events",))
+    assert spark.sql("SELECT COUNT(*) FROM events").collect()[0][0] >= 0
     tables = register_tables(spark, str(tmp_path))
     assert "lineitem" in tables and "documents" in tables
     assert "events" not in tables
@@ -332,8 +336,14 @@ def test_register_tables_isolates_per_table_failures(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         tables["events"]
     assert not isinstance(exc_info.value, KeyError)  # the root cause, chained
+    # failures are visible without indexing (membership/iteration callers)
+    assert set(tables.load_errors) == {"events"}
+    # the stale view is gone: queries fail loudly instead of reading SF_SMOKE
+    with pytest.raises(Exception):
+        spark.sql("SELECT COUNT(*) FROM events").collect()
     # restore the canonical registrations for subsequent tests
-    register_tables(spark, SF_SMOKE)
+    good = register_tables(spark, SF_SMOKE)
+    assert good.load_errors == {}
 
 
 def test_events_ts_encodings_all_normalize(spark, tmp_path):

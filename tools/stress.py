@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/bs_stress_sf1")
 
@@ -46,13 +46,20 @@ def replicate(spark) -> None:
     from ballista_spark.sources.registry import TABLES, load_table
 
     os.makedirs(DST, exist_ok=True)
+    orderkey_shift = None
     for name in TABLES:
         src = load_table(spark, SRC, name)
         if name in ("region", "nation", "customer", "supplier", "part"):
             out = src  # dims stay fixed — replicated facts join the same dims
         elif name in ("orders", "lineitem"):
             key = {"orders": "o_orderkey", "lineitem": "l_orderkey"}[name]
-            shift = src.agg(F.max(key)).collect()[0][0] + 1
+            # ONE shared shift for both tables (from orders, the FK parent):
+            # independently-computed per-table maxes would diverge the moment
+            # any order lacks lineitems, silently breaking replicated joins.
+            if orderkey_shift is None:
+                orders = load_table(spark, SRC, "orders")
+                orderkey_shift = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+            shift = orderkey_shift
             out = None
             for i in range(REPLICAS):
                 rep = src.withColumn(key, F.col(key) + F.lit(i * shift))
