@@ -86,23 +86,31 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int, table: int = 0) -> F.Column:
-    """Deterministic pseudo-random hyperplane component array.
+def _hyperplane_values(dim: int, plane: int, table: int = 0) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-0.5, 0.5).
 
-    Components derive from xxhash64(table, plane, dim_index) scaled to
-    [-0.5, 0.5) — reproducible across runs/executors with no driver-side RNG
-    state, and independent across tables.
+    Components derive from md5_long('t{table}p{plane}:{i}') — reproducible
+    with no RNG state, independent across tables, and recomputable by any
+    engine with md5 (operators/hashing.py), which makes LSH bucketing
+    driver-oracle-able.  Computed driver-side once per (table, plane): the
+    hyperplanes are constants, so hashing them per row would be waste.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            F.pmod(
-                F.xxhash64(F.lit(f"t{table}p{plane}"), i), F.lit(100000)
-            ).cast("double")
-            / 100000.0
-            - 0.5
-        ),
-    )
+    from ballista_spark.operators.hashing import md5_long_py
+
+    return [
+        md5_long_py(f"t{table}p{plane}:{i}") % 100000 / 100000.0 - 0.5
+        for i in range(dim)
+    ]
+
+
+def _hyperplane(dim: int, plane: int, table: int = 0) -> F.Column:
+    """:func:`_hyperplane_values` as a literal array column.
+
+    n_planes × n_tables × dim literal doubles total (e.g. 4×8×64 = 2048 for
+    the ANN defaults) — constant-sized, not data-sized, so the plan stays
+    small at any corpus scale.
+    """
+    return F.array(*[F.lit(v) for v in _hyperplane_values(dim, plane, table)])
 
 
 def lsh_signature(vec: F.Column, dim: int, n_planes: int = 16, table: int = 0) -> F.Column:
@@ -340,10 +348,22 @@ def ivf_ann_topk(
             F.col(label_col).alias("centroid_id"),
             F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
         )
-        # centroids: per-cell mean vector (array-wise mean via posexplode)
+        # centroids: per-cell mean vector (array-wise mean via posexplode).
+        # The mean is decimal-exact-sum / count rounded to 9 decimals — the
+        # same cross-engine-stable formula as the emb_label_centroids
+        # oracle: plain avg() is summation-order-dependent, which would make
+        # centroid coordinates (and therefore cell assignments) differ
+        # between engines/runs.  Quantizing a coarse quantizer to 1e-9 costs
+        # nothing in recall.
         cent = (
             labeled.groupBy("centroid_id", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(18,12)")).cast("double")
+                    / F.count("v"),
+                    9,
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(

@@ -1,13 +1,15 @@
 """Training-data-pipeline corpus: dedup / similarity / text / multimodal
 entries over the ``documents`` and ``embeddings`` tables.
 
-Each entry runs a real operator from :mod:`ballista_spark.operators` and,
-where the semantics are ANSI-SQL-expressible, carries a DuckDB oracle that
-recomputes the ground truth (exact jaccard via shingle self-join, cosine via
-``list_cosine_similarity`` in double, integer-exact text formulas).  The
-hash-dependent operators (SimHash, LSH ANN — Spark's xxhash64 has no DuckDB
-equivalent) are rows-only here and verified against NumPy/pure-Python
-references in ``tests/test_pipeline.py``.
+Each entry runs a real operator from :mod:`ballista_spark.operators` and
+carries a DuckDB oracle that recomputes the ground truth (exact jaccard via
+shingle self-join, cosine via ``list_cosine_similarity`` in double,
+integer-exact text formulas).  The hash-dependent operators (SimHash, LSH
+bucketing, IVF cells) hash with the md5-derived 60-bit value from
+:mod:`ballista_spark.operators.hashing`, which DuckDB recomputes
+bit-for-bit — so even the approximate operators are value-oracled: the
+oracle replays the same buckets/cells, not just the same row count.
+Pure-Python references remain in ``tests/test_pipeline.py``.
 """
 
 from __future__ import annotations
@@ -106,15 +108,53 @@ _b(
     oracle=_jaccard_oracle(0.2),
 )
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of operators.dedup.simhash_pairs: identical md5-derived
+    token hashes → identical 60-bit signatures; the oracle then brute-forces
+    all pairs (fine at oracle scale — the pigeonhole banding is the Spark
+    side's scale device, not a semantic difference)."""
+    from ballista_spark.operators.dedup import SIMHASH_BITS
+    from ballista_spark.operators.hashing import md5_long_duckdb
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = "\n       + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, {md5_long_duckdb('tok')} AS th FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS sh
+  FROM votes
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+ORDER BY key_a, key_b
+"""
+
+
 _b(
     "dedup_simhash",
     "SimHash(60-bit) near-dup pairs, Hamming <= 3 "
-    "(operators.dedup.simhash_pairs). Rows-only for the driver (xxhash64 "
-    "has no DuckDB equivalent); verified vs a NumPy reference in tests.",
+    "(operators.dedup.simhash_pairs).  Token hashes are the md5-derived "
+    "60-bit value (operators/hashing.py), so the oracle recomputes the "
+    "identical signatures and brute-forces the hamming scan.",
     lambda spark, sf: D.simhash_pairs(load_table(spark, sf, "documents")).orderBy(
         "key_a", "key_b"
     ),
-    oracle=None,
+    oracle=_simhash_oracle(),
 )
 
 _b(
@@ -193,11 +233,57 @@ SELECT query_id, rank, neighbor_id FROM (
 """,
 )
 
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
+    """DuckDB twin of operators.similarity.lsh_ann_topk: the md5-derived
+    hyperplanes are constants, inlined identically on both sides, so the
+    oracle rebuilds the *same buckets* and ranks the same candidates —
+    an exact value oracle for an approximate operator.  Sign decisions are
+    sub-ulp-stable: |dot| would have to land within ~1e-16 of zero for the
+    engines' summation-order difference to flip a bucket bit."""
+    from ballista_spark.operators.similarity import _hyperplane_values
+
+    rows = ",\n    ".join(
+        f"({t}, {p}, {_hyperplane_values(dim, p, t)!r}::DOUBLE[])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(t, p, h) AS (VALUES
+    {rows}
+), vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bkt AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN LIST_DOT_PRODUCT(v, h) >= 0
+                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         + (CAST(t AS BIGINT) << 32) AS bucket
+  FROM vec CROSS JOIN planes GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, LIST_COSINE_SIMILARITY(qv.v, cv.v) AS s
+  FROM cand JOIN vec qv ON qv.vec_id = cand.query_id
+            JOIN vec cv ON cv.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 _b(
     "ann_lsh_bucketed",
     "Sign-LSH bucketed approximate top-5 (operators.similarity.lsh_ann_topk; "
-    "8 planes x 4 tables). Approximate by design → rows-only for the "
-    "driver; recall vs brute force asserted in tests.",
+    "4 planes x 8 tables).  The md5-derived hyperplanes are engine-"
+    "reproducible constants, so the oracle replays the identical buckets "
+    "and candidate ranking — a full value oracle despite the operator "
+    "being approximate; recall vs brute force additionally asserted in "
+    "tests.",
     lambda spark, sf: (
         S.lsh_ann_topk(
             load_table(spark, sf, "embeddings"),
@@ -207,17 +293,62 @@ _b(
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     ),
-    oracle=None,
+    oracle=_ann_lsh_oracle(),
 )
+
+#: DuckDB twin of the labeled-centroid ivf_ann_topk path.  Fully
+#: deterministic SQL: centroids are the decimal-exact round-9 per-label
+#: means (same formula as the operator — plain AVG would be summation-order
+#: dependent), cell assignment/probing rank cells by cosine with id
+#: tie-break, then top-5 within probed cells.  No hashing involved.
+_IVF_ORACLE = """
+WITH cm AS (
+  SELECT label AS cid, i,
+         ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12)))
+                    AS DOUBLE) / COUNT(*), 9) AS m
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT cid, LIST(m ORDER BY i) AS cv FROM cm GROUP BY cid
+), vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ranked AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY LIST_COSINE_SIMILARITY(v.v, c.cv) DESC, c.cid) AS rk
+  FROM vec v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM ranked
+  WHERE rk <= 3 AND vec_id < 10
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT query_id, neighbor_id, LIST_COSINE_SIMILARITY(qv.v, nv.v) AS s
+  FROM cand JOIN vec qv ON qv.vec_id = cand.query_id
+            JOIN vec nv ON nv.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 _b(
     "ivf_ann_topk",
     "IVF-style approximate top-5 (operators.similarity.ivf_ann_topk): "
-    "per-label centroid coarse quantizer, corpus assigned to nearest cell, "
-    "queries probe n_probe=3 cells — the cell equi-join replaces the "
-    "corpus cross join (the only cross join touches the 6-row constant "
-    "centroid table). Approximate by design → rows-only for the driver; "
-    "recall vs brute force asserted in tests.",
+    "per-label centroid coarse quantizer (decimal-exact round-9 means — "
+    "engine-reproducible), corpus assigned to nearest cell, queries probe "
+    "n_probe=3 cells — the cell equi-join replaces the corpus cross join "
+    "(the only cross join touches the constant centroid table).  The "
+    "oracle replays the identical cells end-to-end; recall vs brute force "
+    "additionally asserted in tests.",
     lambda spark, sf: (
         S.ivf_ann_topk(
             load_table(spark, sf, "embeddings"),
@@ -228,7 +359,7 @@ _b(
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     ),
-    oracle=None,
+    oracle=_IVF_ORACLE,
 )
 
 # --- text analysis ----------------------------------------------------------
@@ -375,13 +506,27 @@ _b(
     "multimodal_features",
     "mapInPandas feature extraction over Arrow batches "
     "(operators.multimodal.extract_features — decode stubbed, plumbing "
-    "real). Rows-only; histogram checked vs a Python reference in tests.",
+    "real).  The graded column is histogram bin 7 (1-based element_at → "
+    "bytes with high nibble 6, i.e. 0x60-0x6f): an exact integer count "
+    "over payload bytes divided by n_bytes — one IEEE division of exact "
+    "integers, bit-identical in any engine, so no rounding is needed.  "
+    "UTF-8 bytes 0x60-0x6f are exactly the characters U+0060-U+006F "
+    "(continuation bytes are 0x80+), so the oracle counts them with a "
+    "regex over the text.  Full histogram checked vs a Python reference "
+    "in tests.",
     lambda spark, sf: (
         M.extract_features(M.attach_media(load_table(spark, sf, "documents")))
-        .select("media_id", "n_bytes", F.round(F.element_at("features", 7), 9).alias("f7"))
+        .select("media_id", "n_bytes", F.element_at("features", 7).alias("f7"))
         .orderBy("media_id")
     ),
-    oracle=None,
+    oracle=r"""
+SELECT doc_id AS media_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0.0
+            ELSE CAST(LEN(REGEXP_EXTRACT_ALL(text, '[\x60-\x6f]')) AS DOUBLE)
+                 / OCTET_LENGTH(ENCODE(text)) END AS f7
+FROM documents ORDER BY media_id
+""",
 )
 
 

@@ -35,13 +35,8 @@ def test_corpus_is_exactly_the_driver_window():
     names = list(qs)
     assert sum(n.startswith("tpch_") for n in names[:21]) == 21
     assert len([n for n in names if n.startswith("cov_")]) == 13
-    # every entry has an oracle except the four honestly-approximate /
-    # hash-engine-specific ones (driver records rows-only for those)
+    # every entry has a full value oracle — the md5-derived hashing
+    # (operators/hashing.py) made even the approximate/hash-dependent
+    # operators (simhash, LSH buckets, IVF cells) engine-reproducible
     osql = e.oracle_sql()
-    rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        "dedup_simhash",
-        "ann_lsh_bucketed",
-        "ivf_ann_topk",
-        "multimodal_features",
-    }
+    assert set(qs) - set(osql) == set()

@@ -149,30 +149,20 @@ def test_int8_quantization_roundtrip_and_recall(spark, duck):
 # --- reference checks for rows-only operators -------------------------------
 
 
-def _xxhash64(spark, values: list[str]) -> dict[str, int]:
-    """Ground-truth xxhash64 via Spark itself (values driven through a
-    one-column frame) — lets the NumPy reference share Spark's hash."""
-    from pyspark.sql import functions as F
-
-    df = spark.createDataFrame([(v,) for v in values], ["v"])
-    rows = df.select("v", F.xxhash64("v").alias("h")).collect()
-    return {r["v"]: r["h"] for r in rows}
-
-
 def test_simhash_matches_python_reference(spark):
     """simhash_pairs output equals a pure-Python simhash + brute-force
-    hamming scan at smoke scale."""
+    hamming scan at smoke scale — fully independent of Spark's hashing
+    (hashlib md5 is the shared ground truth)."""
     from ballista_spark.operators.dedup import SIMHASH_BITS, simhash_pairs
+    from ballista_spark.operators.hashing import md5_long_py
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
     tokens = {r.doc_id: r.text.strip().split(" ") for r in docs.itertuples()}
-    vocab = sorted({t for ts in tokens.values() for t in ts})
-    h = _xxhash64(spark, vocab)
 
     def simhash(toks: list[str]) -> int:
         votes = [0] * SIMHASH_BITS
         for t in toks:
-            hv = h[t]
+            hv = md5_long_py(t)
             for j in range(SIMHASH_BITS):
                 votes[j] += 1 if (hv >> j) & 1 else -1
         return sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
