@@ -323,7 +323,11 @@ def ivf_ann_topk(
     Cells come from either of two coarse quantizers:
 
     - ``centroids`` given (e.g. from :func:`kmeans_fit`): used directly —
-      the unlabeled-corpus path;
+      the unlabeled-corpus path.  Cell assignment here is by *cosine*, so
+      train them with ``kmeans_fit(..., spherical=True)`` (unit-norm
+      centroids make Euclidean training and cosine assignment agree
+      exactly); unnormalized Euclidean centroids can degrade recall on
+      unnormalized embeddings;
     - otherwise per-``label_col`` mean vectors — the labeled shortcut the
       graded corpus entry uses (deterministic, oracle-friendly).
 
@@ -478,17 +482,36 @@ def kmeans_fit(
     id_col: str = "vec_id",
     max_iters: int = 10,
     tol: float = 1e-6,
+    spherical: bool = False,
 ) -> list[list[float]]:
     """Train k centroids with Lloyd's iterations — the coarse-quantizer
     trainer for :func:`ivf_ann_topk` when no label column exists.
 
     The Spark-idiomatic shape for iterative algorithms over huge data
     (same structure as MLlib's KMeans): per iteration ONE distributed
-    pass — assign every vector to its nearest centroid (JVM array
-    expressions, centroids inlined as literals) and reduce per-cluster
-    dimension means — then collect exactly ``k`` centroid rows to the
-    driver (k is tiny by definition; the corpus is never collected).
-    Convergence = max centroid shift below ``tol``.
+    pass — assign every vector to its nearest centroid and reduce
+    per-cluster dimension means — then collect exactly ``k`` centroid
+    rows to the driver (k is tiny by definition; the corpus is never
+    collected).  Convergence = max centroid shift below ``tol``.
+
+    Scale: centroids ride each iteration as *data* — a k-row DataFrame
+    packed into one broadcast array-of-structs column — so the plan holds
+    a constant number of expression nodes regardless of k.  (Inlining
+    them as literals, the previous approach, builds an O(k·dim) plan: at
+    production IVF scale — k=4096, dim=768 — that is millions of literal
+    nodes and Catalyst analysis alone dominates the iteration.)  Per-row
+    assignment cost is the inherent O(k·dim) Lloyd's scan, all JVM array
+    expressions, no shuffle beyond the per-cluster mean reduce.
+
+    ``spherical=True`` trains spherical k-means: inputs are L2-normalized
+    (zero vectors pass through unchanged) and centroids are re-normalized
+    to unit length after every update.  For unit vectors
+    ``argmin ||a-c||² == argmax cos(a,c)`` exactly, so spherical
+    centroids are the *consistent* coarse quantizer for
+    :func:`ivf_ann_topk`, which assigns cells by cosine — with
+    unnormalized embeddings the default Euclidean training and IVF's
+    cosine assignment can disagree.  Default stays Euclidean for
+    general-purpose clustering.
 
     Determinism: seeds are the k vectors with the smallest
     ``xxhash64(id)`` (stable under any partitioning/row order), distance
@@ -500,11 +523,20 @@ def kmeans_fit(
     assignment).
 
     Returns the centroids as a plain list (row i = centroid i) so callers
-    can feed them back as literals, persist them, or hand them to IVF.
+    can persist them or hand them to IVF.
     """
+    spark = vecs.sparkSession
     v = vecs.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if spherical:
+        nrm = _norm(F.col("v"))
+        v = v.withColumn(
+            "v",
+            F.when(
+                nrm != 0.0, F.transform(F.col("v"), lambda x: x / nrm)
+            ).otherwise(F.col("v")),
+        )
     seeds = (
         v.withColumn("__h", F.xxhash64(F.col("__id").cast("string")))
         .orderBy("__h", "__id")
@@ -516,25 +548,36 @@ def kmeans_fit(
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
 
+    def _unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5
+        return [x / n for x in c] if n != 0.0 else c
+
     for _ in range(max_iters):
-        dist_structs = F.array(
-            *[
-                F.struct(
+        # centroids as a 1-row broadcast array of (cell, cv) structs —
+        # constant plan size at any k; min-by-(distance, cell) in one
+        # array_min so ties still break toward the lower cell id
+        cent_df = spark.createDataFrame(
+            [(ci, c) for ci, c in enumerate(cents)], "cell INT, cv ARRAY<DOUBLE>"
+        )
+        packed = F.broadcast(
+            cent_df.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+        )
+        nearest = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
                     F.aggregate(
                         F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
+                            F.col("v"), s.getField("cv"), lambda a, b: (a - b) * (a - b)
                         ),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     ).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
-                for ci, c in enumerate(cents)
-            ]
-        )
-        assigned = v.withColumn("__cell", F.array_min(dist_structs).getField("c"))
+                    s.getField("cell").alias("c"),
+                ),
+            )
+        ).getField("c")
+        assigned = v.crossJoin(packed).withColumn("__cell", nearest).drop("cs")
         new_rows = (
             assigned.select("__cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("__cell", "dim")
@@ -549,7 +592,8 @@ def kmeans_fit(
         )
         new_cents = list(cents)  # empty clusters keep their previous centroid
         for r in new_rows:
-            new_cents[r["__cell"]] = list(r["cv"])
+            c = list(r["cv"])
+            new_cents[r["__cell"]] = _unit(c) if spherical else c
         shift = max(
             max(abs(a - b) for a, b in zip(old, new))
             for old, new in zip(cents, new_cents)

@@ -269,7 +269,9 @@ def test_ivf_with_kmeans_centroids_recall(spark):
     )
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    cents = kmeans_fit(emb, k=10, max_iters=5)
+    # spherical: ivf_ann_topk assigns cells by cosine, and unit-norm
+    # centroids make Euclidean training equivalent to cosine assignment
+    cents = kmeans_fit(emb, k=10, max_iters=5, spherical=True)
     queries = emb.where(F.col("vec_id") < 10)
     exact = {
         (r["query_id"], r["neighbor_id"])
@@ -349,6 +351,59 @@ def test_kmeans_fit_recovers_separated_blobs(spark):
     cents2 = kmeans_fit(df.repartition(7), k=3, max_iters=20)
     for c1, c2 in zip(cents, cents2):
         assert c1 == pytest.approx(c2, abs=1e-9)
+
+
+def test_kmeans_fit_spherical_unit_centroids(spark):
+    """spherical=True trains on L2-normalized inputs and returns unit-norm
+    centroids (the consistent coarse quantizer for ivf_ann_topk's cosine
+    cell assignment): direction-separated blobs of wildly different
+    magnitudes still resolve to their directions."""
+    import numpy as np
+
+    from ballista_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    dirs = [np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0])]
+    rows = []
+    i = 0
+    for d in dirs:
+        for _ in range(50):
+            scale = float(rng.uniform(0.1, 100.0))  # magnitude is noise
+            p = d * scale + rng.normal(0, 0.02, 3) * scale
+            rows.append((i, [float(x) for x in p]))
+            i += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=3, max_iters=10, spherical=True)
+    for c in cents:
+        assert float(np.linalg.norm(c)) == pytest.approx(1.0, abs=1e-9)
+    # each direction captured by exactly one unit centroid
+    matched = {int(np.argmax([float(np.dot(d, c)) for c in cents])) for d in dirs}
+    assert matched == {0, 1, 2}
+    for d in dirs:
+        assert max(float(np.dot(d, c)) for c in cents) > 0.99
+
+
+def test_kmeans_fit_large_k_constant_plan(spark):
+    """k=256 x dim=64: the packed-broadcast assignment keeps the plan
+    constant-sized, so an iteration is dominated by the inherent O(n*k*dim)
+    scan, not by Catalyst analyzing O(k*dim) literal expression nodes.  A
+    generous wall-clock bound guards the regression (the literal-inlined
+    plan at this size spent its time in plan analysis/codegen)."""
+    import time
+
+    import numpy as np
+
+    from ballista_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t0 = time.perf_counter()
+    cents = kmeans_fit(df, k=256, max_iters=2, spherical=True)
+    elapsed = time.perf_counter() - t0
+    assert len(cents) == 256 and all(len(c) == 64 for c in cents)
+    assert elapsed < 60.0, f"large-k kmeans took {elapsed:.1f}s"
 
 
 def test_redact_pii_and_hit_counts(spark, duck):
