@@ -58,12 +58,32 @@ def _dsum(col: str) -> F.Column:
 # --- 1. CsvScan + projection/selection/predicates/sort/limit/offset ---------
 
 
+_PART_PREDICATE = """
+SELECT '{src}' AS src, p_partkey, p_name, -p_retailprice AS neg_price
+FROM {table}
+WHERE p_size BETWEEN 10 AND 30
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_name LIKE '%a%'
+  AND p_type IS NOT NULL
+  AND NOT (p_size = 20)
+  AND (p_size < 15 OR p_size >= 25)
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 40 OFFSET 5
+"""
+
+
 def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize ``part`` as pipe-delimited ``.tbl`` files (the reference's
     primary source format, rust/benchmarks/tpch/src/main.rs:130-139), read
     it back through BallistaContext.read_csv, and run the predicate matrix
     on the roundtripped table.  Spark's CSV writer emits shortest-roundtrip
-    doubles, so the scan is lossless and the parquet oracle matches."""
+    doubles, so the scan is lossless and the parquet oracle matches.
+
+    A second tagged branch selects the same rows through a table created
+    with BallistaContext.create_external_table over the parquet path —
+    grading the CreateExternalTable DDL surface (ballista.proto:236-248)
+    through the driver gate (oracle: the same select on the base table).
+    """
     from ballista_spark.context import BallistaContext
 
     part = load_table(spark, sf_dir, "part")
@@ -95,20 +115,13 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, schema=part.schema, delimiter="|", file_extension=".tbl"
     )
     ctx.register_table("part_tbl", tbl)
-    return spark.sql(
-        """
-SELECT p_partkey, p_name, -p_retailprice AS neg_price
-FROM part_tbl
-WHERE p_size BETWEEN 10 AND 30
-  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-  AND p_name LIKE '%a%'
-  AND p_type IS NOT NULL
-  AND NOT (p_size = 20)
-  AND (p_size < 15 OR p_size >= 25)
-ORDER BY p_retailprice DESC, p_partkey
-LIMIT 40 OFFSET 5
-"""
+    ctx.create_external_table(
+        "part_ext", os.path.join(sf_dir, "part.parquet"), "parquet"
     )
+    csv_branch = spark.sql(_PART_PREDICATE.format(src="csv", table="part_tbl"))
+    ext_branch = spark.sql(_PART_PREDICATE.format(src="ext", table="part_ext"))
+    # neg_price asc == p_retailprice desc: same order as each branch's sort
+    return csv_branch.unionAll(ext_branch).orderBy("src", "neg_price", "p_partkey")
 
 
 _b(
@@ -116,20 +129,20 @@ _b(
     "CsvScan (.tbl pipe-delimited roundtrip through BallistaContext."
     "read_csv — ballista.proto:200-207, python/src/context.rs:84-139) + "
     "Projection/Selection with BETWEEN/IN/LIKE/IS NOT NULL/NOT/OR/negation "
-    "+ multi-key Sort + LIMIT/OFFSET.  Oracle reads the same rows from "
-    "parquet.",
+    "+ multi-key Sort + LIMIT/OFFSET, plus a second branch selecting the "
+    "same rows through BallistaContext.create_external_table DDL "
+    "(ballista.proto:236-248).  Oracle reads the same rows from parquet "
+    "twice, tagged.",
     _csv_select_builder,
-    oracle="""
-SELECT p_partkey, p_name, -p_retailprice AS neg_price
-FROM part
-WHERE p_size BETWEEN 10 AND 30
-  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-  AND p_name LIKE '%a%'
-  AND p_type IS NOT NULL
-  AND NOT (p_size = 20)
-  AND (p_size < 15 OR p_size >= 25)
-ORDER BY p_retailprice DESC, p_partkey
-LIMIT 40 OFFSET 5
+    oracle=f"""
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="csv", table="part")}
+) a
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="ext", table="part")}
+) b
+ORDER BY src, neg_price, p_partkey
 """,
 )
 
@@ -601,13 +614,24 @@ ORDER BY p_size
 
 # --- 8. string + hash functions ---------------------------------------------
 
+# Known-answer values for the sha digests DuckDB lacks: Spark computes
+# SHA2('ballista', n) per row (constant-folded); the oracle pins the
+# hashlib-derived literal — upgrading the per-row length pins to a value
+# check of the digest implementation itself.
+import hashlib as _hashlib
+
+_SHA_KAT = {
+    n: _hashlib.new(f"sha{n}", b"ballista").hexdigest() for n in (224, 384, 512)
+}
+
 _q(
     "cov_string_hash_funcs",
     "String enum (ballista.proto:98-105: lower/upper/trim/ltrim/rtrim/"
     "concat/octet_length + substring), the extended string surface "
     "(regexp_replace/lpad/rpad/split_part/reverse/repeat/translate/instr), "
     "and the hash enum (proto:110-114): md5 + sha256 value-compared; "
-    "sha224/384/512 length-pinned (DuckDB lacks those digests).",
+    "sha224/384/512 length-pinned per row + known-answer value-checked "
+    "against hashlib literals (DuckDB lacks those digests).",
     """
 SELECT c_custkey,
        LOWER(c_name) AS lo,
@@ -630,12 +654,15 @@ SELECT c_custkey,
        SHA2(c_name, 256) AS h_sha256,
        CAST(LENGTH(SHA2(c_name, 224)) AS BIGINT) AS len224,
        CAST(LENGTH(SHA2(c_name, 384)) AS BIGINT) AS len384,
-       CAST(LENGTH(SHA2(c_name, 512)) AS BIGINT) AS len512
+       CAST(LENGTH(SHA2(c_name, 512)) AS BIGINT) AS len512,
+       SHA2('ballista', 224) AS kat224,
+       SHA2('ballista', 384) AS kat384,
+       SHA2('ballista', 512) AS kat512
 FROM customer
 WHERE c_custkey <= 100
 ORDER BY c_custkey
 """,
-    oracle="""
+    oracle=f"""
 SELECT c_custkey,
        LOWER(c_name) AS lo,
        UPPER(c_mktsegment) AS up,
@@ -657,7 +684,10 @@ SELECT c_custkey,
        SHA256(c_name) AS h_sha256,
        CAST(56 AS BIGINT) AS len224,
        CAST(96 AS BIGINT) AS len384,
-       CAST(128 AS BIGINT) AS len512
+       CAST(128 AS BIGINT) AS len512,
+       '{_SHA_KAT[224]}' AS kat224,
+       '{_SHA_KAT[384]}' AS kat384,
+       '{_SHA_KAT[512]}' AS kat512
 FROM customer
 WHERE c_custkey <= 100
 ORDER BY c_custkey
