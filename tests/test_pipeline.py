@@ -146,7 +146,7 @@ def test_int8_quantization_roundtrip_and_recall(spark, duck):
     assert agree >= 9, (agree, top_f, top_q)
 
 
-# --- reference checks for rows-only operators -------------------------------
+# --- pure-Python reference checks (independent of the SQL oracles) ----------
 
 
 def test_simhash_matches_python_reference(spark):

@@ -37,9 +37,18 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/bs_stress_sf1")
 
-#: queries timed at both scales (spec arithmetic — what the reference runs)
+#: queries timed at both scales (spec arithmetic — what the reference runs).
+#: SPARK_GRAFT_STRESS_QUERIES=q,q,... overrides — e.g. the 100x decade run
+#: drops dedup_minhash_lsh, whose near-dup *output* grows quadratically in
+#: the replica count by construction (every replica of a doc pairs with
+#: every other), which would measure output size, not plan scaling.
 QUERIES = ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "tpch_q21"]
 PIPELINE = ["dedup_minhash_lsh", "text_stats", "ann_lsh_bucketed", "ivf_ann_topk"]
+_override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
+if _override:
+    chosen = [q.strip() for q in _override.split(",") if q.strip()]
+    QUERIES = [q for q in chosen if q.startswith("tpch_")]
+    PIPELINE = [q for q in chosen if not q.startswith("tpch_")]
 
 
 def replicate(spark) -> None:
