@@ -25,6 +25,18 @@ def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-spread a under-partitioned corpus across the cluster before the
+    vector-math-heavy stages (same rationale as dedup._parallelized): a
+    small parquet arrives as ONE partition and would serialize every
+    signature/dot-product on one core; at 100 TB the source is already
+    many-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     """Deterministic left-fold dot product in double precision."""
     return F.aggregate(
@@ -65,7 +77,7 @@ def cosine_topk(
     Returns (query_id, rank, neighbor_id, cosine); ties broken by neighbor
     id so the result set is deterministic.
     """
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
     q = queries.select(
@@ -108,9 +120,15 @@ def _hyperplane(dim: int, plane: int, table: int = 0) -> F.Column:
 
     n_planes × n_tables × dim literal doubles total (e.g. 4×8×64 = 2048 for
     the ANN defaults) — constant-sized, not data-sized, so the plan stays
-    small at any corpus scale.
+    small at any corpus scale.  Built as ONE parsed SQL expression instead
+    of per-element ``F.lit`` calls: each Column constructor is a py4j
+    round-trip, and 2048 of them cost ~4 s of *driver-side plan build* per
+    query — measured as the dominant cost of a warm lsh_ann_topk call.
+    ``repr`` emits shortest-round-trip decimals, so the parsed doubles are
+    bit-identical to the Python values (pinned in tests/test_hashing.py).
     """
-    return F.array(*[F.lit(v) for v in _hyperplane_values(dim, plane, table)])
+    vals = _hyperplane_values(dim, plane, table)
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def lsh_signature(vec: F.Column, dim: int, n_planes: int = 16, table: int = 0) -> F.Column:
@@ -123,6 +141,34 @@ def lsh_signature(vec: F.Column, dim: int, n_planes: int = 16, table: int = 0) -
     for b in bits:
         out = out + b
     return out
+
+
+def _dot_sql(vcol: str, vals: list[float]) -> str:
+    """SQL text of :func:`_dot` against a literal hyperplane — the same
+    deterministic left fold, so the computed doubles are bit-identical."""
+    arr = "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+    return f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _lsh_bucket_array(vcol: str, dim: int, n_planes: int, n_tables: int) -> F.Column:
+    """All ``n_tables`` LSH bucket ids as ONE parsed SQL array expression.
+
+    Equivalent to ``array(lsh_signature(t) + (t << 32) for t)`` but built
+    as a single ``F.expr`` string: constructing the same tree column-by-
+    column costs one py4j round-trip per node — measured ~4 s of driver
+    time per lsh_ann_topk call at the 4×8×64 defaults — while Spark parses
+    the generated text in milliseconds.  The ``t << 32`` offset keeps
+    buckets from different tables disjoint in one join key space.
+    """
+    tables = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(vcol, _hyperplane_values(dim, p, t))} >= 0.0D"
+            f" THEN {1 << p}L ELSE 0L END)"
+            for p in range(n_planes)
+        )
+        tables.append(f"({bits}) + {t << 32}L")
+    return F.expr("array(" + ", ".join(tables) + ")")
 
 
 def lsh_ann_topk(
@@ -142,37 +188,41 @@ def lsh_ann_topk(
     recall at cosine 0.5 ((1-(1-θ/π)^4)^8 with θ=60°); the bucket join
     replaces the cross join, which is what survives a 100 TB corpus.
     Returns (query_id, rank, neighbor_id, cosine) like :func:`cosine_topk`.
+
+    The bucket join and candidate dedup run on *skinny* (id, bucket) rows —
+    the 64-dim vector payloads never ride the ×n_tables explode, the join
+    shuffle, or the DISTINCT compare; vectors are joined back only for the
+    per-candidate exact scoring.
     """
+    cvec = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
 
-    def with_sigs(df: DataFrame, ident: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(ident), _as_double(F.col(vec_col)).alias(f"{ident}_v")
-        )
-        sigs = F.array(
-            *[
-                lsh_signature(F.col(f"{ident}_v"), dim, n_planes, table=t)
-                + F.lit(t << 32)
-                for t in range(n_tables)
-            ]
-        )
-        # one row per (vector, table-bucket); the t<<32 offset keeps buckets
-        # from different tables disjoint in one join key space
-        return out.withColumn("bucket", F.explode(sigs))
+    def buckets(vec_df: DataFrame, ident: str, vcol: str) -> DataFrame:
+        # one row per (vector, table-bucket)
+        sigs = _lsh_bucket_array(vcol, dim, n_planes, n_tables)
+        return vec_df.select(ident, F.explode(sigs).alias("bucket"))
 
-    c = with_sigs(corpus, "neighbor_id")
-    q = with_sigs(queries, "query_id")
     cand = (
-        c.join(F.broadcast(q), "bucket")
+        buckets(cvec, "neighbor_id", "cv")
+        .join(F.broadcast(buckets(qvec, "query_id", "qv")), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        _cosine(
-            _dot(F.col("neighbor_id_v"), F.col("query_id_v")),
-            _norm(F.col("neighbor_id_v")) * _norm(F.col("query_id_v")),
-        ),
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine",
+            _cosine(
+                _dot(F.col("cv"), F.col("qv")),
+                _norm(F.col("cv")) * _norm(F.col("qv")),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -190,12 +240,7 @@ def _lsh_candidates(
     """Distinct same-bucket (id_a < id_b) candidate pairs over ``n_tables``
     independent sign-LSH tables.  Runs on skinny (bucket, id) rows — the
     ×n_tables explode never amplifies the vector payload."""
-    sigs = F.array(
-        *[
-            lsh_signature(F.col("v"), dim, n_planes, table=t) + F.lit(t << 32)
-            for t in range(n_tables)
-        ]
-    )
+    sigs = _lsh_bucket_array("v", dim, n_planes, n_tables)
     buckets = base.select("id", F.explode(sigs).alias("bucket"))
     return (
         buckets.alias("a")
@@ -242,7 +287,7 @@ def lsh_neardup_pairs(
     synthetic embeddings top out near cosine 0.5, so the graded corpus entry
     pins exactly those wide-OR parameters and says why).
     """
-    base = corpus.select(
+    base = _spread(corpus, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     cand = _lsh_candidates(base, dim, n_planes, n_tables)
@@ -271,7 +316,7 @@ def embedding_neardup_pairs(
     Brute-force pair enumeration — correct at test scale; the production
     path at 100 TB buckets by :func:`lsh_signature` first (same verify).
     """
-    a = corpus.select(
+    a = _spread(corpus, id_col).select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     ).withColumn("na", _norm(F.col("va")))
     b = corpus.select(
@@ -337,7 +382,7 @@ def ivf_ann_topk(
     """
     from pyspark.sql.window import Window
 
-    base = corpus.select(
+    base = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
@@ -448,7 +493,7 @@ def quantized_cosine_topk(
     bound scan path: scores are computed on dequantized codes, so the scan
     reads 1/4 the bytes at a bounded recall cost (validated against the
     float path in tests).  Same output contract as ``cosine_topk``."""
-    cq = corpus.select(
+    cq = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         dequantize_int8(quantize_int8(vec_col)).alias("cv"),
     )
@@ -526,7 +571,7 @@ def kmeans_fit(
     can persist them or hand them to IVF.
     """
     spark = vecs.sparkSession
-    v = vecs.select(
+    v = _spread(vecs, id_col).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
     )
     if spherical:

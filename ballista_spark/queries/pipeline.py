@@ -276,6 +276,24 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def _ann_lsh_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    # The static oracle inlines dim=64 hyperplanes; a testdata regeneration
+    # with a different embedding dim must fail LOUDLY here, not truncate
+    # the dot products silently (zip_with null-pads the shorter array).
+    dim = len(emb.select("embedding").first()["embedding"])
+    if dim != 64:
+        raise ValueError(
+            f"embeddings dim changed to {dim}; regenerate the dim-64 "
+            "hyperplane oracle in _ann_lsh_oracle"
+        )
+    return (
+        S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=dim)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 _b(
     "ann_lsh_bucketed",
     "Sign-LSH bucketed approximate top-5 (operators.similarity.lsh_ann_topk; "
@@ -284,15 +302,7 @@ _b(
     "and candidate ranking — a full value oracle despite the operator "
     "being approximate; recall vs brute force additionally asserted in "
     "tests.",
-    lambda spark, sf: (
-        S.lsh_ann_topk(
-            load_table(spark, sf, "embeddings"),
-            load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10),
-            k=5,
-        )
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    ),
+    _ann_lsh_builder,
     oracle=_ann_lsh_oracle(),
 )
 
