@@ -374,22 +374,30 @@ _b(
 
 # --- text analysis ----------------------------------------------------------
 
+def _text_stats_builder(spark: SparkSession, sf: str) -> DataFrame:
+    from ballista_spark.operators.dedup import _parallelized
+
+    # spread an under-partitioned scan before the (interpreted higher-order
+    # array) metric expressions — a small parquet arrives as ONE partition
+    # and would evaluate every metric on one core; at 100 TB the scan is
+    # already many-partitioned and this is a no-op (no extra exchange)
+    docs = _parallelized(load_table(spark, sf, "documents"), "doc_id")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        X.fingerprint("text").alias("fp"),
+        X.quality_score("text").alias("quality"),
+        X.dup_ngram_fraction("text", 2).alias("rep2"),
+    ).orderBy("doc_id")
+
+
 _b(
     "text_stats",
     "Token count / quality score / rolling fingerprint / Gopher-style "
     "duplicate-bigram repetition per document (operators.text) — "
     "integer-exact formulas recomputed verbatim by the oracle.",
-    lambda spark, sf: (
-        load_table(spark, sf, "documents").select(
-            "doc_id",
-            X.token_count("text").alias("n_tokens"),
-            F.length("text").cast("bigint").alias("n_chars_m"),
-            X.fingerprint("text").alias("fp"),
-            X.quality_score("text").alias("quality"),
-            X.dup_ngram_fraction("text", 2).alias("rep2"),
-        )
-        .orderBy("doc_id")
-    ),
+    _text_stats_builder,
     oracle="""
 WITH t AS (
   SELECT doc_id, TRIM(text) AS txt, STRING_SPLIT(TRIM(text), ' ') AS l,
@@ -626,7 +634,9 @@ ORDER BY doc_id, rank
 def _tfidf_builder(spark, sf):
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf, "documents")
+    from ballista_spark.operators.dedup import _parallelized
+
+    docs = _parallelized(load_table(spark, sf, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
     )

@@ -117,8 +117,10 @@ def test_text_stats_is_map_only(spark):
     df = PIPELINE_QUERIES["text_stats"].run(spark, SF_CORRECT)
     s = plan_summary(df)
     assert s.joins == [], s.joins
-    # the orderBy for deterministic output adds at most one exchange
-    assert s.n_shuffles <= 1, s
+    # the orderBy for deterministic output adds one exchange; the
+    # small-file spread (a no-op at scale: it only fires when the scan has
+    # fewer partitions than cores) may add one more
+    assert s.n_shuffles <= 2, s
     txt = explain_text(df)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
 
