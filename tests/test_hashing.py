@@ -44,6 +44,42 @@ def test_md5_long_python_duckdb_property(duck, s):
     assert 0 <= expect < (1 << MD5_LONG_BITS)
 
 
+def test_lsh_bucket_sql_equals_column_construction(spark):
+    """The parsed-SQL bucket array (the fast plan-build path) computes
+    bit-identical buckets to the per-column lsh_signature construction —
+    across non-default plane/table shapes including the wide-OR graded
+    setting."""
+    from pyspark.sql import functions as F
+
+    from ballista_spark.operators.similarity import (
+        _as_double,
+        _lsh_bucket_array,
+        lsh_signature,
+    )
+    from ballista_spark.sources.registry import load_table
+
+    import os
+
+    emb = load_table(
+        spark, os.environ.get("BS_TEST_SF_DIR", "/root/testdata/sf0.001"), "embeddings"
+    )
+    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    for n_planes, n_tables in ((4, 8), (2, 40), (16, 1)):
+        old = base.select(
+            "vec_id",
+            F.array(
+                *[
+                    lsh_signature(F.col("v"), 64, n_planes, table=t) + F.lit(t << 32)
+                    for t in range(n_tables)
+                ]
+            ).alias("b"),
+        )
+        new = base.select("vec_id", _lsh_bucket_array("v", 64, n_planes, n_tables).alias("b"))
+        o = {r["vec_id"]: list(r["b"]) for r in old.collect()}
+        n = {r["vec_id"]: list(r["b"]) for r in new.collect()}
+        assert o == n, (n_planes, n_tables)
+
+
 def test_hyperplane_values_are_md5_derived(duck):
     """The inlined LSH hyperplane constants equal the documented md5
     formula recomputed by DuckDB — proving the literals are derived, not
