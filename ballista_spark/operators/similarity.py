@@ -333,21 +333,41 @@ def embedding_neardup_pairs(
 def _nearest_centroids(
     vecs: DataFrame, centroids: DataFrame, id_col: str, vec_alias: str, n_probe: int
 ) -> DataFrame:
-    """Rank centroids per vector by cosine; keep the top n_probe."""
-    from pyspark.sql.window import Window
+    """Rank centroids per vector by cosine; keep the top n_probe.
 
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "__c_sim",
-        _cosine(
-            _dot(F.col(vec_alias), F.col("centroid_v")),
-            _norm(F.col(vec_alias)) * _norm(F.col("centroid_v")),
-        ),
+    Map-only: the centroid table is packed into one broadcast
+    array-of-structs row and each vector sorts its per-cell scores
+    in-row (``array_sort`` on (-sim, centroid_id) structs) — NO shuffle.
+    The previous form cross-joined k rows per vector and ranked them
+    with a window, shuffling corpus×k rows per assignment; at 100 TB the
+    corpus must never be shuffled just to pick its cell.  Ordering
+    semantics are identical to the window form: sim desc with NULLs
+    (zero vectors) last — encoded as sort key -coalesce(sim, -2.0),
+    valid because cosine ∈ [-1, 1] — and ties broken by ascending
+    centroid id.
+    """
+    packed = F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct("centroid_id", "centroid_v")).alias("__cents")
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__c_sim").desc(), F.col("centroid_id"))
+
+    def keyed(s: F.Column) -> F.Column:
+        sim = _cosine(
+            _dot(F.col(vec_alias), s.getField("centroid_v")),
+            _norm(F.col(vec_alias)) * _norm(s.getField("centroid_v")),
+        )
+        return F.struct(
+            (-F.coalesce(sim, F.lit(-2.0))).alias("k"),
+            s.getField("centroid_id").alias("centroid_id"),
+        )
+
+    top = F.slice(F.array_sort(F.transform(F.col("__cents"), keyed)), 1, n_probe)
+    cols = vecs.columns
     return (
-        scored.withColumn("__c_rank", F.row_number().over(w))
-        .where(F.col("__c_rank") <= n_probe)
-        .drop("__c_sim", "__c_rank", "centroid_v")
+        vecs.crossJoin(packed)
+        .select(*cols, F.explode(top).alias("__t"))
+        .select(*cols, F.col("__t.centroid_id").alias("centroid_id"))
     )
 
 
