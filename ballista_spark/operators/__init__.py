@@ -8,6 +8,7 @@ small sides, no driver-side collection anywhere.
 """
 
 from ballista_spark.operators.dedup import (
+    dedup_against,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -23,12 +24,18 @@ from ballista_spark.operators.similarity import (
     lsh_neardup_pairs,
 )
 from ballista_spark.operators.asof import asof_join
-from ballista_spark.operators.dataset import hash_split, merge_upsert
+from ballista_spark.operators.dataset import (
+    hash_split,
+    merge_upsert,
+    pack_contiguous,
+    pack_greedy,
+)
 from ballista_spark.operators.decontam import contamination_stats, decontaminate
 from ballista_spark.operators.sampling import (
     group_cap,
     hash_sample,
     stratified_sample,
+    temperature_sample,
 )
 from ballista_spark.operators.partitioning import (
     salted_agg,
@@ -68,7 +75,11 @@ __all__ = [
     "ivf_ann_topk",
     "hash_sample",
     "stratified_sample",
+    "temperature_sample",
     "group_cap",
     "contamination_stats",
     "decontaminate",
+    "dedup_against",
+    "pack_contiguous",
+    "pack_greedy",
 ]

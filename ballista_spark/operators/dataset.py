@@ -1,4 +1,5 @@
-"""Dataset management operators: deterministic splits and merge-upsert.
+"""Dataset management operators: deterministic splits, merge-upsert, and
+sequence packing.
 
 Training-data pipelines need reproducible dataset surgery at 100 TB:
 
@@ -9,6 +10,12 @@ Training-data pipelines need reproducible dataset surgery at 100 TB:
 - :func:`merge_upsert` — SCD-1 style MERGE emulation for plain parquet
   (no Delta in this environment): anti-join + union, one shuffle on the
   key.  The pattern the guide describes for CDC without a lakehouse format.
+- :func:`pack_contiguous` / :func:`pack_greedy` — sequence packing: lay
+  documents out into fixed-length training windows (the tokenize-and-pack
+  step before pretraining).  Contiguous packing (documents spill across
+  window boundaries) is a distributed prefix sum — exact, deterministic,
+  and SQL-reproducible; greedy packing (documents never split) is a
+  per-bucket first-fit-decreasing bin pack via ``applyInPandas``.
 """
 
 from __future__ import annotations
@@ -17,6 +24,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ballista_spark.operators.hashing import md5_long
 
 #: resolution of the split lottery (1 ppm)
 _SPLIT_DENOM = 1_000_000
@@ -64,3 +74,144 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str | Sequence[str]
     keys = [key] if isinstance(key, str) else list(key)
     kept = target.join(updates.select(*keys), on=keys, how="left_anti")
     return kept.unionByName(updates)
+
+
+#: separator mirrored from the sampling lottery (operators/sampling.py)
+_SEP = "\x1f"
+
+
+def pack_bucket(key_col: str, n_buckets: int, seed: str = "pack") -> F.Column:
+    """Deterministic md5-derived bucket for a document key — the unit of
+    packing parallelism.  Cross-engine reproducible (``md5_long`` twin)."""
+    return F.pmod(
+        md5_long(F.concat_ws(_SEP, F.lit(seed), F.col(key_col).cast("string"))),
+        F.lit(int(n_buckets)),
+    )
+
+
+def pack_contiguous(
+    df: DataFrame,
+    count_col: str,
+    key_col: str,
+    seq_len: int,
+    n_buckets: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Contiguous sequence packing: concatenate every document's tokens (in
+    the deterministic total order ``(bucket, key)``) into one stream and
+    chop it into ``seq_len``-token training windows — documents spill
+    across window boundaries (the standard pretraining "packed" layout;
+    zero padding waste).
+
+    Adds ``pack_start`` (global token offset), ``pack_first``/``pack_last``
+    (window ids the document spans) and ``pack_offset`` (offset inside its
+    first window).  ``key_col`` must be unique per row; ``count_col`` is
+    the document's token count (>= 0).
+
+    Scale shape — a two-level distributed prefix sum, NOT a global-order
+    window (which would serialize 100 TB through one reducer):
+
+    1. per-bucket running totals: one hash shuffle on the md5 bucket, each
+       bucket cumsums independently in parallel;
+    2. bucket base offsets: an ``n_buckets``-row aggregate cumsum'd on a
+       single (tiny) partition and broadcast back.
+
+    Every step is integer arithmetic on md5-derived ordering, so any
+    engine reproduces the identical layout bit-for-bit.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    staged = df.withColumn("__b", pack_bucket(key_col, n_buckets, seed))
+    w_local = Window.partitionBy("__b").orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = staged.withColumn("__lend", F.sum(count_col).over(w_local))
+    btot = staged.groupBy("__b").agg(F.sum(count_col).alias("__t"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "__b", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    start = (F.col("__off") + F.col("__lend") - F.col(count_col)).cast("long")
+    L = int(seq_len)
+    # integer division (`div`), not floor-of-double: exact past 2^53 tokens
+    return (
+        staged.join(F.broadcast(offsets), "__b")
+        .withColumn("pack_start", start)
+        .withColumn(
+            "__pend", F.col("pack_start") + F.greatest(F.col(count_col), F.lit(1)) - 1
+        )
+        .withColumn("pack_first", F.expr(f"pack_start div {L}"))
+        .withColumn("pack_last", F.expr(f"__pend div {L}"))
+        .withColumn("pack_offset", F.col("pack_start") % F.lit(L))
+        .drop("__b", "__lend", "__off", "__pend")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    count_col: str,
+    key_col: str,
+    seq_len: int,
+    n_buckets: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Greedy sequence packing: first-fit-decreasing bin packing so no
+    document is ever split across training windows (the "unpacked"
+    fine-tuning layout — some padding waste, no cross-document attention
+    leakage).  Adds ``pack_id`` (globally unique window) and
+    ``pack_offset``.
+
+    Documents are bucketed by the md5 hash of their key and each bucket is
+    bin-packed independently by an ``applyInPandas`` group — deterministic
+    for a fixed ``(seed, n_buckets)`` regardless of cluster partitioning
+    (FFD order is (count desc, key asc) with a stable sort).  Per-group
+    state is the open-pack remainder list — bounded by the bucket's pack
+    count; size buckets (``n_buckets``) so a bucket's documents fit one
+    task.  Oversized documents (count > seq_len) get a window of their own
+    at offset 0 (truncate downstream if needed).
+
+    Bin packing has no single-pass SQL form (the running remainder resets
+    data-dependently), which is exactly the ``applyInPandas`` escape hatch;
+    use :func:`pack_contiguous` when splitting documents is acceptable —
+    it is cheaper and fully SQL-expressible.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    staged = df.withColumn("__b", pack_bucket(key_col, n_buckets, seed))
+    out_schema = StructType(
+        staged.schema.fields
+        + [StructField("pack_id", LongType()), StructField("pack_offset", LongType())]
+    )
+    cap = int(seq_len)
+    shift = 1 << 33  # bucket-local pack index below, bucket above: collision-free
+    ccol, kcol = count_col, key_col
+
+    def _pack(pdf):
+        pdf = pdf.sort_values([ccol, kcol], ascending=[False, True], kind="mergesort")
+        bucket = int(pdf["__b"].iloc[0]) if len(pdf) else 0
+        remaining: list[int] = []
+        ids: list[int] = []
+        offs: list[int] = []
+        for n in pdf[ccol]:
+            n = int(n)
+            placed = False
+            if n <= cap:
+                for i, r in enumerate(remaining):
+                    if n <= r:
+                        ids.append(i)
+                        offs.append(cap - r)
+                        remaining[i] = r - n
+                        placed = True
+                        break
+            if not placed:
+                remaining.append(max(cap - n, 0))
+                ids.append(len(remaining) - 1)
+                offs.append(0)
+        return pdf.assign(
+            pack_id=[bucket * shift + i for i in ids],
+            pack_offset=[int(o) for o in offs],
+        )
+
+    return staged.groupBy("__b").applyInPandas(_pack, out_schema).drop("__b")

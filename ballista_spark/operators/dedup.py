@@ -59,6 +59,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     return withh.withColumn("is_canonical", F.col(key_col) == keep)
 
 
+def dedup_against(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    seen_text_col: str | None = None,
+) -> DataFrame:
+    """Incremental (inter-dataset) exact dedup: drop ``batch`` rows whose
+    content hash already appears in ``seen`` — the per-crawl-increment step
+    of a continuously-ingesting corpus (dedup the new snapshot against
+    everything previously accepted, without re-deduplicating the corpus).
+
+    Returns ``batch`` plus ``content_hash``, filtered by a LEFT ANTI join
+    on the hash.  Scale shape: the seen-side projects to its distinct
+    hashes only (~32 bytes/distinct doc) and the join is shuffle-based —
+    the corpus side is corpus-sized and must never be explicitly broadcast;
+    AQE still upgrades to broadcast when the seen set measures small, and
+    on a real cluster the anti-join benefits from Spark's runtime bloom
+    filter pushdown.  Combine with :func:`exact_dedup` on the survivors to
+    also collapse duplicates *within* the batch.
+    """
+    seen_hashes = seen.select(
+        F.md5(F.col(seen_text_col or text_col)).alias("content_hash")
+    ).distinct()
+    withh = batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    return withh.join(seen_hashes, "content_hash", "left_anti")
+
+
 def _tokens(text_col: str) -> F.Column:
     return F.split(F.trim(F.col(text_col)), " ")
 

@@ -114,6 +114,79 @@ def stratified_sample(
     return df.where(lottery_column(key_cols, seed) < thresh)
 
 
+#: 2^60 as an exact double — the lottery space size used when a rate must
+#: be computed *inside* the query (data-dependent rates can't be folded
+#: into a Python-side hex literal the way fixed rates are).
+_LOTTERY_SPACE_F = float(_LOTTERY_SPACE)
+
+
+def lottery_long(key_cols: Sequence[str], seed: str = "sample") -> F.Column:
+    """The lottery as a 60-bit BIGINT (uniform on [0, 2^60)) — the integer
+    twin of :func:`lottery_column` for data-dependent thresholds.  DuckDB
+    mirror: ``CAST(CONCAT('0x', <hex lottery>) AS BIGINT)``."""
+    return F.conv(lottery_column(key_cols, seed), 16, 10).cast("long")
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    key_cols: Sequence[str],
+    seed: str = "mixture",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling across domains — the standard
+    LLM data-mixing step (kept counts ∝ n_d^alpha, as in multilingual /
+    multi-source corpus balancing).
+
+    A domain with ``n_d`` rows survives at rate ``(n_min / n_d)^(1-alpha)``
+    (``n_min`` = smallest domain), so expected kept counts are proportional
+    to ``n_d^alpha`` with the smallest domain kept whole: ``alpha=1`` keeps
+    everything (no flattening), ``alpha=0`` equalizes every domain down to
+    ``n_min`` rows, values between interpolate on the log scale.
+
+    Scale shape: one map-side-combined count aggregation (~one row per
+    domain), a broadcast join of the domain→threshold table (domain
+    cardinality is assumed small — sources/languages, not documents), then
+    a pure filter on the md5 lottery.  No corpus-sized shuffle and no RNG
+    state: the kept set is identical on any cluster and any partitioning.
+
+    Cross-engine exactness: thresholds are ``floor(rate * 2^60)`` compared
+    against the integer lottery.  For ``1-alpha`` in {0, 0.5, 1} the rate
+    uses only correctly-rounded IEEE ops (division / sqrt), so DuckDB
+    reproduces the selected set bit-for-bit; other exponents go through
+    ``pow`` (1-ulp libm differences could in principle flip a row with
+    probability ~2^-53 per domain).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    e = 1.0 - alpha
+    if e == 0.0:
+        return df
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin") / F.col("__n")
+    if e == 0.5:
+        rate = F.sqrt(ratio)
+    elif e == 1.0:
+        rate = ratio
+    else:
+        rate = F.pow(ratio, F.lit(e))
+    thresholds = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            F.col(domain_col).alias("__dom"),
+            F.floor(rate * F.lit(_LOTTERY_SPACE_F)).alias("__thr"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(thresholds), F.col(domain_col).eqNullSafe(F.col("__dom"))
+    )
+    return (
+        joined.where(lottery_long(key_cols, seed) < F.col("__thr"))
+        .drop("__dom", "__thr")
+    )
+
+
 def group_cap(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -998,17 +998,24 @@ ORDER BY op, k1, k2
 
 def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch + the deterministic corpus-surgery operators in one tagged
-    result: hash-lottery Bernoulli/stratified sampling and per-group caps
-    (operators/sampling.py — the md5 lottery is standardized, so DuckDB
-    recomputes the identical selected set) and benchmark decontamination
-    (operators/decontam.py, ``src0`` documents standing in for the eval
-    set).  Selected sets are pinned exactly via (count, sum of ids) per
-    source; contamination via the (hits, ngrams) integer totals."""
+    result: hash-lottery Bernoulli/stratified/temperature-mixture sampling,
+    per-group caps (operators/sampling.py — the md5 lottery is
+    standardized, so DuckDB recomputes the identical selected set),
+    benchmark decontamination (operators/decontam.py, ``src0`` documents
+    standing in for the eval set), incremental exact dedup against a seen
+    corpus (operators/dedup.py:dedup_against), and contiguous sequence
+    packing (operators/dataset.py:pack_contiguous — the whole token layout
+    pinned via per-source sums of window ids/offsets).  Selected sets are
+    pinned exactly via (count, sum of ids) per source; contamination via
+    the (hits, ngrams) integer totals."""
+    from ballista_spark.operators.dataset import pack_contiguous
     from ballista_spark.operators.decontam import contamination_stats, decontaminate
+    from ballista_spark.operators.dedup import dedup_against
     from ballista_spark.operators.sampling import (
         group_cap,
         hash_sample,
         stratified_sample,
+        temperature_sample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1067,6 +1074,37 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    packed = pack_contiguous(
+        docs.withColumn("__nt", F.size(F.split(F.trim("text"), " "))),
+        "__nt",
+        "doc_id",
+        512,
+        n_buckets=8,
+    )
+    pack_g = packed.groupBy("source").agg(
+        F.sum("pack_first").alias("sf"),
+        F.sum("pack_offset").alias("so"),
+        F.max("pack_last").alias("ml"),
+    )
+    pack_rows = (
+        pack_g.select(
+            F.lit("pack").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("sum_first").alias("metric"),
+            F.col("sf").cast("long").alias("v"),
+        )
+        .unionAll(
+            pack_g.select(
+                F.lit("pack"), F.col("source"), F.lit("sum_off"), F.col("so").cast("long")
+            )
+        )
+        .unionAll(
+            pack_g.select(
+                F.lit("pack"), F.col("source"), F.lit("max_last"), F.col("ml").cast("long")
+            )
+        )
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1081,9 +1119,17 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_stratified",
             )
         )
+        .unionAll(two(temperature_sample(docs, "source", 0.5, ["doc_id"]), "temp_sample"))
         .unionAll(two(group_cap(docs, ["source"], 5, ["doc_id"]), "group_cap"))
         .unionAll(two(decontaminate(docs, bench, 0.2, stats=stats), "decontam_keep"))
+        .unionAll(
+            two(
+                dedup_against(docs.where(F.col("source") != "src0"), bench),
+                "dedup_against",
+            )
+        )
         .unionAll(contam_tagged)
+        .unionAll(pack_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1126,6 +1172,42 @@ WITH lot AS (
 ), hll AS (
   SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ex FROM lineitem
   GROUP BY l_returnflag
+), tcounts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), tthr AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST((SELECT MIN(n) FROM tcounts) AS DOUBLE) / n)
+                    * 1152921504606846976) AS BIGINT) AS t
+  FROM tcounts
+), tkept AS (
+  SELECT d.doc_id, d.source FROM documents d JOIN tthr USING (source)
+  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS(CHR(31), 'mixture',
+            CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) < tthr.t
+), seenh AS (
+  SELECT DISTINCT MD5(text) AS h FROM documents WHERE source = 'src0'
+), dakept AS (
+  SELECT doc_id, source FROM documents
+  WHERE source <> 'src0' AND MD5(text) NOT IN (SELECT h FROM seenh)
+), ptc AS (
+  SELECT doc_id, source, LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tok,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS(CHR(31), 'pack',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS b
+  FROM documents
+), ploc AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY b ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lend
+  FROM ptc
+), pboff AS (
+  SELECT b, COALESCE(SUM(t) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT b, SUM(n_tok) AS t FROM ptc GROUP BY b)
+), pk AS (
+  SELECT ploc.source,
+         (pboff.off + ploc.lend - ploc.n_tok) // 512 AS pack_first,
+         (pboff.off + ploc.lend - ploc.n_tok
+          + GREATEST(ploc.n_tok, 1) - 1) // 512 AS pack_last,
+         (pboff.off + ploc.lend - ploc.n_tok) % 512 AS pack_offset
+  FROM ploc JOIN pboff USING (b)
 )
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
@@ -1152,6 +1234,20 @@ UNION ALL SELECT 'contam', d.source, 'hits', CAST(SUM(n_hits) AS BIGINT)
   FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
 UNION ALL SELECT 'contam', d.source, 'ngrams', CAST(SUM(n_ngrams) AS BIGINT)
   FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
+UNION ALL SELECT 'temp_sample', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM tkept GROUP BY source
+UNION ALL SELECT 'temp_sample', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM tkept GROUP BY source
+UNION ALL SELECT 'dedup_against', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM dakept GROUP BY source
+UNION ALL SELECT 'dedup_against', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
+  FROM dakept GROUP BY source
+UNION ALL SELECT 'pack', source, 'sum_first', CAST(SUM(pack_first) AS BIGINT)
+  FROM pk GROUP BY source
+UNION ALL SELECT 'pack', source, 'sum_off', CAST(SUM(pack_offset) AS BIGINT)
+  FROM pk GROUP BY source
+UNION ALL SELECT 'pack', source, 'max_last', CAST(MAX(pack_last) AS BIGINT)
+  FROM pk GROUP BY source
 ORDER BY op, k, metric
 """
 
@@ -1160,9 +1256,12 @@ _b(
     "cov_sketch_sampling",
     "HLL approx_count_distinct (exact count + sketch-within-5% predicate) "
     "consolidated with the deterministic corpus-surgery operators: "
-    "md5-lottery Bernoulli + stratified sampling, per-source document caps, "
-    "and benchmark n-gram decontamination — every selected set pinned "
-    "exactly cross-engine (count + sum of ids per source).",
+    "md5-lottery Bernoulli + stratified + temperature-mixture sampling, "
+    "per-source document caps, benchmark n-gram decontamination, "
+    "incremental dedup against a seen corpus, and contiguous sequence "
+    "packing (two-level distributed prefix sum) — every selected set / "
+    "token layout pinned exactly cross-engine (count + sum of ids per "
+    "source; packing via per-source window-id/offset sums).",
     _sketch_sampling_builder,
     oracle=_sketch_sampling_oracle(),
 )

@@ -1,0 +1,253 @@
+"""Sequence packing, temperature mixture sampling, and incremental dedup
+vs DuckDB oracles / Python references.
+
+pack_contiguous and temperature_sample are integer/correctly-rounded-IEEE
+constructions, so DuckDB reproduces the exact layout / selected set;
+pack_greedy (bin packing, applyInPandas) is compared against a plain-Python
+mirror of the same FFD algorithm."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.dataset import pack_contiguous, pack_greedy
+from ballista_spark.operators.dedup import dedup_against
+from ballista_spark.operators.hashing import md5_long_py
+from ballista_spark.operators.sampling import temperature_sample
+from ballista_spark.sources.registry import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_frames_match
+
+FULL = os.environ.get("BS_TEST_FULL") == "1"
+SCALES = [(SF_SMOKE, "smoke")] + ([(SF_CORRECT, "correct")] if FULL else [])
+
+_L = 512  # seq_len used throughout
+_NB = 8  # n_buckets — small so every bucket is non-trivially populated
+
+#: DuckDB twin of text token counts (split on single space after trim)
+_TC = "LEN(STRING_SPLIT(TRIM(text), ' '))"
+
+
+def _docs_with_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("n_tok", F.size(F.split(F.trim("text"), " ")))
+
+
+_PACK_ORACLE = f"""
+WITH tc AS (
+  SELECT doc_id, source, {_TC} AS n_tok,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS(CHR(31), 'pack',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_NB} AS b
+  FROM documents
+), loc AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY b ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lend
+  FROM tc
+), btot AS (
+  SELECT b, SUM(n_tok) AS t FROM tc GROUP BY b
+), boff AS (
+  SELECT b, COALESCE(SUM(t) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM btot
+)
+SELECT loc.doc_id, loc.source,
+       CAST(boff.off + loc.lend - loc.n_tok AS BIGINT) AS pack_start,
+       CAST((boff.off + loc.lend - loc.n_tok) // {_L} AS BIGINT) AS pack_first,
+       CAST((boff.off + loc.lend - loc.n_tok
+             + GREATEST(loc.n_tok, 1) - 1) // {_L} AS BIGINT) AS pack_last,
+       CAST((boff.off + loc.lend - loc.n_tok) % {_L} AS BIGINT) AS pack_offset
+FROM loc JOIN boff USING (b)
+"""
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_pack_contiguous_matches_oracle(spark, duck, sf_dir, schema):
+    docs = _docs_with_counts(spark, sf_dir)
+    got = pack_contiguous(docs, "n_tok", "doc_id", _L, n_buckets=_NB).select(
+        "doc_id", "source", "pack_start", "pack_first", "pack_last", "pack_offset"
+    )
+    duck.execute(f"SET schema '{schema}'")
+    assert_frames_match(got, duck.sql(_PACK_ORACLE))
+
+
+def test_pack_contiguous_layout_invariants(spark):
+    docs = _docs_with_counts(spark, SF_SMOKE)
+    out = pack_contiguous(docs, "n_tok", "doc_id", _L, n_buckets=_NB)
+    rows = out.select("n_tok", "pack_start", "pack_first", "pack_last", "pack_offset").collect()
+    total = sum(r.n_tok for r in rows)
+    # spans tile [0, total) exactly: starts are distinct, offsets in range
+    starts = sorted(r.pack_start for r in rows)
+    assert starts[0] == 0
+    ends = sorted(r.pack_start + r.n_tok for r in rows)
+    assert ends[-1] == total
+    assert set(starts[1:]) == set(ends[:-1])  # contiguous, no gap/overlap
+    for r in rows:
+        assert 0 <= r.pack_offset < _L
+        assert r.pack_first == r.pack_start // _L
+        assert r.pack_last >= r.pack_first
+
+
+def test_pack_contiguous_is_partitioning_invariant(spark):
+    docs = _docs_with_counts(spark, SF_SMOKE)
+    a = {
+        (r.doc_id, r.pack_start)
+        for r in pack_contiguous(docs, "n_tok", "doc_id", _L, n_buckets=_NB)
+        .select("doc_id", "pack_start")
+        .collect()
+    }
+    b = {
+        (r.doc_id, r.pack_start)
+        for r in pack_contiguous(docs.repartition(13), "n_tok", "doc_id", _L, n_buckets=_NB)
+        .select("doc_id", "pack_start")
+        .collect()
+    }
+    assert a == b
+
+
+def _ffd_reference(rows, cap, n_buckets):
+    """Plain-Python mirror of pack_greedy's per-bucket FFD."""
+    by_bucket: dict[int, list] = {}
+    for doc_id, n in rows:
+        b = md5_long_py(f"pack\x1f{doc_id}") % n_buckets
+        by_bucket.setdefault(b, []).append((doc_id, n))
+    out = {}
+    for b, docs in by_bucket.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        remaining: list[int] = []
+        for doc_id, n in docs:
+            placed = False
+            if n <= cap:
+                for i, r in enumerate(remaining):
+                    if n <= r:
+                        out[doc_id] = (b * (1 << 33) + i, cap - r)
+                        remaining[i] = r - n
+                        placed = True
+                        break
+            if not placed:
+                remaining.append(max(cap - n, 0))
+                out[doc_id] = (b * (1 << 33) + len(remaining) - 1, 0)
+    return out
+
+
+def test_pack_greedy_matches_python_reference(spark):
+    docs = _docs_with_counts(spark, SF_SMOKE)
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_greedy(docs, "n_tok", "doc_id", _L, n_buckets=_NB)
+        .select("doc_id", "pack_id", "pack_offset")
+        .collect()
+    }
+    want = _ffd_reference(
+        [(r.doc_id, r.n_tok) for r in docs.select("doc_id", "n_tok").collect()],
+        _L,
+        _NB,
+    )
+    assert got == want
+
+
+def test_pack_greedy_capacity_and_determinism(spark):
+    docs = _docs_with_counts(spark, SF_SMOKE)
+    out = pack_greedy(docs, "n_tok", "doc_id", _L, n_buckets=_NB)
+    fills = out.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("fill"), F.count("*").alias("m")
+    )
+    # a pack only exceeds capacity when it holds a single oversized doc
+    bad = fills.where((F.col("fill") > _L) & (F.col("m") > 1)).count()
+    assert bad == 0
+    a = {
+        (r.doc_id, r.pack_id)
+        for r in out.select("doc_id", "pack_id").collect()
+    }
+    b = {
+        (r.doc_id, r.pack_id)
+        for r in pack_greedy(docs.repartition(13), "n_tok", "doc_id", _L, n_buckets=_NB)
+        .select("doc_id", "pack_id")
+        .collect()
+    }
+    assert a == b
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+@pytest.mark.parametrize("alpha,duck_rate", [
+    (0.5, "SQRT(CAST(nmin AS DOUBLE) / n)"),
+    (0.0, "CAST(nmin AS DOUBLE) / n"),
+])
+def test_temperature_sample_matches_oracle(spark, duck, sf_dir, schema, alpha, duck_rate):
+    docs = load_table(spark, sf_dir, "documents")
+    got = temperature_sample(docs, "source", alpha, ["doc_id"]).select(
+        "doc_id", "source"
+    )
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""
+        WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        m AS (SELECT MIN(n) AS nmin FROM counts),
+        thr AS (SELECT source,
+                       CAST(FLOOR({duck_rate} * 1152921504606846976) AS BIGINT) AS t
+                FROM counts, m)
+        SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS(CHR(31), 'mixture',
+                  CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) < thr.t
+        """
+    )
+    assert_frames_match(got, oracle)
+
+
+def test_temperature_sample_alpha_one_keeps_everything(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert temperature_sample(docs, "source", 1.0, ["doc_id"]).count() == docs.count()
+
+
+def test_temperature_sample_alpha_zero_equalizes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = {
+        r.source: r.n
+        for r in temperature_sample(docs, "source", 0.0, ["doc_id"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    base = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    nmin = min(base.values())
+    # smallest domain kept whole; every domain lands near nmin (Bernoulli noise)
+    for src, n in counts.items():
+        assert n <= base[src]
+        assert abs(n - nmin) <= max(6 * nmin**0.5, 8), (src, n, nmin)
+    assert counts[min(base, key=base.get)] == nmin
+
+
+def test_temperature_sample_validates_alpha(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        temperature_sample(docs, "source", 1.5, ["doc_id"])
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_dedup_against_matches_oracle(spark, duck, sf_dir, schema):
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source") != "src0")
+    seen = docs.where(F.col("source") == "src0")
+    got = dedup_against(batch, seen).select("doc_id", "source")
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        """
+        SELECT doc_id, source FROM documents
+        WHERE source <> 'src0'
+          AND MD5(text) NOT IN (SELECT MD5(text) FROM documents WHERE source = 'src0')
+        """
+    )
+    assert_frames_match(got, oracle)
+
+
+def test_dedup_against_no_explicit_corpus_broadcast(spark):
+    """The seen-side is corpus-sized: the plan must not hand-broadcast it
+    (AQE may still pick broadcast at runtime for small actual sizes —
+    asserted on the *logical* plan, which records only explicit hints)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = dedup_against(docs, docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan, plan
