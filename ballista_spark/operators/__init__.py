@@ -22,6 +22,9 @@ from ballista_spark.operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
     lsh_neardup_pairs,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
 )
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
@@ -82,4 +85,7 @@ __all__ = [
     "dedup_against",
     "pack_contiguous",
     "pack_greedy",
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_topk",
 ]

@@ -667,3 +667,245 @@ def kmeans_fit(
         if shift < tol:
             break
     return cents
+
+
+# --- product quantization (PQ) ----------------------------------------------
+#
+# The third ANN scale path next to sign-LSH and IVF, and the canonical
+# memory story for a 100 TB embedding corpus: a dim-float vector becomes m
+# one-byte codes (m = 8-64), so the scored scan reads m/(4*dim) of the
+# float bytes — ~0.5% for (m=16, dim=768).  Asymmetric distance (ADC)
+# scores codes against *exact* query subvectors via per-query lookup
+# tables, so only the corpus side is approximated (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+# literature; no reference analog, Ballista has no vector ops).
+
+
+def pq_fit(
+    vecs: DataFrame,
+    m: int,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iters: int = 10,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` contiguous
+    subspaces and run :func:`kmeans_fit` in each — ``m`` sequential
+    distributed jobs, each with k-row driver state (the corpus is never
+    collected).  Returns ``codebooks[sub][code] -> centroid`` with
+    ``len(codebooks) == m`` and ``len(codebooks[sub]) == ksub``.
+
+    ``dim`` must divide evenly by ``m``; ``ksub <= 256`` keeps codes in
+    one byte each."""
+    first = vecs.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot fit PQ on an empty DataFrame")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not 1 <= ksub <= 256:
+        raise ValueError(f"ksub must be in [1, 256], got {ksub}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = vecs.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub).alias("__sub"),
+        )
+        books.append(
+            kmeans_fit(sub, ksub, vec_col="__sub", id_col=id_col, max_iters=max_iters)
+        )
+    return books
+
+
+def _pack_codebooks(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as ONE broadcast row of (sub, code, cv) structs sorted by
+    (sub, code) — constant plan size at any (m, ksub), exactly the
+    kmeans/IVF centroid-packing pattern."""
+    rows = [
+        (j, c, [float(x) for x in v])
+        for j, book in enumerate(codebooks)
+        for c, v in enumerate(book)
+    ]
+    cb = spark.createDataFrame(rows, "sub INT, code INT, cv ARRAY<DOUBLE>")
+    # array_sort (struct compare = sub, then code), not collect_list order:
+    # position (sub*ksub + code) must hold under ANY partitioning
+    return F.broadcast(
+        cb.agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code", "cv"))
+            ).alias("__cb")
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: adds ``pq_code`` (array<int>, length m,
+    nearest sub-centroid per subspace by L2, ties to the lower code) and
+    ``vec_norm`` (the exact float norm, kept so ADC can rank by cosine).
+
+    Map-only over the corpus (the codebooks ride as one broadcast row);
+    per-row cost is the inherent m*ksub*dsub multiply-adds, all JVM array
+    expressions."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    packed = _pack_codebooks(df.sparkSession, codebooks)
+    v = _as_double(F.col(vec_col))
+
+    def code_for(j: int) -> F.Column:
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cands = F.filter(F.col("__cb"), lambda s: s.getField("sub") == F.lit(j))
+        keyed = F.transform(
+            cands,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, s.getField("cv"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s.getField("code").alias("code"),
+            ),
+        )
+        return F.array_min(keyed).getField("code")
+
+    cols = df.columns
+    return (
+        df.crossJoin(packed)
+        .select(
+            *cols,
+            F.array(*[code_for(j) for j in range(m)]).alias("pq_code"),
+            _norm(v).alias("vec_norm"),
+        )
+    )
+
+
+def pq_decode(codebooks: list[list[list[float]]], code_col="pq_code") -> F.Column:
+    """Reconstruct the (approximate) vector from PQ codes — concatenation
+    of the selected sub-centroids.  Column expression over a row that has
+    been joined with :func:`_pack_codebooks` output, or use inside
+    :func:`pq_adc_topk`-style plans; for standalone use, prefer keeping
+    the original column."""
+    codes = F.col(code_col) if isinstance(code_col, str) else code_col
+    ksub = len(codebooks[0])
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda c, j: F.element_at(
+                F.col("__cb"), j * F.lit(ksub) + c + 1
+            ).getField("cv"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance over PQ codes.
+
+    ``corpus_codes`` is :func:`pq_encode` output (only ``pq_code`` +
+    ``vec_norm`` + the id are read — the m-byte scan); ``queries`` carry
+    raw vectors.  Each query precomputes its m*ksub lookup table of
+    sub-dot-products ONCE (a broadcast-sized row), and every corpus row's
+    approximate dot product is m table lookups — no per-pair float math.
+    Rank is by ADC cosine = adc_dot / (vec_norm * |q|), ties to the lower
+    neighbor id.  Same output contract as :func:`cosine_topk`; the scan
+    is exhaustive like the exact baseline (compose with IVF cells to
+    prune it — PQ compresses bytes, IVF prunes rows; they multiply).
+
+    ``rerank=R`` is the production contract (FAISS-style IVFPQ+refine):
+    the ADC scan keeps a top-``R`` shortlist per query and an exact-cosine
+    pass re-scores ONLY those R rows (a candidate-sized shuffle join back
+    to the full vectors — the big scan still reads m bytes/row).  Raw ADC
+    ranking quality is data-dependent: near-random vectors are
+    incompressible (recon error stays high at any m), whereas real text
+    embeddings concentrate on a low-dim manifold and quantize far better —
+    the rerank path makes recall robust to that.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    packed = _pack_codebooks(queries.sparkSession, codebooks)
+    qv = _as_double(F.col(vec_col))
+    lut = F.transform(
+        F.col("__cb"),
+        lambda s: _dot(
+            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
+            s.getField("cv"),
+        ),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+        .crossJoin(packed)
+        .select(
+            "query_id",
+            lut.alias("__lut"),
+            _norm(F.col("qv")).alias("__qnorm"),
+        )
+    )
+    c = _spread(corpus_codes, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code", "vec_norm"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", _cosine(adc, F.col("vec_norm") * F.col("__qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine")
+        )
+    R = max(int(rerank), k)
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    refined = (
+        shortlist.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            _cosine(
+                _dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
