@@ -157,45 +157,45 @@ _b(
     oracle=_simhash_oracle(),
 )
 
-_b(
-    "dedup_embedding_cosine",
-    "Embedding-cosine near-dup pairs (>= 0.40, threshold sits in a 5e-4 "
-    "gap of the data's cosine distribution so float noise cannot flip "
-    "membership) — operators.similarity.embedding_neardup_pairs.",
-    lambda spark, sf: S.embedding_neardup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.40
-    ).orderBy("id_a", "id_b"),
-    oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.40
-ORDER BY id_a, id_b
-""",
-)
+def _dedup_embedding_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    exact = S.embedding_neardup_pairs(emb, threshold=0.40).select(
+        F.lit("exact").alias("method"), "id_a", "id_b"
+    )
+    lsh = S.lsh_neardup_pairs(
+        emb, threshold=0.40, n_planes=2, n_tables=40
+    ).select(F.lit("lsh").alias("method"), "id_a", "id_b")
+    return exact.unionAll(lsh).orderBy("method", "id_a", "id_b")
+
 
 _b(
-    "dedup_embedding_lsh",
-    "Embedding near-dup pairs via sign-LSH buckets + exact-cosine verify "
-    "(operators.similarity.lsh_neardup_pairs) — the plan shape that scales: "
-    "bucket equi-join, never an all-pairs inequality join. The driver's "
-    "synthetic embeddings have no margin (no pair above cosine ~0.5), so "
-    "this entry pins wide-OR parameters (2 planes x 40 tables: per-pair "
-    "miss ~1.5e-9 at cosine 0.40) where candidates are near-exhaustive by "
-    "information-theoretic necessity; the production regime (threshold "
-    "0.8+, the function defaults 8x16) prunes to ~0.4%/table background "
-    "selectivity — tests/test_operators_scale.py asserts that cardinality "
-    "drop on clustered data. Oracle: same brute-force ground truth as "
-    "dedup_embedding_cosine.",
-    lambda spark, sf: S.lsh_neardup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.40, n_planes=2, n_tables=40
-    ).orderBy("id_a", "id_b"),
+    "dedup_embedding",
+    "Embedding near-dup pairs (cosine >= 0.40) by BOTH strategies in one "
+    "tagged result: method='exact' is the brute-force pair scan "
+    "(operators.similarity.embedding_neardup_pairs), method='lsh' is the "
+    "scale path — sign-LSH bucket equi-join + exact-cosine verify "
+    "(operators.similarity.lsh_neardup_pairs), never an all-pairs "
+    "inequality join.  Both must equal the same brute-force ground truth "
+    "(the 0.40 threshold sits in a 5e-4 cosine gap so float noise cannot "
+    "flip membership).  The driver's synthetic embeddings have no margin "
+    "(no pair above cosine ~0.5), so the LSH leg pins wide-OR parameters "
+    "(2 planes x 40 tables: per-pair miss ~1.5e-9 at cosine 0.40) where "
+    "candidates are near-exhaustive by information-theoretic necessity; "
+    "the production regime (threshold 0.8+, the function defaults 8x16) "
+    "prunes to ~0.4%/table background selectivity — "
+    "tests/test_operators_scale.py asserts that cardinality drop on "
+    "clustered data.",
+    _dedup_embedding_builder,
     oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.40
-ORDER BY id_a, id_b
+WITH gt AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.40
+)
+SELECT m.method, gt.id_a, gt.id_b
+FROM gt CROSS JOIN (VALUES ('exact'), ('lsh')) AS m(method)
+ORDER BY m.method, gt.id_a, gt.id_b
 """,
 )
 
@@ -370,6 +370,131 @@ _b(
         .orderBy("query_id", "rank")
     ),
     oracle=_IVF_ORACLE,
+)
+
+#: PQ graded-entry shape: 4 subspaces of 16 dims over the dim-64 embeddings.
+_PQ_M, _PQ_DIM = 4, 64
+_PQ_DSUB = _PQ_DIM // _PQ_M
+
+
+def _pq_label_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks from per-label subvector means — the IVF
+    labeled-centroid trick applied per subspace (code j in subspace s is
+    label j's round-9 decimal-exact mean of dims [s*dsub, (s+1)*dsub)).
+    Stands in for :func:`ballista_spark.operators.similarity.pq_fit`'s
+    k-means codebooks so the oracle can rebuild them bit-for-bit; only
+    labels × dim doubles ever reach the driver."""
+    means = (
+        emb.select(
+            F.col("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,12)")).cast("double") / F.count("v"),
+                9,
+            ).alias("m")
+        )
+        .collect()
+    )
+    mm = {(r["label"], r["dim"]): r["m"] for r in means}
+    labels = sorted({r["label"] for r in means})
+    return [
+        [
+            [mm[(lab, d)] for d in range(s * _PQ_DSUB, (s + 1) * _PQ_DSUB)]
+            for lab in labels
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_builder(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    if dim != _PQ_DIM:
+        raise ValueError(
+            f"embeddings dim changed to {dim}; regenerate the m={_PQ_M} "
+            "subspace layout in the pq_adc_topk oracle"
+        )
+    books = _pq_label_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    return (
+        S.pq_adc_topk(codes, emb.where(F.col("vec_id") < 10), books, k=5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+#: DuckDB twin of pq_encode + pq_adc_topk over the label-mean codebooks:
+#: identical round-9 sub-centroids, nearest-code encoding (L2, ties to the
+#: lower code), per-query sub-dot-product LUT, ADC cosine ranking with id
+#: tie-break.  Scores are excluded from the output; the smallest adjacent
+#: ADC-cosine gap inside any query's top-6 window is 2.6e-9 on this data —
+#: ~7 orders above cross-engine summation noise, so ranks cannot flip.
+_PQ_ORACLE = f"""
+WITH cm AS (
+  SELECT label AS code, i,
+         ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,12)))
+                    AS DOUBLE) / COUNT(*), 9) AS m
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+  GROUP BY label, i
+), cb AS (
+  SELECT CAST((i - 1) // {_PQ_DSUB} AS INT) AS sub, code, LIST(m ORDER BY i) AS cv
+  FROM cm GROUP BY 1, 2
+), vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), subv AS (
+  SELECT vec_id, s.sub,
+         LIST_SLICE(v, s.sub * {_PQ_DSUB} + 1, (s.sub + 1) * {_PQ_DSUB}) AS sv
+  FROM vec, (SELECT DISTINCT sub FROM cb) s(sub)
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           ROW_NUMBER() OVER (
+               PARTITION BY sv.vec_id, sv.sub
+               ORDER BY LIST_DISTANCE(sv.sv, cb.cv), cb.code) AS rk
+    FROM subv sv JOIN cb USING (sub)
+  ) WHERE rk = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         LIST_DOT_PRODUCT(
+             LIST_SLICE(q.v, cb.sub * {_PQ_DSUB} + 1, (cb.sub + 1) * {_PQ_DSUB}),
+             cb.cv) AS dp,
+         q.nrm AS qnrm
+  FROM vec q CROSS JOIN cb WHERE q.vec_id < 10
+), adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         SUM(l.dp) / (ANY_VALUE(n.nrm) * ANY_VALUE(l.qnrm)) AS s
+  FROM enc e JOIN lut l USING (sub, code)
+  JOIN vec n ON n.vec_id = e.vec_id
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+  FROM adc
+) t WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+_b(
+    "pq_adc_topk",
+    "Product-quantized approximate top-5 by asymmetric distance "
+    "(operators.similarity.pq_encode + pq_adc_topk; 4 subspaces x 16 dims, "
+    "codebooks = per-label round-9 subvector means — engine-reproducible, "
+    "standing in for pq_fit's k-means books).  The big scan reads m "
+    "one-byte codes + one float norm per row (~6% of the float bytes at "
+    "this dim; ~0.5% at production m=16/dim=768) and each query scores "
+    "rows by m LUT lookups — no per-pair float math.  The oracle replays "
+    "encoding, LUTs and ADC ranking end-to-end; recall vs brute force "
+    "additionally asserted in tests/test_pq.py.",
+    _pq_builder,
+    oracle=_PQ_ORACLE,
 )
 
 # --- text analysis ----------------------------------------------------------
