@@ -182,6 +182,97 @@ def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     return col
 
 
+def span_doc_frequencies(df, text_col: str = "text", key_col: str = "doc_id",
+                         delim: str = "\n"):
+    """Global document frequency per text span (line/paragraph).
+
+    Splits each document on ``delim``, keeps each distinct non-empty span
+    once per document, and counts how many distinct documents contain it —
+    the statistic behind line-level boilerplate removal (the C4/RefinedWeb
+    step that strips navigation chrome, cookie banners and headers that
+    repeat across pages).  Returns (span, n_docs).
+
+    Scale shape: one explode + one hash-groupBy shuffle keyed by the span;
+    map-side partial counts shrink the shuffle to ~one row per distinct
+    span.  ``array_distinct`` before the explode keeps a span that repeats
+    *within* one document from inflating its document frequency.
+    """
+    spans = F.array_distinct(F.split(F.col(text_col), F.lit(delim), -1))
+    return (
+        df.select(F.col(key_col).alias("key"), F.explode(spans).alias("span"))
+        .where(F.trim(F.col("span")) != "")
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def remove_boilerplate(df, text_col: str = "text", key_col: str = "doc_id",
+                       delim: str = "\n", max_docs: int = 2):
+    """Line-level boilerplate removal: drop every span (line/paragraph)
+    that occurs in ``max_docs`` or more distinct documents, and reassemble
+    each document's surviving spans in their original order.
+
+    Returns the input columns with ``text_col`` replaced by the cleaned
+    text plus ``n_spans``/``n_kept`` counters.  Documents whose spans are
+    all boilerplate come back with empty text (filter on ``n_kept`` to
+    drop them).  Deterministic: span order is preserved via ``posexplode``
+    + an in-row ``array_sort`` on (pos, span) structs — no window, no
+    global ordering.
+
+    Scale shape (100 TB): the frequent-span set is joined with a LEFT
+    ANTI *shuffle* join on the span text — it is corpus-derived and must
+    never be explicitly broadcast (AQE upgrades to broadcast when it
+    actually measures small, the common case since boilerplate is by
+    definition a small set of high-frequency spans).  Reassembly is one
+    hash-groupBy shuffle keyed by the document — three shuffles total,
+    each keyed differently, none order-sensitive.
+    """
+    freq = (
+        span_doc_frequencies(df, text_col, key_col, delim)
+        .where(F.col("n_docs") >= max_docs)
+        .select("span")
+    )
+    parts = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias("pos", "span"),
+    ).where(F.trim(F.col("span")) != "")
+    kept = (
+        parts.join(freq, "span", "left_anti")
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"),
+        )
+        .select(
+            "key",
+            F.concat_ws(
+                delim, F.transform(F.col("ps"), lambda s: s.getField("span"))
+            ).alias("__clean"),
+            F.size("ps").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(key_col).alias("key"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), F.lit(delim), -1),
+                lambda s: F.trim(s) != "",
+            )
+        ).cast("bigint").alias("n_spans"),
+        *[F.col(c) for c in df.columns if c not in (text_col, key_col)],
+    )
+    other = [c for c in df.columns if c not in (text_col, key_col)]
+    return (
+        totals.join(kept, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            *other,
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def pii_hit_counts(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     """Per-category PII match counts as a struct — the audit twin of
     :func:`redact_pii` (count before you scrub; a corpus where 30% of

@@ -1,0 +1,119 @@
+"""Line-level boilerplate removal (operators.text.remove_boilerplate):
+DuckDB twin, edge cases, partitioning invariance, plan shape.
+
+The driver's synthetic documents have no line structure, so these tests
+synthesize a multi-line corpus; the operator itself is delimiter-generic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.text import remove_boilerplate, span_doc_frequencies
+
+BANNER = "ACCEPT COOKIES TO CONTINUE"
+FOOTER = "(c) example.com all rights reserved"
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            f"{BANNER}\nunique zero\n{FOOTER}",
+            f"{BANNER}\nunique one line a\nunique one line b\n{FOOTER}",
+            f"{BANNER}\n{FOOTER}",  # all boilerplate
+            "only unique text here",
+            f"repeated within\nrepeated within\n{FOOTER}",  # in-doc repeat
+            "",  # empty document
+        ],
+        "source": ["s0", "s0", "s1", "s1", "s2", "s2"],
+    }
+)
+
+_TWIN = """
+WITH parts AS (
+  SELECT doc_id, source, g.i AS pos, l[g.i] AS span
+  FROM (SELECT doc_id, source, STRING_SPLIT(text, CHR(10)) AS l FROM docs),
+       UNNEST(GENERATE_SERIES(1, LEN(l))) AS g(i)
+  WHERE TRIM(l[g.i]) <> ''
+), freq AS (
+  SELECT span FROM (
+    SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM parts GROUP BY span
+  ) WHERE n_docs >= 3
+), kept AS (
+  SELECT doc_id, STRING_AGG(span, CHR(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM parts ANTI JOIN freq USING (span)
+  GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, source, COUNT(pos) AS n_spans
+  FROM (SELECT doc_id, source FROM docs) d
+  LEFT JOIN parts USING (doc_id, source)
+  GROUP BY doc_id, source
+)
+SELECT t.doc_id, COALESCE(k.text, '') AS text, t.source,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def _spark_docs(spark, n_parts=1):
+    df = spark.createDataFrame(DOCS)
+    return df.repartition(n_parts, "doc_id") if n_parts > 1 else df
+
+
+def test_matches_duckdb_twin(spark, duck):
+    from tests.conftest import assert_frames_match
+
+    out = remove_boilerplate(_spark_docs(spark), max_docs=3).orderBy("doc_id")
+    duck.register("docs", DOCS)
+    try:
+        assert_frames_match(out, duck.sql(_TWIN))
+    finally:
+        duck.unregister("docs")
+
+
+def test_semantics_explicit(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(_spark_docs(spark), max_docs=3).collect()
+    }
+    # banner (3 docs) stripped; footer (4 docs) stripped; unique lines kept
+    assert rows[0]["text"] == "unique zero"
+    assert rows[1]["text"] == "unique one line a\nunique one line b"
+    # all-boilerplate doc -> empty text, counters reveal it
+    assert rows[2]["text"] == "" and rows[2]["n_spans"] == 2 and rows[2]["n_kept"] == 0
+    assert rows[3]["text"] == "only unique text here"
+    # a span repeated only WITHIN one doc is not boilerplate (df counted once)
+    assert rows[4]["text"] == "repeated within\nrepeated within"
+    assert rows[5]["text"] == "" and rows[5]["n_spans"] == 0
+    # non-key columns ride through
+    assert rows[4]["source"] == "s2"
+
+
+def test_partitioning_invariant(spark):
+    a = sorted(
+        map(tuple, remove_boilerplate(_spark_docs(spark), max_docs=3).collect())
+    )
+    b = sorted(
+        map(tuple, remove_boilerplate(_spark_docs(spark, 5), max_docs=3).collect())
+    )
+    assert a == b
+
+
+def test_span_frequencies_count_documents_not_occurrences(spark):
+    freq = {
+        r["span"]: r["n_docs"]
+        for r in span_doc_frequencies(_spark_docs(spark)).collect()
+    }
+    assert freq[BANNER] == 3 and freq[FOOTER] == 4
+    assert freq["repeated within"] == 1  # within-doc repeat counted once
+
+
+def test_plan_stays_jvm_side(spark):
+    plan = remove_boilerplate(_spark_docs(spark), max_docs=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the span set must not arrive via a nested-loop broadcast
+    assert "BroadcastNestedLoopJoin" not in plan, plan
