@@ -339,14 +339,18 @@ def minhash_lsh_pairs(
         members.count()
     reps = marked.where(F.col("key") == F.col("__rep")).select("key", "__t")
 
+    # NOTE on the eager barriers below: only `members` and `groups` are
+    # counted.  Counting `groups` computes — and therefore caches — the
+    # persisted `sh` on the way (persist fills on first computation no
+    # matter which job triggers it), so a third sh.count() barrier would
+    # add a full sequential pass for nothing; measured ~0.5 s at sf0.1.
+
     # the shingle set feeds three consumers (signatures + both sides of the
     # verification join) — materialize it once instead of recomputing the
     # tokenize/shingle lineage three times
     sh = shingle_sets(reps, "__t", "key", n).persist()
     with _PERSISTED_LOCK:
         _PERSISTED.append(sh)
-    if eager:
-        sh.count()
     sig = _minhash_signatures(sh, n_hashes)
     # one parsed SQL expression for all band hashes (xxhash64 over each
     # band's signature slice) — same values as per-column construction,
