@@ -43,7 +43,31 @@ DST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/bs_stress_sf1")
 #: the replica count by construction (every replica of a doc pairs with
 #: every other), which would measure output size, not plan scaling.
 QUERIES = ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "tpch_q21"]
-PIPELINE = ["dedup_minhash_lsh", "text_stats", "ann_lsh_bucketed", "ivf_ann_topk"]
+PIPELINE = [
+    "dedup_minhash_lsh",
+    "text_stats",
+    "ann_lsh_bucketed",
+    "ivf_ann_topk",
+    "pq_adc_topk",
+    "boilerplate_words",
+]
+
+
+def _boilerplate_words(spark, sf_dir: str):
+    """Stress shape for operators.text.remove_boilerplate: the testdata
+    documents have no line structure, so spans are words (delim=' ') with a
+    high doc-frequency cutoff — semantically degenerate but the identical
+    plan (explode -> span-frequency shuffle -> anti-join -> in-order
+    reassembly) at ~100 spans/doc."""
+    from ballista_spark.operators.text import remove_boilerplate
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, delim=" ", max_docs=1000)
+
+
+#: stress-only builders that are not graded corpus entries
+LOCAL_BUILDERS = {"boilerplate_words": _boilerplate_words}
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
     chosen = [q.strip() for q in _override.split(",") if q.strip()]
@@ -119,15 +143,18 @@ def time_queries(spark, sf_dir: str, iters: int = 2) -> dict[str, float]:
     register_tables(spark, sf_dir)
     out: dict[str, float] = {}
     for name in QUERIES + PIPELINE:
-        q = TPCH_QUERIES.get(name) or PIPELINE_QUERIES[name]
+        q = None if name in LOCAL_BUILDERS else (
+            TPCH_QUERIES.get(name) or PIPELINE_QUERIES[name]
+        )
         runs = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            df = (
-                spark.sql(spec_dialect(q.sql))
-                if q.sql is not None
-                else q.run(spark, sf_dir)
-            )
+            if q is None:
+                df = LOCAL_BUILDERS[name](spark, sf_dir)
+            elif q.sql is not None:
+                df = spark.sql(spec_dialect(q.sql))
+            else:
+                df = q.run(spark, sf_dir)
             n = len(df.collect())
             runs.append(time.perf_counter() - t0)
         out[name] = min(runs)
