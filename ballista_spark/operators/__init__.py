@@ -8,10 +8,12 @@ small sides, no driver-side collection anywhere.
 """
 
 from ballista_spark.operators.dedup import (
+    connected_components,
     dedup_against,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_duplicates,
     shingle_sets,
     simhash_pairs,
     simhash_signatures,
@@ -83,6 +85,8 @@ __all__ = [
     "contamination_stats",
     "decontaminate",
     "dedup_against",
+    "connected_components",
+    "resolve_duplicates",
     "pack_contiguous",
     "pack_greedy",
     "pq_fit",

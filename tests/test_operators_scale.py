@@ -237,3 +237,59 @@ def test_minhash_plan_has_no_cartesian(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- components
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 12-link chain (worst diameter per edge), two cliques, and an
+    isolated pair all collapse to min-key components, well within the
+    O(log d) round budget."""
+    from ballista_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 22)]       # one component: 10
+    clique = [(a, b) for a in range(1, 4) for b in range(a + 1, 4)]  # comp 1
+    extra = [(100, 200)]                              # comp 100
+    pairs = spark.createDataFrame(chain + clique + extra, "key_a long, key_b long")
+    got = {r["key"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == (
+        {k: 10 for k in range(10, 23)}
+        | {k: 1 for k in range(1, 4)}
+        | {100: 100, 200: 100}
+    )
+
+
+def test_connected_components_string_keys(spark):
+    from ballista_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "key_a string, key_b string"
+    )
+    got = {r["key"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_resolve_duplicates_end_to_end(spark):
+    """minhash pairs -> components -> exactly one survivor per cluster,
+    non-duplicated docs untouched."""
+    from ballista_spark.operators.dedup import minhash_lsh_pairs, resolve_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),                      # cluster {1,2,3} via chained edits
+        (2, base + "alpha"),
+        (3, base + "alpha beta"),
+        (10, "completely different text about spark and parquet " * 8),
+        (11, "completely different text about spark and parquet " * 8 + "zz"),
+        (50, "an unrelated singleton document with its own words " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.5)
+    out = resolve_duplicates(df, pairs).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    canon = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[50] == 50
+    assert canon == [1, 10, 50]
