@@ -27,6 +27,7 @@ from ballista_spark.operators.similarity import (
     pq_adc_topk,
     pq_encode,
     pq_fit,
+    semdedup_pairs,
 )
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
@@ -92,4 +93,5 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_adc_topk",
+    "semdedup_pairs",
 ]

@@ -909,3 +909,71 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# --- semantic dedup ----------------------------------------------------------
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the embedding
+    space with spherical k-means, then verify exact cosine only *within*
+    each cluster (public method: Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication").
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
+    ``cosine >= threshold`` for pairs assigned to the same cell.  Feed the
+    result to ``dedup.resolve_duplicates(df, pairs, key_a="id_a",
+    key_b="id_b")`` for survivor selection.
+
+    vs :func:`lsh_neardup_pairs`: LSH buckets prune by random hyperplanes
+    (data-independent, exact recall math); SemDeDup cells are *learned*, so
+    at equal candidate budget they capture semantically-clustered
+    duplicates that sit near hyperplane boundaries — the trade is that a
+    pair split across two cells is missed by construction (the paper
+    accepts this; raise ``k`` slowly or probe 2 cells if recall matters
+    more than cost).
+
+    Scale shape (100 TB): cell assignment is the map-only broadcast
+    scan of :func:`_nearest_centroids` (no shuffle); the within-cell
+    self-join is ONE shuffle of the corpus keyed by cell, and pair work is
+    Σ|cell|² ≈ n²/k — choose k ∝ corpus size to hold expected cell size
+    (and therefore per-reducer pair work) constant.  Training cost is
+    ``max_iters`` distributed passes (see :func:`kmeans_fit`); at scale,
+    train once on a sample and pass ``centroids`` in.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, k, vec_col=vec_col, id_col=id_col,
+            max_iters=max_iters, spherical=True,
+        )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["centroid_id", "centroid_v"],
+    )
+    base = _spread(corpus, id_col).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _nearest_centroids(base, cent, "id", "v", n_probe=1).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _cosine(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -453,3 +453,64 @@ def test_redact_pii_and_hit_counts(spark, duck):
     assert got == want
     assert got[5][0] == docs[4][1]  # clean text unchanged
     assert got[5][1:] == (0, 0, 0)
+
+
+def test_semdedup_trained_path_is_exact_within_cells(spark):
+    """Trained path on blob data: every emitted pair is a true near-dup
+    (verify filter = brute-force filter, so got ⊆ brute force always) and
+    recall stays high even when Lloyd's lands in a local optimum that
+    splits a blob across cells (hash-seeded k-means on this fixture
+    yields cells 30/15/11/4 → recall 376/420 ≈ 0.9, deterministic).  The
+    plan must stay a cell equi-join — no cartesian product."""
+    import numpy as np
+
+    from ballista_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (4, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(15):  # 15 jittered copies per blob = in-cluster dups
+            rows.append((vid, [float(x) for x in b + rng.normal(0, 0.02, 16)]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = semdedup_pairs(df, threshold=0.95, k=4, max_iters=10)
+    assert "CartesianProduct" not in got._jdf.queryExecution().executedPlan().toString()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(want) == 4 * 15 * 14 // 2
+    assert got_pairs <= want
+    assert len(got_pairs) / len(want) >= 0.8
+
+
+def test_semdedup_accepts_pretrained_centroids_and_resolves(spark):
+    """Pretrained-centroid path + resolve_duplicates survivor selection:
+    one survivor per blob."""
+    import numpy as np
+
+    from ballista_spark.operators.dedup import resolve_duplicates
+    from ballista_spark.operators.similarity import semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (3, 8))
+    rows = [
+        (10 * bi + j, [float(x) for x in b + rng.normal(0, 0.01, 8)])
+        for bi, b in enumerate(base)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[float(x) for x in b / np.linalg.norm(b)] for b in base]
+    pairs = semdedup_pairs(df, threshold=0.95, centroids=cents)
+    out = resolve_duplicates(
+        df, pairs, key_col="vec_id", key_a="id_a", key_b="id_b"
+    )
+    canon = sorted(r["vec_id"] for r in out.collect() if r["is_canonical"])
+    assert canon == [0, 10, 20]
