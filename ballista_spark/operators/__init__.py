@@ -29,6 +29,11 @@ from ballista_spark.operators.similarity import (
     pq_fit,
     semdedup_pairs,
 )
+from ballista_spark.operators.quality import (
+    hashed_ngram_features,
+    logreg_fit,
+    quality_classifier_score,
+)
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
     hash_split,
@@ -94,4 +99,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "semdedup_pairs",
+    "hashed_ngram_features",
+    "logreg_fit",
+    "quality_classifier_score",
 ]

@@ -1,0 +1,193 @@
+"""Hashed n-gram quality classifier — the fastText/CCNet-style document
+scorer every web-scale training-data pipeline runs (public method: Joulin
+et al. 2016 "Bag of Tricks for Efficient Text Classification"; applied to
+corpus filtering in CCNet and the LLaMA/GPT-3 data pipelines).
+
+Three pieces, all pure DataFrame compositions:
+
+- :func:`hashed_ngram_features` — the hashing trick: token n-grams →
+  ``md5_long(gram) mod n_features`` buckets, L1-normalized per-doc counts.
+  One explode + one (key, bucket) groupBy; the per-doc gram total rides
+  the rows from before the explode so normalization costs no second
+  shuffle.
+- :func:`logreg_fit` — distributed logistic regression by batch gradient
+  descent.  Spark-idiomatic iterative shape (same as kmeans_fit): the
+  weight vector lives as a ≤ ``n_features``-row DataFrame that joins the
+  feature rows (broadcast — bounded by construction: the hashing trick
+  exists precisely to cap the model at a broadcastable size), and each
+  iteration is two feature-sized shuffles (per-doc margin reduce,
+  per-bucket gradient reduce).  The corpus is never collected;
+  ``localCheckpoint`` truncates the per-iteration lineage so the plan
+  stays constant-size.
+- :func:`quality_classifier_score` — score = sigmoid(w·x + b) per doc,
+  one broadcast join + one per-doc reduce.
+
+Reference parity: the reference engine ships no ML operator — this exists
+for the 100 TB training-data pipeline (SURVEY §2 "beyond the reference"
+inventory), where quality filtering is a first-class stage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.hashing import md5_long
+
+#: default hashed-feature space: 2^18 buckets ≈ 2 MB of float64 weights —
+#: comfortably broadcastable, collision rate fine for quality filtering.
+N_FEATURES = 2**18
+
+
+class LogRegModel(NamedTuple):
+    """Trained classifier: sparse weights (bucket, w) + intercept."""
+
+    weights: DataFrame
+    bias: float
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2),
+) -> DataFrame:
+    """(key, bucket, x) rows — L1-normalized hashed n-gram counts per doc.
+
+    ``x`` sums to 1 within each document (empty docs produce no rows), so
+    classifier margins are bounded regardless of document length.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+    # single-arg closure per n: F.transform passes (element, index) to
+    # 2-arg lambdas, so a `lambda i, n=n:` capture would silently receive
+    # the array INDEX as n
+    def gram_fn(n: int):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+    gram_arrays = [
+        # guard: sequence(1, 0) DESCENDS to [1, 0] (slice start 0 errors),
+        # so short/empty docs get an explicit empty gram array instead
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram_fn(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for n in ngrams
+    ]
+    grams = F.flatten(F.array(*gram_arrays))
+    exploded = df.select(
+        F.col(key_col).alias("key"),
+        F.size(grams).alias("total"),
+        F.explode(grams).alias("gram"),
+    ).withColumn("bucket", F.pmod(md5_long("gram"), F.lit(n_features)))
+    return (
+        exploded.groupBy("key", "bucket")
+        .agg((F.count("*") / F.first("total")).alias("x"))
+    )
+
+
+def _sigmoid(z: F.Column) -> F.Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _margins(features: DataFrame, model_w: DataFrame, bias: float) -> DataFrame:
+    """(key, margin) — w·x + b per document."""
+    return (
+        features.join(F.broadcast(model_w), "bucket", "left")
+        .groupBy("key")
+        .agg(
+            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")) + F.lit(bias)).alias(
+                "margin"
+            )
+        )
+    )
+
+
+def logreg_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    key_col: str = "key",
+    n_iters: int = 30,
+    lr: float = 10.0,
+    reg: float = 0.0,
+) -> LogRegModel:
+    """Train a logistic-regression classifier on hashed features.
+
+    ``features``: (key, bucket, x) from :func:`hashed_ngram_features`;
+    ``labels``: (key, label) with label in {0, 1}.
+
+    Batch gradient descent, one distributed pass per iteration:
+    margin-reduce per doc (broadcast weight join), error join against the
+    labels, gradient-reduce per bucket, driver-side weight update applied
+    as a small outer join.  The learning rate defaults high because
+    features are L1-normalized (margins move slowly otherwise); loss is
+    monotone on separable synthetic fixtures at lr=10.
+    """
+    lab = labels.select(
+        F.col(key_col).alias("key"), F.col(label_col).cast("double").alias("y")
+    )
+    feats = features.persist()
+    n_docs = lab.count()
+    weights = feats.sparkSession.createDataFrame([], "bucket long, w double")
+    bias = 0.0
+    try:
+        for _ in range(n_iters):
+            marg = _margins(feats, weights, bias)
+            err = (
+                marg.join(lab, "key")
+                .select("key", (_sigmoid(F.col("margin")) - F.col("y")).alias("g"))
+            )
+            grad = (
+                feats.join(err, "key")
+                .groupBy("bucket")
+                .agg((F.sum(F.col("g") * F.col("x")) / F.lit(n_docs)).alias("gw"))
+            )
+            bias_grad = err.agg((F.sum("g") / F.lit(n_docs)).alias("gb")).collect()[0][
+                "gb"
+            ]
+            weights = (
+                weights.join(grad, "bucket", "full")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0)) * F.lit(1.0 - lr * reg)
+                        - F.lit(lr) * F.coalesce(F.col("gw"), F.lit(0.0))
+                    ).alias("w"),
+                )
+                .localCheckpoint(eager=True)  # truncate per-iteration lineage
+            )
+            bias -= lr * float(bias_grad or 0.0)
+        return LogRegModel(weights, bias)
+    finally:
+        feats.unpersist()
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: LogRegModel,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2),
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Annotate ``df`` with sigmoid(w·x + b) in [0, 1] — the keep/drop
+    probability a pipeline thresholds on.  Docs with no features (empty
+    text) score sigmoid(b)."""
+    feats = hashed_ngram_features(df, text_col, key_col, n_features, ngrams)
+    scores = _margins(feats, model.weights, model.bias).select(
+        F.col("key").alias(key_col), _sigmoid(F.col("margin")).alias(score_col)
+    )
+    empty_score = 1.0 / (1.0 + math.exp(-model.bias))
+    return df.join(scores, key_col, "left").withColumn(
+        score_col, F.coalesce(F.col(score_col), F.lit(empty_score))
+    )
