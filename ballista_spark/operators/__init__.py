@@ -34,6 +34,11 @@ from ballista_spark.operators.quality import (
     logreg_fit,
     quality_classifier_score,
 )
+from ballista_spark.operators.lm import (
+    ngram_lm_fit,
+    ngram_lm_score,
+    perplexity_filter,
+)
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
     hash_split,
@@ -102,4 +107,7 @@ __all__ = [
     "hashed_ngram_features",
     "logreg_fit",
     "quality_classifier_score",
+    "ngram_lm_fit",
+    "ngram_lm_score",
+    "perplexity_filter",
 ]
