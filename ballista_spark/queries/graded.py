@@ -1011,6 +1011,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.dataset import pack_contiguous
     from ballista_spark.operators.decontam import contamination_stats, decontaminate
     from ballista_spark.operators.dedup import dedup_against
+    from ballista_spark.operators.lm import ngram_lm_fit, ngram_lm_score
     from ballista_spark.operators.sampling import (
         group_cap,
         hash_sample,
@@ -1105,6 +1106,46 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # stupid-backoff bigram LM trained on src1 only, scored over ALL docs,
+    # so cross-source scoring exercises every path: bigram hit, unigram
+    # backoff (ln 0.4 discount), and the OOV floor.  Per-source pins:
+    # exact (n docs, token sum) + the avg_logp sum rounded to 1e-4 —
+    # coarse enough to absorb cross-engine libm ulp + summation-order
+    # noise (same discipline as cov_math_funcs' ROUND(...,9)), fine
+    # enough that any formula/backoff/count error lands far outside it.
+    # The n=3 ladder and exact (unrounded) scores are pytest-mirrored in
+    # test_lm.py; n=2 keeps the oracle's candidate/fit CTEs compact.
+    lm = ngram_lm_fit(docs.where(F.col("source") == "src1"), n=2)
+    lm_g = (
+        ngram_lm_score(docs, lm)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").alias("st"),
+            F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
+        )
+    )
+    lm_rows = (
+        lm_g.select(
+            F.lit("lm_ppl").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            lm_g.select(
+                F.lit("lm_ppl"), F.col("source"), F.lit("sum_tokens"),
+                F.col("st").cast("long"),
+            )
+        )
+        .unionAll(
+            lm_g.select(
+                F.lit("lm_ppl"), F.col("source"), F.lit("logp_1e4"), F.col("sl4")
+            )
+        )
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1130,6 +1171,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(contam_tagged)
         .unionAll(pack_rows)
+        .unionAll(lm_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1208,6 +1250,45 @@ WITH lot AS (
           + GREATEST(ploc.n_tok, 1) - 1) // 512 AS pack_last,
          (pboff.off + ploc.lend - ploc.n_tok) % 512 AS pack_offset
   FROM ploc JOIN pboff USING (b)
+), lmtr AS (
+  SELECT LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> LEN(x) > 0) AS l
+  FROM documents WHERE source = 'src1'
+), lmc1 AS (
+  SELECT l[i] AS gram, COUNT(*) AS cnt
+  FROM lmtr, UNNEST(GENERATE_SERIES(1, LEN(l))) g(i) GROUP BY 1
+), lmtot AS (
+  SELECT SUM(cnt) AS t FROM lmc1
+), lm1 AS (
+  SELECT gram, LN(cnt / (SELECT t FROM lmtot)) AS logp FROM lmc1
+), lm2 AS (
+  SELECT c2.gram, LN(c2.cnt * 1.0 / c1.cnt) AS logp
+  FROM (SELECT l[i-1] || ' ' || l[i] AS gram, COUNT(*) AS cnt
+        FROM lmtr, UNNEST(GENERATE_SERIES(2, LEN(l))) g(i) GROUP BY 1) c2
+  JOIN lmc1 c1 ON SPLIT_PART(c2.gram, ' ', 1) = c1.gram
+), lmsc AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> LEN(x) > 0) AS l
+  FROM documents
+), lmpos AS (
+  SELECT doc_id, i, l[i] AS w,
+         CASE WHEN i >= 2 THEN l[i-1] || ' ' || l[i] END AS big
+  FROM lmsc, UNNEST(GENERATE_SERIES(1, LEN(l))) g(i)
+), lmplp AS (
+  SELECT p.doc_id,
+         CASE WHEN lm2.logp IS NOT NULL THEN lm2.logp
+              WHEN lm1.logp IS NOT NULL THEN
+                CASE WHEN p.i >= 2 THEN LN(0.4) ELSE 0 END + lm1.logp
+              ELSE CASE WHEN p.i >= 2 THEN LN(0.4) ELSE 0 END
+                   - LN((SELECT t FROM lmtot) + 1.0)
+         END AS lp
+  FROM lmpos p LEFT JOIN lm2 ON p.big = lm2.gram
+               LEFT JOIN lm1 ON p.w = lm1.gram
+), lmdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS avg_logp
+  FROM lmplp GROUP BY doc_id
+), lmres AS (
+  SELECT d.source, COUNT(*) AS n, SUM(lmdoc.n_tokens) AS st,
+         CAST(ROUND(SUM(lmdoc.avg_logp) * 10000) AS BIGINT) AS sl4
+  FROM lmdoc JOIN documents d USING (doc_id) GROUP BY d.source
 )
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
@@ -1248,6 +1329,9 @@ UNION ALL SELECT 'pack', source, 'sum_off', CAST(SUM(pack_offset) AS BIGINT)
   FROM pk GROUP BY source
 UNION ALL SELECT 'pack', source, 'max_last', CAST(MAX(pack_last) AS BIGINT)
   FROM pk GROUP BY source
+UNION ALL SELECT 'lm_ppl', source, 'n', CAST(n AS BIGINT) FROM lmres
+UNION ALL SELECT 'lm_ppl', source, 'sum_tokens', CAST(st AS BIGINT) FROM lmres
+UNION ALL SELECT 'lm_ppl', source, 'logp_1e4', sl4 FROM lmres
 ORDER BY op, k, metric
 """
 
@@ -1258,10 +1342,12 @@ _b(
     "consolidated with the deterministic corpus-surgery operators: "
     "md5-lottery Bernoulli + stratified + temperature-mixture sampling, "
     "per-source document caps, benchmark n-gram decontamination, "
-    "incremental dedup against a seen corpus, and contiguous sequence "
-    "packing (two-level distributed prefix sum) — every selected set / "
-    "token layout pinned exactly cross-engine (count + sum of ids per "
-    "source; packing via per-source window-id/offset sums).",
+    "incremental dedup against a seen corpus, contiguous sequence "
+    "packing (two-level distributed prefix sum), and a stupid-backoff "
+    "bigram-LM perplexity scorer (trained on src1, scored cross-source "
+    "so backoff + OOV paths fire) — every selected set / token layout "
+    "pinned exactly cross-engine (count + sum of ids per source; packing "
+    "via window-id/offset sums; LM via token counts + logp sums at 1e-4).",
     _sketch_sampling_builder,
     oracle=_sketch_sampling_oracle(),
 )
