@@ -59,23 +59,46 @@ def _tokens(text) -> F.Column:
     return F.filter(F.split(F.trim(col), "\\s+"), lambda t: F.length(t) > 0)
 
 
+def _gram_orders(toks: F.Column, orders: tuple[int, ...]) -> list[F.Column]:
+    """Whole-array n-gram arrays, one per requested order.
+
+    ``toks`` MUST be a materialized column reference (not the
+    split/filter expression itself): a lambda that captures an expression
+    subtree re-evaluates it per array element in Spark's interpreted
+    higher-order-function path — per-position ``slice(tokenize(text)...)``
+    measured ~90x slower than these O(len) whole-array slices + zip_with
+    (500 docs: 92 s -> ~1 s; same pathology text.py's
+    dup_ngram_fraction already avoids)."""
+    sz = F.size(toks)
+    arrs = {1: toks}
+    for k in range(2, max(orders) + 1):
+        length = F.greatest(sz - (k - 1), F.lit(0))
+        arrs[k] = F.zip_with(
+            F.slice(arrs[k - 1], 1, length),
+            F.slice(toks, k, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return [arrs[k] for k in orders]
+
+
 def _candidate_grams(toks: F.Column, n: int) -> F.Column:
     """array<struct<i,k,gram>> — for each 1-based position i, the grams of
-    order k = 1..min(n, i) ending at i (``slice`` is 1-based)."""
+    order k = 1..min(n, i) ending at i.  ``toks`` must be a materialized
+    column reference (see :func:`_gram_orders`)."""
 
-    def per_pos(i: F.Column) -> F.Column:
+    def structs(k: int, arr: F.Column) -> F.Column:
+        # order-k array element idx (0-based) ends at position i = idx + k
         return F.transform(
-            F.sequence(F.lit(1), F.least(F.lit(n), i)),
-            lambda k: F.struct(
-                i.alias("i"),
-                k.alias("k"),
-                F.concat_ws(" ", F.slice(toks, i - k + 1, k)).alias("gram"),
+            arr,
+            lambda g, idx: F.struct(
+                (idx + F.lit(k)).cast("int").alias("i"),
+                F.lit(k).alias("k"),
+                g.alias("gram"),
             ),
         )
 
-    return F.when(F.size(toks) > 0, F.flatten(
-        F.transform(F.sequence(F.lit(1), F.size(toks)), per_pos)
-    )).otherwise(F.array().cast("array<struct<i:int,k:int,gram:string>>"))
+    arrs = _gram_orders(toks, tuple(range(1, n + 1)))
+    return F.flatten(F.array(*[structs(k + 1, a) for k, a in enumerate(arrs)]))
 
 
 def ngram_lm_fit(
@@ -93,7 +116,8 @@ def ngram_lm_fit(
     no spaces).  Unigrams divide by the total token count (one scalar).
     """
     counts = (
-        docs.select(F.explode(_candidate_grams(_tokens(text_col), n)).alias("c"))
+        docs.select(_tokens(text_col).alias("__toks"))
+        .select(F.explode(_candidate_grams(F.col("__toks"), n)).alias("c"))
         .groupBy(F.col("c.k").alias("order"), F.col("c.gram").alias("gram"))
         .agg(F.count("*").alias("cnt"))
         .persist()
@@ -140,10 +164,11 @@ def ngram_lm_score(
     ``exp(-avg_logp)``.
     """
     ln_a = math.log(model.alpha)
-    cand = docs.select(
-        F.col(key_col).alias("key"),
-        F.explode(_candidate_grams(_tokens(text_col), model.n)).alias("c"),
-    ).select("key", F.col("c.i").alias("i"), F.col("c.k").alias("k"), F.col("c.gram").alias("gram"))
+    cand = (
+        docs.select(F.col(key_col).alias("key"), _tokens(text_col).alias("__toks"))
+        .select("key", F.explode(_candidate_grams(F.col("__toks"), model.n)).alias("c"))
+        .select("key", F.col("c.i").alias("i"), F.col("c.k").alias("k"), F.col("c.gram").alias("gram"))
+    )
     hits = cand.join(
         model.table.withColumnRenamed("order", "k"), ["k", "gram"], "left"
     )

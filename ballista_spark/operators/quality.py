@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ballista_spark.operators.hashing import md5_long
+from ballista_spark.operators.lm import _gram_orders
 
 #: default hashed-feature space: 2^18 buckets ≈ 2 MB of float64 weights —
 #: comfortably broadcastable, collision rate fine for quality filtering.
@@ -60,34 +61,26 @@ def hashed_ngram_features(
 
     ``x`` sums to 1 within each document (empty docs produce no rows), so
     classifier margins are bounded regardless of document length.
+
+    Tokens and the gram array are materialized as columns in staged
+    projections (whole-array zip_with construction — lm._gram_orders)
+    so nothing tokenizes per array element; the naive per-position
+    ``slice(tokenize(text), i, n)`` form measured ~90x slower.
     """
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
     )
-
-    # single-arg closure per n: F.transform passes (element, index) to
-    # 2-arg lambdas, so a `lambda i, n=n:` capture would silently receive
-    # the array INDEX as n
-    def gram_fn(n: int):
-        return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-
-    gram_arrays = [
-        # guard: sequence(1, 0) DESCENDS to [1, 0] (slice start 0 errors),
-        # so short/empty docs get an explicit empty gram array instead
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram_fn(n)
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        for n in ngrams
-    ]
-    grams = F.flatten(F.array(*gram_arrays))
-    exploded = df.select(
-        F.col(key_col).alias("key"),
-        F.size(grams).alias("total"),
-        F.explode(grams).alias("gram"),
-    ).withColumn("bucket", F.pmod(md5_long("gram"), F.lit(n_features)))
+    staged = df.select(F.col(key_col).alias("key"), toks.alias("__toks"))
+    grams = F.flatten(F.array(*_gram_orders(F.col("__toks"), tuple(ngrams))))
+    exploded = (
+        staged.select("key", grams.alias("__grams"))
+        .select(
+            "key",
+            F.size("__grams").alias("total"),
+            F.explode("__grams").alias("gram"),
+        )
+        .withColumn("bucket", F.pmod(md5_long("gram"), F.lit(n_features)))
+    )
     return (
         exploded.groupBy("key", "bucket")
         .agg((F.count("*") / F.first("total")).alias("x"))

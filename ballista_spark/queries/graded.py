@@ -1011,7 +1011,13 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.dataset import pack_contiguous
     from ballista_spark.operators.decontam import contamination_stats, decontaminate
     from ballista_spark.operators.dedup import dedup_against
+    from ballista_spark.operators.hashing import md5_long
     from ballista_spark.operators.lm import ngram_lm_fit, ngram_lm_score
+    from ballista_spark.operators.quality import (
+        N_FEATURES,
+        LogRegModel,
+        quality_classifier_score,
+    )
     from ballista_spark.operators.sampling import (
         group_cap,
         hash_sample,
@@ -1116,6 +1122,11 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The n=3 ladder and exact (unrounded) scores are pytest-mirrored in
     # test_lm.py; n=2 keeps the oracle's candidate/fit CTEs compact.
     lm = ngram_lm_fit(docs.where(F.col("source") == "src1"), n=2)
+    # eager checkpoint: the per-source aggregate is <= n_sources rows but
+    # its subtree would otherwise be copied once per metric AND planned
+    # inside the giant entry union, where the interpreted higher-order
+    # gram expressions evaluate pathologically (~90 s observed for the
+    # quality branch vs ~1 s standalone at sf0.001)
     lm_g = (
         ngram_lm_score(docs, lm)
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -1125,6 +1136,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("st"),
             F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
         )
+        .localCheckpoint(eager=True)
     )
     lm_rows = (
         lm_g.select(
@@ -1143,6 +1155,40 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             lm_g.select(
                 F.lit("lm_ppl"), F.col("source"), F.lit("logp_1e4"), F.col("sl4")
             )
+        )
+    )
+
+    # quality-classifier SCORING path (training is iterative → pytest):
+    # a fixed literal-gram weight model whose buckets both engines derive
+    # from the same md5 formula, applied through the real
+    # hashed-features + broadcast-margin + sigmoid pipeline.  Pins per
+    # source: n docs, count above the 0.5 keep-threshold, and the score
+    # sum at 1e-4 (same ulp discipline as lm_ppl).
+    wdf = spark.createDataFrame(_QUALITY_WEIGHTS, "gram string, w double").select(
+        (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
+    )
+    q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
+    q_g = (
+        q_scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
+            F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
+        )
+        .localCheckpoint(eager=True)  # see lm_g
+    )
+    q_rows = (
+        q_g.select(
+            F.lit("quality").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            q_g.select(F.lit("quality"), F.col("source"), F.lit("n_above"), F.col("na"))
+        )
+        .unionAll(
+            q_g.select(F.lit("quality"), F.col("source"), F.lit("score_1e4"), F.col("s4"))
         )
     )
 
@@ -1172,14 +1218,29 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(contam_tagged)
         .unionAll(pack_rows)
         .unionAll(lm_rows)
+        .unionAll(q_rows)
         .orderBy("op", "k", "metric")
     )
 
 
+#: fixed scoring model for the graded 'quality' branch — grams from the
+#: synthetic documents vocabulary; weights deliberately irregular so no
+#: margin can sit on the 0.5 threshold
+_QUALITY_WEIGHTS = [
+    ("join", 1.73), ("hash", -0.91), ("row", 0.63), ("scan", -1.37),
+    ("slow", -2.11), ("fast", 1.29), ("table table", 2.41), ("value fast", -1.83),
+]
+_QUALITY_BIAS = -0.25
+
+
 def _sketch_sampling_oracle() -> str:
+    from ballista_spark.operators.quality import N_FEATURES
     from ballista_spark.operators.sampling import rate_threshold
 
     th03 = rate_threshold(0.3)
+    qvals = ", ".join(f"('{g}', {w})" for g, w in _QUALITY_WEIGHTS)
+    qbias = _QUALITY_BIAS
+    nf = N_FEATURES
     strat_case = (
         f"CASE WHEN source = 'src0' THEN '{rate_threshold(1.0)}' "
         f"WHEN source = 'src1' THEN '{rate_threshold(0.5)}' "
@@ -1289,6 +1350,34 @@ WITH lot AS (
   SELECT d.source, COUNT(*) AS n, SUM(lmdoc.n_tokens) AS st,
          CAST(ROUND(SUM(lmdoc.avg_logp) * 10000) AS BIGINT) AS sl4
   FROM lmdoc JOIN documents d USING (doc_id) GROUP BY d.source
+), qw AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(MD5(gram), 1, 15)) AS BIGINT) % {nf} AS bucket, w
+  FROM (VALUES {qvals}) t(gram, w)
+), qgr AS (
+  SELECT doc_id, w AS gram FROM lmpos
+  UNION ALL SELECT doc_id, big FROM lmpos WHERE big IS NOT NULL
+), qfeat AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(gram), 1, 15)) AS BIGINT) % {nf} AS bucket,
+         COUNT(*) AS c
+  FROM qgr GROUP BY 1, 2
+), qtot AS (
+  SELECT doc_id, COUNT(*) AS total FROM qgr GROUP BY 1
+), qmarg AS (
+  SELECT f.doc_id,
+         SUM(COALESCE(qw.w, 0) * (f.c * 1.0 / qtot.total)) + ({qbias}) AS m
+  FROM qfeat f JOIN qtot USING (doc_id) LEFT JOIN qw USING (bucket)
+  GROUP BY 1
+), qsc AS (
+  SELECT d.source,
+         COALESCE(1.0 / (1.0 + EXP(-qmarg.m)),
+                  1.0 / (1.0 + EXP(-({qbias})))) AS p
+  FROM documents d LEFT JOIN qmarg USING (doc_id)
+), qres AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS na,
+         CAST(ROUND(SUM(p) * 10000) AS BIGINT) AS s4
+  FROM qsc GROUP BY source
 )
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
@@ -1332,6 +1421,9 @@ UNION ALL SELECT 'pack', source, 'max_last', CAST(MAX(pack_last) AS BIGINT)
 UNION ALL SELECT 'lm_ppl', source, 'n', CAST(n AS BIGINT) FROM lmres
 UNION ALL SELECT 'lm_ppl', source, 'sum_tokens', CAST(st AS BIGINT) FROM lmres
 UNION ALL SELECT 'lm_ppl', source, 'logp_1e4', sl4 FROM lmres
+UNION ALL SELECT 'quality', source, 'n', CAST(n AS BIGINT) FROM qres
+UNION ALL SELECT 'quality', source, 'n_above', CAST(na AS BIGINT) FROM qres
+UNION ALL SELECT 'quality', source, 'score_1e4', s4 FROM qres
 ORDER BY op, k, metric
 """
 
