@@ -50,6 +50,8 @@ PIPELINE = [
     "ivf_ann_topk",
     "pq_adc_topk",
     "boilerplate_words",
+    "lm_fit_score",
+    "quality_score",
 ]
 
 
@@ -66,8 +68,46 @@ def _boilerplate_words(spark, sf_dir: str):
     return remove_boilerplate(docs, delim=" ", max_docs=1000)
 
 
+def _lm_fit_score(spark, sf_dir: str):
+    """Stress shape for operators.lm: trigram stupid-backoff fit over the
+    whole corpus (explode + count shuffle + context self-join) THEN score
+    of every document (candidate melt + model shuffle join) — both halves
+    in one timed unit, model never broadcast by construction."""
+    from ballista_spark.operators.lm import ngram_lm_fit, ngram_lm_score
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = ngram_lm_fit(docs, n=3)
+    return ngram_lm_score(docs, model).select("doc_id", "ppl")
+
+
+def _quality_score(spark, sf_dir: str):
+    """Stress shape for operators.quality scoring: hashed n-gram features
+    (whole-array gram build, one shuffle) + broadcast-weight margin +
+    sigmoid, with the graded entry's fixed literal model."""
+    from ballista_spark.operators.hashing import md5_long
+    from ballista_spark.operators.quality import (
+        N_FEATURES,
+        LogRegModel,
+        quality_classifier_score,
+    )
+    from ballista_spark.queries.graded import _QUALITY_BIAS, _QUALITY_WEIGHTS
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(_QUALITY_WEIGHTS, "gram string, w double").select(
+        (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
+    )
+    scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
+    return scored.select("doc_id", "quality_prob")
+
+
 #: stress-only builders that are not graded corpus entries
-LOCAL_BUILDERS = {"boilerplate_words": _boilerplate_words}
+LOCAL_BUILDERS = {
+    "boilerplate_words": _boilerplate_words,
+    "lm_fit_score": _lm_fit_score,
+    "quality_score": _quality_score,
+}
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
     chosen = [q.strip() for q in _override.split(",") if q.strip()]
