@@ -114,6 +114,13 @@ def ngram_lm_fit(
     of order-k grams against their order-(k-1) context counts
     (``substring_index(gram, ' ', k-1)`` — exact because tokens contain
     no spaces).  Unigrams divide by the total token count (one scalar).
+
+    The returned table is ``localCheckpoint``-materialized (executor
+    memory/disk) so repeated scoring doesn't recount the corpus.  At
+    production corpus scale the gram table is itself huge: write
+    ``model.table`` to parquet once and reconstruct the
+    :class:`NgramLM` from the saved table + metadata instead of keeping
+    the checkpoint alive.
     """
     counts = (
         docs.select(_tokens(text_col).alias("__toks"))

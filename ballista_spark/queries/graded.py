@@ -1312,7 +1312,9 @@ WITH lot AS (
          (pboff.off + ploc.lend - ploc.n_tok) % 512 AS pack_offset
   FROM ploc JOIN pboff USING (b)
 ), lmtr AS (
-  SELECT LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> LEN(x) > 0) AS l
+  -- regex split, not ' ': the Spark side tokenizes on whitespace-runs, and a
+  -- testdata regeneration with tabs/newlines/double spaces must not diverge the pair
+  SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> LEN(x) > 0) AS l
   FROM documents WHERE source = 'src1'
 ), lmc1 AS (
   SELECT l[i] AS gram, COUNT(*) AS cnt
@@ -1327,7 +1329,7 @@ WITH lot AS (
         FROM lmtr, UNNEST(GENERATE_SERIES(2, LEN(l))) g(i) GROUP BY 1) c2
   JOIN lmc1 c1 ON SPLIT_PART(c2.gram, ' ', 1) = c1.gram
 ), lmsc AS (
-  SELECT doc_id, LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), x -> LEN(x) > 0) AS l
+  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> LEN(x) > 0) AS l
   FROM documents
 ), lmpos AS (
   SELECT doc_id, i, l[i] AS w,
