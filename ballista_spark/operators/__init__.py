@@ -39,6 +39,7 @@ from ballista_spark.operators.lm import (
     ngram_lm_score,
     perplexity_filter,
 )
+from ballista_spark.operators.curate import CurationReport, curate_corpus
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
     hash_split,
@@ -110,4 +111,6 @@ __all__ = [
     "ngram_lm_fit",
     "ngram_lm_score",
     "perplexity_filter",
+    "CurationReport",
+    "curate_corpus",
 ]

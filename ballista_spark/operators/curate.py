@@ -1,0 +1,189 @@
+"""End-to-end corpus curation: the standard web-scale training-data
+recipe composed from this package's operators, in the canonical order the
+public pipelines run it (C4's heuristics, CCNet's LM filter, Gopher's
+repetition rules, RefinedWeb's dedup-first ordering):
+
+1. exact dedup                    (operators.dedup.exact_dedup)
+2. near-dup MinHash LSH + cluster resolution, one survivor per cluster
+                                  (minhash_lsh_pairs + resolve_duplicates)
+3. heuristic gates: token-count band, duplicate-n-gram fraction
+                                  (operators.text)
+4. language filter                (operators.text.lang_id)
+5. benchmark decontamination      (operators.decontam.decontaminate)
+6. LM perplexity filter           (operators.lm)
+7. classifier quality filter      (operators.quality)
+8. contiguous sequence packing    (operators.dataset.pack_contiguous)
+
+Every stage is optional (None disables it).  Stage boundaries are
+``localCheckpoint``-truncated: five of the stages self-join the corpus
+(``df.join(f(df))`` — dedup resolution, decontamination, LM and
+classifier scoring), so a naively chained logical plan DOUBLES per such
+stage (~32x the MinHash literal-heavy subtree by the end) and the
+driver dies rendering/optimizing the tree — measured as a driver OOM at
+toy scale.  Checkpointing keeps every stage's plan constant-size at the
+cost of materializing stage outputs in executor storage; a production
+100 TB run should swap the boundary for a parquet write (same
+discipline, durable, and resumable per stage).
+
+``count_stages=True`` (the default, meant for interactive runs) also
+runs one count job per enabled stage for the report; production runs
+should pass ``count_stages=False`` and read counts off the final
+write's metrics.  Every composed operator keeps its own scale contract
+(no corpus-sized broadcasts, capped bucket expansion, two-level
+prefix-sum packing).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.dataset import pack_contiguous
+from ballista_spark.operators.decontam import decontaminate
+from ballista_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    resolve_duplicates,
+)
+from ballista_spark.operators.lm import NgramLM, ngram_lm_fit, perplexity_filter
+from ballista_spark.operators.quality import LogRegModel, quality_classifier_score
+from ballista_spark.operators.text import dup_ngram_fraction, lang_id, token_count
+
+
+class CurationReport(NamedTuple):
+    """Result of :func:`curate_corpus`.
+
+    ``docs``: the curated corpus (input columns, plus ``quality_prob``
+    when a classifier ran).  ``packed``: the packed layout (or None).
+    ``stage_counts``: surviving-document count after each enabled stage,
+    in execution order (empty when ``count_stages=False``).
+    """
+
+    docs: DataFrame
+    packed: DataFrame | None
+    stage_counts: dict[str, int]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    exact: bool = True,
+    near_dup_threshold: float | None = 0.8,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    max_dup_ngram_fraction: float | None = None,
+    languages: Sequence[str] | None = None,
+    benchmark: DataFrame | None = None,
+    max_contamination: float = 0.2,
+    lm_model: NgramLM | None = None,
+    max_ppl: float | None = None,
+    lm_fit_n: int = 3,
+    quality_model: LogRegModel | None = None,
+    min_quality: float | None = None,
+    pack_seq_len: int | None = None,
+    count_stages: bool = True,
+) -> CurationReport:
+    """Run the curation chain over ``docs`` and return the survivors.
+
+    Filters are applied in the documented stage order; a stage runs only
+    when its controlling parameter is set (``near_dup_threshold=None``
+    skips near-dup, ``benchmark=None`` skips decontamination,
+    ``max_ppl=None`` skips the LM stage, ...).  When ``max_ppl`` is set
+    but ``lm_model`` is None, a stupid-backoff model of order
+    ``lm_fit_n`` is fit on the corpus as it stands at that stage (the
+    CCNet in-domain convention is to pass a model fit on a trusted
+    corpus instead).
+    """
+    counts: dict[str, int] = {}
+
+    def advance(kept: DataFrame, stage: str) -> DataFrame:
+        # truncate lineage at every stage boundary (see module docstring);
+        # lazy unless counting, so a count-free run still defers execution
+        kept = kept.localCheckpoint(eager=count_stages)
+        if count_stages:
+            counts[stage] = kept.count()
+        return kept
+
+    kept = advance(docs, "input")
+
+    if exact:
+        kept = advance(
+            exact_dedup(kept, text_col, key_col)
+            .where("is_canonical")
+            .drop("content_hash", "is_canonical"),
+            "exact_dedup",
+        )
+
+    if near_dup_threshold is not None:
+        pairs = minhash_lsh_pairs(
+            kept, text_col, key_col, threshold=near_dup_threshold
+        )
+        kept = advance(
+            resolve_duplicates(kept, pairs, key_col)
+            .where("is_canonical")
+            .drop("component", "is_canonical"),
+            "near_dup",
+        )
+
+    if min_tokens is not None or max_tokens is not None:
+        nt = token_count(text_col)
+        cond = F.lit(True)
+        if min_tokens is not None:
+            cond = cond & (nt >= min_tokens)
+        if max_tokens is not None:
+            cond = cond & (nt <= max_tokens)
+        kept = advance(kept.where(cond), "token_band")
+
+    if max_dup_ngram_fraction is not None:
+        kept = advance(
+            kept.where(dup_ngram_fraction(text_col) <= max_dup_ngram_fraction),
+            "repetition",
+        )
+
+    if languages is not None:
+        kept = advance(
+            kept.where(lang_id(text_col).isin(list(languages))), "language"
+        )
+
+    if benchmark is not None:
+        kept = advance(
+            decontaminate(
+                kept, benchmark, max_contamination, text_col, key_col
+            ),
+            "decontam",
+        )
+
+    if max_ppl is not None:
+        model = lm_model or ngram_lm_fit(kept, text_col, n=lm_fit_n)
+        kept = advance(
+            perplexity_filter(kept, model, max_ppl, text_col, key_col), "lm_ppl"
+        )
+
+    if min_quality is not None:
+        if quality_model is None:
+            raise ValueError("min_quality requires quality_model")
+        kept = advance(
+            quality_classifier_score(
+                kept, quality_model, text_col, key_col
+            ).where(F.col("quality_prob") >= min_quality),
+            "quality",
+        )
+
+    packed = None
+    if pack_seq_len is not None:
+        packed = pack_contiguous(
+            kept.withColumn("__nt", token_count(text_col)),
+            "__nt",
+            key_col,
+            pack_seq_len,
+        ).drop("__nt")
+        if count_stages:
+            counts["packed_windows"] = (
+                packed.agg(F.max("pack_last")).collect()[0][0] or 0
+            ) + 1
+
+    return CurationReport(kept, packed, counts)

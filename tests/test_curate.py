@@ -1,0 +1,94 @@
+"""End-to-end curation chain: each stage drops exactly the documents
+constructed to trip it, stage counts track, packing lays out survivors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.curate import curate_corpus
+from ballista_spark.operators.lm import ngram_lm_fit, ngram_lm_score
+
+CLEAN = [
+    "the cat sat on the mat and looked around the warm room",
+    "a clear morning with soft light over the green valley and hills",
+    "she read the letter slowly and smiled at the familiar handwriting",
+    "the train left the station on time under a pale winter sky",
+]
+BENCH_TEXT = "what is the capital of france paris is the capital of france"
+
+
+def _corpus(spark):
+    rows = [(i, t) for i, t in enumerate(CLEAN)]
+    rows += [
+        (10, CLEAN[0]),  # exact dup of 0 -> dropped (0 survives as min key)
+        (11, CLEAN[1].replace("green", "wide")),  # near-dup of 1 -> dropped
+        (12, "tiny doc"),  # 2 tokens -> dropped by min_tokens=4
+        (13, BENCH_TEXT + " and some extra words"),  # contaminated -> dropped
+        (14, "zx qv wk jj pp nn rr ss tt uu"),  # OOV garbage -> LM-dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stages_drop_expected_docs(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame([(0, BENCH_TEXT)], "doc_id long, text string")
+    # LM fit on the clean docs only (the CCNet in-domain convention);
+    # threshold between worst clean and the garbage doc
+    clean = docs.where(F.col("doc_id") < 10)
+    model = ngram_lm_fit(clean, n=3)
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in ngram_lm_score(docs, model).collect()
+    }
+    max_clean = max(ppl[i] for i in range(len(CLEAN)))
+    assert ppl[14] > max_clean * 2  # garbage is clearly separated
+    report = curate_corpus(
+        docs,
+        near_dup_threshold=0.5,
+        min_tokens=4,
+        benchmark=bench,
+        max_contamination=0.5,
+        lm_model=model,
+        max_ppl=max_clean * 1.5,
+        pack_seq_len=8,
+    )
+    kept = sorted(r["doc_id"] for r in report.docs.collect())
+    assert kept == [0, 1, 2, 3]
+    assert report.stage_counts == {
+        "input": 9,
+        "exact_dedup": 8,   # -10
+        "near_dup": 7,      # -11
+        "token_band": 6,    # -12
+        "decontam": 5,      # -13
+        "lm_ppl": 4,        # -14
+        "packed_windows": report.stage_counts["packed_windows"],
+    }
+    # packing: windows cover exactly the survivors' token total
+    total_tokens = sum(len(CLEAN[i].split()) for i in range(4))
+    assert report.stage_counts["packed_windows"] == -(-total_tokens // 8)
+    packed = {r["doc_id"]: r for r in report.packed.collect()}
+    assert sorted(packed) == [0, 1, 2, 3]
+    assert min(r["pack_start"] for r in packed.values()) == 0
+
+
+def test_disabled_stages_and_lazy_mode(spark):
+    """With everything off the input passes through untouched, lazily."""
+    docs = _corpus(spark)
+    report = curate_corpus(
+        docs, exact=False, near_dup_threshold=None, count_stages=False
+    )
+    assert report.stage_counts == {}
+    assert report.packed is None
+    assert report.docs.count() == docs.count()
+
+
+def test_quality_stage_requires_model(spark):
+    with pytest.raises(ValueError, match="quality_model"):
+        curate_corpus(
+            _corpus(spark),
+            exact=False,
+            near_dup_threshold=None,
+            min_quality=0.5,
+            count_stages=False,
+        )
