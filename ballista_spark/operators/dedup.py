@@ -578,11 +578,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # each round ends in an EAGER localCheckpoint: a lazy persist here
+    # would never materialize before the previous round's cache is
+    # dropped, so every round — and every later consumer of the returned
+    # frame — would recompute the whole chain from the start (measured
+    # 3x+ inflation inside curate_corpus before the fix).  Checkpoints
+    # are edge-sized; the final return stays backed by the last one.
     labels = (
         edges.select(F.col("src").alias("key"))
         .distinct()
         .withColumn("comp", F.col("key"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
@@ -616,12 +622,10 @@ def connected_components(
                 .select(
                     "key", "prev", F.coalesce("comp2", "comp").alias("comp")
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = jumped.where(F.col("comp") != F.col("prev")).count()
-            labels.unpersist()
-            labels = jumped.select("key", "comp").persist()
-            jumped.unpersist()
+            labels = jumped.select("key", "comp")
             if changed == 0:
                 return labels.select("key", F.col("comp").alias("component"))
         raise RuntimeError(

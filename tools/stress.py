@@ -52,6 +52,7 @@ PIPELINE = [
     "boilerplate_words",
     "lm_fit_score",
     "quality_score",
+    "curation_chain",
 ]
 
 
@@ -102,11 +103,42 @@ def _quality_score(spark, sf_dir: str):
     return scored.select("doc_id", "quality_prob")
 
 
+def _curation_chain(spark, sf_dir: str):
+    """The whole curate_corpus recipe in one timed unit: exact + near-dup
+    dedup, token band, repetition gate, decontamination vs a bench slice,
+    in-line trigram LM fit + (permissive) perplexity filter, contiguous
+    packing.  count_stages=False — production mode, stage boundaries
+    localCheckpoint-truncated.  Like dedup_minhash_lsh, near-dup pair
+    output grows quadratically in replicas — keep this in the 10× table,
+    not the 100× decade run."""
+    from ballista_spark.operators.curate import curate_corpus
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0").limit(500)
+    rep = curate_corpus(
+        docs,
+        near_dup_threshold=0.8,
+        min_tokens=5,
+        max_dup_ngram_fraction=0.9,
+        benchmark=bench,
+        # permissive thresholds: exercise every stage's plan without
+        # emptying the corpus (the synthetic small-vocab docs overlap the
+        # same-distribution bench heavily — 0.2 would drop ~98%)
+        max_contamination=0.99,
+        max_ppl=1e6,
+        pack_seq_len=2048,
+        count_stages=False,
+    )
+    return rep.packed.select("doc_id", "pack_first", "pack_offset")
+
+
 #: stress-only builders that are not graded corpus entries
 LOCAL_BUILDERS = {
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
+    "curation_chain": _curation_chain,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
