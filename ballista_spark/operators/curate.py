@@ -108,7 +108,11 @@ def curate_corpus(
             counts[stage] = kept.count()
         return kept
 
-    kept = advance(docs, "input")
+    # the input is a bare scan — nothing to truncate, and checkpointing it
+    # would materialize a full corpus copy in executor storage for free
+    kept = docs
+    if count_stages:
+        counts["input"] = kept.count()
 
     if exact:
         kept = advance(

@@ -260,6 +260,26 @@ def test_connected_components_chain_and_cliques(spark):
     )
 
 
+def test_connected_components_result_is_materialized(spark):
+    """The returned frame must be backed by the final round's eager
+    checkpoint — a consumer's plan contains NO joins/aggregates, so using
+    the result can never replay the iterative rounds (the
+    recompute-explosion regression fixed in round 4: lazy persists were
+    dropped before materializing, so every round and every consumer
+    re-ran the whole chain from the edges)."""
+    from ballista_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    comp = connected_components(pairs)
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    assert {r["key"]: r["component"] for r in comp.collect()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10
+    }
+
+
 def test_connected_components_string_keys(spark):
     from ballista_spark.operators.dedup import connected_components
 
