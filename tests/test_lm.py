@@ -132,6 +132,46 @@ def test_model_table_shape(spark, model):
         assert r["mass"] == pytest.approx(1.0, rel=1e-9), (r["order"], r["ctx"])
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+    _doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8).map(" ".join)
+
+    @given(
+        train=st.lists(_doc, min_size=1, max_size=5),
+        test=st.lists(_doc, min_size=1, max_size=4),
+        n=st.integers(min_value=1, max_value=4),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_property_scores_match_mirror(spark, train, test, n):
+        """Random tiny corpora: engine scores equal the Python mirror for
+        every n — exercises repeated grams, orders above doc length,
+        empty docs, and heavy OOV, beyond the handcrafted fixture."""
+        m = ngram_lm_fit(
+            spark.createDataFrame([(t,) for t in train], "text string"), n=n
+        )
+        df = spark.createDataFrame(
+            list(enumerate(test)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+            for r in ngram_lm_score(df, m).collect()
+        }
+        want = _mirror_scores(train, list(enumerate(test)), n=n)
+        assert set(got) == set(want)
+        for k, (nt, avg, _) in want.items():
+            assert got[k][0] == nt
+            assert got[k][1] == pytest.approx(avg, rel=1e-12, abs=1e-12)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_score_plan_no_python_no_cartesian(spark, model):
     df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
     plan = (
