@@ -24,6 +24,9 @@ from ballista_spark.operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
     lsh_neardup_pairs,
+    ivfpq_ann_topk,
+    ivfpq_encode,
+    ivfpq_residuals,
     pq_adc_topk,
     pq_encode,
     pq_fit,
@@ -104,6 +107,9 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_encode",
+    "ivfpq_residuals",
+    "ivfpq_ann_topk",
     "semdedup_pairs",
     "hashed_ngram_features",
     "logreg_fit",

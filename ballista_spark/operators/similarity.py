@@ -911,6 +911,220 @@ def pq_adc_topk(
     )
 
 
+# --- IVFPQ: IVF row-pruning × PQ byte-compression ---------------------------
+
+
+def _coarse_df(spark, coarse: list[list[float]]) -> DataFrame:
+    """Coarse centroids as (centroid_id, centroid_v) — the kmeans_fit /
+    ivf_ann_topk list convention."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+        ["centroid_id", "centroid_v"],
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style IVFPQ encoding: assign each vector to its nearest
+    coarse cell (map-only — packed broadcast centroids, cosine ranking;
+    train ``coarse`` with ``kmeans_fit(..., spherical=True)``), then
+    PQ-encode the RESIDUAL ``v - c_cell`` — residuals concentrate around
+    the origin, so the same codebook budget quantizes them far better
+    than raw vectors (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search" — the IVFADC construction).
+
+    Returns ``(id, cell, pq_code, vec_norm)`` where ``vec_norm`` is the
+    ORIGINAL vector's norm (the cosine denominator at query time; the
+    residual's norm is useless downstream).  Train ``codebooks`` with
+    :func:`pq_fit` over a residual sample, e.g.
+    ``pq_fit(ivfpq_residuals(corpus, coarse), m)``.
+
+    Map-only over the corpus: one row out per row in, centroids and
+    codebooks ride as packed broadcast rows — at 100 TB this is a scan,
+    an encode, and a write of m bytes + 12-ish per row.
+    """
+    spark = corpus.sparkSession
+    cent = _coarse_df(spark, coarse)
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    assigned = _nearest_centroids(base, cent, id_col, "__v", n_probe=1).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    resid = (
+        assigned.join(
+            F.broadcast(cent.select(F.col("centroid_id").alias("cell"), "centroid_v")),
+            "cell",
+        )
+        .withColumn(
+            "__res", F.zip_with(F.col("__v"), F.col("centroid_v"), lambda a, b: a - b)
+        )
+    )
+    enc = pq_encode(resid, codebooks, vec_col="__res", id_col=id_col)
+    return enc.select(
+        F.col(id_col), "cell", "pq_code", _norm(F.col("__v")).alias("vec_norm")
+    )
+
+
+def ivfpq_residuals(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding=residual) — the training input for the PQ codebooks
+    used with :func:`ivfpq_encode` (fit codebooks on residuals, not raw
+    vectors, so encode-time and fit-time distributions match)."""
+    spark = corpus.sparkSession
+    cent = _coarse_df(spark, coarse)
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    assigned = _nearest_centroids(base, cent, id_col, "__v", n_probe=1).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    return (
+        assigned.join(
+            F.broadcast(cent.select(F.col("centroid_id").alias("cell"), "centroid_v")),
+            "cell",
+        )
+        .select(
+            F.col(id_col),
+            F.zip_with(F.col("__v"), F.col("centroid_v"), lambda a, b: a - b).alias(
+                vec_col
+            ),
+        )
+    )
+
+
+def ivfpq_ann_topk(
+    corpus_enc: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVFPQ approximate cosine top-k — the production composition the
+    component operators document: IVF prunes ROWS (cell equi-join;
+    candidates ≈ n_probe/n_cells of the corpus), PQ compresses BYTES
+    (each candidate costs m one-byte LUT lookups, not dim multiplies).
+
+    The ADC dot decomposes exactly: ``q·v = q·c_cell + q·r`` with ``r``
+    the encoded residual — ``q·c`` is computed exactly once per probed
+    (query, cell) pair, ``q·r`` is the per-query LUT sum over the
+    residual codes.  Cosine = adc_dot / (vec_norm · |q|).
+
+    ``corpus_enc`` is :func:`ivfpq_encode` output.  ``rerank=R`` keeps a
+    top-R ADC shortlist per query and exact-rescores only those rows
+    against ``corpus`` (required with rerank — the raw vectors; a
+    candidate-sized shuffle join, FAISS's IVFPQ+refine contract).
+
+    Scale shape: probes × LUTs form an (n_queries · n_probe)-row
+    broadcast; the corpus side is ONE cell equi-join — no cross join, no
+    corpus shuffle beyond the join's own exchange.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the raw-vector corpus DataFrame")
+    spark = queries.sparkSession
+    cent = _coarse_df(spark, coarse)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = (
+        _nearest_centroids(q, cent, "query_id", "qv", n_probe=n_probe)
+        .withColumnRenamed("centroid_id", "cell")
+        .join(
+            F.broadcast(cent.select(F.col("centroid_id").alias("cell"), "centroid_v")),
+            "cell",
+        )
+        .select(
+            "query_id",
+            "cell",
+            _dot(F.col("qv"), F.col("centroid_v")).alias("__qc"),
+        )
+    )
+    packed = _pack_codebooks(spark, codebooks)
+    lut = F.transform(
+        F.col("__cb"),
+        lambda s: _dot(
+            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
+            s.getField("cv"),
+        ),
+    )
+    qlut = q.crossJoin(packed).select(
+        "query_id", lut.alias("__lut"), _norm(F.col("qv")).alias("__qnorm")
+    )
+    probe_lut = probes.join(qlut, "query_id")  # n_queries*n_probe rows
+    c = _spread(corpus_enc, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "pq_code", "vec_norm"
+    )
+    adc_res = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(probe_lut), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _cosine(F.col("__qc") + adc_res, F.col("vec_norm") * F.col("__qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine")
+        )
+    R = max(int(rerank), k)
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    refined = (
+        shortlist.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            _cosine(
+                _dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 # --- semantic dedup ----------------------------------------------------------
 
 

@@ -133,12 +133,36 @@ def _curation_chain(spark, sf_dir: str):
     return rep.packed.select("doc_id", "pack_first", "pack_offset")
 
 
+def _ivfpq_topk(spark, sf_dir: str):
+    """Stress shape for IVFPQ: spherical coarse training + residual PQ fit
+    + encode + probe/ADC/rerank search in one timed unit.  The search's
+    corpus side is one cell equi-join over m-byte codes — the compound
+    scale path (rows pruned x bytes compressed)."""
+    from ballista_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        ivfpq_residuals,
+        kmeans_fit,
+        pq_fit,
+    )
+    from ballista_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, 8, max_iters=3, spherical=True)
+    books = pq_fit(ivfpq_residuals(emb, coarse), 8, ksub=16, max_iters=2)
+    enc = ivfpq_encode(emb, coarse, books)
+    return ivfpq_ann_topk(
+        enc, emb.limit(50), coarse, books, k=5, n_probe=2, rerank=50, corpus=emb
+    )
+
+
 #: stress-only builders that are not graded corpus entries
 LOCAL_BUILDERS = {
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
     "curation_chain": _curation_chain,
+    "ivfpq_topk": _ivfpq_topk,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
