@@ -688,13 +688,27 @@ def pq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iters: int = 10,
+    tol: float = 1e-6,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``m`` contiguous
-    subspaces and run :func:`kmeans_fit` in each — ``m`` sequential
-    distributed jobs, each with k-row driver state (the corpus is never
-    collected).  Returns ``codebooks[sub][code] -> centroid`` with
-    ``len(codebooks) == m`` and ``len(codebooks[sub]) == ksub``.
+    subspaces and run Lloyd's k-means in every subspace JOINTLY — one
+    distributed assign+reduce pass per iteration for all m subspaces at
+    once, keyed by (sub, code).  The previous form ran ``m`` sequential
+    :func:`kmeans_fit` calls — m x iters job barriers of pure driver
+    latency (~50 s constant at m=8 regardless of corpus size); jointly
+    it is iters barriers, and the per-iteration work is the same
+    m x ksub x dsub math spread over the cluster.
 
+    Semantics match the per-subspace runs: seeds are the ksub vectors
+    with the smallest ``xxhash64(id)`` (the id ordering is
+    subspace-independent, so per-sub and joint seeding pick identical
+    subvectors), assignment is L2 argmin with ties to the lower code,
+    empty codes keep their previous centroid, convergence is max shift
+    across ALL subspaces below ``tol``.  Driver state is m*ksub centroid
+    rows (the corpus is never collected).
+
+    Returns ``codebooks[sub][code] -> centroid`` with
+    ``len(codebooks) == m`` and ``len(codebooks[sub]) == ksub``.
     ``dim`` must divide evenly by ``m``; ``ksub <= 256`` keeps codes in
     one byte each."""
     first = vecs.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
@@ -706,15 +720,82 @@ def pq_fit(
     if not 1 <= ksub <= 256:
         raise ValueError(f"ksub must be in [1, 256], got {ksub}")
     dsub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sub = vecs.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * dsub + 1, dsub).alias("__sub"),
-        )
-        books.append(
-            kmeans_fit(sub, ksub, vec_col="__sub", id_col=id_col, max_iters=max_iters)
-        )
+    spark = vecs.sparkSession
+    v = _spread(vecs, id_col).select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        v.withColumn("__h", F.xxhash64(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(ksub)
+        .select("v")
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, got {len(seeds)}")
+    books: list[list[list[float]]] = [
+        [list(r["v"][j * dsub : (j + 1) * dsub]) for r in seeds] for j in range(m)
+    ]
+    subs = v.select(
+        F.posexplode(
+            F.array(*[F.slice("v", j * dsub + 1, dsub) for j in range(m)])
+        ).alias("sub", "sv")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            cent_df = spark.createDataFrame(
+                [(j, c, books[j][c]) for j in range(m) for c in range(ksub)],
+                "sub INT, code INT, cv ARRAY<DOUBLE>",
+            )
+            per_sub = F.broadcast(
+                cent_df.groupBy("sub").agg(
+                    F.collect_list(F.struct("code", "cv")).alias("cs")
+                )
+            )
+            nearest = F.array_min(
+                F.transform(
+                    F.col("cs"),
+                    lambda s: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("sv"),
+                                s.getField("cv"),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        s.getField("code").alias("c"),
+                    ),
+                )
+            ).getField("c")
+            new_rows = (
+                subs.join(per_sub, "sub")
+                .withColumn("__code", nearest)
+                .select("sub", "__code", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("sub", "__code", "dim")
+                .agg(F.avg("x").alias("mv"))
+                .groupBy("sub", "__code")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("dm"))
+                .select(
+                    "sub",
+                    "__code",
+                    F.transform(F.col("dm"), lambda s: s.getField("mv")).alias("cv"),
+                )
+                .collect()
+            )
+            shift = 0.0
+            for r in new_rows:  # codes absent here were empty: keep previous
+                old = books[r["sub"]][r["__code"]]
+                new = list(r["cv"])
+                shift = max(
+                    shift, max(abs(a - b) for a, b in zip(old, new))
+                )
+                books[r["sub"]][r["__code"]] = new
+            if shift < tol:
+                break
+    finally:
+        subs.unpersist()
     return books
 
 
