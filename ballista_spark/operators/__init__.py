@@ -43,6 +43,7 @@ from ballista_spark.operators.lm import (
     perplexity_filter,
 )
 from ballista_spark.operators.curate import CurationReport, curate_corpus
+from ballista_spark.operators.retrieval import BM25Index, bm25_index, bm25_topk
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
     hash_split,
@@ -119,4 +120,7 @@ __all__ = [
     "perplexity_filter",
     "CurationReport",
     "curate_corpus",
+    "BM25Index",
+    "bm25_index",
+    "bm25_topk",
 ]

@@ -1,0 +1,141 @@
+"""BM25 full-text retrieval over a document corpus — the classic sparse
+retrieval every training-data pipeline keeps next to its dense (ANN)
+path: eval-set leakage hunting beyond exact n-grams, hard-negative
+mining, corpus search.  Public formula: Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond" (Okapi BM25 with the
+standard k1/b parametrization and the +0.5 smoothed idf).
+
+Distributed shape — an inverted-index join, NOT a pairwise scan:
+
+- corpus side: one tokenize/explode pass -> per-(doc, term) tf rows and
+  per-doc lengths; document frequencies are one term-keyed aggregate.
+  At production scale these are computed once and persisted as the
+  "index" (:func:`bm25_index`).
+- query side: per-(query, term) rows, joined to the index ON TERM — the
+  shuffle is keyed by term and touches only postings for query terms
+  (the sliver), never the full corpus row space.  Scoring is one
+  (query, doc) aggregate; top-k is the per-query window everything else
+  in this package uses.
+- the only broadcast is the df/idf side of the query terms and the two
+  scalars (N, avgdl); the corpus/posting side is never broadcast.
+
+Everything is JVM expressions over exact integer tf/df counts plus
+double arithmetic, so a SQL oracle reproduces the scores to
+summation-order rounding (`tests/test_retrieval.py` runs a DuckDB twin
+over the real documents table at rel=1e-12).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class BM25Index(NamedTuple):
+    """Materialized sparse index.
+
+    ``postings``: (term, doc_id, tf) — one row per distinct (doc, term);
+    ``doclens``: (doc_id, dl) whitespace token counts;
+    ``docfreq``: (term, df) distinct-document frequencies;
+    ``n_docs``: corpus size; ``avgdl``: mean document length.
+    """
+
+    postings: DataFrame
+    doclens: DataFrame
+    docfreq: DataFrame
+    n_docs: int
+    avgdl: float
+
+
+def _term_rows(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+    )
+    return df.select(F.col(key_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> BM25Index:
+    """Build the sparse index: one explode + two aggregates over the
+    corpus.  Empty documents carry no postings (they can never match) but
+    still count toward N and avgdl via the length table."""
+    rows = _term_rows(docs, text_col, key_col)
+    postings = rows.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doclens = (
+        docs.select(
+            F.col(key_col).alias("doc_id"),
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), "\\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("dl"),
+        )
+    )
+    docfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = doclens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return BM25Index(
+        postings, doclens, docfreq, int(stats["n"]), float(stats["avgdl"] or 0.0)
+    )
+
+
+def bm25_topk(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    key_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — Okapi BM25 top-k per query.
+
+    score(q, d) = sum over shared terms of
+    ``idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive).
+    Repeated query terms weight a term once per occurrence, the standard
+    bag-of-words query treatment.  Ties break toward the lower doc id.
+    """
+    q_terms = _term_rows(queries, text_col, key_col).withColumnRenamed(
+        "doc_id", "query_id"
+    ).select("query_id", "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    weighted = q_terms.join(index.docfreq, "term").withColumn("idf", idf)
+    hits = (
+        weighted.join(index.postings, "term")
+        .join(index.doclens, "doc_id")
+        .withColumn(
+            "__s",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+                )
+            ),
+        )
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,120 @@
+"""BM25 retrieval: DuckDB twin over the real documents table, a
+hand-computed formula pin, ranking behavior, and plan gates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.retrieval import bm25_index, bm25_topk
+from ballista_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+_TWIN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0) AS l
+  FROM smoke.documents
+), dl AS (
+  SELECT doc_id, LEN(l) AS dl FROM toks
+), post AS (
+  SELECT l[i] AS term, doc_id, COUNT(*) AS tf
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l))) g(i)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), qtoks AS (
+  SELECT doc_id AS query_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0) AS l
+  FROM smoke.documents WHERE doc_id < {nq}
+), qrows AS (
+  SELECT query_id, l[i] AS term
+  FROM qtoks, UNNEST(GENERATE_SERIES(1, LEN(l))) g(i)
+), scored AS (
+  SELECT qrows.query_id, post.doc_id,
+         SUM(LN(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qrows
+  JOIN dfreq USING (term)
+  JOIN post USING (term)
+  JOIN dl ON post.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return bm25_index(docs)
+
+
+def test_bm25_matches_duckdb_twin(spark, duck, docs, index):
+    """Same queries, same corpus, independent engines: identical top-k
+    sets and scores to summation-order rounding."""
+    nq, k = 5, 10
+    got = bm25_topk(
+        index, docs.where(F.col("doc_id") < nq), k=k, key_col="doc_id"
+    ).collect()
+    want = duck.execute(_TWIN.format(nq=nq, k=k)).fetchall()
+    w = {(q, d): (s, r) for q, d, s, r in want}
+    assert {(r["query_id"], r["doc_id"]) for r in got} == set(w)
+    for r in got:
+        s, rank = w[(r["query_id"], r["doc_id"])]
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+        assert r["rank"] == rank
+
+
+def test_bm25_formula_hand_computed(spark):
+    """Two docs, one-term query: the full Okapi expression pinned by hand,
+    and the self-match ranks first (query 0 IS doc 0)."""
+    rows = [(0, "apple banana"), (1, "apple apple apple cherry")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = bm25_index(docs)
+    assert idx.n_docs == 2 and idx.avgdl == 3.0
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(
+            idx, spark.createDataFrame([(9, "apple")], "doc_id long, text string"),
+            k=5, key_col="doc_id",
+        ).collect()
+    }
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (2 - df + 0.5) / (df + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    assert got[(9, 0)] == pytest.approx(bm25(1, 2, 2), rel=1e-12)
+    assert got[(9, 1)] == pytest.approx(bm25(3, 2, 4), rel=1e-12)
+    # tf saturation still ranks the tf=3 doc above the tf=1 doc here
+    assert got[(9, 1)] > got[(9, 0)]
+
+
+def test_bm25_oov_query_returns_nothing(spark, index):
+    q = spark.createDataFrame([(1, "zzzz qqqq")], "query_id long, text string")
+    assert bm25_topk(index, q, k=5, key_col="query_id").count() == 0
+
+
+def test_bm25_plan_gates(docs, index):
+    plan = (
+        bm25_topk(index, docs.limit(3), k=5, key_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, plan
