@@ -133,6 +133,25 @@ def _curation_chain(spark, sf_dir: str):
     return rep.packed.select("doc_id", "pack_first", "pack_offset")
 
 
+def _bm25_topk(spark, sf_dir: str):
+    """Stress shape for BM25: index build (explode + two aggregates) plus
+    a 50-query retrieval through the term-keyed inverted-index join.
+
+    Expect a ~linear ratio ON THIS DATA and read it like the dedup pair
+    growth: the synthetic ~40-word vocabulary has no tail, so every query
+    term's posting list is df ~ N (the whole corpus) and the matched
+    posting mass — the work BM25 inherently does — grows linearly.  On
+    Zipfian real text the same plan touches only each term's sliver; the
+    shape (term-keyed shuffle join, no broadcast, no cartesian) is what
+    this harness pins."""
+    from ballista_spark.operators.retrieval import bm25_index, bm25_topk
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs)
+    return bm25_topk(idx, docs.limit(50), k=10, key_col="doc_id")
+
+
 def _ivfpq_topk(spark, sf_dir: str):
     """Stress shape for IVFPQ: spherical coarse training + residual PQ fit
     + encode + probe/ADC/rerank search in one timed unit.  The search's
@@ -163,6 +182,7 @@ LOCAL_BUILDERS = {
     "quality_score": _quality_score,
     "curation_chain": _curation_chain,
     "ivfpq_topk": _ivfpq_topk,
+    "bm25_topk": _bm25_topk,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
