@@ -43,7 +43,12 @@ from ballista_spark.operators.lm import (
     perplexity_filter,
 )
 from ballista_spark.operators.curate import CurationReport, curate_corpus
-from ballista_spark.operators.retrieval import BM25Index, bm25_index, bm25_topk
+from ballista_spark.operators.retrieval import (
+    BM25Index,
+    bm25_index,
+    bm25_topk,
+    rrf_fuse,
+)
 from ballista_spark.operators.asof import asof_join
 from ballista_spark.operators.dataset import (
     hash_split,
@@ -123,4 +128,5 @@ __all__ = [
     "BM25Index",
     "bm25_index",
     "bm25_topk",
+    "rrf_fuse",
 ]

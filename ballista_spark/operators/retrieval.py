@@ -139,3 +139,50 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    weights: "list[float] | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists — the standard sparse+dense
+    hybrid (Cormack, Clarke & Buettcher 2009: fused score(d) =
+    sum over rankings of ``w_r / (rrf_k + rank_r(d))``; rank-based, so no
+    score normalization across heterogeneous retrievers is needed).
+
+    Each input frame must carry (``query_col``, ``rank``, ``id_col``) —
+    the contract :func:`bm25_topk` and the ANN top-k operators share
+    (rename ``neighbor_id`` to the common id first).  A document absent
+    from a ranking simply contributes nothing for it.  One union + one
+    (query, doc) aggregate + the per-query window — candidate-sized work,
+    nothing corpus-sized.  Ties break toward the lower doc id.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    ws = weights if weights is not None else [1.0] * len(rankings)
+    if len(ws) != len(rankings):
+        raise ValueError("weights must match rankings")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(float(w)) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("__c"),
+        )
+        for r, w in zip(rankings, ws)
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    fused = allp.groupBy("query_id", "doc_id").agg(F.sum("__c").alias("score"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -118,3 +118,47 @@ def test_bm25_plan_gates(docs, index):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """Two rankings, hand-pinned reciprocal-rank fusion: agreement on doc
+    20 at mid ranks beats a single first place (the property RRF exists
+    for), contributions sum with weights, absent docs contribute nothing."""
+    from ballista_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], "query_id long, rank long, doc_id long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 1, 20), (1, 2, 40)], "query_id long, rank long, doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in rrf_fuse([r1, r2], k=10, rrf_k=60).collect()
+    }
+    exp = {
+        10: 1 / 61,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert got[d][1] == pytest.approx(s, rel=1e-12)
+    assert got[20][0] == 1 and got[10][0] == 2  # consensus outranks one #1
+    # weights scale per-ranking contributions
+    wgot = {
+        r["doc_id"]: r["score"]
+        for r in rrf_fuse([r1, r2], weights=[2.0, 0.5], rrf_k=60).collect()
+    }
+    assert wgot[20] == pytest.approx(2.0 / 62 + 0.5 / 61, rel=1e-12)
+
+
+def test_rrf_validates(spark):
+    from ballista_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    r = spark.createDataFrame([(1, 1, 10)], "query_id long, rank long, doc_id long")
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([r], weights=[1.0, 2.0])
