@@ -83,6 +83,30 @@ def test_disabled_stages_and_lazy_mode(spark):
     assert report.docs.count() == docs.count()
 
 
+def test_quality_stage_filters_with_model(spark):
+    """The classifier stage inside the chain: a literal weight model whose
+    grams hit only the clean docs keeps them and drops the garbage."""
+    from ballista_spark.operators.hashing import md5_long
+    from ballista_spark.operators.quality import N_FEATURES, LogRegModel
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zx qv wk jj pp")],
+        "doc_id long, text string",
+    )
+    wdf = docs.sparkSession.createDataFrame(
+        [("the", 50.0), ("cat", 50.0)], "gram string, w double"
+    ).select((md5_long("gram") % N_FEATURES).alias("bucket"), "w")
+    report = curate_corpus(
+        docs,
+        exact=False,
+        near_dup_threshold=None,
+        quality_model=LogRegModel(wdf, -1.0),
+        min_quality=0.5,
+    )
+    assert [r["doc_id"] for r in report.docs.collect()] == [1]
+    assert report.stage_counts["quality"] == 1
+
+
 def test_quality_stage_requires_model(spark):
     with pytest.raises(ValueError, match="quality_model"):
         curate_corpus(
