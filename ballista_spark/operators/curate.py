@@ -47,9 +47,9 @@ from ballista_spark.operators.dedup import (
     minhash_lsh_pairs,
     resolve_duplicates,
 )
-from ballista_spark.operators.lm import NgramLM, ngram_lm_fit, perplexity_filter
+from ballista_spark.operators.lm import NgramLM, _tokens, ngram_lm_fit, perplexity_filter
 from ballista_spark.operators.quality import LogRegModel, quality_classifier_score
-from ballista_spark.operators.text import dup_ngram_fraction, lang_id, token_count
+from ballista_spark.operators.text import dup_ngram_fraction, lang_id
 
 
 class CurationReport(NamedTuple):
@@ -133,8 +133,13 @@ def curate_corpus(
             "near_dup",
         )
 
+    # token accounting uses the SAME whitespace-run tokenizer as the LM,
+    # classifier and BM25 stages (lm._tokens: trim + \\s+ + empty filter),
+    # NOT text.token_count's oracle-facing single-space split — otherwise
+    # a tab/newline-separated doc passes the band with count 1 and the
+    # packed windows are sized from wrong counts
     if min_tokens is not None or max_tokens is not None:
-        nt = token_count(text_col)
+        nt = F.size(_tokens(text_col))
         cond = F.lit(True)
         if min_tokens is not None:
             cond = cond & (nt >= min_tokens)
@@ -180,14 +185,13 @@ def curate_corpus(
     packed = None
     if pack_seq_len is not None:
         packed = pack_contiguous(
-            kept.withColumn("__nt", token_count(text_col)),
+            kept.withColumn("__nt", F.size(_tokens(text_col))),
             "__nt",
             key_col,
             pack_seq_len,
         ).drop("__nt")
         if count_stages:
-            counts["packed_windows"] = (
-                packed.agg(F.max("pack_last")).collect()[0][0] or 0
-            ) + 1
+            mx = packed.agg(F.max("pack_last")).collect()[0][0]
+            counts["packed_windows"] = 0 if mx is None else int(mx) + 1
 
     return CurationReport(kept, packed, counts)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ballista_spark.operators.hashing import md5_long
-from ballista_spark.operators.lm import _gram_orders
+from ballista_spark.operators.lm import _gram_orders, _tokens
 
 #: default hashed-feature space: 2^18 buckets ≈ 2 MB of float64 weights —
 #: comfortably broadcastable, collision rate fine for quality filtering.
@@ -44,10 +44,15 @@ N_FEATURES = 2**18
 
 
 class LogRegModel(NamedTuple):
-    """Trained classifier: sparse weights (bucket, w) + intercept."""
+    """Trained classifier: sparse weights (bucket, w) + intercept, plus
+    the feature-hashing config the weights were trained under — scoring
+    MUST re-hash with the same ``n_features``/``ngrams`` or bucket
+    lookups silently miss (the same reason NgramLM carries n/alpha)."""
 
     weights: DataFrame
     bias: float
+    n_features: int = N_FEATURES
+    ngrams: "tuple[int, ...]" = (1, 2)
 
 
 def hashed_ngram_features(
@@ -67,10 +72,7 @@ def hashed_ngram_features(
     so nothing tokenizes per array element; the naive per-position
     ``slice(tokenize(text), i, n)`` form measured ~90x slower.
     """
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
-    )
-    staged = df.select(F.col(key_col).alias("key"), toks.alias("__toks"))
+    staged = df.select(F.col(key_col).alias("key"), _tokens(text_col).alias("__toks"))
     grams = F.flatten(F.array(*_gram_orders(F.col("__toks"), tuple(ngrams))))
     exploded = (
         staged.select("key", grams.alias("__grams"))
@@ -112,11 +114,15 @@ def logreg_fit(
     n_iters: int = 30,
     lr: float = 10.0,
     reg: float = 0.0,
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2),
 ) -> LogRegModel:
     """Train a logistic-regression classifier on hashed features.
 
     ``features``: (key, bucket, x) from :func:`hashed_ngram_features`;
-    ``labels``: (key, label) with label in {0, 1}.
+    ``labels``: (key, label) with label in {0, 1}.  Pass the SAME
+    ``n_features``/``ngrams`` the features were hashed with — they are
+    stored on the model so scoring re-hashes identically.
 
     Batch gradient descent, one distributed pass per iteration:
     margin-reduce per doc (broadcast weight join), error join against the
@@ -135,9 +141,15 @@ def logreg_fit(
     try:
         for _ in range(n_iters):
             marg = _margins(feats, weights, bias)
+            # eager doc-sized checkpoint: err feeds TWO actions (the
+            # gradient reduce inside the weights checkpoint and the
+            # bias_grad collect); without it the margin join + per-doc
+            # reduce recompute per consumer — 2x feature-sized shuffle
+            # passes per iteration
             err = (
                 marg.join(lab, "key")
                 .select("key", (_sigmoid(F.col("margin")) - F.col("y")).alias("g"))
+                .localCheckpoint(eager=True)
             )
             grad = (
                 feats.join(err, "key")
@@ -159,7 +171,7 @@ def logreg_fit(
                 .localCheckpoint(eager=True)  # truncate per-iteration lineage
             )
             bias -= lr * float(bias_grad or 0.0)
-        return LogRegModel(weights, bias)
+        return LogRegModel(weights, bias, n_features, tuple(ngrams))
     finally:
         feats.unpersist()
 
@@ -169,14 +181,16 @@ def quality_classifier_score(
     model: LogRegModel,
     text_col: str = "text",
     key_col: str = "doc_id",
-    n_features: int = N_FEATURES,
-    ngrams: Sequence[int] = (1, 2),
     score_col: str = "quality_prob",
 ) -> DataFrame:
     """Annotate ``df`` with sigmoid(w·x + b) in [0, 1] — the keep/drop
     probability a pipeline thresholds on.  Docs with no features (empty
-    text) score sigmoid(b)."""
-    feats = hashed_ngram_features(df, text_col, key_col, n_features, ngrams)
+    text) score sigmoid(b).  Features are re-hashed with the
+    ``n_features``/``ngrams`` stored ON the model, so a model trained
+    under non-default hashing cannot silently mis-score."""
+    feats = hashed_ngram_features(
+        df, text_col, key_col, model.n_features, model.ngrams
+    )
     scores = _margins(feats, model.weights, model.bias).select(
         F.col("key").alias(key_col), _sigmoid(F.col("margin")).alias(score_col)
     )

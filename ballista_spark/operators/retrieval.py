@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ballista_spark.operators.lm import _tokens
+
 
 class BM25Index(NamedTuple):
     """Materialized sparse index.
@@ -51,10 +53,9 @@ class BM25Index(NamedTuple):
 
 
 def _term_rows(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
-    )
-    return df.select(F.col(key_col).alias("doc_id"), toks.alias("__toks")).select(
+    return df.select(
+        F.col(key_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    ).select(
         "doc_id",
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
@@ -69,16 +70,8 @@ def bm25_index(
     still count toward N and avgdl via the length table."""
     rows = _term_rows(docs, text_col, key_col)
     postings = rows.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    doclens = (
-        docs.select(
-            F.col(key_col).alias("doc_id"),
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.col(text_col)), "\\s+"),
-                    lambda t: F.length(t) > 0,
-                )
-            ).alias("dl"),
-        )
+    doclens = docs.select(
+        F.col(key_col).alias("doc_id"), F.size(_tokens(text_col)).alias("dl")
     )
     docfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     stats = doclens.agg(

@@ -100,6 +100,26 @@ def test_score_plan_is_broadcast_join_no_python(spark):
         assert bad not in plan
 
 
+def test_model_carries_hashing_config(spark):
+    """A model trained under NON-default hashing scores correctly because
+    n_features/ngrams ride on the model (regression: scoring used to
+    re-hash with the defaults, silently missing every bucket)."""
+    df = _corpus(spark)
+    feats = hashed_ngram_features(df, n_features=1024, ngrams=(1,))
+    model = logreg_fit(
+        feats, df.select("doc_id", "label"), key_col="doc_id",
+        n_iters=10, n_features=1024, ngrams=(1,),
+    )
+    assert model.n_features == 1024 and model.ngrams == (1,)
+    rows = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_classifier_score(df, model).collect()
+    }
+    clean = [rows[i] for i in range(len(CLEAN))]
+    garb = [rows[100 + i] for i in range(len(GARBAGE))]
+    assert min(clean) > max(garb), (clean, garb)
+
+
 def test_empty_doc_scores_bias(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     model = LogRegModel(

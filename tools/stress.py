@@ -53,6 +53,8 @@ PIPELINE = [
     "lm_fit_score",
     "quality_score",
     "curation_chain",
+    "ivfpq_topk",
+    "bm25_topk",  # expect ~linear on this data — see _bm25_topk's docstring
 ]
 
 
