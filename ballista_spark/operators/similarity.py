@@ -883,6 +883,100 @@ def pq_decode(codebooks: list[list[list[float]]], code_col="pq_code") -> F.Colum
     )
 
 
+def _query_luts(
+    queries: DataFrame, codebooks: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, __lut, __qnorm) — each query's m*ksub sub-dot-product
+    lookup table (computed ONCE against the packed broadcast codebooks)
+    plus its norm.  Shared by :func:`pq_adc_topk` and
+    :func:`ivfpq_ann_topk`."""
+    dsub = len(codebooks[0][0])
+    packed = _pack_codebooks(queries.sparkSession, codebooks)
+    lut = F.transform(
+        F.col("__cb"),
+        lambda s: _dot(
+            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
+            s.getField("cv"),
+        ),
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .crossJoin(packed)
+        .select(
+            "query_id", lut.alias("__lut"), _norm(F.col("qv")).alias("__qnorm")
+        )
+    )
+
+
+def _adc_sum(m: int, ksub: int) -> F.Column:
+    """Approximate dot product: m one-byte LUT lookups over ``pq_code``
+    against the row's ``__lut``."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, rank, neighbor_id, cosine) tail: per-query window
+    rank by cosine desc, ties to the lower neighbor id."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _exact_rerank(
+    scored: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """FAISS-style refine: keep a top-R ADC shortlist per query, re-score
+    ONLY those rows with exact cosine against ``vectors`` (a
+    candidate-sized shuffle join), re-rank.  Shared by the PQ paths."""
+    R = max(int(rerank), k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    refined = (
+        shortlist.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            _cosine(
+                _dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))
+            ),
+        )
+    )
+    return _ranked_topk(refined, k)
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -915,81 +1009,21 @@ def pq_adc_topk(
     """
     m = len(codebooks)
     ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    packed = _pack_codebooks(queries.sparkSession, codebooks)
-    qv = _as_double(F.col(vec_col))
-    lut = F.transform(
-        F.col("__cb"),
-        lambda s: _dot(
-            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
-            s.getField("cv"),
-        ),
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
-        .crossJoin(packed)
-        .select(
-            "query_id",
-            lut.alias("__lut"),
-            _norm(F.col("qv")).alias("__qnorm"),
-        )
-    )
+    q = _query_luts(queries, codebooks, id_col, vec_col)
     c = _spread(corpus_codes, id_col).select(
         F.col(id_col).alias("neighbor_id"), "pq_code", "vec_norm"
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("pq_code"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", _cosine(adc, F.col("vec_norm") * F.col("__qnorm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", "cosine")
-        )
-    R = max(int(rerank), k)
-    shortlist = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= R)
-        .select("query_id", "neighbor_id")
-    )
-    cvecs = corpus_codes.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    refined = (
-        shortlist.join(cvecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
             "cosine",
-            _cosine(
-                _dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))
-            ),
+            _cosine(_adc_sum(m, ksub), F.col("vec_norm") * F.col("__qnorm")),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        refined.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    if rerank is None:
+        return _ranked_topk(scored, k)
+    return _exact_rerank(scored, corpus_codes, queries, k, rerank, id_col, vec_col)
 
 
 # --- IVFPQ: IVF row-pruning × PQ byte-compression ---------------------------
@@ -1112,7 +1146,6 @@ def ivfpq_ann_topk(
     """
     m = len(codebooks)
     ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
     if rerank is not None and corpus is None:
         raise ValueError("rerank requires the raw-vector corpus DataFrame")
     spark = queries.sparkSession
@@ -1133,77 +1166,25 @@ def ivfpq_ann_topk(
             _dot(F.col("qv"), F.col("centroid_v")).alias("__qc"),
         )
     )
-    packed = _pack_codebooks(spark, codebooks)
-    lut = F.transform(
-        F.col("__cb"),
-        lambda s: _dot(
-            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
-            s.getField("cv"),
-        ),
-    )
-    qlut = q.crossJoin(packed).select(
-        "query_id", lut.alias("__lut"), _norm(F.col("qv")).alias("__qnorm")
-    )
+    qlut = _query_luts(queries, codebooks, id_col, vec_col)
     probe_lut = probes.join(qlut, "query_id")  # n_queries*n_probe rows
     c = _spread(corpus_enc, id_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", "pq_code", "vec_norm"
-    )
-    adc_res = F.aggregate(
-        F.zip_with(
-            F.col("pq_code"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     scored = (
         c.join(F.broadcast(probe_lut), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _cosine(F.col("__qc") + adc_res, F.col("vec_norm") * F.col("__qnorm")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", "cosine")
-        )
-    R = max(int(rerank), k)
-    shortlist = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= R)
-        .select("query_id", "neighbor_id")
-    )
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    refined = (
-        shortlist.join(cvecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
-            "cosine",
             _cosine(
-                _dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))
+                F.col("__qc") + _adc_sum(m, ksub),
+                F.col("vec_norm") * F.col("__qnorm"),
             ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        refined.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    if rerank is None:
+        return _ranked_topk(scored, k)
+    return _exact_rerank(scored, corpus, queries, k, rerank, id_col, vec_col)
 
 
 # --- semantic dedup ----------------------------------------------------------
