@@ -40,6 +40,7 @@ from ballista_spark.operators.quality import (
 from ballista_spark.operators.lm import (
     ngram_lm_fit,
     ngram_lm_score,
+    perplexity_buckets,
     perplexity_filter,
 )
 from ballista_spark.operators.curate import CurationReport, curate_corpus
@@ -122,6 +123,7 @@ __all__ = [
     "quality_classifier_score",
     "ngram_lm_fit",
     "ngram_lm_score",
+    "perplexity_buckets",
     "perplexity_filter",
     "CurationReport",
     "curate_corpus",

@@ -3,16 +3,18 @@ recipe composed from this package's operators, in the canonical order the
 public pipelines run it (C4's heuristics, CCNet's LM filter, Gopher's
 repetition rules, RefinedWeb's dedup-first ordering):
 
-1. exact dedup                    (operators.dedup.exact_dedup)
-2. near-dup MinHash LSH + cluster resolution, one survivor per cluster
+1. line-level boilerplate removal (operators.text.remove_boilerplate —
+                                   first, so dedup sees de-chromed text)
+2. exact dedup                    (operators.dedup.exact_dedup)
+3. near-dup MinHash LSH + cluster resolution, one survivor per cluster
                                   (minhash_lsh_pairs + resolve_duplicates)
-3. heuristic gates: token-count band, duplicate-n-gram fraction
+4. heuristic gates: token-count band, duplicate-n-gram fraction
                                   (operators.text)
-4. language filter                (operators.text.lang_id)
-5. benchmark decontamination      (operators.decontam.decontaminate)
-6. LM perplexity filter           (operators.lm)
-7. classifier quality filter      (operators.quality)
-8. contiguous sequence packing    (operators.dataset.pack_contiguous)
+5. language filter                (operators.text.lang_id)
+6. benchmark decontamination      (operators.decontam.decontaminate)
+7. LM perplexity filter           (operators.lm)
+8. classifier quality filter      (operators.quality)
+9. contiguous sequence packing    (operators.dataset.pack_contiguous)
 
 Every stage is optional (None disables it).  Stage boundaries are
 ``localCheckpoint``-truncated: five of the stages self-join the corpus
@@ -49,7 +51,11 @@ from ballista_spark.operators.dedup import (
 )
 from ballista_spark.operators.lm import NgramLM, _tokens, ngram_lm_fit, perplexity_filter
 from ballista_spark.operators.quality import LogRegModel, quality_classifier_score
-from ballista_spark.operators.text import dup_ngram_fraction, lang_id
+from ballista_spark.operators.text import (
+    dup_ngram_fraction,
+    lang_id,
+    remove_boilerplate,
+)
 
 
 class CurationReport(NamedTuple):
@@ -71,6 +77,8 @@ def curate_corpus(
     *,
     text_col: str = "text",
     key_col: str = "doc_id",
+    boilerplate_max_docs: int | None = None,
+    boilerplate_delim: str = "\n",
     exact: bool = True,
     near_dup_threshold: float | None = 0.8,
     min_tokens: int | None = None,
@@ -113,6 +121,18 @@ def curate_corpus(
     kept = docs
     if count_stages:
         counts["input"] = kept.count()
+
+    # boilerplate stripping runs FIRST (the C4 ordering): cleaning rewrites
+    # the text, so dedup/gates/LM all see the de-chromed documents and two
+    # pages differing only in navigation chrome deduplicate correctly
+    if boilerplate_max_docs is not None:
+        kept = advance(
+            remove_boilerplate(
+                kept, text_col, key_col,
+                delim=boilerplate_delim, max_docs=boilerplate_max_docs,
+            ).drop("n_spans", "n_kept"),
+            "boilerplate",
+        )
 
     if exact:
         kept = advance(

@@ -207,6 +207,40 @@ def ngram_lm_score(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    model: NgramLM,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's actual output shape: annotate every document with ``ppl``
+    and a quantile ``ppl_bucket`` in 1..n_buckets (1 = lowest perplexity
+    — CCNet's "head"; 3 buckets gives head/middle/tail).  Downstream
+    pipelines keep the head, or sample buckets at different rates.
+
+    Scale shape: thresholds come from ONE ``percentile_approx``
+    aggregate (n_buckets-1 scalars to the driver) and bucketing is a
+    map-only comparison — NOT a global ntile/window, which would
+    serialize the corpus through a single partition.  Documents with no
+    tokens carry NULL ppl and NULL bucket.
+    """
+    scored = ngram_lm_score(docs, model, text_col, key_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = scored.agg(
+        F.percentile_approx("ppl", qs, 10000).alias("ts")
+    ).collect()[0]
+    thresholds = [float(t) for t in (row["ts"] or [])]
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + (F.col("ppl") > F.lit(t)).cast("int")
+    return docs.join(
+        scored.select(key_col, "ppl"), key_col, "left"
+    ).withColumn(
+        "ppl_bucket", F.when(F.col("ppl").isNotNull(), bucket)
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     model: NgramLM,

@@ -116,3 +116,28 @@ def test_quality_stage_requires_model(spark):
             min_quality=0.5,
             count_stages=False,
         )
+
+
+def test_boilerplate_stage_dechromes_before_dedup(spark):
+    """The boilerplate stage strips spans shared across docs FIRST, so two
+    pages differing only in chrome become exact duplicates and collapse."""
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique article text one"),
+            (2, f"{banner}\nunique article text two"),
+            (3, f"unique article text one\n{banner}"),  # dup of 1 modulo chrome
+        ],
+        "doc_id long, text string",
+    )
+    report = curate_corpus(
+        docs,
+        boilerplate_max_docs=2,
+        near_dup_threshold=None,
+        count_stages=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in report.docs.collect()}
+    assert report.stage_counts["boilerplate"] == 3
+    # doc 3 became an exact duplicate of doc 1 after chrome removal
+    assert sorted(rows) == [1, 2]
+    assert all(banner not in t for t in rows.values())

@@ -180,3 +180,31 @@ def test_score_plan_no_python_no_cartesian(spark, model):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_perplexity_buckets_head_middle_tail(spark, model):
+    """CCNet bucketing: garbage lands in the top bucket, in-domain text in
+    the bottom, empty docs carry NULL — and no global window is used."""
+    from ballista_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "a cat and a dog sat together"),
+            (4, "zx qv wk jj pp nn"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df, model, 2).collect()}
+    assert got[5] is None
+    assert got[4] == 2                       # OOV garbage: tail
+    assert 1 in {got[1], got[2], got[3]}     # in-domain text populates head
+    assert all(b in (1, 2) for b in (got[1], got[2], got[3]))
+    plan = (
+        perplexity_buckets(df, model, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucketing must be map-only comparisons, not a global ntile window
+    assert "ntile" not in plan.lower()
