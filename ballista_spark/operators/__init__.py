@@ -37,6 +37,11 @@ from ballista_spark.operators.quality import (
     logreg_fit,
     quality_classifier_score,
 )
+from ballista_spark.operators.dsir import (
+    dsir_fit,
+    dsir_log_weights,
+    dsir_resample,
+)
 from ballista_spark.operators.lm import (
     ngram_lm_fit,
     ngram_lm_score,
@@ -131,4 +136,7 @@ __all__ = [
     "bm25_index",
     "bm25_topk",
     "rrf_fuse",
+    "dsir_fit",
+    "dsir_log_weights",
+    "dsir_resample",
 ]

@@ -61,11 +61,14 @@ def hashed_ngram_features(
     key_col: str = "doc_id",
     n_features: int = N_FEATURES,
     ngrams: Sequence[int] = (1, 2),
+    normalize: bool = True,
 ) -> DataFrame:
     """(key, bucket, x) rows — L1-normalized hashed n-gram counts per doc.
 
     ``x`` sums to 1 within each document (empty docs produce no rows), so
     classifier margins are bounded regardless of document length.
+    ``normalize=False`` returns raw integer counts instead (the form DSIR
+    importance weighting needs — operators/dsir.py).
 
     Tokens and the gram array are materialized as columns in staged
     projections (whole-array zip_with construction — lm._gram_orders)
@@ -83,10 +86,10 @@ def hashed_ngram_features(
         )
         .withColumn("bucket", F.pmod(md5_long("gram"), F.lit(n_features)))
     )
-    return (
-        exploded.groupBy("key", "bucket")
-        .agg((F.count("*") / F.first("total")).alias("x"))
+    x = (
+        (F.count("*") / F.first("total")) if normalize else F.count("*").cast("double")
     )
+    return exploded.groupBy("key", "bucket").agg(x.alias("x"))
 
 
 def _sigmoid(z: F.Column) -> F.Column:

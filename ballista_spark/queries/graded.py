@@ -1011,6 +1011,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.dataset import pack_contiguous
     from ballista_spark.operators.decontam import contamination_stats, decontaminate
     from ballista_spark.operators.dedup import dedup_against
+    from ballista_spark.operators.dsir import dsir_fit, dsir_log_weights
     from ballista_spark.operators.hashing import md5_long
     from ballista_spark.operators.lm import ngram_lm_fit, ngram_lm_score
     from ballista_spark.operators.quality import (
@@ -1192,6 +1193,41 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # DSIR importance weights (operators/dsir.py): full fit+score path —
+    # target = src1 docs, raw = ALL docs, Laplace-smoothed hashed-bigram
+    # log ratios — pinned per source by n docs, exact gram totals, and
+    # the log-weight sum at 1e-4 (same ulp discipline as lm_ppl).  The
+    # oracle replays the identical md5-bucket counts from its qfeat CTE.
+    dsm = dsir_fit(docs.where(F.col("source") == "src1"), docs)
+    ds_g = (
+        dsir_log_weights(docs, dsm)
+        .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_grams").alias("sg"),
+            F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
+        )
+        .localCheckpoint(eager=True)  # see lm_g
+    )
+    ds_rows = (
+        ds_g.select(
+            F.lit("dsir").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            ds_g.select(
+                F.lit("dsir"), F.col("source"), F.lit("sum_grams"),
+                F.col("sg").cast("long"),
+            )
+        )
+        .unionAll(
+            ds_g.select(F.lit("dsir"), F.col("source"), F.lit("logw_1e4"), F.col("l4"))
+        )
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1219,6 +1255,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pack_rows)
         .unionAll(lm_rows)
         .unionAll(q_rows)
+        .unionAll(ds_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1380,6 +1417,30 @@ WITH lot AS (
          SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS na,
          CAST(ROUND(SUM(p) * 10000) AS BIGINT) AS s4
   FROM qsc GROUP BY source
+), dsct AS (
+  SELECT bucket, SUM(c) AS c FROM qfeat f JOIN documents d ON f.doc_id = d.doc_id
+  WHERE d.source = 'src1' GROUP BY bucket
+), dscr AS (
+  SELECT bucket, SUM(c) AS c FROM qfeat GROUP BY bucket
+), dstot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0) FROM dsct) AS tt,
+         (SELECT COALESCE(SUM(c), 0) FROM dscr) AS tr
+), dslr AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         LN((COALESCE(t.c, 0) + 1.0) / (dstot.tt + 1.0 * {nf}))
+       - LN((COALESCE(r.c, 0) + 1.0) / (dstot.tr + 1.0 * {nf})) AS lr
+  FROM dsct t FULL OUTER JOIN dscr r USING (bucket), dstot
+), dsfl AS (
+  SELECT LN(1.0 / (tt + 1.0 * {nf})) - LN(1.0 / (tr + 1.0 * {nf})) AS f FROM dstot
+), dsdoc AS (
+  SELECT f.doc_id, SUM(f.c) AS ng, SUM(f.c * COALESCE(dslr.lr, dsfl.f)) AS lw
+  FROM qfeat f LEFT JOIN dslr USING (bucket), dsfl
+  GROUP BY f.doc_id
+), dsres AS (
+  SELECT d.source, COUNT(*) AS n,
+         CAST(SUM(COALESCE(dsdoc.ng, 0)) AS BIGINT) AS sg,
+         CAST(ROUND(SUM(COALESCE(dsdoc.lw, 0.0)) * 10000) AS BIGINT) AS l4
+  FROM documents d LEFT JOIN dsdoc ON d.doc_id = dsdoc.doc_id GROUP BY d.source
 )
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
@@ -1426,6 +1487,9 @@ UNION ALL SELECT 'lm_ppl', source, 'logp_1e4', sl4 FROM lmres
 UNION ALL SELECT 'quality', source, 'n', CAST(n AS BIGINT) FROM qres
 UNION ALL SELECT 'quality', source, 'n_above', CAST(na AS BIGINT) FROM qres
 UNION ALL SELECT 'quality', source, 'score_1e4', s4 FROM qres
+UNION ALL SELECT 'dsir', source, 'n', CAST(n AS BIGINT) FROM dsres
+UNION ALL SELECT 'dsir', source, 'sum_grams', sg FROM dsres
+UNION ALL SELECT 'dsir', source, 'logw_1e4', l4 FROM dsres
 ORDER BY op, k, metric
 """
 
@@ -1439,9 +1503,11 @@ _b(
     "incremental dedup against a seen corpus, contiguous sequence "
     "packing (two-level distributed prefix sum), and a stupid-backoff "
     "bigram-LM perplexity scorer (trained on src1, scored cross-source "
-    "so backoff + OOV paths fire) — every selected set / token layout "
-    "pinned exactly cross-engine (count + sum of ids per source; packing "
-    "via window-id/offset sums; LM via token counts + logp sums at 1e-4).",
+    "so backoff + OOV paths fire), and DSIR importance weighting "
+    "(Laplace-smoothed hashed-gram log p/q ratios, target=src1 vs raw=all) "
+    "— every selected set / token layout pinned exactly cross-engine "
+    "(count + sum of ids per source; packing via window-id/offset sums; "
+    "LM/quality/DSIR via integer totals + float sums at 1e-4).",
     _sketch_sampling_builder,
     oracle=_sketch_sampling_oracle(),
 )
