@@ -169,6 +169,48 @@ class BallistaContext:
         SURVEY.md §7.3.4)."""
         return BallistaDataFrame(self.spark.sql(query))
 
+    # -- UDF registration (beyond parity: the reference declares
+    # Expr::ScalarUDF/AggregateUDF but its serde is unimplemented! —
+    # to_proto.rs:1013-1014; Spark's Arrow-vectorized pandas UDFs give the
+    # surface for free) ------------------------------------------------------
+
+    def register_udf(self, name: str, fn, return_type, vectorized: bool = True):
+        """Register a Python scalar function usable from SQL and DataFrames.
+
+        ``vectorized=True`` (default) wraps ``fn`` as an Arrow-batched
+        pandas UDF — ``fn`` receives/returns ``pandas.Series`` and runs
+        per batch (~10-100x the row-at-a-time form; the documented UDF
+        guidance in functions.py applies: built-ins first, pandas UDF when
+        Python is unavoidable, row-at-a-time only for quick prototypes).
+        Returns the registered callable for DataFrame-side use.
+        """
+        if vectorized:
+            from pyspark.sql.functions import pandas_udf
+
+            return self.spark.udf.register(name, pandas_udf(fn, return_type))
+        from pyspark.sql.functions import udf
+
+        return self.spark.udf.register(name, udf(fn, return_type))
+
+    def register_udaf(self, name: str, fn, return_type):
+        """Register a grouped-aggregate pandas UDF (Series -> scalar) usable
+        in SQL GROUP BY / DataFrame agg — the AggregateUDF surface the
+        reference declares but never implemented.  The Series->scalar
+        type hints on the wrapper select the grouped-agg UDF kind (the
+        non-deprecated SPARK-28264 inference); ``return_type`` supplies
+        the actual Spark return schema."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _agg(s):
+            return fn(s)
+
+        # real objects, not strings: this module's `from __future__ import
+        # annotations` would otherwise leave hints pyspark can't resolve
+        _agg.__annotations__ = {"s": pd.Series, "return": float}
+
+        return self.spark.udf.register(name, pandas_udf(_agg, return_type))
+
     # -- DDL: CREATE EXTERNAL TABLE (ballista.proto:236-248) ------------------
 
     def create_external_table(

@@ -152,3 +152,23 @@ def streaming_dedup(
     forever at 100 TB/day event rates)."""
     keys = key_cols or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (user profile, experiment arm, geo table).
+
+    The static side is broadcast by default — the planner then rebuilds
+    only the broadcast variable per microbatch instead of shuffling the
+    stream, which is the only sane shape at production event rates (a
+    shuffled stream-static join repartitions every microbatch).  Pass
+    ``broadcast_dim=False`` for dimension tables too large to broadcast;
+    Spark then plans a per-microbatch shuffled join."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(right, on, how)

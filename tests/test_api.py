@@ -394,3 +394,51 @@ def test_schema_infer_max_records_is_record_capped(spark, tmp_path):
     assert [f.dataType.simpleString() for f in capped.df.schema] == ["int", "int"]
     full = ctx.read_csv(str(p), has_header=True, schema_infer_max_records=1000)
     assert [f.dataType.simpleString() for f in full.df.schema] == ["string", "string"]
+
+
+def test_register_udf_vectorized_and_row(spark):
+    """UDF registration (reference declares Expr::ScalarUDF but serde is
+    unimplemented! — to_proto.rs:1013-1014): both the Arrow-vectorized
+    pandas form and the row form register into SQL and return a callable
+    for DataFrame use; the vectorized one receives whole Series batches."""
+    from ballista_spark.context import BallistaContext
+
+    ctx = BallistaContext(spark)
+
+    def vec_double(s):  # pandas.Series -> pandas.Series
+        assert hasattr(s, "values")  # proves batch, not row, input
+        return s * 2
+
+    f = ctx.register_udf("vec_double", vec_double, "long")
+    df = spark.range(5)
+    got = [r[0] for r in df.select(f(df.id)).orderBy(df.id).collect()]
+    assert got == [0, 2, 4, 6, 8]
+    got_sql = [
+        r[0]
+        for r in spark.sql(
+            "SELECT vec_double(id) FROM range(5) ORDER BY id"
+        ).collect()
+    ]
+    assert got_sql == [0, 2, 4, 6, 8]
+
+    ctx.register_udf("row_neg", lambda x: -x, "long", vectorized=False)
+    assert spark.sql("SELECT row_neg(7)").collect()[0][0] == -7
+
+
+def test_register_udaf_grouped_agg(spark):
+    """Grouped-aggregate pandas UDF registration works from SQL GROUP BY."""
+    from ballista_spark.context import BallistaContext
+
+    ctx = BallistaContext(spark)
+    ctx.register_udaf("geo_mean", lambda s: float(s.prod() ** (1.0 / len(s))), "double")
+    spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0)], "k string, v double"
+    ).createOrReplaceTempView("udaf_t")
+    got = {
+        r["k"]: r["g"]
+        for r in spark.sql(
+            "SELECT k, geo_mean(v) AS g FROM udaf_t GROUP BY k"
+        ).collect()
+    }
+    assert got["a"] == pytest.approx(4.0)
+    assert got["b"] == pytest.approx(3.0)

@@ -140,3 +140,36 @@ def test_streaming_windowed_counts_match_duckdb_oracle(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static join: every streamed event picks up its user's nation
+    from a static dim; totals match the batch join, and the static side
+    is broadcast (no per-microbatch stream shuffle)."""
+    from ballista_spark.streaming.events import enrich_stream
+
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    enriched = enrich_stream(stream, dim, "user_id").groupBy("c_nationkey").agg(
+        F.count("*").alias("n")
+    )
+    _run_to_memory(enriched, "enriched", "complete")
+    got = {
+        r["c_nationkey"]: r["n"]
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = {
+        r["c_nationkey"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    # broadcast hint survives analysis on the static side
+    assert "broadcast" in plan.lower()
