@@ -42,6 +42,11 @@ from ballista_spark.operators.dsir import (
     dsir_log_weights,
     dsir_resample,
 )
+from ballista_spark.operators.pca import (
+    PCAModel,
+    pca_fit,
+    pca_project,
+)
 from ballista_spark.operators.lm import (
     ngram_lm_fit,
     ngram_lm_score,
@@ -139,4 +144,7 @@ __all__ = [
     "dsir_fit",
     "dsir_log_weights",
     "dsir_resample",
+    "PCAModel",
+    "pca_fit",
+    "pca_project",
 ]
