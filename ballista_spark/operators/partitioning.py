@@ -160,3 +160,80 @@ def salted_join(
     )
     out = salted.join(replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def _quantile_boundaries(
+    df: DataFrame, col: str, n_buckets: int, relative_error: float = 0.001
+) -> list[float]:
+    """Interior approx-quantile boundaries (n_buckets - 1 values) for
+    equi-depth bucketing of ``col`` — one sketch pass, driver receives
+    n_buckets doubles."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return df.stat.approxQuantile(col, probs, relative_error)
+
+
+def zorder_column(
+    cols_with_boundaries: "Sequence[tuple[str, Sequence[float]]]", bits: int = 8
+) -> Column:
+    """The Z-value (Morton code) for a row: each column is equi-depth
+    bucketed into 2^bits ranks via its boundary list, and the rank bits of
+    all columns are interleaved (column j contributes bit i to position
+    i·n_cols + j).
+
+    Everything is a foldable JVM expression: the rank is
+    Σ (value >= boundary) over the broadcast-literal boundary array
+    (``aggregate`` builtin — one pass over ≤ 2^bits doubles per row), the
+    interleave is shiftleft/bitwiseOR terms.  NULLs rank 0 (cluster
+    together at the low end).
+    """
+    n_cols = len(cols_with_boundaries)
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    z = F.lit(0).cast("long")
+    for j, (col, bounds) in enumerate(cols_with_boundaries):
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        rank = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+        ).cast("long")
+        rank = F.least(rank, F.lit((1 << bits) - 1))
+        for i in range(bits):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n_cols + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along a Z-order (Morton) curve over
+    ``cols`` — the multi-column locality layout (Delta/Iceberg's OPTIMIZE
+    ZORDER, public technique from Morton 1966 / Bayer's UB-trees).
+
+    A linear sort clusters only its leading column; the Z-curve gives every
+    listed column locality, so parquet min/max (row-group and file) stats
+    prune scans filtered on ANY of the columns.  Shape: one approx-quantile
+    sketch pass per column (driver holds 2^bits doubles each), then a
+    map-only Z-value projection, ``repartitionByRange`` on it (range
+    exchange — the one shuffle), and a within-partition sort so row groups
+    inside each file are tight too.
+    """
+    bounded = [
+        (c, _quantile_boundaries(df, c, 1 << bits)) for c in cols
+    ]
+    out = (
+        df.withColumn("__z", zorder_column(bounded, bits=bits))
+        .repartitionByRange(int(n_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    # repartitionByRange+sort survive only if nothing reshuffles after;
+    # write directly from this plan
+    out.write.mode(mode).parquet(path)

@@ -93,3 +93,73 @@ def test_jdbc_reader_builds(spark):
     with pytest.raises(Exception) as ei:
         read_jdbc(spark, "jdbc:invalid://nowhere", "t").collect()
     assert "jdbc" in str(ei.value).lower() or "driver" in str(ei.value).lower()
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs linear sort on (l_orderkey, l_partkey): a mid-range
+    predicate on EITHER column overlaps well under half the z-ordered
+    files' min/max ranges, while the linear layout only prunes its leading
+    column (~every file overlaps on the trailing one).  File-level min/max
+    is exactly what drives parquet scan pruning at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from ballista_spark.operators.partitioning import write_zordered
+    from ballista_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=64, bits=8)
+    (
+        li.repartitionByRange(64, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def file_ranges(path, col):
+        out = []
+        import glob as g
+
+        for f in sorted(g.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                out.append((lo, hi))
+        return out
+
+    bounds = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+
+    def overlap_frac(path, col, lo, hi):
+        rngs = file_ranges(path, col)
+        assert rngs, path
+        return sum(1 for a, b in rngs if not (b < lo or a > hi)) / len(rngs)
+
+    # 10%-wide bands at two positions per column (one straddling the
+    # central z-quadrant boundary — the adversarial case)
+    for col, mn, mx in (
+        ("l_orderkey", bounds[0], bounds[1]),
+        ("l_partkey", bounds[2], bounds[3]),
+    ):
+        width = mx - mn
+        for start in (0.1, 0.45):
+            lo, hi = mn + int(start * width), mn + int((start + 0.1) * width)
+            zf = overlap_frac(zpath, col, lo, hi)
+            assert zf <= 0.6, (col, start, zf)
+    # the linear layout prunes its leading column but NOT the trailing one
+    width = bounds[3] - bounds[2]
+    lo, hi = bounds[2] + int(0.45 * width), bounds[2] + int(0.55 * width)
+    lin_trailing = overlap_frac(lpath, "l_partkey", lo, hi)
+    assert lin_trailing >= 0.9, lin_trailing
+    # and the z-ordered data is the same multiset of rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
