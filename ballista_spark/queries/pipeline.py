@@ -63,27 +63,166 @@ ORDER BY key_a, key_b
 
 # --- dedup ------------------------------------------------------------------
 
-_b(
-    "dedup_exact",
-    "Exact dedup (hash-groupBy, operators.dedup.exact_dedup): per-source "
-    "document and canonical counts.",
-    lambda spark, sf: (
-        D.exact_dedup(load_table(spark, sf, "documents"))
+#: graded exact-substring window width (operators/substr.py; production
+#: default is 50 — 8 keeps the oracle's window scan proportionate to the
+#: ~60-token synthetic docs while exercising every stage).
+_SUBSTR_W = 8
+
+
+def _dedup_exact_builder(spark: SparkSession, sf: str) -> DataFrame:
+    """Both exact-dedup modes in one tagged (op, k, metric, v) result:
+
+    - ``exact``: doc-level hash dedup (operators.dedup.exact_dedup) —
+      per-source doc/canonical counts.
+    - ``substr``: exact substring dedup (operators.substr — the Lee et
+      al. ExactSubstr mode: every w-token window occurring twice
+      corpus-wide is removable except its first occurrence, removable
+      windows merged to maximal spans).  Span geometry is pinned exactly
+      (count / Σstart / Σend / Σwindows per source) and the
+      strip_duplicated_spans rebuild is pinned via per-source docs-hit
+      and tokens-removed totals.
+    """
+    from ballista_spark.operators.substr import (
+        duplicated_window_spans,
+        strip_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    src = docs.select(F.col("doc_id").alias("key"), "source")
+
+    ex = (
+        D.exact_dedup(docs)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
         )
-        .orderBy("source")
-    ),
-    oracle="""
+    )
+
+    def tag(g: DataFrame, op: str, metrics: dict[str, str]) -> DataFrame:
+        out = None
+        for metric, colname in metrics.items():
+            part = g.select(
+                F.lit(op).alias("op"),
+                F.col("source").alias("k"),
+                F.lit(metric).alias("metric"),
+                F.col(colname).cast("long").alias("v"),
+            )
+            out = part if out is None else out.unionAll(part)
+        return out
+
+    spans = duplicated_window_spans(docs, w=_SUBSTR_W).join(src, "key")
+    sp_g = spans.groupBy("source").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_start").alias("sum_start"),
+        F.sum("span_end").alias("sum_end"),
+        F.sum("n_windows").alias("sum_windows"),
+    )
+    st_g = (
+        strip_duplicated_spans(docs, w=_SUBSTR_W)
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias("docs_hit"),
+            F.sum("n_tokens_removed").alias("tokens_removed"),
+        )
+    )
+    return (
+        tag(ex, "exact", {"n_docs": "n_docs", "n_canonical": "n_canonical"})
+        .unionAll(
+            tag(
+                sp_g,
+                "substr",
+                {
+                    "n_spans": "n_spans",
+                    "sum_start": "sum_start",
+                    "sum_end": "sum_end",
+                    "sum_windows": "sum_windows",
+                },
+            )
+        )
+        .unionAll(
+            tag(st_g, "substr", {"docs_hit": "docs_hit", "tokens_removed": "tokens_removed"})
+        )
+        .orderBy("op", "k", "metric")
+    )
+
+
+def _dedup_exact_oracle() -> str:
+    w = _SUBSTR_W
+    return f"""
 WITH h AS (SELECT doc_id, source, MD5(text) AS ch FROM documents),
-m AS (SELECT ch, MIN(doc_id) AS keep FROM h GROUP BY ch)
-SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
-FROM h JOIN m USING (ch)
-GROUP BY source ORDER BY source
-""",
+m AS (SELECT ch, MIN(doc_id) AS keep FROM h GROUP BY ch),
+ex AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS n_canonical
+  FROM h JOIN m USING (ch) GROUP BY source
+),
+toks AS (
+  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(l[i:i+{w - 1}], ' ')) AS gh
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - {w - 1})) AS g(i)
+  WHERE LEN(l) >= {w}
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gh) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {w}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked WHERE cnt >= 2 AND rn >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {w - 1} AS e,
+         COUNT(*) AS nw
+  FROM isl GROUP BY 1, 2
+),
+sp_g AS (
+  SELECT source, COUNT(*) AS n_spans, SUM(s) AS sum_start, SUM(e) AS sum_end,
+         SUM(nw) AS sum_windows
+  FROM spans JOIN documents USING (doc_id) GROUP BY source
+),
+per_doc AS (SELECT doc_id, SUM(e - s + 1) AS tr FROM spans GROUP BY doc_id),
+st_g AS (
+  SELECT d.source,
+         SUM(CASE WHEN p.tr > 0 THEN 1 ELSE 0 END) AS docs_hit,
+         COALESCE(SUM(p.tr), 0) AS tokens_removed
+  FROM documents d LEFT JOIN per_doc p USING (doc_id) GROUP BY d.source
+)
+SELECT op, k, metric, CAST(v AS BIGINT) AS v FROM (
+  SELECT 'exact' AS op, source AS k, 'n_docs' AS metric, n_docs AS v FROM ex
+  UNION ALL
+  SELECT 'exact', source, 'n_canonical', n_canonical FROM ex
+  UNION ALL SELECT 'substr', source, 'n_spans', n_spans FROM sp_g
+  UNION ALL SELECT 'substr', source, 'sum_start', sum_start FROM sp_g
+  UNION ALL SELECT 'substr', source, 'sum_end', sum_end FROM sp_g
+  UNION ALL SELECT 'substr', source, 'sum_windows', sum_windows FROM sp_g
+  UNION ALL SELECT 'substr', source, 'docs_hit', docs_hit FROM st_g
+  UNION ALL SELECT 'substr', source, 'tokens_removed', tokens_removed FROM st_g
+)
+ORDER BY op, k, metric
+"""
+
+
+_b(
+    "dedup_exact",
+    "Exact dedup, both modes (doc-level hash dedup via "
+    "operators.dedup.exact_dedup; Lee-et-al-style exact substring dedup "
+    "via operators.substr duplicated_window_spans + "
+    "strip_duplicated_spans): per-source counts, span geometry and "
+    "token-removal totals, value-pinned against a DuckDB replay.",
+    _dedup_exact_builder,
+    oracle=_dedup_exact_oracle(),
 )
 
 _b(
