@@ -56,37 +56,55 @@ from ballista_spark.operators.dedup import _parallelized, _tokens
 DEFAULT_WINDOW = 50
 
 
-def _window_strings(toks: F.Column, w: int) -> F.Column:
-    """Array of ``w``-token window strings (space-joined), whole-array.
+def _with_window_strings(
+    df: DataFrame, text_col: str, key_col: str, w: int, out_col: str
+) -> DataFrame:
+    """(key, ``out_col``) where ``out_col[i] = toks[i..i+w-1]`` joined by
+    ' ' for ``i in 1..len-w+1`` — the w-token window-string array, built
+    whole-array by binary doubling: power-of-two width arrays
+    ``g_{2p}[i] = g_p[i] || ' ' || g_p[i+p]`` (one ``zip_with`` each),
+    then the binary decomposition of ``w`` composed the same way —
+    O(log w) array passes per document instead of O(w) per position.
 
-    ``out[i] = toks[i] || ' ' || ... || toks[i+w-1]`` for
-    ``i in 1..len-w+1``, built by binary doubling: power-of-two width
-    arrays ``g_{2p}[i] = g_p[i] || ' ' || g_p[i+p]`` (one ``zip_with``
-    each), then the binary decomposition of ``w`` composed the same way
-    — O(log w) array passes per document instead of O(w) per position.
-    Every intermediate is pre-sliced to the final ``len-w+1`` length so
-    ``zip_with`` never pads.
+    Every doubling level lands in its own materialized column: each
+    level references the previous one TWICE, and an expression subtree
+    referenced twice is *evaluated* twice per row in Spark's interpreted
+    higher-order-function path — O(w) re-evaluations of the tokenizer by
+    the time the tree bottoms out (measured 9 s for 270k tokens at w=50;
+    sub-second with the column chain).  ``CollapseProject`` keeps the
+    chain apart because the multiply-referenced aliases are non-cheap
+    (SPARK-36718); the same discipline as lm.py's ``_gram_orders``.
+    Every intermediate is pre-sliced so ``zip_with`` never pads.
     """
-    if w == 1:
-        return toks
-    target = F.greatest(F.size(toks) - F.lit(w - 1), F.lit(0))
+    toks = _tokens(text_col)
     join2 = lambda x, y: F.concat_ws(" ", x, y)  # noqa: E731
-    pows = {1: toks}
+    base = (
+        _parallelized(df, key_col)
+        .where(F.size(toks) >= w)
+        .select(F.col(key_col).alias("key"), toks.alias("__t1"))
+    )
+    if w == 1:
+        return base.withColumnRenamed("__t1", out_col)
     p = 1
     while p * 2 <= w:
-        a = pows[p]
+        a = F.col(f"__t{p}")
         n = F.greatest(F.size(a) - F.lit(p), F.lit(0))
-        pows[p * 2] = F.zip_with(F.slice(a, 1, n), F.slice(a, p + 1, n), join2)
+        base = base.withColumn(
+            f"__t{p * 2}", F.zip_with(F.slice(a, 1, n), F.slice(a, p + 1, n), join2)
+        )
         p *= 2
+    target = F.greatest(F.size(F.col("__t1")) - F.lit(w - 1), F.lit(0))
     out = None
     offset = 0  # tokens already composed into `out`
-    for pw in sorted(pows, reverse=True):
-        if ((w - offset) & pw) == 0:
-            continue  # not part of w's binary decomposition at this offset
-        piece = F.slice(pows[pw], offset + 1, target)
-        out = piece if out is None else F.zip_with(out, piece, join2)
-        offset += pw
-    return out
+    pw = p
+    while pw >= 1:
+        if ((w - offset) & pw) != 0:  # pw is in w's binary decomposition
+            piece = F.slice(F.col(f"__t{pw}"), offset + 1, target)
+            # single reference to each operand -> evaluated once per row
+            out = piece if out is None else F.zip_with(out, piece, join2)
+            offset += pw
+        pw //= 2
+    return base.withColumn(out_col, out).select("key", out_col)
 
 
 def window_occurrences(
@@ -102,23 +120,18 @@ def window_occurrences(
     applied *after* striding so a stride-s scan hashes 1/s of the
     windows.
     """
-    toks = _tokens(text_col)
-    ws = _window_strings(toks, w)
+    base = _with_window_strings(df, text_col, key_col, w, "__ws")
+    ws = F.col("__ws")
     if stride == 1:
         hashed = F.transform(ws, lambda s: F.md5(s))
-        pairs = F.posexplode(hashed).alias("p0", "gh")
-        pos = (F.col("p0") * stride + 1).alias("pos")
     else:
         idx = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(stride))
+        # ws is a materialized column: element_at against it inside the
+        # lambda is an O(1) array lookup, not a subtree re-evaluation
         hashed = F.transform(idx, lambda i: F.md5(F.element_at(ws, i)))
-        pairs = F.posexplode(hashed).alias("p0", "gh")
-        pos = (F.col("p0") * stride + 1).alias("pos")
-    return (
-        _parallelized(df, key_col)
-        .where(F.size(toks) >= w)
-        .select(F.col(key_col).alias("key"), pairs)
-        .select("key", pos, "gh")
-    )
+    return base.select(
+        "key", F.posexplode(hashed).alias("p0", "gh")
+    ).select("key", (F.col("p0") * stride + 1).alias("pos"), "gh")
 
 
 def duplicated_window_spans(
@@ -139,14 +152,17 @@ def duplicated_window_spans(
     ``[span_start, span_end]`` (1-based token indices, inclusive).
     """
     occ = window_occurrences(df, text_col, key_col, w, stride)
-    stats = occ.groupBy("gh").agg(
-        F.count("*").alias("cnt"),
-        F.min(F.struct("key", "pos")).alias("canon"),
-    )
+    # per-hash occurrence count + canonical-first occurrence as window
+    # aggregates over ONE shuffle keyed by gh — a groupBy + self-join
+    # computes the same thing but scans/shuffles the occurrence stream
+    # twice (measured 2x at sf0.1)
+    wgh = Window.partitionBy("gh")
     rem = (
-        occ.join(stats.where(F.col("cnt") >= min_count), "gh")
+        occ.withColumn("cnt", F.count("*").over(wgh))
+        .withColumn("canon", F.min(F.struct("key", "pos")).over(wgh))
         .where(
-            ~(
+            (F.col("cnt") >= min_count)
+            & ~(
                 (F.col("key") == F.col("canon.key"))
                 & (F.col("pos") == F.col("canon.pos"))
             )

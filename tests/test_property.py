@@ -162,3 +162,54 @@ def test_int8_quantization_properties_random_vectors(spark, seed):
             assert abs(orig - rec) <= scale / 2 + 1e-15, r["vec_id"]
         if r["vec_id"] == 100:
             assert codes == [0] * 16 and scale == 0.0
+
+
+@pytest.mark.parametrize("seed,w", [(7, 4), (31, 6)])
+def test_substring_spans_random_corpora(spark, seed, w):
+    """Exact substring dedup agrees with a brute-force reference on random
+    corpora with planted repeated passages (cross-doc, self-repeats, and
+    passages flush at doc boundaries)."""
+    import collections
+
+    from ballista_spark.operators.substr import duplicated_window_spans
+
+    rng = random.Random(seed)
+    passages = [
+        " ".join(rng.choice(VOCAB) for _ in range(rng.randint(w, 3 * w)))
+        for _ in range(4)
+    ]
+    docs = []
+    for i in range(40):
+        toks = [rng.choice(VOCAB) for _ in range(rng.randint(5, 40))]
+        # plant 0-2 passages at random offsets (sometimes at the ends)
+        for _ in range(rng.randint(0, 2)):
+            p = rng.choice(passages).split(" ")
+            at = rng.randint(0, len(toks))
+            toks[at:at] = p
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    occ = []
+    for k, t in docs:
+        toks = t.strip().split(" ")
+        for i in range(len(toks) - w + 1):
+            occ.append((k, i + 1, " ".join(toks[i : i + w])))
+    cnt = collections.Counter(g for _, _, g in occ)
+    canon = {}
+    for k, p, g in sorted(occ):
+        canon.setdefault(g, (k, p))
+    rem = sorted((k, p) for k, p, g in occ if cnt[g] >= 2 and canon[g] != (k, p))
+    expect = []
+    cur = None
+    for k, p in rem:
+        if cur is not None and cur[0] == k and p - cur[2] <= w:
+            cur = (k, cur[1], p, cur[3] + 1)
+        else:
+            if cur is not None:
+                expect.append((cur[0], cur[1], cur[2] + w - 1, cur[3]))
+            cur = (k, p, p, 1)
+    if cur is not None:
+        expect.append((cur[0], cur[1], cur[2] + w - 1, cur[3]))
+
+    got = sorted(tuple(r) for r in duplicated_window_spans(df, w=w).collect())
+    assert got == sorted(expect)

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ballista_spark.operators.substr import (
-    _window_strings,
+    _with_window_strings,
     duplicated_window_spans,
     strip_duplicated_spans,
     window_occurrences,
@@ -109,9 +109,10 @@ def test_window_strings_doubling_equals_naive(spark, w):
     every decomposition shape (powers of two, w-1 forms, primes, the
     production default 50)."""
     text = " ".join(f"t{i}" for i in range(61))
-    df = spark.createDataFrame([(text,)], ["text"])
-    toks = F.split(F.trim("text"), " ")
-    [got] = df.select(_window_strings(toks, w).alias("ws")).collect()
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    [got] = (
+        _with_window_strings(df, "text", "doc_id", w, "ws").select("ws").collect()
+    )
     toklist = text.split(" ")
     expect = [
         " ".join(toklist[i : i + w]) for i in range(len(toklist) - w + 1)

@@ -55,6 +55,7 @@ PIPELINE = [
     "curation_chain",
     "ivfpq_topk",
     "bm25_topk",  # expect ~linear on this data — see _bm25_topk's docstring
+    "substr_dedup",  # removable volume grows output-sized — see docstring
 ]
 
 
@@ -154,6 +155,23 @@ def _bm25_topk(spark, sf_dir: str):
     return bm25_topk(idx, docs.limit(50), k=10, key_col="doc_id")
 
 
+def _substr_dedup(spark, sf_dir: str):
+    """Stress shape for operators.substr: full strip at the production
+    window (w=50) — window hashing, the corpus-token-sized stats shuffle,
+    island merge, and the span-join text rebuild in one timed unit.
+
+    The replica corpus makes nearly EVERY window removable (each doc has
+    ~9 copies), so the removable/island volume grows output-sized — far
+    beyond the 10× input growth — while the occurrence scan + stats
+    shuffle grow 10× exactly.  Measured 1.5× (BASELINE.md); a plan
+    regression would show as super-growth here."""
+    from ballista_spark.operators.substr import strip_duplicated_spans
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, w=50).select("doc_id", "n_tokens_removed")
+
+
 def _ivfpq_topk(spark, sf_dir: str):
     """Stress shape for IVFPQ: spherical coarse training + residual PQ fit
     + encode + probe/ADC/rerank search in one timed unit.  The search's
@@ -185,6 +203,7 @@ LOCAL_BUILDERS = {
     "curation_chain": _curation_chain,
     "ivfpq_topk": _ivfpq_topk,
     "bm25_topk": _bm25_topk,
+    "substr_dedup": _substr_dedup,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
