@@ -8,13 +8,19 @@ repetition rules, RefinedWeb's dedup-first ordering):
 2. exact dedup                    (operators.dedup.exact_dedup)
 3. near-dup MinHash LSH + cluster resolution, one survivor per cluster
                                   (minhash_lsh_pairs + resolve_duplicates)
-4. heuristic gates: token-count band, duplicate-n-gram fraction
+4. exact substring dedup — repeated-passage strip, first occurrence kept
+                                  (operators.substr.strip_duplicated_spans;
+                                   after doc-level dedup so surviving docs
+                                   don't donate removable windows, before
+                                   the token band so emptied docs get
+                                   dropped by the band)
+5. heuristic gates: token-count band, duplicate-n-gram fraction
                                   (operators.text)
-5. language filter                (operators.text.lang_id)
-6. benchmark decontamination      (operators.decontam.decontaminate)
-7. LM perplexity filter           (operators.lm)
-8. classifier quality filter      (operators.quality)
-9. contiguous sequence packing    (operators.dataset.pack_contiguous)
+6. language filter                (operators.text.lang_id)
+7. benchmark decontamination      (operators.decontam.decontaminate)
+8. LM perplexity filter           (operators.lm)
+9. classifier quality filter      (operators.quality)
+10. contiguous sequence packing   (operators.dataset.pack_contiguous)
 
 Every stage is optional (None disables it).  Stage boundaries are
 ``localCheckpoint``-truncated: five of the stages self-join the corpus
@@ -81,6 +87,8 @@ def curate_corpus(
     boilerplate_delim: str = "\n",
     exact: bool = True,
     near_dup_threshold: float | None = 0.8,
+    substr_window: int | None = None,
+    substr_min_count: int = 2,
     min_tokens: int | None = None,
     max_tokens: int | None = None,
     max_dup_ngram_fraction: float | None = None,
@@ -151,6 +159,21 @@ def curate_corpus(
             .where("is_canonical")
             .drop("component", "is_canonical"),
             "near_dup",
+        )
+
+    # repeated-passage strip rewrites the text (like boilerplate removal)
+    # rather than dropping documents; docs emptied by the strip fall to
+    # the token band below
+    if substr_window is not None:
+        from ballista_spark.operators.substr import strip_duplicated_spans
+
+        kept = advance(
+            strip_duplicated_spans(
+                kept, text_col, key_col, w=substr_window, min_count=substr_min_count
+            )
+            .withColumn(text_col, F.col("text_dedup"))
+            .drop("text_dedup", "n_tokens_removed"),
+            "substr_dedup",
         )
 
     # token accounting uses the SAME whitespace-run tokenizer as the LM,

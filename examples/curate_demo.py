@@ -32,6 +32,7 @@ def main() -> None:
     report = curate_corpus(
         docs,
         near_dup_threshold=0.8,
+        substr_window=20,  # repeated-passage strip (Lee et al. ExactSubstr)
         min_tokens=5,
         max_dup_ngram_fraction=0.9,
         benchmark=bench,

@@ -141,3 +141,31 @@ def test_boilerplate_stage_dechromes_before_dedup(spark):
     # doc 3 became an exact duplicate of doc 1 after chrome removal
     assert sorted(rows) == [1, 2]
     assert all(banner not in t for t in rows.values())
+
+
+def test_substr_stage_strips_repeated_passages(spark):
+    """The substring stage rewrites text in place (first occurrence kept),
+    and a doc emptied by the strip falls to the token band below."""
+    boiler = "all rights reserved contact the webmaster for licensing terms"
+    rows = [
+        (0, CLEAN[0] + " " + boiler),          # canonical copy survives whole
+        (1, boiler + " " + CLEAN[1]),          # passage stripped, prose kept
+        (2, boiler),                           # only the passage -> emptied
+        (3, CLEAN[2]),                         # untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    report = curate_corpus(
+        docs,
+        exact=False,
+        near_dup_threshold=None,
+        substr_window=5,
+        min_tokens=4,
+        count_stages=True,
+    )
+    out = {r["doc_id"]: r["text"] for r in report.docs.collect()}
+    assert sorted(out) == [0, 1, 3]  # doc 2 emptied then dropped by the band
+    assert out[0] == CLEAN[0] + " " + boiler
+    assert out[1] == CLEAN[1]
+    assert out[3] == CLEAN[2]
+    assert report.stage_counts["substr_dedup"] == 4  # rewrite drops nothing
+    assert report.stage_counts["token_band"] == 3

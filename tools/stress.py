@@ -108,9 +108,9 @@ def _quality_score(spark, sf_dir: str):
 
 def _curation_chain(spark, sf_dir: str):
     """The whole curate_corpus recipe in one timed unit: exact + near-dup
-    dedup, token band, repetition gate, decontamination vs a bench slice,
-    in-line trigram LM fit + (permissive) perplexity filter, contiguous
-    packing.  count_stages=False — production mode, stage boundaries
+    dedup, exact substring strip (w=50), token band, repetition gate,
+    decontamination vs a bench slice, in-line trigram LM fit +
+    (permissive) perplexity filter, contiguous packing.  count_stages=False — production mode, stage boundaries
     localCheckpoint-truncated.  Like dedup_minhash_lsh, near-dup pair
     output grows quadratically in replicas — keep this in the 10× table,
     not the 100× decade run."""
@@ -122,6 +122,7 @@ def _curation_chain(spark, sf_dir: str):
     rep = curate_corpus(
         docs,
         near_dup_threshold=0.8,
+        substr_window=50,
         min_tokens=5,
         max_dup_ngram_fraction=0.9,
         benchmark=bench,
