@@ -17,7 +17,9 @@ repetition rules, RefinedWeb's dedup-first ordering):
 5. heuristic gates: token-count band, duplicate-n-gram fraction
                                   (operators.text)
 6. language filter                (operators.text.lang_id)
-7. benchmark decontamination      (operators.decontam.decontaminate)
+7. benchmark decontamination      (operators.decontam.decontaminate,
+                                   + optional fuzzy MinHash pass via
+                                   decontaminate_fuzzy)
 8. LM perplexity filter           (operators.lm)
 9. classifier quality filter      (operators.quality)
 10. contiguous sequence packing   (operators.dataset.pack_contiguous)
@@ -95,6 +97,7 @@ def curate_corpus(
     languages: Sequence[str] | None = None,
     benchmark: DataFrame | None = None,
     max_contamination: float = 0.2,
+    fuzzy_contamination_threshold: float | None = None,
     lm_model: NgramLM | None = None,
     max_ppl: float | None = None,
     lm_fit_n: int = 3,
@@ -208,6 +211,18 @@ def curate_corpus(
             ),
             "decontam",
         )
+        # the fuzzy pass complements the exact one: whole-doc paraphrase
+        # keeps jaccard high while its exact n-gram overlap fraction sinks
+        if fuzzy_contamination_threshold is not None:
+            from ballista_spark.operators.decontam import decontaminate_fuzzy
+
+            kept = advance(
+                decontaminate_fuzzy(
+                    kept, benchmark, fuzzy_contamination_threshold,
+                    text_col, key_col,
+                ),
+                "fuzzy_decontam",
+            )
 
     if max_ppl is not None:
         model = lm_model or ngram_lm_fit(kept, text_col, n=lm_fit_n)

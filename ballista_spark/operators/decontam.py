@@ -98,3 +98,65 @@ def decontaminate(
         F.col("key").alias(key_col)
     )
     return docs.join(flagged, on=key_col, how="left_anti")
+
+
+def fuzzy_contaminated_keys(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus keys (as strings) near-duplicating SOME benchmark document
+    at shingle jaccard >= ``threshold`` — the fuzzy contamination test:
+    a lightly-paraphrased eval prompt shares almost no exact n-gram run
+    with its source but keeps a high jaccard.
+
+    One row per contaminated doc with its best-matching benchmark doc:
+    ``(key, seen_key, jaccard)``, max-jaccard (ties: max seen_key —
+    the struct-max ordering, deterministic either way).
+    Scale shape is :func:`dedup.neardup_against`'s: the benchmark rides
+    the corpus's MinHash pass as extra rows (eval-set-sized), candidate
+    verification is bucket-pruned — never corpus × benchmark.
+    """
+    from ballista_spark.operators.dedup import neardup_against
+
+    pairs = neardup_against(
+        docs, benchmark, text_col, key_col, n=n, threshold=threshold
+    )
+    return pairs.groupBy("key").agg(
+        F.max(F.struct("jaccard", F.col("seen_key"))).alias("m")
+    ).select(
+        "key", F.col("m.seen_key").alias("seen_key"), F.col("m.jaccard").alias("jaccard")
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """Drop documents whose near-duplicate jaccard against any benchmark
+    document reaches ``threshold`` (fuzzy complement of
+    :func:`decontaminate` — run both: exact n-gram overlap catches
+    verbatim quoting at low thresholds, the fuzzy pass catches whole-doc
+    paraphrase the overlap fraction misses when the doc is long).
+
+    Pass a precomputed :func:`fuzzy_contaminated_keys` frame via
+    ``flagged`` to reuse the MinHash pass.  The anti-join compares keys
+    through CAST(key AS STRING) (the fuzzy pass's tagged key space).
+    """
+    if flagged is None:
+        flagged = fuzzy_contaminated_keys(
+            docs, benchmark, threshold, text_col, key_col, n
+        )
+    return docs.join(
+        flagged.select("key"),
+        docs[key_col].cast("string") == F.col("key"),
+        "left_anti",
+    )

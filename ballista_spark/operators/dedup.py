@@ -416,6 +416,62 @@ def minhash_lsh_pairs(
     return cross.unionAll(within)
 
 
+def neardup_against(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seen_text_col: str | None = None,
+    seen_key_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy inter-dataset near-dup join: (key, seen_key, jaccard) for
+    every ``batch`` document whose shingle jaccard against some ``seen``
+    document reaches ``threshold`` — the MinHash analogue of
+    :func:`dedup_against` (exact hashes), and the machinery behind fuzzy
+    benchmark decontamination (``decontam.decontaminate_fuzzy``).
+
+    Keys are returned as *strings* (both sides pass through one tagged
+    key space); numeric callers compare via ``CAST(key AS STRING)``.
+
+    Implementation: the two datasets union under side-tagged keys
+    (``a:``/``b:`` + the key) and flow through
+    :func:`minhash_lsh_pairs` unchanged — inheriting every skew
+    hardening (exact-duplicate collapse, capped bucket expansion,
+    shuffle-based verification).  Cross-side pairs are selected
+    afterwards; ``a: < b:`` lexicographically, so the batch side is
+    always ``key_a``.  Same-side candidate pairs do get verified before
+    the filter — acceptable because a pipeline that fuzzy-decontaminates
+    almost always wants the batch's internal near-dup pairs from the
+    same pass (they are this function's by-product, not waste); a
+    decontam-only caller pays one output-sized extra verify.
+    """
+    a = batch.select(
+        F.concat(F.lit("a:"), F.col(key_col).cast("string")).alias("__k"),
+        F.col(text_col).alias("__t"),
+    )
+    b = seen.select(
+        F.concat(
+            F.lit("b:"), F.col(seen_key_col or key_col).cast("string")
+        ).alias("__k"),
+        F.col(seen_text_col or text_col).alias("__t"),
+    )
+    pairs = minhash_lsh_pairs(
+        a.unionAll(b), "__t", "__k", n=n, threshold=threshold
+    )
+    return (
+        pairs.where(
+            F.col("key_a").startswith("a:") & F.col("key_b").startswith("b:")
+        )
+        .select(
+            F.expr("substring(key_a, 3)").alias("key"),
+            F.expr("substring(key_b, 3)").alias("seen_key"),
+            "jaccard",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1228,6 +1228,35 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # fuzzy decontamination (operators/decontam.py:fuzzy_contaminated_keys,
+    # MinHash-LSH against src0 as the benchmark): the flagged set is pinned
+    # exactly (count + sum of ids per source) — the oracle brute-forces the
+    # cross-dataset jaccard, equal to the LSH output w.h.p. at j>=0.8 (the
+    # dedup_minhash_lsh recall argument)
+    from ballista_spark.operators.decontam import fuzzy_contaminated_keys
+
+    fz_g = (
+        fuzzy_contaminated_keys(
+            docs.where(F.col("source") != "src0"), bench, threshold=0.8
+        )
+        .withColumn("doc_id", F.col("key").cast("long"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+        .localCheckpoint(eager=True)  # see lm_g
+    )
+    fz_rows = fz_g.select(
+        F.lit("fuzzy_contam").alias("op"),
+        F.col("source").alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        fz_g.select(
+            F.lit("fuzzy_contam"), F.col("source"), F.lit("sum_ids"),
+            F.col("s").cast("long"),
+        )
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1252,6 +1281,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionAll(contam_tagged)
+        .unionAll(fz_rows)
         .unionAll(pack_rows)
         .unionAll(lm_rows)
         .unionAll(q_rows)
@@ -1309,6 +1339,21 @@ WITH lot AS (
          COUNT(bench.s) * 1.0 / COUNT(*) AS c
   FROM sh LEFT JOIN bench ON sh.s = bench.s
   GROUP BY sh.doc_id
+), fsz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), fpairs AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS inter
+  FROM sh a JOIN documents da ON a.doc_id = da.doc_id AND da.source <> 'src0'
+       JOIN sh b ON a.s = b.s
+       JOIN documents db ON b.doc_id = db.doc_id AND db.source = 'src0'
+  GROUP BY 1, 2
+), fcon AS (
+  SELECT DISTINCT ka FROM fpairs
+  JOIN fsz sa ON ka = sa.doc_id JOIN fsz sb ON kb = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+), fzres AS (
+  SELECT d.source, COUNT(*) AS n, SUM(d.doc_id) AS s
+  FROM fcon JOIN documents d ON fcon.ka = d.doc_id GROUP BY d.source
 ), hll AS (
   SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS ex FROM lineitem
   GROUP BY l_returnflag
@@ -1467,6 +1512,8 @@ UNION ALL SELECT 'contam', d.source, 'hits', CAST(SUM(n_hits) AS BIGINT)
   FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
 UNION ALL SELECT 'contam', d.source, 'ngrams', CAST(SUM(n_ngrams) AS BIGINT)
   FROM contam JOIN documents d ON contam.key = d.doc_id GROUP BY d.source
+UNION ALL SELECT 'fuzzy_contam', source, 'n', CAST(n AS BIGINT) FROM fzres
+UNION ALL SELECT 'fuzzy_contam', source, 'sum_ids', CAST(s AS BIGINT) FROM fzres
 UNION ALL SELECT 'temp_sample', source, 'n', CAST(COUNT(*) AS BIGINT)
   FROM tkept GROUP BY source
 UNION ALL SELECT 'temp_sample', source, 'sum_ids', CAST(SUM(doc_id) AS BIGINT)
@@ -1500,6 +1547,8 @@ _b(
     "consolidated with the deterministic corpus-surgery operators: "
     "md5-lottery Bernoulli + stratified + temperature-mixture sampling, "
     "per-source document caps, benchmark n-gram decontamination, "
+    "fuzzy (MinHash-LSH) benchmark decontamination with a brute-force "
+    "cross-jaccard oracle, "
     "incremental dedup against a seen corpus, contiguous sequence "
     "packing (two-level distributed prefix sum), and a stupid-backoff "
     "bigram-LM perplexity scorer (trained on src1, scored cross-source "

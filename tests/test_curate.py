@@ -169,3 +169,27 @@ def test_substr_stage_strips_repeated_passages(spark):
     assert out[3] == CLEAN[2]
     assert report.stage_counts["substr_dedup"] == 4  # rewrite drops nothing
     assert report.stage_counts["token_band"] == 3
+
+
+def test_fuzzy_decontam_stage_drops_paraphrase(spark):
+    """Exact decontam keeps a lightly-paraphrased benchmark copy (low
+    exact-trigram overlap at a strict threshold is still > it), while the
+    fuzzy stage removes it."""
+    base = " ".join(f"w{i}" for i in range(60))
+    per = base.split(" ")
+    for i in range(0, 60, 10):
+        per[i] = f"x{i}"
+    rows = [(0, CLEAN[0]), (1, " ".join(per))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    report = curate_corpus(
+        docs,
+        exact=False,
+        near_dup_threshold=None,
+        benchmark=bench,
+        max_contamination=0.99,  # exact pass permissive: paraphrase slips
+        fuzzy_contamination_threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in report.docs.collect()) == [0]
+    assert report.stage_counts["decontam"] == 2
+    assert report.stage_counts["fuzzy_decontam"] == 1

@@ -219,3 +219,82 @@ def test_decontam_plan_shape(spark):
         .toString()
     )
     assert "ResolvedHint" not in shuf
+
+
+def test_fuzzy_decontam_catches_paraphrase_exact_misses(spark):
+    """A lightly-perturbed copy of a benchmark doc keeps jaccard >= 0.8
+    while its exact trigram overlap drops well below a 0.5 threshold on
+    perturbation-adjacent grams — the case the fuzzy pass exists for."""
+    from ballista_spark.operators.decontam import (
+        decontaminate_fuzzy,
+        fuzzy_contaminated_keys,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    toks = base.split(" ")
+    # perturb every 10th token: 6 of 60 tokens -> jaccard ~ (54-2)/(66+2)
+    # over shingles stays > 0.8 while each perturbation kills 3 trigrams
+    per = list(toks)
+    for i in range(0, 60, 10):
+        per[i] = f"x{i}"
+    paraphrase = " ".join(per)
+    docs = spark.createDataFrame(
+        [(1, paraphrase), (2, " ".join(f"z{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    flagged = fuzzy_contaminated_keys(docs, bench, threshold=0.5)
+    rows = {r["key"]: r for r in flagged.collect()}
+    assert set(rows) == {"1"}
+    assert rows["1"]["seen_key"] == "100"
+    assert rows["1"]["jaccard"] >= 0.5
+
+    clean = decontaminate_fuzzy(docs, bench, threshold=0.5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+
+
+@pytest.mark.parametrize("sf_dir,schema", SCALES)
+def test_fuzzy_contaminated_keys_match_bruteforce_oracle(spark, duck, sf_dir, schema):
+    """The LSH-pruned fuzzy pass equals brute-force cross-dataset jaccard
+    at the 0.8 threshold (banding recall P(miss) < 5e-8 at j=0.8, same
+    argument as dedup_minhash_lsh's oracle).  Benchmark = src0 docs, so
+    exact members (jaccard 1.0) and near members are both present."""
+    from ballista_spark.operators.decontam import fuzzy_contaminated_keys
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source") != _BENCH_SRC
+    )
+    bench = load_table(spark, sf_dir, "documents").where(
+        F.col("source") == _BENCH_SRC
+    )
+    got = fuzzy_contaminated_keys(docs, bench, threshold=0.8)
+    duck.execute(f"SET schema '{schema}'")
+    oracle = duck.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - 2)) AS g(i)
+  WHERE LEN(l) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.source != '{_BENCH_SRC}' AND b.source = '{_BENCH_SRC}'
+  GROUP BY 1, 2
+), jac AS (
+  SELECT ka, kb, inter * 1.0 / (sa.n + sb.n - inter) AS j
+  FROM pairs JOIN sizes sa ON ka = sa.doc_id JOIN sizes sb ON kb = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+)
+SELECT CAST(ka AS VARCHAR) AS key,
+       MAX(struct_pack(j := j, kb := CAST(kb AS VARCHAR))).kb AS seen_key,
+       MAX(struct_pack(j := j, kb := CAST(kb AS VARCHAR))).j AS jaccard
+FROM jac
+GROUP BY ka ORDER BY key
+"""
+    )
+    assert_frames_match(got, oracle)
