@@ -56,6 +56,7 @@ PIPELINE = [
     "ivfpq_topk",
     "bm25_topk",  # expect ~linear on this data — see _bm25_topk's docstring
     "substr_dedup",  # removable volume grows output-sized — see docstring
+    "fuzzy_decontam",  # candidate volume near-dup-structured — see docstring
 ]
 
 
@@ -173,6 +174,22 @@ def _substr_dedup(spark, sf_dir: str):
     return strip_duplicated_spans(docs, w=50).select("doc_id", "n_tokens_removed")
 
 
+def _fuzzy_decontam(spark, sf_dir: str):
+    """Stress shape for operators.decontam.decontaminate_fuzzy: the whole
+    corpus rides one MinHash pass with src0 documents as the benchmark.
+    Like dedup_minhash_lsh, same-bucket candidate volume grows with the
+    replica count's near-dup structure — read super-10× growth in that
+    light (output-sized verify, not plan regression)."""
+    from ballista_spark.operators.decontam import decontaminate_fuzzy
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0").limit(1000)
+    return decontaminate_fuzzy(
+        docs.where(F.col("source") != "src0"), bench, threshold=0.8
+    ).select("doc_id")
+
+
 def _ivfpq_topk(spark, sf_dir: str):
     """Stress shape for IVFPQ: spherical coarse training + residual PQ fit
     + encode + probe/ADC/rerank search in one timed unit.  The search's
@@ -205,6 +222,7 @@ LOCAL_BUILDERS = {
     "ivfpq_topk": _ivfpq_topk,
     "bm25_topk": _bm25_topk,
     "substr_dedup": _substr_dedup,
+    "fuzzy_decontam": _fuzzy_decontam,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
