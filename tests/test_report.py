@@ -1,0 +1,87 @@
+"""Corpus data-card report (operators/report.py): value checks against a
+Python mirror on a constructed corpus, a DuckDB twin for the exact
+metrics over the real documents table, and the one-shuffle plan gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.report import corpus_report
+from ballista_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_report_values_on_constructed_corpus(spark):
+    rows = [
+        # grp a: 3 docs, one exact dup pair, english-looking text
+        (1, "a", "the cat sat on the mat of the house"),
+        (2, "a", "the cat sat on the mat of the house"),
+        (3, "a", "a quiet morning of soft light and long shadows"),
+        # grp b: 1 doc
+        (4, "b", "short doc here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r["source"]: r for r in corpus_report(docs).collect()}
+
+    a_tokens = [len(r[2].split()) for r in rows if r[1] == "a"]
+    assert rep["a"]["n_docs"] == 3
+    assert rep["a"]["n_tokens"] == sum(a_tokens)
+    assert rep["a"]["n_chars"] == sum(len(r[2]) for r in rows if r[1] == "a")
+    assert rep["a"]["exact_dup_frac"] == pytest.approx(1 - 2 / 3)
+    assert rep["a"]["tokens_p50"] == pytest.approx(
+        float(np.percentile(a_tokens, 50, method="linear"))
+    )
+    assert rep["a"]["tokens_max"] == max(a_tokens)
+    assert rep["a"]["lang_en_frac"] == pytest.approx(1.0)
+    assert rep["b"]["n_docs"] == 1
+    assert rep["b"]["exact_dup_frac"] == 0.0
+
+
+def test_report_contamination_column(spark):
+    bench_text = "what is the capital of france paris is the capital"
+    rows = [
+        (1, "a", bench_text + " plus tail"),  # heavily contaminated
+        (2, "a", "an unrelated sentence about rivers and winter mornings"),
+        (3, "b", "zz"),  # shorter than the shingle width -> clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    rep = {
+        r["source"]: r
+        for r in corpus_report(docs, benchmark=bench).collect()
+    }
+    assert rep["a"]["contaminated_frac"] == pytest.approx(0.5)
+    assert rep["b"]["contaminated_frac"] == 0.0
+
+
+def test_report_exact_metrics_match_duckdb(spark, duck):
+    got = corpus_report(load_table(spark, SF_SMOKE, "documents")).select(
+        "source", "n_docs", "n_tokens", "n_chars", "tokens_max", "exact_dup_frac"
+    )
+    oracle = duck.sql(
+        f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS n_tokens,
+       SUM(STRLEN(text)) AS n_chars,
+       MAX(LEN(STRING_SPLIT(TRIM(text), ' '))) AS tokens_max,
+       1.0 - COUNT(DISTINCT MD5(text)) * 1.0 / COUNT(*) AS exact_dup_frac
+FROM read_parquet('{SF_SMOKE}/documents.parquet')
+GROUP BY source ORDER BY source
+"""
+    ).fetchdf()
+    mine = got.toPandas()
+    assert len(mine) == len(oracle)
+    for col in ("n_docs", "n_tokens", "n_chars", "tokens_max"):
+        assert list(mine[col].astype(int)) == list(oracle[col].astype(int)), col
+    assert np.allclose(mine["exact_dup_frac"], oracle["exact_dup_frac"])
+
+
+def test_report_plan_is_one_aggregate_pass(spark):
+    """Without a benchmark: no join anywhere; one aggregate over the scan
+    (count_distinct expands to a two-phase aggregate, still no join)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
