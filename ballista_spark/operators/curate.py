@@ -165,8 +165,10 @@ def curate_corpus(
         )
 
     # repeated-passage strip rewrites the text (like boilerplate removal)
-    # rather than dropping documents; docs emptied by the strip fall to
-    # the token band below
+    # rather than dropping documents — except docs the strip EMPTIES
+    # (all-duplicated content), which are dropped here: the token band
+    # below is optional, and an empty-text row must not reach the LM /
+    # classifier / packing stages
     if substr_window is not None:
         from ballista_spark.operators.substr import strip_duplicated_spans
 
@@ -175,7 +177,8 @@ def curate_corpus(
                 kept, text_col, key_col, w=substr_window, min_count=substr_min_count
             )
             .withColumn(text_col, F.col("text_dedup"))
-            .drop("text_dedup", "n_tokens_removed"),
+            .drop("text_dedup", "n_tokens_removed")
+            .where(F.trim(F.col(text_col)) != ""),
             "substr_dedup",
         )
 

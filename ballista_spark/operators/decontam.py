@@ -107,6 +107,8 @@ def fuzzy_contaminated_keys(
     text_col: str = "text",
     key_col: str = "doc_id",
     n: int = 3,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Corpus keys (as strings) near-duplicating SOME benchmark document
     at shingle jaccard >= ``threshold`` — the fuzzy contamination test:
@@ -118,12 +120,15 @@ def fuzzy_contaminated_keys(
     the struct-max ordering, deterministic either way).
     Scale shape is :func:`dedup.neardup_against`'s: the benchmark rides
     the corpus's MinHash pass as extra rows (eval-set-sized), candidate
-    verification is bucket-pruned — never corpus × benchmark.
+    verification is bucket-pruned — never corpus × benchmark.  Banding
+    adapts to ``threshold`` (``dedup.banding_for_threshold``) so recall
+    holds at low thresholds too, not just the dedup-tuned j ≥ 0.8.
     """
     from ballista_spark.operators.dedup import neardup_against
 
     pairs = neardup_against(
-        docs, benchmark, text_col, key_col, n=n, threshold=threshold
+        docs, benchmark, text_col, key_col, n=n, threshold=threshold,
+        n_hashes=n_hashes, n_bands=n_bands,
     )
     return pairs.groupBy("key").agg(
         F.max(F.struct("jaccard", F.col("seen_key"))).alias("m")
@@ -155,8 +160,10 @@ def decontaminate_fuzzy(
         flagged = fuzzy_contaminated_keys(
             docs, benchmark, threshold, text_col, key_col, n
         )
+    # alias the join key: an unqualified "key" is ambiguous whenever the
+    # corpus itself carries a column of that name (several operators here
+    # emit one)
+    fk = flagged.select(F.col("key").alias("__fz_key"))
     return docs.join(
-        flagged.select("key"),
-        docs[key_col].cast("string") == F.col("key"),
-        "left_anti",
+        fk, docs[key_col].cast("string") == fk["__fz_key"], "left_anti"
     )

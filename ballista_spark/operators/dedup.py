@@ -416,6 +416,23 @@ def minhash_lsh_pairs(
     return cross.unionAll(within)
 
 
+def banding_for_threshold(
+    threshold: float, n_hashes: int = N_HASHES
+) -> tuple[int, int]:
+    """(n_hashes, n_bands) whose banding recall holds AT ``threshold``.
+
+    The default 32 bands × 4 rows is tuned for j ≥ 0.8 (P(miss) < 5e-8);
+    at lower thresholds the same shape silently loses recall — at j=0.5
+    it misses ~12.7% of true pairs.  More, narrower bands fix it:
+    64 × 2 gives P(miss) = (1-j²)^64 < 1e-8 at j=0.5; 128 × 1 gives
+    (1-j)^128 < 2e-16 at j=0.25.  Callers that accept a user threshold
+    (``neardup_against``, ``decontaminate_fuzzy``) derive their banding
+    here instead of inheriting the j≥0.8 default.
+    """
+    rows = 4 if threshold >= 0.75 else (2 if threshold >= 0.45 else 1)
+    return n_hashes, n_hashes // rows
+
+
 def neardup_against(
     batch: DataFrame,
     seen: DataFrame,
@@ -425,6 +442,8 @@ def neardup_against(
     seen_key_col: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Fuzzy inter-dataset near-dup join: (key, seen_key, jaccard) for
     every ``batch`` document whose shingle jaccard against some ``seen``
@@ -434,6 +453,9 @@ def neardup_against(
 
     Keys are returned as *strings* (both sides pass through one tagged
     key space); numeric callers compare via ``CAST(key AS STRING)``.
+    Banding defaults adapt to ``threshold`` via
+    :func:`banding_for_threshold` — the dedup default (32×4) only holds
+    recall at j ≥ ~0.75; pass ``n_hashes``/``n_bands`` to override.
 
     Implementation: the two datasets union under side-tagged keys
     (``a:``/``b:`` + the key) and flow through
@@ -457,8 +479,12 @@ def neardup_against(
         ).alias("__k"),
         F.col(seen_text_col or text_col).alias("__t"),
     )
+    if n_hashes is None or n_bands is None:
+        dh, db = banding_for_threshold(threshold)
+        n_hashes, n_bands = n_hashes or dh, n_bands or db
     pairs = minhash_lsh_pairs(
-        a.unionAll(b), "__t", "__k", n=n, threshold=threshold
+        a.unionAll(b), "__t", "__k", n=n, threshold=threshold,
+        n_hashes=n_hashes, n_bands=n_bands,
     )
     return (
         pairs.where(

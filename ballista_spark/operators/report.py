@@ -24,12 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ballista_spark.operators.decontam import contamination_stats
+from ballista_spark.operators.lm import _tokens as _ws_tokens
 from ballista_spark.operators.text import (
     LANG_STOPWORDS,
     dup_ngram_fraction,
     lang_id,
     quality_score,
-    token_count,
 )
 
 
@@ -63,7 +63,11 @@ def corpus_report(
     per_doc = docs.select(
         g.alias("grp"),
         F.col(key_col).alias("key"),
-        token_count(text_col).alias("nt"),
+        # token accounting uses the whitespace-RUN tokenizer (lm._tokens),
+        # not text.token_count's oracle-facing single-space split — a
+        # tab/newline-separated doc must not report ~1 token on its card
+        # (the same pitfall curate_corpus documents for its token band)
+        F.size(_ws_tokens(text_col)).cast("bigint").alias("nt"),
         F.length(text_col).cast("bigint").alias("nc"),
         F.md5(F.col(text_col)).alias("ch"),
         lang_id(text_col).alias("lang"),

@@ -33,9 +33,14 @@ builds does not distribute; the Spark-native shape is
    count and canonical (first) occurrence — map-side partial
    aggregation collapses same-partition repeats first.  This is the
    inherent cost of exact substring dedup: one corpus-token-sized
-   shuffle.  ``stride`` > 1 divides the shuffled row count by emitting
-   every stride-th window only (detects duplicated passages of length
-   ≥ w + stride - 1 instead of ≥ w).
+   shuffle.  ``stride`` > 1 divides the shuffled row count ~stride-fold
+   by keeping only windows whose content hash ≡ 0 (mod stride) —
+   selection depends on window CONTENT alone, so every occurrence of a
+   duplicated passage selects the same windows and a passage with m
+   windows is missed with probability ~((stride-1)/stride)^m regardless
+   of how its occurrences are aligned.  (A positional grid — every
+   stride-th position — would silently miss passages whose occurrence
+   offsets differ mod stride.)
 3. *one shuffle keyed by doc* merges removable windows into spans
    (sort-free gaps-and-islands: equal-width intervals sorted by start
    have sorted ends, so a lag comparison finds island breaks).
@@ -114,24 +119,25 @@ def window_occurrences(
     w: int = DEFAULT_WINDOW,
     stride: int = 1,
 ) -> DataFrame:
-    """(key, pos, gh) — md5 of every ``stride``-th ``w``-token window.
+    """(key, pos, gh) — md5 of the ``w``-token windows, content-sampled.
 
-    ``pos`` is the 1-based token index of the window start.  md5 is
-    applied *after* striding so a stride-s scan hashes 1/s of the
-    windows.
+    ``pos`` is the 1-based token index of the window start.  With
+    ``stride`` > 1 only windows whose 60-bit hash prefix ≡ 0 (mod
+    stride) survive — sampling by CONTENT, so both occurrences of a
+    duplicated passage keep the same ~1/stride of its windows (a
+    positional grid would require the occurrences' offsets to agree mod
+    stride).  The hashing itself is full-scan either way; what stride
+    buys is the expensive part — the corpus-token-sized shuffle.
     """
     base = _with_window_strings(df, text_col, key_col, w, "__ws")
-    ws = F.col("__ws")
-    if stride == 1:
-        hashed = F.transform(ws, lambda s: F.md5(s))
-    else:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(stride))
-        # ws is a materialized column: element_at against it inside the
-        # lambda is an O(1) array lookup, not a subtree re-evaluation
-        hashed = F.transform(idx, lambda i: F.md5(F.element_at(ws, i)))
-    return base.select(
+    hashed = F.transform(F.col("__ws"), lambda s: F.md5(s))
+    occ = base.select(
         "key", F.posexplode(hashed).alias("p0", "gh")
-    ).select("key", (F.col("p0") * stride + 1).alias("pos"), "gh")
+    ).select("key", (F.col("p0") + 1).alias("pos"), "gh")
+    if stride == 1:
+        return occ
+    sel = F.conv(F.substring("gh", 1, 15), 16, 10).cast("long") % stride == 0
+    return occ.where(sel)
 
 
 def duplicated_window_spans(
@@ -195,6 +201,7 @@ def strip_duplicated_spans(
     w: int = DEFAULT_WINDOW,
     min_count: int = 2,
     stride: int = 1,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Input plus ``text_dedup`` (spanned tokens removed, space-rejoined)
     and ``n_tokens_removed``.
@@ -202,9 +209,14 @@ def strip_duplicated_spans(
     One left shuffle-join of the corpus against the per-doc span lists
     (span lists are output-sized << corpus-sized; AQE may broadcast when
     small, the plan never requires it); token filtering is a whole-array
-    expression against the few spans of that document.
+    expression against the few spans of that document.  Pass a
+    precomputed :func:`duplicated_window_spans` frame via ``spans`` when
+    the caller also needs the span geometry — the window-hash shuffle is
+    the expensive stage, and recomputing it here would double it (the
+    ``decontaminate(stats=)`` reuse pattern).
     """
-    spans = duplicated_window_spans(df, text_col, key_col, w, min_count, stride)
+    if spans is None:
+        spans = duplicated_window_spans(df, text_col, key_col, w, min_count, stride)
     per_doc = spans.groupBy("key").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     ).withColumnRenamed("key", "__sd_key")

@@ -111,15 +111,15 @@ def _dedup_exact_builder(spark: SparkSession, sf: str) -> DataFrame:
             out = part if out is None else out.unionAll(part)
         return out
 
-    spans = duplicated_window_spans(docs, w=_SUBSTR_W).join(src, "key")
-    sp_g = spans.groupBy("source").agg(
+    spans = duplicated_window_spans(docs, w=_SUBSTR_W)
+    sp_g = spans.join(src, "key").groupBy("source").agg(
         F.count("*").alias("n_spans"),
         F.sum("span_start").alias("sum_start"),
         F.sum("span_end").alias("sum_end"),
         F.sum("n_windows").alias("sum_windows"),
     )
     st_g = (
-        strip_duplicated_spans(docs, w=_SUBSTR_W)
+        strip_duplicated_spans(docs, w=_SUBSTR_W, spans=spans)
         .groupBy("source")
         .agg(
             F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias("docs_hit"),

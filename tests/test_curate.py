@@ -144,8 +144,10 @@ def test_boilerplate_stage_dechromes_before_dedup(spark):
 
 
 def test_substr_stage_strips_repeated_passages(spark):
-    """The substring stage rewrites text in place (first occurrence kept),
-    and a doc emptied by the strip falls to the token band below."""
+    """The substring stage rewrites text in place (first occurrence kept);
+    a doc emptied by the strip is dropped at the stage itself (the token
+    band is optional and must not be the only thing standing between an
+    empty row and the LM/packing stages)."""
     boiler = "all rights reserved contact the webmaster for licensing terms"
     rows = [
         (0, CLEAN[0] + " " + boiler),          # canonical copy survives whole
@@ -163,11 +165,11 @@ def test_substr_stage_strips_repeated_passages(spark):
         count_stages=True,
     )
     out = {r["doc_id"]: r["text"] for r in report.docs.collect()}
-    assert sorted(out) == [0, 1, 3]  # doc 2 emptied then dropped by the band
+    assert sorted(out) == [0, 1, 3]  # doc 2 emptied -> dropped at the stage
     assert out[0] == CLEAN[0] + " " + boiler
     assert out[1] == CLEAN[1]
     assert out[3] == CLEAN[2]
-    assert report.stage_counts["substr_dedup"] == 4  # rewrite drops nothing
+    assert report.stage_counts["substr_dedup"] == 3  # emptied doc dropped here
     assert report.stage_counts["token_band"] == 3
 
 

@@ -62,13 +62,18 @@ def test_report_exact_metrics_match_duckdb(spark, duck):
     )
     oracle = duck.sql(
         f"""
+WITH t AS (
+  SELECT source, text,
+         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                         x -> LEN(x) > 0)) AS nt
+  FROM read_parquet('{SF_SMOKE}/documents.parquet')
+)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS n_tokens,
-       SUM(STRLEN(text)) AS n_chars,
-       MAX(LEN(STRING_SPLIT(TRIM(text), ' '))) AS tokens_max,
+       SUM(nt) AS n_tokens,
+       SUM(LENGTH(text)) AS n_chars,
+       MAX(nt) AS tokens_max,
        1.0 - COUNT(DISTINCT MD5(text)) * 1.0 / COUNT(*) AS exact_dup_frac
-FROM read_parquet('{SF_SMOKE}/documents.parquet')
-GROUP BY source ORDER BY source
+FROM t GROUP BY source ORDER BY source
 """
     ).fetchdf()
     mine = got.toPandas()

@@ -120,22 +120,27 @@ def test_window_strings_doubling_equals_naive(spark, w):
     assert got["ws"] == expect
 
 
-def test_stride_detects_long_passages_only(spark):
-    """stride=s emits every s-th window: a duplicated passage of length
-    >= w + s - 1 is always caught; pos values stay on the stride grid."""
-    long_dup = " ".join(f"d{i}" for i in range(12))  # 12 tokens, w=8+s-1=9 OK
+def test_stride_samples_by_content_not_position(spark):
+    """stride=s keeps windows by CONTENT hash (≡ 0 mod s), so both
+    occurrences of a duplicated passage keep identical window subsets —
+    including when their start offsets disagree mod s (the case a
+    positional grid provably misses)."""
+    long_dup = " ".join(f"d{i}" for i in range(20))
     docs = [
-        (1, "x1 x2 x3 " + long_dup + " y1 y2"),
-        (2, "z1 " + long_dup + " z2 z3 z4 z5"),
-    ]
+        (1, "x1 x2 x3 " + long_dup + " y1 y2"),  # passage starts at token 4
+        (2, "z1 " + long_dup + " z2 z3 z4 z5"),  # ...and at token 2: offsets
+    ]                                            # differ mod 2
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    occ = window_occurrences(df, w=8, stride=2)
-    pos = sorted({r["pos"] for r in occ.collect()})
-    assert all((p - 1) % 2 == 0 for p in pos)
+    full = window_occurrences(df, w=8)
+    sampled = window_occurrences(df, w=8, stride=2)
+    n_full, n_sampled = full.count(), sampled.count()
+    assert 0 < n_sampled < n_full  # genuine thinning
+    # content-consistent selection: the set of KEPT passage-window hashes
+    # is identical across the two occurrences
+    kept = sampled.groupBy("gh").count().where("count >= 2")
+    assert kept.count() > 0
     spans = duplicated_window_spans(df, w=8, stride=2).collect()
-    # doc 2's copy is removable (doc 1 is canonical); with stride 2 at
-    # least one of the passage's windows lands on the grid in both docs
-    assert any(r["key"] == 2 for r in spans)
+    assert any(r["key"] == 2 for r in spans)  # misaligned copy still caught
 
 
 def test_short_docs_pass_through(spark, corpus):
