@@ -10,6 +10,10 @@ Training-data pipelines need reproducible dataset surgery at 100 TB:
 - :func:`merge_upsert` — SCD-1 style MERGE emulation for plain parquet
   (no Delta in this environment): anti-join + union, one shuffle on the
   key.  The pattern the guide describes for CDC without a lakehouse format.
+- :func:`shuffle_deterministic` — reproducible epoch shuffle: global
+  training order from the md5 lottery, identical across runs and
+  partition layouts (``orderBy(rand())`` is neither), optionally
+  range-sharded for streaming readers.
 - :func:`pack_contiguous` / :func:`pack_greedy` — sequence packing: lay
   documents out into fixed-length training windows (the tokenize-and-pack
   step before pretraining).  Contiguous packing (documents spill across
@@ -65,6 +69,43 @@ def hash_split(
 ) -> DataFrame:
     """Attach a deterministic ``split`` column (train/val/test…)."""
     return df.withColumn("split", split_column(key_cols, weights, names, seed))
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: str = "shuffle",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle for training order: rows sorted by the
+    md5 lottery of ``(seed, key_cols)`` — the epoch-shuffle step of a
+    pretraining pipeline, where the order must be (a) statistically
+    random, (b) identical across runs/cluster sizes/partitionings, and
+    (c) re-rollable per epoch by changing ``seed`` (e.g. ``"epoch3"``).
+    ``DataFrame.orderBy(rand())`` gives none of these: Spark's rand() is
+    per-partition-seeded, so the order silently changes with the
+    partition layout.
+
+    With ``n_shards`` the result is also range-repartitioned into that
+    many ordered shards (shard i holds the i-th contiguous slice of the
+    global order) — write it with ``.write`` and readers stream shards
+    in filename order for the exact global sequence.  One range exchange
+    + in-partition sort; the lottery is a map-side projection (the same
+    cross-engine md5 construction as the sampling/packing lotteries).
+    """
+    lottery = md5_long(
+        F.concat_ws(
+            _SEP, F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    tagged = df.withColumn("__ord", lottery)
+    # tie-break on the keys so byte-identical lottery values (same key
+    # re-seeded, or astronomically-unlikely collisions) stay deterministic
+    order = [F.col("__ord")] + [F.col(c) for c in key_cols]
+    if n_shards is not None:
+        tagged = tagged.repartitionByRange(int(n_shards), *order)
+    return tagged.sortWithinPartitions(*order).drop("__ord") if n_shards \
+        else tagged.orderBy(*order).drop("__ord")
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str | Sequence[str]) -> DataFrame:

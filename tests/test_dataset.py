@@ -35,3 +35,44 @@ def test_merge_upsert_semantics(spark):
     updates = spark.createDataFrame([(2, "B", 2), (4, "d", 2)], ["id", "v", "ver"])
     out = {r["id"]: (r["v"], r["ver"]) for r in merge_upsert(target, updates, "id").collect()}
     assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_shuffle_deterministic_order_properties(spark, duck):
+    """The epoch shuffle is (a) identical across partition layouts,
+    (b) re-rolled by seed, (c) exactly the md5-lottery order a SQL engine
+    recomputes, and (d) shard-sliced so concatenated shards reproduce the
+    global order."""
+    from ballista_spark.operators.dataset import shuffle_deterministic
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    base = [r["doc_id"] for r in shuffle_deterministic(docs, ["doc_id"]).collect()]
+    relaid = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs.repartition(7), ["doc_id"]).collect()
+    ]
+    assert base == relaid  # partition-layout invariance
+    other = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs, ["doc_id"], seed="epoch2").collect()
+    ]
+    assert other != base and sorted(other) == sorted(base)  # re-roll, same set
+
+    oracle = [
+        r[0]
+        for r in duck.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet')
+            ORDER BY CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS(CHR(31), 'shuffle',
+                     CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
+            """
+        ).fetchall()
+    ]
+    assert base == oracle  # cross-engine exact order
+
+    sharded = shuffle_deterministic(docs, ["doc_id"], n_shards=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    by_shard = sharded.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, [r["doc_id"] for r in it])]
+    ).collect()
+    concat = [d for _, ds in sorted(by_shard) for d in ds]
+    assert concat == base  # shard i = i-th contiguous slice of the order
