@@ -17,3 +17,6 @@ __all__.append("streaming_dedup")
 from ballista_spark.streaming.sinks import write_stream_parquet_exactly_once  # noqa: E402
 
 __all__.append("write_stream_parquet_exactly_once")
+from ballista_spark.streaming.curate import curate_documents_stream  # noqa: E402
+
+__all__.append("curate_documents_stream")

@@ -1,0 +1,97 @@
+"""Streaming corpus curation: the continuous-ingestion face of
+``operators.curate.curate_corpus`` — the gates a crawl-ingest pipeline
+applies to documents AS THEY ARRIVE, before anything lands in the raw
+corpus store.
+
+Streaming changes which operators are admissible: only *map-only* and
+*bounded-state* stages can run on an unbounded stream.  This recipe
+therefore composes
+
+- map-only gates (token band, Gopher repetition fraction, language
+  filter, heuristic quality band, PII redaction) — pure column
+  expressions, identical semantics to the batch chain;
+- exact dedup as ``dropDuplicatesWithinWatermark`` on the content hash —
+  state bounded by the watermark horizon (a duplicate arriving later
+  than the horizon is the batch compactor's job, the standard
+  lambda-architecture split);
+- exact-member decontamination as a stream-static LEFT ANTI join on the
+  content hash against the (eval-set-sized, broadcast) benchmark.
+
+What deliberately does NOT run here: MinHash/substring dedup and
+fraction-based contamination (corpus-wide shuffles over all history),
+and the trained-classifier gate (its feature build is a per-doc
+aggregation; the heuristic ``text.quality_score`` is the map-only
+stand-in).  Those stay in the periodic batch ``curate_corpus`` pass
+over the accumulated store — this stream is the cheap front gate, the
+batch chain the exact rear one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.lm import _tokens as _ws_tokens
+from ballista_spark.operators.text import (
+    dup_ngram_fraction,
+    lang_id,
+    quality_score,
+    redact_pii,
+)
+
+
+def curate_documents_stream(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    max_dup_ngram_fraction: float | None = None,
+    languages: Sequence[str] | None = None,
+    min_quality: float | None = None,
+    redact: bool = False,
+    benchmark: DataFrame | None = None,
+    ts_col: str | None = None,
+    dedup_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Apply the streaming-admissible curation gates to a document stream.
+
+    ``docs`` is a streaming DataFrame (``spark.readStream...``); the
+    result is a streaming DataFrame for the caller's ``writeStream``.
+    A ``content_hash`` column is always attached.  With ``ts_col`` the
+    exact dedup runs ``dropDuplicatesWithinWatermark`` (bounded state);
+    without, plain ``dropDuplicates`` on the hash — exact forever but
+    state grows with distinct-doc count, acceptable for bounded backfills
+    only (the docstring split above).  ``benchmark`` must be a *static*
+    DataFrame with ``text_col``.
+    """
+    kept = docs
+    nt = F.size(_ws_tokens(text_col))
+    if min_tokens is not None:
+        kept = kept.where(nt >= min_tokens)
+    if max_tokens is not None:
+        kept = kept.where(nt <= max_tokens)
+    if max_dup_ngram_fraction is not None:
+        kept = kept.where(dup_ngram_fraction(text_col) <= max_dup_ngram_fraction)
+    if languages is not None:
+        kept = kept.where(lang_id(text_col).isin(list(languages)))
+    if min_quality is not None:
+        kept = kept.where(quality_score(text_col) >= min_quality)
+    if redact:
+        kept = kept.withColumn(text_col, redact_pii(text_col))
+    # hash AFTER redaction: two docs differing only in redacted PII are
+    # the same training document and must dedup together
+    kept = kept.withColumn("content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        kept = kept.withWatermark(ts_col, dedup_watermark)
+        kept = kept.dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        kept = kept.dropDuplicates(["content_hash"])
+    if benchmark is not None:
+        bench_hashes = F.broadcast(
+            benchmark.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+        )
+        kept = kept.join(bench_hashes, "content_hash", "left_anti")
+    return kept

@@ -173,3 +173,71 @@ def test_stream_static_enrichment_matches_batch(spark):
     plan = enriched._jdf.queryExecution().analyzed().toString()
     # broadcast hint survives analysis on the static side
     assert "broadcast" in plan.lower()
+
+
+def test_streaming_curation_gates_match_batch(spark, tmp_path):
+    """The streaming front gate (token band + repetition + language +
+    quality + redaction + exact dedup + benchmark-member anti-join)
+    admits exactly the documents the equivalent batch expressions admit."""
+    from ballista_spark.operators.lm import _tokens as _ws_tokens
+    from ballista_spark.operators.text import (
+        dup_ngram_fraction,
+        lang_id,
+        quality_score,
+        redact_pii,
+    )
+    from ballista_spark.streaming import curate_documents_stream
+
+    bench_text = "the capital of france is paris and the capital of spain is madrid"
+    rows = [
+        (0, "the cat sat on the mat and looked around the warm quiet room today"),
+        (1, "the cat sat on the mat and looked around the warm quiet room today"),
+        (2, "tiny"),
+        (3, " ".join(["dup words"] * 30)),
+        (4, bench_text),
+        (5, "mail me at a.b@example.com for the document and the details of it"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "stream_src")
+    batch.repartition(2).write.parquet(src)
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    curated = curate_documents_stream(
+        stream,
+        min_tokens=5,
+        max_dup_ngram_fraction=0.5,
+        languages=["en"],
+        min_quality=0.3,
+        redact=True,
+        benchmark=bench,
+    )
+    _run_to_memory(curated, "curated_stream", "append")
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+
+    # batch mirror with the same expressions
+    nt = F.size(_ws_tokens("text"))
+    mirror = (
+        batch.where(nt >= 5)
+        .where(dup_ngram_fraction("text") <= 0.5)
+        .where(lang_id("text") == "en")
+        .where(quality_score("text") >= 0.3)
+        .withColumn("text", redact_pii("text"))
+        .withColumn("content_hash", F.md5("text"))
+    )
+    mirror_ids = {r["doc_id"] for r in mirror.collect()}
+    bench_hash = bench.select(F.md5("text")).collect()[0][0]
+    survivors = set()
+    seen_hashes = set()
+    for r in sorted(mirror.collect(), key=lambda r: r["doc_id"]):
+        if r["content_hash"] == bench_hash or r["content_hash"] in seen_hashes:
+            continue
+        seen_hashes.add(r["content_hash"])
+        survivors.add(r["doc_id"])
+    # doc 2 (short), 3 (repetitive), 4 (benchmark member) gone; exactly one
+    # of the 0/1 duplicates survives; 5 survives with PII redacted
+    assert 2 not in got and 3 not in got and 4 not in got
+    assert len({0, 1} & set(got)) == 1
+    assert set(got) == survivors or (set(got) - {0, 1}) == (survivors - {0, 1})
+    assert "@" not in got[5]["text"]
+    assert all("content_hash" in r.asDict() for r in got.values())
