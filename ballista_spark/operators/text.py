@@ -182,6 +182,62 @@ def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     return col
 
 
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Split documents into overlapping fixed-token-budget chunks — the
+    document→passage step before embedding/indexing in a retrieval
+    pipeline (each chunk becomes one vector; ``overlap`` keeps answers
+    that straddle a boundary findable from both sides).
+
+    Returns (key, chunk_id, chunk_start, n_chunk_tokens, chunk_text):
+    0-based ``chunk_id`` in document order, ``chunk_start`` the 1-based
+    token index, chunks of ``chunk_tokens`` whitespace-run tokens
+    starting every ``chunk_tokens - overlap`` tokens; the last chunk may
+    be shorter, and a final window adding only already-covered tokens is
+    not emitted.  Empty documents yield no chunks.
+
+    Map-only (tokenize + per-doc window expansion + posexplode): no
+    shuffle, no state — embarrassingly parallel at any corpus size.  The
+    token array lands in a materialized column first so the per-chunk
+    ``slice`` lambdas index an attribute, not re-evaluate the tokenizer
+    expression (BASELINE.md's interpreted-HOF lesson).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks_expr = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(key_col).alias("key"), toks_expr.alias("__toks")
+    ).where(F.size("__toks") > 0)
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("start"),
+            F.slice(toks, i, chunk_tokens).alias("ts"),
+        ),
+    )
+    return base.select(
+        "key", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "key",
+        "chunk_id",
+        F.col("c.start").alias("chunk_start"),
+        F.size("c.ts").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.ts").alias("chunk_text"),
+    )
+
+
 def span_doc_frequencies(df, text_col: str = "text", key_col: str = "doc_id",
                          delim: str = "\n"):
     """Global document frequency per text span (line/paragraph).
