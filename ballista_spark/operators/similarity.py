@@ -464,6 +464,89 @@ def ivf_ann_topk(
     )
 
 
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """(centroid_id, centroid_v) frame from trained centroid lists."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["centroid_id", "centroid_v"],
+    )
+
+
+def write_ivf_store(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus as a cell-partitioned parquet IVF store: each
+    vector lands under ``cell=<nearest centroid>/``, so a later search
+    reads ONLY its probed cells' files — Spark partition pruning as the
+    index structure.
+
+    This is the serving-side complement of :func:`ivf_ann_topk` (which
+    re-assigns cells per run): at 100 TB you assign cells once at ingest
+    (map-only — the broadcast-centroid `_nearest_centroids` pass) and
+    every query batch afterwards scans ~n_probe/n_cells of the files.
+    Re-written only when the coarse quantizer retrains.
+    """
+    base = _spread(corpus, id_col).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cent = _centroid_frame(corpus.sparkSession, centroids)
+    assigned = _nearest_centroids(base, cent, "vec_id", "cv", n_probe=1)
+    assigned.withColumnRenamed("centroid_id", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_store_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a :func:`write_ivf_store` store, scanning only
+    the probed cells' files.
+
+    The probed cell set is collected to the driver first — it is
+    query-batch-sized (≤ |queries| × n_probe ints, the one legitimately
+    driver-sized object in the flow) — and pushed into the scan as a
+    partition ``IN`` filter, so the files of every other cell are never
+    opened (assert ``inputFiles()`` to see it).  Same semantics as
+    :func:`ivf_ann_topk` with trained centroids: cosine ranking,
+    id-pinned tie-breaks, self-match excluded.
+    """
+    from pyspark.sql.window import Window
+
+    cent = _centroid_frame(spark, centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = _nearest_centroids(q, cent, "query_id", "qv", n_probe).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    store = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    cand = store.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _cosine(_dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")) * _norm(F.col("qv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
 # --- embedding quantization --------------------------------------------------
 
 

@@ -313,3 +313,36 @@ def test_resolve_duplicates_end_to_end(spark):
     assert comp[10] == comp[11] == 10
     assert comp[50] == 50
     assert canon == [1, 10, 50]
+
+
+def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    """The cell-partitioned IVF store scans ONLY probed cells' files
+    (partition pruning as the index) and returns exactly what the
+    in-memory ivf_ann_topk computes with the same trained centroids."""
+    from ballista_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_store_topk,
+        kmeans_fit,
+        write_ivf_store,
+    )
+    from ballista_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, 8, max_iters=3, spherical=True)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(emb, cents, path)
+
+    queries = emb.limit(2)
+    got = ivf_store_topk(spark, path, queries, cents, k=5, n_probe=2)
+    # pruning: the store-side FileScan carries a partition IN-filter over
+    # the probed cells (inputFiles() reflects the pre-pruning relation, so
+    # assert on the executed plan, where pruning actually lives)
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    [pf] = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([0-9,]+)\)", plan)
+    assert 1 <= len(pf.split(",")) <= 2 * 2  # <= n_queries * n_probe cells
+
+    expect = ivf_ann_topk(emb, queries, k=5, n_probe=2, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
