@@ -4,6 +4,10 @@ oracle but regresses here is wrong at scale."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from ballista_spark.plans.explain import explain_text, plan_summary
 from ballista_spark.queries.tpch import TPCH_QUERIES
 from tests.conftest import SF_CORRECT
@@ -139,3 +143,23 @@ def test_quantized_scan_has_no_python_and_no_corpus_shuffle(spark):
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
     assert "BroadcastExchange" in txt  # query side
     assert "CartesianProduct" not in txt  # broadcast NLJ, never a shuffle product
+
+
+@pytest.mark.skipif(
+    os.environ.get("BS_TEST_FULL") != "1", reason="corpus-wide sweep; BS_TEST_FULL=1"
+)
+def test_planlint_corpus_sweep_is_clean(spark):
+    """Every driver entry's executed plan passes the scale anti-pattern
+    lint (tools/planlint.py): no cartesians or nested-loop joins outside
+    the documented allow-lists, no row-at-a-time Python, pushdown/pruning
+    on every TPC-H scan."""
+    import __spark_entry__ as entry
+    from tools.planlint import SF_DIR, lint
+
+    bad = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        errs = lint(name, plan)
+        if errs:
+            bad[name] = errs
+    assert not bad, bad
