@@ -30,10 +30,18 @@ from pyspark.sql import functions as F
 MD5_LONG_BITS = 60
 
 
+def hex15_long(col: str | Column) -> Column:
+    """First 15 hex digits of an md5-hex column as a 60-bit LONG — for
+    callers that already hold the digest (operators/substr.py's
+    content-sampled stride); :func:`md5_long` composes it with md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(c, 1, 15), 16, 10).cast("long")
+
+
 def md5_long(col: str | Column) -> Column:
     """60-bit md5-derived hash of a string column as LONG (JVM-side)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return hex15_long(F.md5(c))
 
 
 def md5_long_py(s: str) -> int:

@@ -407,11 +407,7 @@ def ivf_ann_topk(
         _as_double(F.col(vec_col)).alias("cv"),
     )
     if centroids is not None:
-        spark = corpus.sparkSession
-        cent = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            ["centroid_id", "centroid_v"],
-        )
+        cent = _centroid_frame(corpus.sparkSession, centroids)
     else:
         labeled = corpus.select(
             F.col(label_col).alias("centroid_id"),

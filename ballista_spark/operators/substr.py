@@ -136,8 +136,9 @@ def window_occurrences(
     ).select("key", (F.col("p0") + 1).alias("pos"), "gh")
     if stride == 1:
         return occ
-    sel = F.conv(F.substring("gh", 1, 15), 16, 10).cast("long") % stride == 0
-    return occ.where(sel)
+    from ballista_spark.operators.hashing import hex15_long
+
+    return occ.where(hex15_long("gh") % stride == 0)
 
 
 def duplicated_window_spans(
