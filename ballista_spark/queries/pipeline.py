@@ -87,7 +87,11 @@ def _dedup_exact_builder(spark: SparkSession, sf: str) -> DataFrame:
         strip_duplicated_spans,
     )
 
-    docs = load_table(spark, sf, "documents")
+    # NULL text guard: the oracle's JOIN USING (ch) would silently drop
+    # null-hash rows while Spark's window groups them — exclude them
+    # explicitly on BOTH sides so a testdata regeneration introducing
+    # nulls cannot diverge the engines (no-op on current data)
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     src = docs.select(F.col("doc_id").alias("key"), "source")
 
     ex = (
@@ -150,7 +154,8 @@ def _dedup_exact_builder(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_exact_oracle() -> str:
     w = _SUBSTR_W
     return f"""
-WITH h AS (SELECT doc_id, source, MD5(text) AS ch FROM documents),
+WITH docs_nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
+h AS (SELECT doc_id, source, MD5(text) AS ch FROM docs_nn),
 m AS (SELECT ch, MIN(doc_id) AS keep FROM h GROUP BY ch),
 ex AS (
   SELECT source, COUNT(*) AS n_docs,
@@ -158,7 +163,7 @@ ex AS (
   FROM h JOIN m USING (ch) GROUP BY source
 ),
 toks AS (
-  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM documents
+  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS l FROM docs_nn
 ),
 occ AS (
   SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(l[i:i+{w - 1}], ' ')) AS gh
@@ -190,14 +195,14 @@ spans AS (
 sp_g AS (
   SELECT source, COUNT(*) AS n_spans, SUM(s) AS sum_start, SUM(e) AS sum_end,
          SUM(nw) AS sum_windows
-  FROM spans JOIN documents USING (doc_id) GROUP BY source
+  FROM spans JOIN docs_nn USING (doc_id) GROUP BY source
 ),
 per_doc AS (SELECT doc_id, SUM(e - s + 1) AS tr FROM spans GROUP BY doc_id),
 st_g AS (
   SELECT d.source,
          SUM(CASE WHEN p.tr > 0 THEN 1 ELSE 0 END) AS docs_hit,
          COALESCE(SUM(p.tr), 0) AS tokens_removed
-  FROM documents d LEFT JOIN per_doc p USING (doc_id) GROUP BY d.source
+  FROM docs_nn d LEFT JOIN per_doc p USING (doc_id) GROUP BY d.source
 )
 SELECT op, k, metric, CAST(v AS BIGINT) AS v FROM (
   SELECT 'exact' AS op, source AS k, 'n_docs' AS metric, n_docs AS v FROM ex
