@@ -182,6 +182,32 @@ def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     return col
 
 
+def dedup_lines_within(text="text", delim: str = "\n") -> F.Column:
+    """Text with repeated lines/spans removed WITHIN the document (first
+    occurrence kept, order preserved) — C4's within-page line dedup, the
+    cheap in-row complement to the cross-document
+    :func:`remove_boilerplate` (which needs a corpus-wide span-frequency
+    shuffle; this is a pure map-side array expression).
+
+    Empty spans are kept as-is (they are structure, not content).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    spans = F.split(col, F.lit(delim), -1)
+    # one left fold appending first-seen spans: the spans expression is
+    # referenced ONCE (an indexed-filter formulation would capture it in
+    # the lambda and re-evaluate the split per element — the
+    # interpreted-HOF trap BASELINE.md documents)
+    first = F.aggregate(
+        spans,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.trim(s) == "") | ~F.array_contains(acc, s),
+            F.concat(acc, F.array(s)),
+        ).otherwise(acc),
+    )
+    return F.concat_ws(delim, first)
+
+
 def chunk_documents(
     df,
     text_col: str = "text",

@@ -117,3 +117,43 @@ def test_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # the span set must not arrive via a nested-loop broadcast
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_lines_within_document(spark, duck):
+    """Within-doc line dedup keeps first occurrences in order, preserves
+    empty lines, and matches a DuckDB single-pass replay."""
+    from ballista_spark.operators.text import dedup_lines_within
+
+    rows = [
+        (1, "a\nb\na\nc\nb\nd"),
+        (2, "x\n\nx\n\ny"),      # empties preserved, dup x dropped
+        (3, "only one line"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t2"]
+        for r in df.select("doc_id", dedup_lines_within("text").alias("t2")).collect()
+    }
+    assert got[1] == "a\nb\nc\nd"
+    assert got[2] == "x\n\n\ny"
+    assert got[3] == "only one line"
+    assert got[4] == ""
+
+    oracle = {
+        k: v
+        for k, v in duck.execute(
+            """
+WITH t(doc_id, text) AS (VALUES (1, 'a' || chr(10) || 'b' || chr(10) || 'a' || chr(10) || 'c' || chr(10) || 'b' || chr(10) || 'd'),
+                               (2, 'x' || chr(10) || chr(10) || 'x' || chr(10) || chr(10) || 'y')),
+s AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, chr(10))) AS sp,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, chr(10)), 1) AS i FROM t),
+f AS (SELECT doc_id, sp, i,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, sp ORDER BY i) AS rn
+      FROM s)
+SELECT doc_id, STRING_AGG(sp, chr(10) ORDER BY i) FROM f
+WHERE TRIM(sp) = '' OR rn = 1 GROUP BY doc_id
+"""
+        ).fetchall()
+    }
+    assert got[1] == oracle[1] and got[2] == oracle[2]
