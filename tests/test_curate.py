@@ -195,3 +195,26 @@ def test_fuzzy_decontam_stage_drops_paraphrase(spark):
     assert sorted(r["doc_id"] for r in report.docs.collect()) == [0]
     assert report.stage_counts["decontam"] == 2
     assert report.stage_counts["fuzzy_decontam"] == 1
+
+
+def test_curation_is_idempotent_on_its_own_output(spark):
+    """Curating an already-curated corpus changes nothing: survivors are
+    pairwise non-near-dup by construction (an edge >= threshold would
+    have merged their clusters), every duplicated window already lost its
+    non-canonical occurrences, and the gates are deterministic."""
+    from ballista_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    params = dict(
+        near_dup_threshold=0.8,
+        substr_window=20,
+        min_tokens=3,
+        max_dup_ngram_fraction=0.95,
+        count_stages=False,
+    )
+    r1 = curate_corpus(docs, **params)
+    first = {r["doc_id"]: r["text"] for r in r1.docs.collect()}
+    r2 = curate_corpus(r1.docs, **params)
+    second = {r["doc_id"]: r["text"] for r in r2.docs.collect()}
+    assert second == first
