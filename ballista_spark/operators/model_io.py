@@ -45,6 +45,12 @@ def save_model(model: NamedTuple, path: str) -> None:
     for field in cls._fields:
         value = getattr(model, field)
         if field in frame_fields:
+            # materialize BEFORE the overwrite: a model loaded from this
+            # very path holds a lazy scan of the directory the write
+            # would first delete (save(load(p), p) must round-trip, not
+            # read-after-delete); model frames are bounded, so an eager
+            # executor-storage checkpoint is cheap insurance
+            value = value.localCheckpoint(eager=True)
             value.write.mode("overwrite").parquet(f"{path}/{field}")
             spark = value.sparkSession
         else:

@@ -523,8 +523,13 @@ def ivf_store_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probes = _nearest_centroids(q, cent, "query_id", "qv", n_probe).withColumnRenamed(
-        "centroid_id", "cell"
+    # eager checkpoint: the probe assignment feeds BOTH the driver-side
+    # cell collection below and the broadcast join — without it the
+    # crossJoin+explode over the query batch executes twice per call
+    probes = (
+        _nearest_centroids(q, cent, "query_id", "qv", n_probe)
+        .withColumnRenamed("centroid_id", "cell")
+        .localCheckpoint(eager=True)
     )
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     store = spark.read.parquet(path).where(F.col("cell").isin(cells))

@@ -182,6 +182,14 @@ def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     return col
 
 
+def _delim_pattern(delim: str) -> F.Column:
+    """Literal delimiter as a split() pattern: ``F.split`` takes a Java
+    regex, so a delimiter like '.' or '|' must be \\Q-quoted or it
+    matches every character and destroys the text (the reassembly side,
+    ``concat_ws``, is literal — the two must agree)."""
+    return F.lit("\\Q" + delim + "\\E")
+
+
 def dedup_lines_within(text="text", delim: str = "\n") -> F.Column:
     """Text with repeated lines/spans removed WITHIN the document (first
     occurrence kept, order preserved) — C4's within-page line dedup, the
@@ -192,7 +200,7 @@ def dedup_lines_within(text="text", delim: str = "\n") -> F.Column:
     Empty spans are kept as-is (they are structure, not content).
     """
     col = F.col(text) if isinstance(text, str) else text
-    spans = F.split(col, F.lit(delim), -1)
+    spans = F.split(col, _delim_pattern(delim), -1)
     # one left fold appending first-seen spans: the spans expression is
     # referenced ONCE (an indexed-filter formulation would capture it in
     # the lambda and re-evaluate the split per element — the
@@ -205,7 +213,8 @@ def dedup_lines_within(text="text", delim: str = "\n") -> F.Column:
             F.concat(acc, F.array(s)),
         ).otherwise(acc),
     )
-    return F.concat_ws(delim, first)
+    # NULL propagates (concat_ws alone would turn NULL text into '')
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.concat_ws(delim, first))
 
 
 def chunk_documents(
@@ -279,7 +288,7 @@ def span_doc_frequencies(df, text_col: str = "text", key_col: str = "doc_id",
     span.  ``array_distinct`` before the explode keeps a span that repeats
     *within* one document from inflating its document frequency.
     """
-    spans = F.array_distinct(F.split(F.col(text_col), F.lit(delim), -1))
+    spans = F.array_distinct(F.split(F.col(text_col), _delim_pattern(delim), -1))
     return (
         df.select(F.col(key_col).alias("key"), F.explode(spans).alias("span"))
         .where(F.trim(F.col("span")) != "")
@@ -316,7 +325,7 @@ def remove_boilerplate(df, text_col: str = "text", key_col: str = "doc_id",
     )
     parts = df.select(
         F.col(key_col).alias("key"),
-        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias("pos", "span"),
+        F.posexplode(F.split(F.col(text_col), _delim_pattern(delim), -1)).alias("pos", "span"),
     ).where(F.trim(F.col("span")) != "")
     kept = (
         parts.join(freq, "span", "left_anti")
@@ -336,7 +345,7 @@ def remove_boilerplate(df, text_col: str = "text", key_col: str = "doc_id",
         F.col(key_col).alias("key"),
         F.size(
             F.filter(
-                F.split(F.col(text_col), F.lit(delim), -1),
+                F.split(F.col(text_col), _delim_pattern(delim), -1),
                 lambda s: F.trim(s) != "",
             )
         ).cast("bigint").alias("n_spans"),

@@ -90,8 +90,13 @@ def curate_documents_stream(
     else:
         kept = kept.dropDuplicates(["content_hash"])
     if benchmark is not None:
+        # benchmark members must be hashed through the SAME text pipeline
+        # as the stream — with redact=True a benchmark doc containing
+        # PII-pattern text would otherwise hash differently on the two
+        # sides and leak straight through the anti-join
+        bench_text = redact_pii(text_col) if redact else F.col(text_col)
         bench_hashes = F.broadcast(
-            benchmark.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+            benchmark.select(F.md5(bench_text).alias("content_hash")).distinct()
         )
         kept = kept.join(bench_hashes, "content_hash", "left_anti")
     return kept

@@ -157,3 +157,21 @@ WHERE TRIM(sp) = '' OR rn = 1 GROUP BY doc_id
         ).fetchall()
     }
     assert got[1] == oracle[1] and got[2] == oracle[2]
+
+
+def test_dedup_lines_within_regex_delim_and_null(spark):
+    """A regex-metacharacter delimiter is treated literally, and NULL text
+    stays NULL (not '')."""
+    from ballista_spark.operators.text import dedup_lines_within
+
+    df = spark.createDataFrame(
+        [(1, "a.b.a.c"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["t2"]
+        for r in df.select(
+            "doc_id", dedup_lines_within("text", delim=".").alias("t2")
+        ).collect()
+    }
+    assert got[1] == "a.b.c"
+    assert got[2] is None

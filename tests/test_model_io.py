@@ -83,3 +83,18 @@ def test_pca_roundtrip(spark, tmp_path):
 def test_unsupported_type_raises(spark):
     with pytest.raises(TypeError):
         save_model(("not", "a", "model"), "/tmp/nope")
+
+
+def test_save_over_own_load_path_roundtrips(spark, tmp_path):
+    """save(load(p), p) must not read-after-delete: the frame is
+    materialized before the overwrite."""
+    from ballista_spark.operators.lm import ngram_lm_fit
+
+    docs = _docs(spark)
+    p = str(tmp_path / "lm_self")
+    model = ngram_lm_fit(docs, n=2)
+    save_model(model, p)
+    loaded = load_model(spark, p)
+    save_model(loaded, p)  # would FileNotFound without the checkpoint
+    again = load_model(spark, p)
+    assert _rows(again.table) == _rows(model.table)
