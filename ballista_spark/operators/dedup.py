@@ -498,6 +498,41 @@ def neardup_against(
     )
 
 
+def screen_against(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seen_text_col: str | None = None,
+    seen_key_col: str | None = None,
+    near_dup_threshold: float | None = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental-ingest screen: drop ``batch`` documents that exactly OR
+    nearly duplicate the accepted corpus ``seen`` — the inter-dataset
+    half of continuous curation (run :func:`curate.curate_corpus` on the
+    survivors for the intra-batch stages; the accepted corpus itself is
+    never re-deduplicated).
+
+    Exact screen = :func:`dedup_against` (anti-join on content hash);
+    fuzzy screen = :func:`neardup_against` flagged keys anti-joined back
+    (``near_dup_threshold=None`` disables it).  Scale shape: the seen
+    side contributes its distinct hashes (exact) and rides the batch's
+    MinHash pass (fuzzy) — the corpus is scanned, never broadcast,
+    never paired n².
+    """
+    out = dedup_against(batch, seen, text_col, seen_text_col or text_col)
+    if near_dup_threshold is not None:
+        flagged = neardup_against(
+            out, seen, text_col, key_col, seen_text_col, seen_key_col,
+            n=n, threshold=near_dup_threshold,
+        ).select(F.col("key").alias("__sc_key")).distinct()
+        out = out.join(
+            flagged, out[key_col].cast("string") == flagged["__sc_key"], "left_anti"
+        )
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -346,3 +346,34 @@ def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
 
     expect = ivf_ann_topk(emb, queries, k=5, n_probe=2, centroids=cents)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_screen_against_drops_exact_and_near_dups(spark):
+    """Incremental-ingest screen: batch docs exactly or nearly duplicating
+    the accepted corpus are dropped; fresh docs survive; the accepted
+    corpus is untouched."""
+    from ballista_spark.operators.dedup import screen_against
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # one replaced token of 40: 35/41 shingle jaccard ~ 0.85 >= 0.8
+    near = base.replace("w27 ", "q27 ")
+    seen = spark.createDataFrame(
+        [(100, base), (101, "an old accepted document about rivers and rain")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),                     # exact member of seen -> dropped
+            (2, near),                     # near-dup of seen -> dropped
+            (3, " ".join(f"z{i}" for i in range(40))),  # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in screen_against(batch, seen).collect())
+    assert kept == [3]
+    # fuzzy screen off: only the exact member is dropped
+    kept2 = sorted(
+        r["doc_id"]
+        for r in screen_against(batch, seen, near_dup_threshold=None).collect()
+    )
+    assert kept2 == [2, 3]
