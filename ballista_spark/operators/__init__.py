@@ -81,10 +81,32 @@ from ballista_spark.operators.partitioning import (
 )
 from ballista_spark.operators.rangejoin import range_join
 from ballista_spark.operators.text import (
+    chunk_documents,
+    dedup_lines_within,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
+    remove_boilerplate,
     token_count,
+)
+from ballista_spark.operators.dedup import neardup_against, screen_against
+from ballista_spark.operators.decontam import (
+    decontaminate_fuzzy,
+    fuzzy_contaminated_keys,
+)
+from ballista_spark.operators.substr import (
+    duplicated_window_spans,
+    strip_duplicated_spans,
+    window_occurrences,
+)
+from ballista_spark.operators.report import corpus_report
+from ballista_spark.operators.dataset import shuffle_deterministic
+from ballista_spark.operators.model_io import load_model, save_model
+from ballista_spark.operators.similarity import (
+    ivf_store_topk,
+    kmeans_fit,
+    write_ivf_store,
 )
 
 __all__ = [
@@ -147,4 +169,22 @@ __all__ = [
     "PCAModel",
     "pca_fit",
     "pca_project",
+    "neardup_against",
+    "screen_against",
+    "decontaminate_fuzzy",
+    "fuzzy_contaminated_keys",
+    "window_occurrences",
+    "duplicated_window_spans",
+    "strip_duplicated_spans",
+    "corpus_report",
+    "shuffle_deterministic",
+    "save_model",
+    "load_model",
+    "chunk_documents",
+    "dedup_lines_within",
+    "redact_pii",
+    "remove_boilerplate",
+    "kmeans_fit",
+    "write_ivf_store",
+    "ivf_store_topk",
 ]
