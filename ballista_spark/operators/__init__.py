@@ -84,6 +84,7 @@ from ballista_spark.operators.text import (
     chunk_documents,
     dedup_lines_within,
     fingerprint,
+    normalize_for_dedup,
     lang_id,
     quality_score,
     redact_pii,
@@ -187,4 +188,5 @@ __all__ = [
     "kmeans_fit",
     "write_ivf_store",
     "ivf_store_topk",
+    "normalize_for_dedup",
 ]

@@ -182,6 +182,23 @@ def redact_pii(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     return col
 
 
+def normalize_for_dedup(text="text", strip_punct: bool = True) -> F.Column:
+    """Canonical text for duplicate detection: lowercase, punctuation
+    stripped (optional), whitespace runs collapsed to single spaces,
+    trimmed — the standard pre-hash normalization (MinHashLSH pipelines à
+    la RefinedWeb/SlimPajama normalize before shingling so case and
+    punctuation variants of the same passage deduplicate together).
+
+    Pure JVM expression chain, reproducible by any regex SQL engine:
+    ``dedup_ops(df.withColumn("norm", normalize_for_dedup()), "norm")``
+    composes with every dedup operator (they all take ``text_col``).
+    """
+    col = F.lower(F.col(text) if isinstance(text, str) else text)
+    if strip_punct:
+        col = F.regexp_replace(col, "[^a-z0-9\\s]", " ")
+    return F.trim(F.regexp_replace(col, "\\s+", " "))
+
+
 def _delim_pattern(delim: str) -> F.Column:
     """Literal delimiter as a split() pattern: ``F.split`` takes a Java
     regex, so a delimiter like '.' or '|' must be \\Q-quoted or it

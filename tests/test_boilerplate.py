@@ -175,3 +175,34 @@ def test_dedup_lines_within_regex_delim_and_null(spark):
     }
     assert got[1] == "a.b.c"
     assert got[2] is None
+
+
+def test_normalize_for_dedup_canonicalizes_variants(spark, duck):
+    """Case/punctuation/whitespace variants of the same passage normalize
+    to one canonical form (and so dedup together); DuckDB replays it."""
+    from ballista_spark.operators.dedup import exact_dedup
+    from ballista_spark.operators.text import normalize_for_dedup
+
+    rows = [
+        (1, "The Cat sat, on the MAT!"),
+        (2, "the   cat sat on\tthe mat"),
+        (3, "a genuinely different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "norm", normalize_for_dedup("text")
+    )
+    got = {r["doc_id"]: r["norm"] for r in df.collect()}
+    assert got[1] == got[2] == "the cat sat on the mat"
+
+    dd = exact_dedup(df, text_col="norm")
+    canon = {r["doc_id"]: r["is_canonical"] for r in dd.collect()}
+    assert canon == {1: True, 2: False, 3: True}
+
+    oracle = duck.execute(
+        """
+        SELECT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(t), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))
+        FROM (VALUES ('The Cat sat, on the MAT!')) v(t)
+        """
+    ).fetchone()[0]
+    assert oracle == got[1]
