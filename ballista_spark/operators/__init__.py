@@ -93,6 +93,7 @@ from ballista_spark.operators.text import (
 )
 from ballista_spark.operators.dedup import neardup_against, screen_against
 from ballista_spark.operators.decontam import (
+    contamination_matrix,
     decontaminate_fuzzy,
     fuzzy_contaminated_keys,
 )
@@ -189,4 +190,5 @@ __all__ = [
     "write_ivf_store",
     "ivf_store_topk",
     "normalize_for_dedup",
+    "contamination_matrix",
 ]

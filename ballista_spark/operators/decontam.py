@@ -71,6 +71,61 @@ def contamination_stats(
     )
 
 
+def contamination_matrix(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    suite_col: str = "suite",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document, per-eval-suite n-gram overlap in ONE corpus pass —
+    production decontamination screens against dozens of suites at once
+    and needs per-suite attribution (which benchmark leaked, not just
+    whether something did).
+
+    ``benchmarks``: one DataFrame of all suites' documents with a
+    ``suite_col`` label.  Returns the long-format matrix
+    ``(key, suite, n_ngrams, n_hits, contamination)`` — one row per
+    (document, suite) with at least one shared n-gram, plus the
+    document's total n-gram count on every row (so any row alone yields
+    the fraction).  Documents overlapping no suite are omitted (their
+    contamination is 0 against every suite).
+
+    Scale shape: the corpus is shingled ONCE (the expensive map+explode);
+    the benchmark side is (suite, gram) distinct pairs — still
+    eval-set-sized, broadcast by default — and the per-(key, suite)
+    aggregation is one shuffle.  N separate :func:`contamination_stats`
+    calls would scan and shingle the corpus N times.
+    """
+    doc_sh = shingle_sets(docs, text_col, key_col, n)
+    bench = (
+        shingle_sets(benchmarks, text_col, key_col, n)
+        .join(
+            benchmarks.select(
+                F.col(key_col).alias("key"), F.col(suite_col).alias("suite")
+            ),
+            "key",
+        )
+        .select("suite", F.col("shingle").alias("s"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    sizes = doc_sh.groupBy("key").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        doc_sh.join(bench, doc_sh["shingle"] == bench["s"])
+        .groupBy("key", "suite")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "key")
+        .withColumn("contamination", F.col("n_hits") / F.col("n_ngrams"))
+        .select("key", "suite", "n_ngrams", "n_hits", "contamination")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -298,3 +298,51 @@ GROUP BY ka ORDER BY key
 """
     )
     assert_frames_match(got, oracle)
+
+
+def test_contamination_matrix_attributes_per_suite(spark, duck):
+    """One corpus pass yields per-(doc, suite) attribution equal to
+    running contamination_stats per suite, and matches a DuckDB replay."""
+    from ballista_spark.operators.decontam import (
+        contamination_matrix,
+        contamination_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b0 = docs.where(F.col("source") == "src0").withColumn("suite", F.lit("s0"))
+    b1 = docs.where(F.col("source") == "src1").withColumn("suite", F.lit("s1"))
+    benches = b0.unionByName(b1)
+
+    got = sorted(
+        map(tuple, contamination_matrix(docs, benches).collect())
+    )
+
+    # per-suite equivalence with N separate single-suite passes
+    expect = []
+    for suite, bdf in (("s0", b0), ("s1", b1)):
+        for r in contamination_stats(docs, bdf).where(F.col("n_hits") > 0).collect():
+            expect.append(
+                (r["key"], suite, r["n_ngrams"], r["n_hits"], r["contamination"])
+            )
+    assert got == sorted(expect)
+
+    oracle = duck.execute(
+        f"""
+WITH d AS (SELECT * FROM read_parquet('{SF_SMOKE}/documents.parquet')),
+toks AS (SELECT doc_id, source, STRING_SPLIT(TRIM(text), ' ') AS l FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(l) - 2)) g(i) WHERE LEN(l) >= 3
+),
+bench AS (
+  SELECT DISTINCT CASE source WHEN 'src0' THEN 's0' ELSE 's1' END AS suite, s
+  FROM sh WHERE source IN ('src0', 'src1')
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT sh.doc_id, bench.suite, sizes.n, COUNT(*) AS h,
+       COUNT(*) * 1.0 / sizes.n AS c
+FROM sh JOIN bench USING (s) JOIN sizes USING (doc_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+    ).fetchall()
+    assert got == sorted(map(tuple, oracle))
