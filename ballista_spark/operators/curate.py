@@ -178,7 +178,10 @@ def curate_corpus(
             )
             .withColumn(text_col, F.col("text_dedup"))
             .drop("text_dedup", "n_tokens_removed")
-            .where(F.trim(F.col(text_col)) != ""),
+            # NULL-preserving: the rest of the chain tolerates NULL text
+            # (exact_dedup's NULL guard), so enabling substr_window must
+            # not silently drop NULL-text docs — only strip-emptied ones
+            .where(F.col(text_col).isNull() | (F.trim(F.col(text_col)) != "")),
             "substr_dedup",
         )
 

@@ -30,10 +30,14 @@ builds does not distribute; the Spark-native shape is
    lesson), then md5-hashed (128-bit: no collision management needed at
    any corpus size, and DuckDB/any engine reproduces the hex digest).
 2. *one shuffle keyed by window hash* computes each window's occurrence
-   count and canonical (first) occurrence — map-side partial
-   aggregation collapses same-partition repeats first.  This is the
-   inherent cost of exact substring dedup: one corpus-token-sized
-   shuffle.  ``stride`` > 1 divides the shuffled row count ~stride-fold
+   count and canonical (first) occurrence as a groupBy(gh) joined back
+   to the occurrences — map-side partial aggregation collapses
+   same-partition repeats of hot hashes first, both sides share ONE
+   reused exchange (Spark ReuseExchange), and a corpus-wide boilerplate
+   hash streams through (and can be AQE-skew-split in) the join-back
+   instead of pinning a single Window partition.  This is the inherent
+   cost of exact substring dedup: one corpus-token-sized shuffle.
+   ``stride`` > 1 divides the shuffled row count ~stride-fold
    by keeping only windows whose content hash ≡ 0 (mod stride) —
    selection depends on window CONTENT alone, so every occurrence of a
    duplicated passage selects the same windows and a passage with m
@@ -148,6 +152,7 @@ def duplicated_window_spans(
     w: int = DEFAULT_WINDOW,
     min_count: int = 2,
     stride: int = 1,
+    bridge: int | None = None,
 ) -> DataFrame:
     """Maximal removable spans: (key, span_start, span_end, n_windows).
 
@@ -157,19 +162,48 @@ def duplicated_window_spans(
     passage survives, including self-repeats within one document.
     Overlapping/adjacent removable windows merge into one span
     ``[span_start, span_end]`` (1-based token indices, inclusive).
+
+    **Stride sampling strips partially.** With ``stride`` > 1 a
+    duplicated passage is detected via its content-sampled windows only:
+    spans start at the first *sampled* window and end w-1 past the last,
+    so up to ~``stride-1`` boundary tokens of the passage survive the
+    strip at each end, and a sampling gap wider than the island
+    tolerance splits one passage into multiple spans with unstripped
+    interior stretches.  ``bridge`` (default ``3*(stride-1)``, i.e. 0 —
+    exact semantics — at stride=1) widens the island-merge tolerance
+    from ``w`` to ``w + bridge`` so consecutive sampled windows of one
+    passage with a typical geometric gap (~mean ``stride``) still merge;
+    the boundary-token remainder is inherent to sampling and documented
+    rather than hidden.  Exactness requires ``stride=1``.
     """
-    occ = window_occurrences(df, text_col, key_col, w, stride)
-    # per-hash occurrence count + canonical-first occurrence as window
-    # aggregates over ONE shuffle keyed by gh — a groupBy + self-join
-    # computes the same thing but scans/shuffles the occurrence stream
-    # twice (measured 2x at sf0.1)
-    wgh = Window.partitionBy("gh")
+    if bridge is None:
+        bridge = 3 * (stride - 1)
+    # Per-hash occurrence count + canonical-first occurrence via
+    # groupBy(gh) + join-back on gh, NOT Window.partitionBy(gh): a
+    # corpus-wide boilerplate window (a license header repeated 1e8
+    # times) makes one hash's partition unboundedly hot, and WindowExec
+    # must BUFFER its whole partition (memory/spill hot spot) while a
+    # hash-aggregate and a sort-merge probe both *stream* a hot key in
+    # constant memory.  The explicit repartition(gh) satisfies the
+    # required distribution of BOTH consumers with one identical
+    # exchange subtree, so ReuseExchange executes the corpus-token-sized
+    # shuffle (and the tokenize+md5 window hashing feeding it) exactly
+    # ONCE (asserted in test_substr.py) — same shuffle volume as the old
+    # Window, none of its buffering.
+    occ = window_occurrences(df, text_col, key_col, w, stride).repartition("gh")
+    agg = (
+        occ.groupBy("gh")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("key", "pos")).alias("canon"),
+        )
+        .where(F.col("cnt") >= min_count)
+        .select("gh", "canon")
+    )
     rem = (
-        occ.withColumn("cnt", F.count("*").over(wgh))
-        .withColumn("canon", F.min(F.struct("key", "pos")).over(wgh))
+        occ.join(agg, "gh")
         .where(
-            (F.col("cnt") >= min_count)
-            & ~(
+            ~(
                 (F.col("key") == F.col("canon.key"))
                 & (F.col("pos") == F.col("canon.pos"))
             )
@@ -178,11 +212,12 @@ def duplicated_window_spans(
     )
     # equal-width intervals sorted by start have sorted ends -> islands
     # break exactly where the gap to the previous start exceeds w
-    # (pos = prev + w is adjacent: [prev, prev+w-1] ++ [prev+w, ...]).
+    # (pos = prev + w is adjacent: [prev, prev+w-1] ++ [prev+w, ...]);
+    # `bridge` widens the tolerance for stride-sampled windows (above).
     win = Window.partitionBy("key").orderBy("pos")
     flagged = rem.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(win) > w, 1).otherwise(0),
+        F.when(F.col("pos") - F.lag("pos").over(win) > w + bridge, 1).otherwise(0),
     ).withColumn("island", F.sum("brk").over(win))
     return (
         flagged.groupBy("key", "island")

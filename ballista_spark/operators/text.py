@@ -189,13 +189,20 @@ def normalize_for_dedup(text="text", strip_punct: bool = True) -> F.Column:
     la RefinedWeb/SlimPajama normalize before shingling so case and
     punctuation variants of the same passage deduplicate together).
 
-    Pure JVM expression chain, reproducible by any regex SQL engine:
+    The strip is Unicode-aware: everything that is not a letter
+    (``\\p{L}``), digit (``\\p{N}``) or whitespace becomes a space, so
+    CJK/Cyrillic/Arabic/accented text survives normalization — an
+    ASCII-only ``[^a-z0-9]`` strip would reduce every non-Latin document
+    to the empty string and false-positive-dedup all of them together.
+
+    Pure JVM expression chain, reproducible by any regex SQL engine
+    (RE2 and Java regex agree on ``\\p{L}``/``\\p{N}``):
     ``dedup_ops(df.withColumn("norm", normalize_for_dedup()), "norm")``
     composes with every dedup operator (they all take ``text_col``).
     """
     col = F.lower(F.col(text) if isinstance(text, str) else text)
     if strip_punct:
-        col = F.regexp_replace(col, "[^a-z0-9\\s]", " ")
+        col = F.regexp_replace(col, "[^\\p{L}\\p{N}\\s]", " ")
     return F.trim(F.regexp_replace(col, "\\s+", " "))
 
 

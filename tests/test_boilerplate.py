@@ -187,22 +187,38 @@ def test_normalize_for_dedup_canonicalizes_variants(spark, duck):
         (1, "The Cat sat, on the MAT!"),
         (2, "the   cat sat on\tthe mat"),
         (3, "a genuinely different document"),
+        (4, "你好，世界！这是中文。"),
+        (5, "Привет, мир! Это кириллица."),
+        (6, "Él añadió: «café» über straße"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
         "norm", normalize_for_dedup("text")
     )
     got = {r["doc_id"]: r["norm"] for r in df.collect()}
     assert got[1] == got[2] == "the cat sat on the mat"
+    # Unicode survival: non-Latin text must NOT normalize to empty (the
+    # ASCII-only strip regression would dedup all non-Latin docs together)
+    assert got[4] == "你好 世界 这是中文"
+    assert got[5] == "привет мир это кириллица"
+    assert got[6] == "él añadió café über straße"
 
     dd = exact_dedup(df, text_col="norm")
     canon = {r["doc_id"]: r["is_canonical"] for r in dd.collect()}
-    assert canon == {1: True, 2: False, 3: True}
+    assert canon == {1: True, 2: False, 3: True, 4: True, 5: True, 6: True}
 
     oracle = duck.execute(
         """
-        SELECT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(t), '[^a-z0-9\\s]', ' ', 'g'),
+        SELECT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(t), '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
                                    '\\s+', ' ', 'g'))
         FROM (VALUES ('The Cat sat, on the MAT!')) v(t)
         """
     ).fetchone()[0]
     assert oracle == got[1]
+    oracle_cjk = duck.execute(
+        """
+        SELECT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(t), '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))
+        FROM (VALUES ('你好，世界！这是中文。')) v(t)
+        """
+    ).fetchone()[0]
+    assert oracle_cjk == got[4]

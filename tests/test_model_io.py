@@ -98,3 +98,39 @@ def test_save_over_own_load_path_roundtrips(spark, tmp_path):
     save_model(loaded, p)  # would FileNotFound without the checkpoint
     again = load_model(spark, p)
     assert _rows(again.table) == _rows(model.table)
+
+
+def test_torn_save_loads_previous_complete_version(spark, tmp_path):
+    """A save that dies after writing field parquet but before meta must
+    leave the model loadable as the PREVIOUS consistent version — never
+    new frames paired with old scalars (the silent-corruption mode of an
+    in-place field overwrite)."""
+    from ballista_spark.operators.lm import ngram_lm_fit
+
+    docs = _docs(spark)
+    m1 = ngram_lm_fit(docs, n=2)
+    path = str(tmp_path / "lm")
+    save_model(m1, path)
+
+    # simulate a torn second save: fields of a DIFFERENT model (n=3)
+    # land on disk, the meta write never happens
+    m2 = ngram_lm_fit(docs, n=3)
+    real_create = spark.createDataFrame
+    try:
+        def boom(*a, **k):  # the meta frame is the only createDataFrame call
+            raise RuntimeError("simulated crash before meta write")
+        spark.createDataFrame = boom
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            save_model(m2, path)
+    finally:
+        spark.createDataFrame = real_create
+
+    loaded = load_model(spark, path)
+    assert loaded.n == m1.n  # old scalars ...
+    assert _rows(loaded.table) == _rows(m1.table)  # ... with OLD table
+
+    # a subsequent successful save wins and GCs stale version dirs
+    save_model(m2, path)
+    assert load_model(spark, path).n == 3
+    vdirs = [p.name for p in (tmp_path / "lm").iterdir() if p.name.startswith("v-")]
+    assert len(vdirs) == 1

@@ -168,3 +168,47 @@ def test_substr_plan_is_scale_safe(spark, corpus):
     plan = strip_duplicated_spans(df, w=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spans_no_window_over_hash_and_shared_exchange(spark, corpus):
+    """The per-hash count/canonical must NOT be a Window.partitionBy(gh)
+    (WindowExec buffers its whole partition — a corpus-wide boilerplate
+    hash becomes an unbounded single-task memory hot spot) but a
+    groupBy + join-back whose two consumers share ONE exchange of the
+    occurrence stream (AQE ReusedExchange), so the tokenize+md5 window
+    hashing and the corpus-token-sized shuffle each execute once."""
+    _, df = corpus
+    spans = duplicated_window_spans(df, w=5)
+    spans.collect()  # AQE reuse is only visible in the final plan
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the only Windows allowed are the per-doc island merge (key-keyed)
+    for line in final.splitlines():
+        if "Window [" in line:
+            assert "[key#" in line.split("windowspecdefinition")[-1] or "[key#" in line, line
+            assert "gh#" not in line
+    assert "ReusedExchange" in final
+
+
+def test_stride_bridge_merges_sampled_gaps(spark):
+    """With stride sampling, consecutive sampled windows of one passage
+    have gaps ~stride; the bridge tolerance keeps them in one span
+    instead of splitting the passage (bridge=0 reproduces the split)."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(5000)}" for _ in range(400)]
+    passage = " ".join(words[:120])
+    docs = [
+        (1, passage + " " + " ".join(f"a{i}" for i in range(60))),
+        (2, " ".join(f"b{i}" for i in range(60)) + " " + passage),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    stride = 4
+    bridged = duplicated_window_spans(df, w=10, stride=stride).collect()
+    split = duplicated_window_spans(df, w=10, stride=stride, bridge=0).collect()
+    # same removable windows, fewer-or-equal islands with bridging
+    assert sum(r["n_windows"] for r in bridged) == sum(r["n_windows"] for r in split)
+    assert len(bridged) <= len(split)
+    # doc 2's duplicated passage must be detected at all (content sampling)
+    assert any(r["key"] == 2 for r in bridged)
