@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (modality, mime, width/height/duration, …).  The Spark-side
 plumbing — schema, partition-sized Arrow batches through ``mapInPandas``,
-deterministic feature extraction signature — is real and tested; the actual
-codec decode is STUBBED (``NotImplementedError`` for real codecs, a
-deterministic byte-histogram fake for tests) because image/audio libraries
-are not available in this environment.
+deterministic feature extraction signature — is real and tested, and so is
+the codec layer for the container-decodable formats: **BMP (24-bit), PPM
+(P6), PGM (P5) and WAV (PCM 8/16-bit) decode and encode in pure numpy**
+(:func:`decode_media` / ``encode_bmp``/``encode_ppm``/``encode_wav``), no
+PIL/ffmpeg required.  Formats that genuinely need an external codec
+(JPEG, PNG, MP4, …) raise ``NotImplementedError`` from the same dispatch
+point — that branch is now the exception, not the path.
 
 Scale notes: `mapInPandas` streams Arrow record batches per partition, so
 peak memory is one batch of payloads (bound it with
@@ -16,8 +19,10 @@ no shuffle is introduced — decode/feature-extract is a map-only stage.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
