@@ -1,0 +1,202 @@
+"""Real multimodal decode: pure-numpy BMP/PPM/PGM/WAV codecs with
+known-answer pixel/sample values, exercised both as plain functions and
+end-to-end through the Spark mapInPandas batch loop (use_stub=False).
+
+This retires the round-4 ``partial``: the codec layer is no longer an
+environment stub — only formats that genuinely need external libraries
+(JPEG/PNG/MP4) raise, from the same dispatch point a deploy would extend.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_spark.operators.multimodal import (
+    MEDIA_META_SCHEMA,
+    N_FEATURES,
+    decode_bmp,
+    decode_media,
+    decode_pgm,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    extract_features,
+    resize_images,
+)
+
+
+def _img(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# --- known-answer + round-trip, pure functions -----------------------
+
+
+def test_bmp_known_answer_and_roundtrip():
+    # 2x2 image with distinct corner colors; hand-verifiable
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8
+    )
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    np.testing.assert_array_equal(decode_bmp(payload), img)
+    # row padding: width 3 → 9 bytes padded to 12 per row
+    img3 = _img(5, 3)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img3)), img3)
+
+
+def test_bmp_top_down_negative_height():
+    img = _img(4, 6)
+    p = bytearray(encode_bmp(img))
+    # flip to top-down: height := -height, rows already bottom-up in the
+    # encoder so a top-down reader must un-flip — build manually
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # natural order
+    import struct
+
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    np.testing.assert_array_equal(decode_bmp(header + info + data), img)
+
+
+def test_ppm_known_answer_comment_header():
+    img = _img(3, 4)
+    payload = encode_ppm(img)
+    np.testing.assert_array_equal(decode_ppm(payload), img)
+    # header with a comment line (the PNM spec allows them anywhere)
+    with_comment = b"P6\n# generated\n4 3\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), img)
+
+
+def test_pgm_decode():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = b"P5\n4 3\n255\n" + gray.tobytes()
+    np.testing.assert_array_equal(decode_pgm(payload), gray)
+
+
+def test_wav_known_answer_and_roundtrip():
+    rate = 8000
+    t = np.arange(64) / rate
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, got_rate = decode_wav(encode_wav(mono, rate))
+    assert got_rate == rate
+    assert samples.shape == (64, 1)
+    np.testing.assert_allclose(samples[:, 0], mono, atol=1 / 32768)
+    # stereo
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, rate))
+    assert s2.shape == (64, 2)
+    np.testing.assert_allclose(s2, stereo, atol=1 / 32768)
+    # 8-bit PCM path
+    import struct
+
+    pcm8 = bytes([128, 255, 0, 128])  # 0, ~+1, -1, 0
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    wav8 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + 4, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", 4) + pcm8
+    )
+    s8, _ = decode_wav(wav8)
+    np.testing.assert_allclose(s8[:, 0], [0.0, 127 / 128, -1.0, 0.0])
+
+
+def test_decode_media_dispatch():
+    img = _img(2, 2)
+    np.testing.assert_array_equal(decode_media(encode_bmp(img), "image/bmp"), img)
+    np.testing.assert_array_equal(
+        decode_media(encode_ppm(img), "image/x-portable-pixmap"), img
+    )
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        decode_media(b"\xff\xd8", "image/jpeg")
+
+
+# --- Spark end-to-end: the real path through mapInPandas -------------
+
+
+def _media_df(spark, rows):
+    """rows: (media_id, payload_bytes, mime, modality)"""
+    data = [
+        (i, bytearray(p), {"modality": mod, "mime": mime,
+                           "width": None, "height": None, "duration_ms": None})
+        for i, p, mime, mod in rows
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def test_extract_features_real_path(spark):
+    flat = np.full((8, 8, 3), 200, np.uint8)  # all luminance 200 → bin 12
+    grad = np.zeros((4, 4, 3), np.uint8)
+    grad[..., :] = np.arange(4, dtype=np.uint8)[:, None, None] * 64  # bins 0,4,8,12
+    wav = encode_wav(np.zeros(32), 8000)  # silence → bin 8
+
+    media = _media_df(
+        spark,
+        [
+            (1, encode_bmp(flat), "image/bmp", "image"),
+            (2, encode_ppm(grad), "image/x-portable-pixmap", "image"),
+            (3, wav, "audio/wav", "audio"),
+        ],
+    )
+    out = {r["media_id"]: r for r in extract_features(media, use_stub=False).collect()}
+    f1 = out[1]["features"]
+    assert f1[12] == 1.0 and sum(f1) == pytest.approx(1.0)
+    f2 = out[2]["features"]
+    assert [f2[0], f2[4], f2[8], f2[12]] == [0.25] * 4
+    f3 = out[3]["features"]
+    assert f3[8] == 1.0  # silence: amplitude 0 → bin 8 of [-1,1)
+
+
+def test_resize_images_real_path(spark):
+    # 4x4 quadrant image → 2x2 nearest-neighbor picks top-left of each
+    # quadrant ((i*4)//2 floor grid)
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = [255, 0, 0]
+    img[:2, 2:] = [0, 255, 0]
+    img[2:, :2] = [0, 0, 255]
+    img[2:, 2:] = [255, 255, 0]
+    media = _media_df(
+        spark,
+        [
+            (1, encode_bmp(img), "image/bmp", "image"),
+            (2, encode_ppm(img), "image/x-portable-pixmap", "image"),
+        ],
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media, width=2, height=2, use_stub=False).collect()
+    }
+    expect = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], np.uint8)
+    np.testing.assert_array_equal(decode_bmp(bytes(out[1]["payload"])), expect)
+    np.testing.assert_array_equal(decode_ppm(bytes(out[2]["payload"])), expect)
+    for r in out.values():  # meta rewritten, format preserved
+        assert (r["meta"]["width"], r["meta"]["height"]) == (2, 2)
+
+
+def test_resize_upscale_roundtrip(spark):
+    img = _img(2, 3)
+    media = _media_df(spark, [(1, encode_bmp(img), "image/bmp", "image")])
+    [r] = resize_images(media, width=6, height=4, use_stub=False).collect()
+    up = decode_bmp(bytes(r["payload"]))
+    assert up.shape == (4, 6, 3)
+    # every upscaled pixel replicates its floor-grid source
+    rows = (np.arange(4) * 2) // 4
+    cols = (np.arange(6) * 3) // 6
+    np.testing.assert_array_equal(up, img[rows][:, cols])

@@ -227,11 +227,14 @@ def test_multimodal_features_reference(spark):
         np.testing.assert_allclose(r["features"], _fake_features(payload), rtol=1e-12)
 
 
-def test_multimodal_real_decode_is_stubbed():
-    from ballista_spark.operators.multimodal import _decode_real
+def test_multimodal_external_codec_formats_raise():
+    """Formats that genuinely need an external codec stay explicit
+    NotImplementedError at the dispatch point; the container-decodable
+    formats (BMP/PPM/PGM/WAV) are REAL — see test_multimodal_codecs.py."""
+    from ballista_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        _decode_real(b"\x00", "image/png")
+        decode_media(b"\x89PNG", "image/png")
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
