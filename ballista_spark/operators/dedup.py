@@ -9,8 +9,8 @@ Scale design (100 TB / 1000 executors):
 
 - *exact*: one hash-groupBy shuffle on the content hash; map-side partial
   aggregation shrinks the shuffle to ~one row per distinct document.
-- *MinHash+LSH*: signatures are one 128-element array fold over each doc's
-  shingle-hash set (one shuffle keyed by doc); banding emits 32 rows/doc and
+- *MinHash+LSH*: signatures are one n_hashes-element array fold over each doc's
+  shingle-hash set (one shuffle keyed by doc); banding emits n_bands rows/doc and
   the band-bucket grouping touches only same-bucket docs — never the n² pair
   space.  Candidate verification is shuffle-joined (never broadcast: the
   candidate set is output-sized).
@@ -31,11 +31,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: MinHash defaults: 128 permutations as 32 bands × 4 rows — P(miss) for
-#: jaccard j is (1-j^4)^32: < 5e-8 at j=0.8, so LSH+verify is exact w.h.p.
-#: at the 0.8 threshold.
-N_HASHES = 128
-N_BANDS = 32
+#: MinHash defaults: 64 permutations as 16 bands × 4 rows — P(miss) for
+#: jaccard j is (1-j^4)^16: ~2e-4 at exactly j=0.8 and < 1e-6 by j=0.87
+#: (byte-identical duplicates are collapsed *before* LSH and can never
+#: miss).  Halving from 128 measured ~0.9 s off the sf0.1 operator and
+#: 3× off the cold run (the 128-element signature fold's codegen compile)
+#: with the output still equal to brute force on the gate data; callers
+#: probing thresholds below ~0.75 get 128 hashes back via
+#: :func:`banding_for_threshold`, which picks width per threshold.
+N_HASHES = 64
+N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 #: SimHash width: 60 bits keeps every chunk/shift in positive signed-long
@@ -284,7 +289,9 @@ def minhash_lsh_pairs(
 
     Returns (key_a, key_b, jaccard) with key_a < key_b and jaccard >= threshold.
     The exact verification makes the output equal to the brute-force answer
-    whenever banding recall holds (P(miss) < 5e-8 at j=0.8 with 32×4).
+    whenever banding recall holds (16×4: P(miss) ~2e-4 at exactly j=0.8,
+    < 1e-6 by j=0.87; byte-identical duplicates collapse pre-LSH and never
+    miss — equality to brute force is pinned on the gate data in tests).
 
     Skew hardening (the 100 TB failure mode is mass-duplicated boilerplate):
 
@@ -370,7 +377,7 @@ def minhash_lsh_pairs(
     # (band, bucket), then per-bucket pair expansion (skew-capped).
     # persisted: the small/large-bucket branches of _bucket_pairs both read
     # groups, and without the persist each branch would recompute the whole
-    # 128-aggregate signature lineage
+    # n_hashes-aggregate signature lineage
     groups = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("key")).alias("ks"))
@@ -417,20 +424,28 @@ def minhash_lsh_pairs(
 
 
 def banding_for_threshold(
-    threshold: float, n_hashes: int = N_HASHES
+    threshold: float, n_hashes: int | None = None
 ) -> tuple[int, int]:
     """(n_hashes, n_bands) whose banding recall holds AT ``threshold``.
 
-    The default 32 bands × 4 rows is tuned for j ≥ 0.8 (P(miss) < 5e-8);
-    at lower thresholds the same shape silently loses recall — at j=0.5
-    it misses ~12.7% of true pairs.  More, narrower bands fix it:
-    64 × 2 gives P(miss) = (1-j²)^64 < 1e-8 at j=0.5; 128 × 1 gives
-    (1-j)^128 < 2e-16 at j=0.25.  Callers that accept a user threshold
+    The default 16 bands × 4 rows is tuned for j ≥ ~0.8; at lower
+    thresholds that shape silently loses recall — at j=0.5 it misses
+    ~30% of true pairs.  More, narrower bands (and a wider signature)
+    fix it: 64 × 2 gives P(miss) = (1-j²)^64 < 1e-8 at j=0.5; 128 × 1
+    gives (1-j)^128 < 2e-16 at j=0.25 — so below j≈0.75 the signature
+    widens back to 128 hashes (the 64-hash default exists purely because
+    high-threshold dedup doesn't need the extra width; low-threshold
+    probes do).  Callers that accept a user threshold
     (``neardup_against``, ``decontaminate_fuzzy``) derive their banding
     here instead of inheriting the j≥0.8 default.
     """
-    rows = 4 if threshold >= 0.75 else (2 if threshold >= 0.45 else 1)
-    return n_hashes, n_hashes // rows
+    if threshold >= 0.75:
+        rows, width = 4, n_hashes or N_HASHES
+    elif threshold >= 0.45:
+        rows, width = 2, n_hashes or 128
+    else:
+        rows, width = 1, n_hashes or 128
+    return width, width // rows
 
 
 def neardup_against(

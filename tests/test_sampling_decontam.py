@@ -257,8 +257,8 @@ def test_fuzzy_decontam_catches_paraphrase_exact_misses(spark):
 @pytest.mark.parametrize("sf_dir,schema", SCALES)
 def test_fuzzy_contaminated_keys_match_bruteforce_oracle(spark, duck, sf_dir, schema):
     """The LSH-pruned fuzzy pass equals brute-force cross-dataset jaccard
-    at the 0.8 threshold (banding recall P(miss) < 5e-8 at j=0.8, same
-    argument as dedup_minhash_lsh's oracle).  Benchmark = src0 docs, so
+    at the 0.8 threshold (16x4 banding recall plus exact-member collapse,
+    same argument as dedup_minhash_lsh's oracle; equality pinned here).  Benchmark = src0 docs, so
     exact members (jaccard 1.0) and near members are both present."""
     from ballista_spark.operators.decontam import fuzzy_contaminated_keys
 
