@@ -90,6 +90,7 @@ def bm25_topk(
     key_col: str = "query_id",
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — Okapi BM25 top-k per query.
 
@@ -98,6 +99,16 @@ def bm25_topk(
     ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive).
     Repeated query terms weight a term once per occurrence, the standard
     bag-of-words query treatment.  Ties break toward the lower doc id.
+
+    ``max_df_frac`` enables stopword pruning — query terms with
+    ``df > max_df_frac * N`` are dropped *before* the posting join.
+    This is the term-sliver scale lever: on Zipfian text a handful of
+    stopwords sit in nearly every document, so their posting lists are
+    corpus-sized while their idf (≈ ln(1 + ε)) contributes noise-level
+    score; pruning them caps the posting mass any query can touch at
+    ``max_df_frac × N × n_query_terms`` without measurably moving
+    rankings.  The classic Lucene/Terrier stopword heuristic expressed
+    as a df filter.  Default None = exact scoring over every term.
     """
     q_terms = _term_rows(queries, text_col, key_col).withColumnRenamed(
         "doc_id", "query_id"
@@ -107,7 +118,10 @@ def bm25_topk(
         + (F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
-    weighted = q_terms.join(index.docfreq, "term").withColumn("idf", idf)
+    docfreq = index.docfreq
+    if max_df_frac is not None:
+        docfreq = docfreq.where(F.col("df") <= max_df_frac * index.n_docs)
+    weighted = q_terms.join(docfreq, "term").withColumn("idf", idf)
     hits = (
         weighted.join(index.postings, "term")
         .join(index.doclens, "doc_id")

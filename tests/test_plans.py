@@ -163,3 +163,23 @@ def test_planlint_corpus_sweep_is_clean(spark):
         if errs:
             bad[name] = errs
     assert not bad, bad
+
+
+def test_planlint_headline_subset_default(spark):
+    """Fast plan lint on the 13 bench headline entries — runs in the
+    DEFAULT suite so a cartesian/NLJ/row-Python/pushdown regression on a
+    headline query fails CI even when the BS_TEST_FULL corpus sweep is
+    skipped (the sweep remains the full gate)."""
+    import __spark_entry__ as entry
+    from bench import HEADLINE
+    from tools.planlint import SF_DIR, lint
+
+    names = HEADLINE + ["dedup_minhash_lsh", "ann_cosine_topk", "text_stats"]
+    qs = entry.queries()
+    bad = {}
+    for name in names:
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        errs = lint(name, plan)
+        if errs:
+            bad[name] = errs
+    assert not bad, bad
