@@ -200,3 +200,52 @@ def test_resize_upscale_roundtrip(spark):
     rows = (np.arange(4) * 2) // 4
     cols = (np.arange(6) * 3) // 6
     np.testing.assert_array_equal(up, img[rows][:, cols])
+
+
+def test_y4m_known_answer_and_roundtrip():
+    from ballista_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.stack([np.full((4, 6), v, np.uint8) for v in (0, 100, 200)])
+    payload = encode_y4m(frames, fps=(30, 1))
+    assert payload.startswith(b"YUV4MPEG2 W6 H4 F30:1")
+    np.testing.assert_array_equal(decode_y4m(payload), frames)
+    with pytest.raises(NotImplementedError):  # packed 4:2:2 needs no support
+        decode_y4m(b"YUV4MPEG2 W2 H2 C422p10\nFRAME\n" + b"\x00" * 8)
+
+
+def test_sample_frames_real_path(spark):
+    from ballista_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_frames,
+    )
+
+    # 8 frames with luma == frame index * 30 → floor grid picks 0,2,4,6
+    frames = np.stack([np.full((4, 4), i * 30, np.uint8) for i in range(8)])
+    media = _media_df(
+        spark, [(1, encode_y4m(frames), "video/x-yuv4mpeg", "video")]
+    )
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame_payload"]))
+        for r in sample_frames(media, n_frames=4, use_stub=False).collect()
+    )
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for i, payload in got:
+        np.testing.assert_array_equal(
+            decode_pgm(payload), np.full((4, 4), ((i * 8) // 4) * 30, np.uint8)
+        )
+
+
+def test_video_features_real_path(spark):
+    from ballista_spark.operators.multimodal import encode_y4m
+
+    # two frames: luma 0 (bin 0) and luma 255 (bin 15), equal mass
+    frames = np.stack(
+        [np.zeros((4, 4), np.uint8), np.full((4, 4), 255, np.uint8)]
+    )
+    media = _media_df(
+        spark, [(1, encode_y4m(frames), "video/x-yuv4mpeg", "video")]
+    )
+    [r] = extract_features(media, use_stub=False).collect()
+    assert r["features"][0] == pytest.approx(0.5)
+    assert r["features"][15] == pytest.approx(0.5)

@@ -25,7 +25,6 @@ compared with rel=1e-9 tolerance, exact for every non-float.
 from __future__ import annotations
 
 import glob
-import math
 import os
 
 import duckdb
@@ -142,3 +141,32 @@ def test_generator_referential_consistency(spark_tpch):
         """
     ).count()
     assert bad == 0
+
+
+def test_q15_spec_text_full_schema(spark_tpch, duck_tpch):
+    """q15 — the one TPC-H query the reference corpus omits (SURVEY.md
+    §5) — run as the public spec text (CREATE VIEW + max-revenue scalar
+    subquery) on the full schema, Spark vs DuckDB, completing value
+    coverage of all 22 queries."""
+    rev = """
+select l_suppkey as supplier_no,
+       sum(l_extendedprice * (1 - l_discount)) as total_revenue
+from lineitem
+where l_shipdate >= date '1996-01-01'
+  and l_shipdate < date '1996-04-01'
+group by l_suppkey
+"""
+    q = """
+select s_suppkey, s_name, s_address, s_phone, total_revenue
+from supplier, revenue0
+where s_suppkey = supplier_no
+  and total_revenue = (select max(total_revenue) from revenue0)
+order by s_suppkey
+"""
+    spark_tpch.sql("DROP VIEW IF EXISTS revenue0")
+    spark_tpch.sql(f"CREATE TEMPORARY VIEW revenue0 AS {rev}")
+    got = [tuple(r) for r in spark_tpch.sql(q).collect()]
+    duck_tpch.execute(f"create or replace view revenue0 as {rev}")
+    want = duck_tpch.execute(q).fetchall()
+    assert len(want) > 0
+    _assert_rows_equal(got, want, "q15")
