@@ -222,16 +222,49 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 #: memory.  64 keys → ≤2016 in-row structs, far under any executor budget.
 BUCKET_CAP = 64
 
-#: DataFrames persisted by the most recent :func:`minhash_lsh_pairs` call,
-#: released at the start of the next call (see the self-cleaning note there).
-#: Guarded by :data:`_PERSISTED_LOCK` — the driver gate and a bench loop can
-#: call from different threads; list mutation must not race.  Unpersisting a
-#: frame another in-flight job still reads is *safe* (Spark falls back to
-#: recomputing the lineage) but forfeits that job's cache — concurrent
-#: minhash calls pay a perf cliff, never a wrong answer.  The last call's
-#: three small frames stay cached until the next call or session end.
-_PERSISTED: list[DataFrame] = []
+#: Cross-call intermediate cache for :func:`minhash_lsh_pairs`, keyed by
+#: (applicationId, analyzed-plan semanticHash, shingle/signature params).
+#: Repeated invocations over a semantically identical input — the driver
+#: gate's compare pass, bench steady-state iterations, a serving process
+#: answering many thresholds over one corpus — reuse the persisted
+#: collapse/shingle/signature/banding intermediates instead of recomputing
+#: them (the round-4 verdict's "persist the shingle cache once per process
+#: instead of per call").  Keying on the *analyzed plan* means a process
+#: that rewrites the source files in place under an unchanged path must
+#: call :func:`clear_minhash_cache` first; the applicationId component
+#: drops entries from a stopped SparkContext.  Guarded by
+#: :data:`_PERSISTED_LOCK` — the driver gate and a bench loop can call
+#: from different threads.  Unpersisting a frame another in-flight job
+#: still reads is *safe* (Spark falls back to recomputing the lineage)
+#: but forfeits that job's cache — concurrent minhash calls pay a perf
+#: cliff, never a wrong answer.
+_MINHASH_CACHE: dict = {}
+_MINHASH_CACHE_MAX = 4
 _PERSISTED_LOCK = threading.Lock()
+
+
+def clear_minhash_cache() -> None:
+    """Unpersist and forget all cached minhash intermediates (call after
+    mutating source files in place under a path a prior call read)."""
+    with _PERSISTED_LOCK:
+        stale = [f for entry in _MINHASH_CACHE.values() for f in entry]
+        _MINHASH_CACHE.clear()
+    for f in stale:
+        try:
+            f.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
+def _minhash_cache_key(df: DataFrame, params: tuple):
+    """Stable identity of (SparkContext, input plan, params) — or None when
+    the plan has no usable semantic hash (caching is then skipped)."""
+    try:
+        app = df.sparkSession.sparkContext.applicationId
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - connect-only session etc.
+        return None
+    return (app, sem) + params
 
 
 def _bucket_pairs(groups: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
@@ -317,77 +350,95 @@ def minhash_lsh_pairs(
     invocations vary ±30% (the dominant BENCH noise in rounds 1-3).  With
     the stage barriers the work sequence is identical every call; pass
     ``eager=False`` for a fully lazy plan (e.g. when only EXPLAIN-ing).
+
+    Repeated calls over a semantically identical input reuse the persisted
+    intermediates across calls (see :data:`_MINHASH_CACHE`); only the
+    banding-downstream stages (pair expansion, exact-jaccard verify,
+    member expansion) re-execute, so a threshold sweep or a steady-state
+    serving loop pays the shingle/signature cost once per corpus.
     """
     rows = n_hashes // n_bands
-    # self-cleaning persists: repeated invocations (driver gate + bench loop
-    # run this several times per session) would otherwise accumulate cached
-    # RDDs forever — release the previous call's before building this one.
-    # Unpersisting never affects correctness, only recomputation cost, so a
-    # caller still holding the previous result DataFrame stays valid.
+    # cross-call reuse: (members, sh, groups) depend only on the input plan
+    # and the shingle/signature/banding params — threshold and bucket_cap
+    # act strictly downstream of `groups`, so one cached entry serves any
+    # threshold sweep over the same corpus.  A miss (or an uncacheable
+    # plan) builds and inserts; LRU eviction unpersists what falls out.
+    cache_key = _minhash_cache_key(df, (text_col, key_col, n, n_hashes, n_bands))
     with _PERSISTED_LOCK:
-        stale, _PERSISTED[:] = _PERSISTED[:], []
-    for df_old in stale:
-        try:
-            df_old.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
-    toks_ok = F.size(_tokens("__t")) >= n  # mirror shingle_sets' min-length gate
-    docs = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("__t"))
-    marked = (
-        docs.withColumn("__ch", F.md5("__t"))
-        .withColumn("__rep", F.min("key").over(Window.partitionBy("__ch")))
-        .where(toks_ok)
-    )
-    # members is tiny per row (two keys) and feeds three consumers
-    members = marked.select("key", "__rep").persist()
-    with _PERSISTED_LOCK:
-        _PERSISTED.append(members)
-    if eager:
-        members.count()
-    reps = marked.where(F.col("key") == F.col("__rep")).select("key", "__t")
-
-    # NOTE on the eager barriers below: only `members` and `groups` are
-    # counted.  Counting `groups` computes — and therefore caches — the
-    # persisted `sh` on the way (persist fills on first computation no
-    # matter which job triggers it), so a third sh.count() barrier would
-    # add a full sequential pass for nothing; measured ~0.5 s at sf0.1.
-
-    # the shingle set feeds three consumers (signatures + both sides of the
-    # verification join) — materialize it once instead of recomputing the
-    # tokenize/shingle lineage three times
-    sh = shingle_sets(reps, "__t", "key", n).persist()
-    with _PERSISTED_LOCK:
-        _PERSISTED.append(sh)
-    sig = _minhash_signatures(sh, n_hashes)
-    # one parsed SQL expression for all band hashes (xxhash64 over each
-    # band's signature slice) — same values as per-column construction,
-    # without n_bands × rows py4j round-trips of plan-build time
-    band_hashes = F.expr(
-        "array("
-        + ",".join(
-            "xxhash64("
-            + ",".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows))
-            + ")"
-            for b in range(n_bands)
+        hit = _MINHASH_CACHE.pop(cache_key, None) if cache_key is not None else None
+        if hit is not None:  # re-insert at LRU tail
+            _MINHASH_CACHE[cache_key] = hit
+    if hit is not None:
+        members, sh, groups = hit
+    else:
+        toks_ok = F.size(_tokens("__t")) >= n  # mirror shingle_sets' gate
+        docs = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("__t"))
+        marked = (
+            docs.withColumn("__ch", F.md5("__t"))
+            .withColumn("__rep", F.min("key").over(Window.partitionBy("__ch")))
+            .where(toks_ok)
         )
-        + ")"
-    )
-    banded = sig.select("key", F.posexplode(band_hashes).alias("band", "bucket"))
-    # candidate pairs via groupBy-collect: one shuffle keyed by
-    # (band, bucket), then per-bucket pair expansion (skew-capped).
-    # persisted: the small/large-bucket branches of _bucket_pairs both read
-    # groups, and without the persist each branch would recompute the whole
-    # n_hashes-aggregate signature lineage
-    groups = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("key")).alias("ks"))
-        .where(F.size("ks") > 1)
-        .persist()
-    )
-    with _PERSISTED_LOCK:
-        _PERSISTED.append(groups)
-    if eager:
-        groups.count()
+        # members is tiny per row (two keys) and feeds three consumers
+        members = marked.select("key", "__rep").persist()
+        if eager:
+            members.count()
+        reps = marked.where(F.col("key") == F.col("__rep")).select("key", "__t")
+
+        # NOTE on the eager barriers: only `members` and `groups` are
+        # counted.  Counting `groups` computes — and therefore caches — the
+        # persisted `sh` on the way (persist fills on first computation no
+        # matter which job triggers it), so a third sh.count() barrier would
+        # add a full sequential pass for nothing; measured ~0.5 s at sf0.1.
+
+        # the shingle set feeds three consumers (signatures + both sides of
+        # the verification join) — materialize it once instead of
+        # recomputing the tokenize/shingle lineage three times
+        sh = shingle_sets(reps, "__t", "key", n).persist()
+        sig = _minhash_signatures(sh, n_hashes)
+        # one parsed SQL expression for all band hashes (xxhash64 over each
+        # band's signature slice) — same values as per-column construction,
+        # without n_bands × rows py4j round-trips of plan-build time
+        band_hashes = F.expr(
+            "array("
+            + ",".join(
+                "xxhash64("
+                + ",".join(
+                    f"element_at(sig, {b * rows + r + 1})" for r in range(rows)
+                )
+                + ")"
+                for b in range(n_bands)
+            )
+            + ")"
+        )
+        banded = sig.select(
+            "key", F.posexplode(band_hashes).alias("band", "bucket")
+        )
+        # candidate pairs via groupBy-collect: one shuffle keyed by
+        # (band, bucket), then per-bucket pair expansion (skew-capped).
+        # persisted: the small/large-bucket branches of _bucket_pairs both
+        # read groups, and without the persist each branch would recompute
+        # the whole n_hashes-aggregate signature lineage
+        groups = (
+            banded.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("key")).alias("ks"))
+            .where(F.size("ks") > 1)
+            .persist()
+        )
+        if eager:
+            groups.count()
+        evicted: list[DataFrame] = []
+        with _PERSISTED_LOCK:
+            # a plan without a usable semantic hash still occupies one slot
+            # (the sentinel key) so repeated uncacheable calls self-clean
+            # exactly like the pre-cache behavior
+            _MINHASH_CACHE[cache_key or ("__nocache__",)] = (members, sh, groups)
+            while len(_MINHASH_CACHE) > _MINHASH_CACHE_MAX:
+                evicted.extend(_MINHASH_CACHE.pop(next(iter(_MINHASH_CACHE))))
+        for f in evicted:
+            try:
+                f.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
     rep_pairs = (
         _exact_jaccard(_bucket_pairs(groups, bucket_cap), sh)
         .where(F.col("jaccard") >= threshold)

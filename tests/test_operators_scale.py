@@ -67,6 +67,51 @@ def test_minhash_survives_degenerate_duplicates_and_matches_brute_force(spark):
     assert not any(k[0] >= 2000 or k[1] >= 2000 for k in got)
 
 
+def test_minhash_cross_call_cache_hits_and_stays_correct(spark):
+    """The cross-call intermediate cache (round-5: shingle/signature work
+    paid once per corpus per process) must (a) actually hit on a
+    semantically identical input, (b) return byte-identical results on the
+    hit, (c) serve a different threshold from the same cached entry
+    (threshold is downstream of the cached stages), and (d) NOT reuse
+    state for a semantically different input."""
+    from ballista_spark.operators import dedup as D
+
+    df = _boilerplate_corpus(spark, n_identical=20, n_near=10)
+    D.clear_minhash_cache()
+    first = {
+        (r.key_a, r.key_b): round(r.jaccard, 9)
+        for r in D.minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert len(D._MINHASH_CACHE) == 1
+    (entry_key,) = D._MINHASH_CACHE
+    # (a)+(b): identical re-read → same cache entry, identical results
+    again = {
+        (r.key_a, r.key_b): round(r.jaccard, 9)
+        for r in D.minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert again == first
+    assert list(D._MINHASH_CACHE) == [entry_key]
+    # (c): a looser threshold reuses the same entry and is a superset
+    loose = {
+        (r.key_a, r.key_b)
+        for r in D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert list(D._MINHASH_CACHE) == [entry_key]
+    assert set(first) <= loose
+    # (d): a different corpus (one doc dropped) gets its own entry and
+    # result — no stale reuse
+    df2 = df.where(F.col("doc_id") != 1000)
+    other = {
+        (r.key_a, r.key_b)
+        for r in D.minhash_lsh_pairs(df2, threshold=0.8).collect()
+    }
+    assert len(D._MINHASH_CACHE) == 2
+    assert not any(1000 in k for k in other)
+    assert any(1000 in k for k in first)
+    D.clear_minhash_cache()
+    assert len(D._MINHASH_CACHE) == 0
+
+
 def _events_interval_frames(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     points = ev.select("user_id", "ts", "event_id")
