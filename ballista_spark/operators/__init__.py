@@ -7,6 +7,13 @@ declarative DataFrame plans, one shuffle where one is needed, broadcast for
 small sides, no driver-side collection anywhere.
 """
 
+from ballista_spark.operators.bpe import (
+    BPEModel,
+    bpe_decode,
+    bpe_encode,
+    bpe_encode_ids,
+    bpe_fit,
+)
 from ballista_spark.operators.dedup import (
     connected_components,
     dedup_against,
@@ -168,6 +175,11 @@ __all__ = [
     "dsir_fit",
     "dsir_log_weights",
     "dsir_resample",
+    "BPEModel",
+    "bpe_decode",
+    "bpe_encode",
+    "bpe_encode_ids",
+    "bpe_fit",
     "PCAModel",
     "pca_fit",
     "pca_project",

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ballista_spark.operators.bpe import BPEModel
 from ballista_spark.operators.dsir import DSIRModel
 from ballista_spark.operators.lm import NgramLM
 from ballista_spark.operators.pca import PCAModel
@@ -34,6 +35,7 @@ _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
     LogRegModel: (("weights",), ("ngrams",)),
     DSIRModel: (("log_ratio",), ("ngrams",)),
     PCAModel: ((), ()),
+    BPEModel: (("merges", "vocab"), ()),
 }
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 
