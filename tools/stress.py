@@ -59,6 +59,8 @@ PIPELINE = [
     "bm25_topk_zipf",  # representative: Zipf vocab + stopword pruning
     "substr_dedup",  # removable volume grows output-sized — see docstring
     "fuzzy_decontam",  # candidate volume near-dup-structured — see docstring
+    "bpe_fit",     # word-count shuffle + bounded driver merge loop
+    "bpe_encode",  # map-only pandas-UDF tokenize over the whole corpus
 ]
 
 
@@ -307,8 +309,50 @@ def _bm25_topk_zipf(spark, sf_dir: str):
     )
 
 
+#: per-scale fitted tokenizer from the last _bpe_fit call — the fit /
+#: encode split mirrors the ivfpq_fit / ivfpq_search serving split
+_BPE_MODELS: dict = {}
+
+
+def _bpe_fit(spark, sf_dir: str):
+    """BPE training as a stress row: the distributed stage is ONE
+    map-side-combinable word-count aggregation; the merge loop runs on
+    the driver over the min_count-bounded word table, so the ratio
+    should sit near 1× (the replica corpus shares its vocabulary — the
+    word TABLE barely grows while word counts grow 10×)."""
+    from ballista_spark.operators.bpe import bpe_fit
+
+    docs = _load_docs(spark, sf_dir)
+    model = bpe_fit(docs, num_merges=200, min_count=2)
+    _BPE_MODELS[sf_dir] = model
+    return model.merges
+
+
+def _bpe_encode(spark, sf_dir: str):
+    """BPE encoding over the whole corpus: map-only Arrow-batched pandas
+    UDF with a per-batch word memo — expect near-linear growth in corpus
+    bytes, no shuffle (plan-gated in tests/test_bpe.py)."""
+    from ballista_spark.operators.bpe import bpe_encode
+    from pyspark.sql import functions as FF
+
+    if sf_dir not in _BPE_MODELS:
+        _bpe_fit(spark, sf_dir).collect()
+    docs = _load_docs(spark, sf_dir)
+    return bpe_encode(docs, _BPE_MODELS[sf_dir]).select(
+        "doc_id", FF.size("bpe_tokens").alias("n_tokens")
+    )
+
+
+def _load_docs(spark, sf_dir: str):
+    from ballista_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
 #: stress-only builders that are not graded corpus entries
 LOCAL_BUILDERS = {
+    "bpe_fit": _bpe_fit,
+    "bpe_encode": _bpe_encode,
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
@@ -388,6 +432,7 @@ def replicate(spark) -> None:
 
 
 def time_queries(spark, sf_dir: str, iters: int = 2) -> dict[str, float]:
+    from ballista_spark.operators.dedup import clear_minhash_cache
     from ballista_spark.queries.base import spec_dialect
     from ballista_spark.queries.pipeline import PIPELINE_QUERIES
     from ballista_spark.queries.tpch import TPCH_QUERIES
@@ -401,6 +446,10 @@ def time_queries(spark, sf_dir: str, iters: int = 2) -> dict[str, float]:
         )
         runs = []
         for _ in range(iters):
+            # the cross-call minhash cache would otherwise make the
+            # second iteration skip the shingle/signature stages — this
+            # harness measures PLAN scaling, so every run pays full cost
+            clear_minhash_cache()
             t0 = time.perf_counter()
             if q is None:
                 df = LOCAL_BUILDERS[name](spark, sf_dir)
