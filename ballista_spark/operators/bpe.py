@@ -107,9 +107,11 @@ def _merge_loop(
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         best = None
-        best_count = min_pair_count - 1
+        best_count = 0
         for pair, c in pair_count.items():
-            if c > best_count or (c == best_count and (best is None or pair < best)):
+            if c < min_pair_count:
+                continue
+            if best is None or c > best_count or (c == best_count and pair < best):
                 best, best_count = pair, c
         if best is None:
             break

@@ -180,6 +180,65 @@ def test_encode_plan_is_map_only(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
+def test_merge_loop_matches_reference_on_random_tables():
+    """Driver-free randomized equivalence (fixed seeds): the engine's
+    incremental-pair-index merge loop vs the naive recount reference on
+    word tables it was not tuned on — the incremental bookkeeping
+    (stale pair removal, overlap-safe in-word merging, index updates)
+    is the riskiest code in the module."""
+    import random
+
+    from ballista_spark.operators.bpe import _merge_loop
+
+    alphabet = "abcde"
+    for seed in range(25):
+        rng = random.Random(seed)
+        wc = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))):
+                rng.randint(1, 30)
+            for _ in range(rng.randint(3, 40))
+        }
+        for num_merges in (1, 7, 100):
+            got = _merge_loop(list(wc.items()), num_merges, 2, EOW)
+            want = _ref_merges(wc, num_merges, 2)
+            assert got == want, (seed, num_merges)
+
+
+def test_apply_merges_consistent_with_trainer_on_random_tables():
+    """Encoding each training word with the learned ranks must reproduce
+    the trainer's final symbolization (lowest-rank-first replay ==
+    sequential merge replay) — including repeated-character words where
+    overlapping pair occurrences are the classic off-by-one trap."""
+    import random
+
+    from ballista_spark.operators.bpe import _apply_merges, _merge_loop
+
+    alphabet = "aab"  # heavy repeats on purpose
+    for seed in range(15):
+        rng = random.Random(1000 + seed)
+        wc = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))):
+                rng.randint(1, 9)
+            for _ in range(rng.randint(2, 20))
+        }
+        merges = _merge_loop(list(wc.items()), 50, 2, EOW)
+        ranks = {p: i for i, p in enumerate(merges)}
+        # replay the trainer's merge sequence over each word
+        for w in wc:
+            syms = list(w) + [EOW]
+            for l, r in merges:
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                        out.append(l + r)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            assert _apply_merges(w, ranks, EOW) == syms, (seed, w)
+
+
 def test_fit_distributed_stage_is_one_aggregation(spark):
     """The corpus-sized part of bpe_fit is exactly one groupBy(word):
     partial_count -> exchange -> final count, with no join and no second
