@@ -89,12 +89,16 @@ def _merge_loop(
 
     Incremental: a merge re-scans only the words that contain the merged
     pair (tracked by the pair→words index), so each iteration costs
-    O(words touched), not O(table).  Best-pair selection is a linear max
-    with a deterministic tie-break (higher count wins, then
-    lexicographically smaller pair) — a lazy heap would amortize this
-    for very large ``num_merges`` but the linear scan is already
-    corpus-size-independent.
+    O(words touched), not O(table).  Best-pair selection is a
+    lazy-invalidation max-heap — stale entries (count changed since
+    push) are discarded on pop, so selection is O(log heap) amortized
+    instead of an O(#pairs) scan per merge; at a production-sized
+    1M-word table × 32k merges the scan would dominate training.  The
+    heap order (count desc, then lexicographically smaller pair) IS the
+    deterministic tie-break, pinned by the randomized mirror tests.
     """
+    import heapq
+
     words: list[list[str]] = [list(w) + [eow] for w, _ in word_counts]
     counts = [c for _, c in word_counts]
     pair_count: dict[tuple[str, str], int] = defaultdict(int)
@@ -104,23 +108,21 @@ def _merge_loop(
         for a, b in zip(syms, syms[1:]):
             pair_count[(a, b)] += c
             pair_words[(a, b)].add(i)
+    heap = [(-c, p) for p, c in pair_count.items() if c >= min_pair_count]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        best = None
-        best_count = 0
-        for pair, c in pair_count.items():
-            if c < min_pair_count:
-                continue
-            if best is None or c > best_count or (c == best_count and pair < best):
-                best, best_count = pair, c
-        if best is None:
-            break
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_count.get(best, 0) != -negc:
+            continue  # stale entry — count changed since this push
         merges.append(best)
         new_sym = best[0] + best[1]
+        touched: set[tuple[str, str]] = set()
         for i in list(pair_words[best]):
             syms, c = words[i], counts[i]
             for a, b in zip(syms, syms[1:]):
                 pair_count[(a, b)] -= c
+                touched.add((a, b))
                 if pair_count[(a, b)] <= 0:
                     del pair_count[(a, b)]
                 pair_words[(a, b)].discard(i)
@@ -135,7 +137,12 @@ def _merge_loop(
             words[i] = merged
             for a, b in zip(merged, merged[1:]):
                 pair_count[(a, b)] += c
+                touched.add((a, b))
                 pair_words[(a, b)].add(i)
+        for p in touched:
+            c = pair_count.get(p, 0)
+            if c >= min_pair_count:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
