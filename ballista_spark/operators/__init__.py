@@ -73,6 +73,8 @@ from ballista_spark.operators.dataset import (
     merge_upsert,
     pack_contiguous,
     pack_greedy,
+    packed_sequences,
+    write_packed_shards,
 )
 from ballista_spark.operators.decontam import contamination_stats, decontaminate
 from ballista_spark.operators.sampling import (
@@ -152,6 +154,8 @@ __all__ = [
     "resolve_duplicates",
     "pack_contiguous",
     "pack_greedy",
+    "packed_sequences",
+    "write_packed_shards",
     "pq_fit",
     "pq_encode",
     "pq_adc_topk",

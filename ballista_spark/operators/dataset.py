@@ -256,3 +256,95 @@ def pack_greedy(
         )
 
     return staged.groupBy("__b").applyInPandas(_pack, out_schema).drop("__b")
+
+
+def packed_sequences(
+    df: DataFrame,
+    tokens_col: str = "token_ids",
+    key_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+    seed: str = "pack",
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Materialize the fixed-length training sequences whose layout
+    :func:`pack_contiguous` computes: (seq_id, tokens) with every
+    ``tokens`` array exactly ``seq_len`` long — the tokenize→pack→write
+    tail of a pretraining data pipeline (compose with ``bpe_encode_ids``
+    upstream and :func:`write_packed_shards` downstream).
+
+    The final partial window is DROPPED when ``pad_id`` is None (the
+    standard pretraining convention — at most ``seq_len - 1`` tokens of
+    the whole corpus) or padded to length with ``pad_id`` otherwise.
+    NULL/empty token arrays contribute nothing (count 0 keeps the layout
+    identical to ``pack_contiguous`` over ``size(tokens)``).
+
+    Scale shape: ``pack_contiguous``'s two-level prefix sum (one bucket
+    hash shuffle + an n_buckets-row broadcast) assigns each document its
+    global token offset; then ONE posexplode + ONE shuffle keyed by
+    ``seq_id`` assembles windows.  Per-group state is ``seq_len``
+    (offset, token) structs — bounded regardless of corpus size; the
+    token stream is never collected, broadcast, or globally sorted
+    through one reducer.  Everything is md5-derived integer arithmetic,
+    so the layout is bit-identical on any cluster and any partitioning.
+    """
+    L = int(seq_len)
+    n = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
+    staged = df.withColumn("__n", n)
+    packed = pack_contiguous(staged, "__n", key_col, L, n_buckets, seed)
+    placed = packed.select(
+        "pack_start", F.posexplode(tokens_col).alias("__p", "__tok")
+    ).select(
+        F.expr(f"(pack_start + __p) div {L}").alias("seq_id"),
+        ((F.col("pack_start") + F.col("__p")) % F.lit(L)).alias("__o"),
+        "__tok",
+    )
+    seqs = placed.groupBy("seq_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__o"), F.col("__tok")))
+            ),
+            lambda s: s["__tok"],
+        ).alias("tokens")
+    )
+    if pad_id is None:
+        return seqs.where(F.size("tokens") == L)
+    short = F.size("tokens")
+    return seqs.withColumn(
+        "tokens",
+        F.when(short == L, F.col("tokens")).otherwise(
+            F.concat(
+                F.col("tokens"),
+                F.array_repeat(
+                    F.lit(pad_id).cast("long"), (F.lit(L) - short).cast("int")
+                ),
+            )
+        ),
+    )
+
+
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    tokens_col: str = "token_ids",
+    key_col: str = "doc_id",
+    seq_len: int = 2048,
+    seqs_per_shard: int = 8192,
+    **kwargs,
+) -> DataFrame:
+    """Write :func:`packed_sequences` output as shard-partitioned parquet
+    (``shard=k/`` directories of ``seqs_per_shard`` consecutive windows
+    — the unit a training reader streams).  Spark writers only, so the
+    same call targets local/HDFS/S3.  Returns a reader over the written
+    dataset.  Extra kwargs pass through to :func:`packed_sequences`.
+    """
+    seqs = packed_sequences(
+        df, tokens_col=tokens_col, key_col=key_col, seq_len=seq_len, **kwargs
+    )
+    out = seqs.withColumn(
+        "shard", F.expr(f"seq_id div {int(seqs_per_shard)}")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
-    from ballista_spark.operators.bpe import bpe_encode, bpe_fit
-    from ballista_spark.operators.dataset import pack_contiguous
+    from ballista_spark.operators.bpe import bpe_encode, bpe_encode_ids, bpe_fit
+    from ballista_spark.operators.dataset import pack_contiguous, write_packed_shards
     from ballista_spark.operators.model_io import load_model, save_model
     from ballista_spark.session import get_spark
     from ballista_spark.sources.registry import load_table
@@ -52,6 +52,13 @@ def main() -> None:
     packed = pack_contiguous(toks, "n_tokens", "doc_id", seq_len=2048)
     n_packs = packed.agg(F.countDistinct("pack_first")).collect()[0][0]
     print(f"packed into {n_packs} sequences of 2048 BPE tokens")
+
+    shard_path = os.path.join(tempfile.gettempdir(), "bpe_demo_shards")
+    shards = write_packed_shards(
+        bpe_encode_ids(docs, model), shard_path, seq_len=2048, seqs_per_shard=4
+    )
+    print(f"wrote {shards.count()} materialized 2048-token windows "
+          f"to {shard_path} (shard-partitioned parquet)")
     spark.stop()
 
 

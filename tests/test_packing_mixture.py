@@ -251,3 +251,114 @@ def test_dedup_against_no_explicit_corpus_broadcast(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = dedup_against(docs, docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in plan, plan
+
+
+# ---------------- packed_sequences (materialized windows) ----------------
+
+def _token_docs(spark):
+    """Docs with token arrays: varied lengths incl. empty, NULL, and one
+    longer than the window (must spill across several seq boundaries)."""
+    rows = []
+    for i in range(40):
+        if i == 7:
+            rows.append((i, None))
+        elif i % 9 == 0:
+            rows.append((i, []))
+        elif i == 13:
+            rows.append((i, list(range(13000, 13000 + 3 * _L + 17))))
+        else:
+            rows.append((i, list(range(i * 100, i * 100 + (i * 37) % 190))))
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<long>")
+
+
+def _mirror_stream(rows):
+    """Python mirror of the pack_contiguous global order: (md5 bucket asc,
+    key asc), concatenated token stream."""
+    order = sorted(
+        rows,
+        key=lambda r: (md5_long_py(f"pack\x1f{r[0]}") % _NB, r[0]),
+    )
+    stream = []
+    for _, toks in order:
+        stream.extend(toks or [])
+    return stream
+
+
+def test_packed_sequences_match_python_mirror(spark):
+    from ballista_spark.operators.dataset import packed_sequences
+
+    docs = _token_docs(spark)
+    got = {
+        r["seq_id"]: list(r["tokens"])
+        for r in packed_sequences(docs, seq_len=_L, n_buckets=_NB).collect()
+    }
+    stream = _mirror_stream([(r["doc_id"], r["token_ids"]) for r in docs.collect()])
+    n_full = len(stream) // _L
+    want = {i: stream[i * _L:(i + 1) * _L] for i in range(n_full)}
+    assert got == want
+    assert all(len(t) == _L for t in got.values())
+    assert n_full >= 4  # the corpus genuinely spans several windows
+
+
+def test_packed_sequences_pad_path_and_total_preservation(spark):
+    from ballista_spark.operators.dataset import packed_sequences
+
+    docs = _token_docs(spark)
+    out = packed_sequences(docs, seq_len=_L, n_buckets=_NB, pad_id=-100)
+    rows = sorted(out.collect(), key=lambda r: r["seq_id"])
+    stream = _mirror_stream([(r["doc_id"], r["token_ids"]) for r in docs.collect()])
+    # every window exactly L, ids contiguous, padded tail reconstructs stream
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    assert all(len(r["tokens"]) == _L for r in rows)
+    flat = [t for r in rows for t in r["tokens"]]
+    n_pad = -len(stream) % _L
+    assert flat == stream + [-100] * n_pad
+
+
+def test_packed_sequences_partitioning_invariant(spark):
+    from ballista_spark.operators.dataset import packed_sequences
+
+    docs = _token_docs(spark)
+    a = sorted(
+        map(tuple, packed_sequences(docs, seq_len=_L, n_buckets=_NB).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            packed_sequences(
+                docs.repartition(13), seq_len=_L, n_buckets=_NB
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_write_packed_shards_layout(spark, tmp_path):
+    from ballista_spark.operators.dataset import write_packed_shards
+
+    docs = _token_docs(spark)
+    path = str(tmp_path / "shards")
+    back = write_packed_shards(
+        docs, path, seq_len=_L, seqs_per_shard=2, n_buckets=_NB
+    )
+    rows = back.collect()
+    assert all(len(r["tokens"]) == _L for r in rows)
+    # shard directories hold consecutive windows, seqs_per_shard each
+    assert all(r["seq_id"] // 2 == r["shard"] for r in rows)
+    import glob as _g
+
+    assert len(_g.glob(os.path.join(path, "shard=*"))) >= 2
+
+
+def test_packed_sequences_plan_shape(spark):
+    """Bounded exchanges: the bucket prefix-sum window, the tiny offsets
+    aggregate, and ONE seq_id assembly shuffle — no sort of the global
+    token stream through a single partition, no cartesian."""
+    from ballista_spark.operators.dataset import packed_sequences
+
+    plan = (
+        packed_sequences(_token_docs(spark), seq_len=_L, n_buckets=_NB)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5
