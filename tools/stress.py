@@ -61,6 +61,7 @@ PIPELINE = [
     "fuzzy_decontam",  # candidate volume near-dup-structured — see docstring
     "bpe_fit",     # word-count shuffle + bounded driver merge loop
     "bpe_encode",  # map-only pandas-UDF tokenize over the whole corpus
+    "pack_windows",  # prefix-sum + one seq_id shuffle window assembly
 ]
 
 
@@ -343,6 +344,19 @@ def _bpe_encode(spark, sf_dir: str):
     )
 
 
+def _pack_windows(spark, sf_dir: str):
+    """Stress shape for dataset.packed_sequences: whitespace-token arrays
+    through the two-level prefix sum + posexplode + ONE seq_id-keyed
+    window assembly.  Work is corpus-token-sized (the explode), state per
+    group is bounded at seq_len — expect near-linear, no hot reducer."""
+    from ballista_spark.operators.dataset import packed_sequences
+
+    docs = _load_docs(spark, sf_dir).withColumn(
+        "token_ids", F.split(F.trim("text"), " ")
+    )
+    return packed_sequences(docs, seq_len=2048).select("seq_id")
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -353,6 +367,7 @@ def _load_docs(spark, sf_dir: str):
 LOCAL_BUILDERS = {
     "bpe_fit": _bpe_fit,
     "bpe_encode": _bpe_encode,
+    "pack_windows": _pack_windows,
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
