@@ -14,6 +14,11 @@ from ballista_spark.operators.bpe import (
     bpe_encode_ids,
     bpe_fit,
 )
+from ballista_spark.operators.unigram import (
+    UnigramModel,
+    unigram_encode,
+    unigram_fit,
+)
 from ballista_spark.operators.dedup import (
     connected_components,
     dedup_against,
@@ -179,6 +184,9 @@ __all__ = [
     "dsir_fit",
     "dsir_log_weights",
     "dsir_resample",
+    "UnigramModel",
+    "unigram_encode",
+    "unigram_fit",
     "BPEModel",
     "bpe_decode",
     "bpe_encode",

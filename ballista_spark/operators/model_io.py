@@ -1,5 +1,6 @@
 """Model persistence for the in-engine fitted models (NgramLM,
-LogRegModel, DSIRModel, PCAModel): save to / load from a directory on
+LogRegModel, DSIRModel, PCAModel, BPEModel, UnigramModel): save to /
+load from a directory on
 whatever storage the session can reach (local, HDFS, S3 — everything
 goes through Spark writers, no driver-side ``open()``, so the same code
 runs on a laptop and a 1000-executor cluster).
@@ -28,6 +29,7 @@ from ballista_spark.operators.dsir import DSIRModel
 from ballista_spark.operators.lm import NgramLM
 from ballista_spark.operators.pca import PCAModel
 from ballista_spark.operators.quality import LogRegModel
+from ballista_spark.operators.unigram import UnigramModel
 
 #: model class -> (DataFrame fields, tuple-valued scalar fields)
 _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
@@ -36,6 +38,7 @@ _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
     DSIRModel: (("log_ratio",), ("ngrams",)),
     PCAModel: ((), ()),
     BPEModel: (("merges", "vocab"), ()),
+    UnigramModel: (("pieces",), ()),
 }
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 
