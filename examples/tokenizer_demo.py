@@ -59,6 +59,15 @@ def main() -> None:
     )
     print(f"wrote {shards.count()} materialized 2048-token windows "
           f"to {shard_path} (shard-partitioned parquet)")
+
+    from ballista_spark.operators.unigram import unigram_encode, unigram_fit
+
+    uni = unigram_fit(docs, vocab_size=n_vocab, min_count=2)
+    utoks = unigram_encode(docs, uni).select(
+        F.sum(F.size("unigram_tokens")).alias("total")
+    ).collect()[0]["total"]
+    print(f"unigram-LM at the same vocab budget: {utoks} tokens "
+          f"(BPE {stats['total']})")
     spark.stop()
 
 
