@@ -62,6 +62,7 @@ PIPELINE = [
     "bpe_fit",     # word-count shuffle + bounded driver merge loop
     "bpe_encode",  # map-only pandas-UDF tokenize over the whole corpus
     "pack_windows",  # prefix-sum + one seq_id shuffle window assembly
+    "unigram_fit",  # word-count shuffle + bounded driver lattice EM
 ]
 
 
@@ -357,6 +358,17 @@ def _pack_windows(spark, sf_dir: str):
     return packed_sequences(docs, seq_len=2048).select("seq_id")
 
 
+def _unigram_fit(spark, sf_dir: str):
+    """Stress shape for the unigram-LM trainer: like bpe_fit, the only
+    corpus-sized stage is the word-count shuffle; seed-vocab construction
+    and lattice EM run on the driver over the shared-vocabulary table, so
+    the ratio should sit near 1x."""
+    from ballista_spark.operators.unigram import unigram_fit
+
+    docs = _load_docs(spark, sf_dir)
+    return unigram_fit(docs, vocab_size=500, min_count=2).pieces
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -368,6 +380,7 @@ LOCAL_BUILDERS = {
     "bpe_fit": _bpe_fit,
     "bpe_encode": _bpe_encode,
     "pack_windows": _pack_windows,
+    "unigram_fit": _unigram_fit,
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
