@@ -116,7 +116,7 @@ from ballista_spark.operators.substr import (
     strip_duplicated_spans,
     window_occurrences,
 )
-from ballista_spark.operators.report import corpus_report
+from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import shuffle_deterministic
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
@@ -203,6 +203,7 @@ __all__ = [
     "duplicated_window_spans",
     "strip_duplicated_spans",
     "corpus_report",
+    "tokenizer_report",
     "shuffle_deterministic",
     "save_model",
     "load_model",

@@ -108,3 +108,55 @@ def corpus_report(
             )
         )
     return per_doc.groupBy(F.col("grp").alias(group_col)).agg(*aggs).orderBy(group_col)
+
+
+def tokenizer_report(
+    docs: DataFrame,
+    tokens_col: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    include_vocab: bool = False,
+) -> DataFrame:
+    """Per-group tokenizer-quality metrics over an already-tokenized
+    corpus (compose downstream of ``bpe_encode`` / ``unigram_encode``):
+    doc/token volumes, **fertility** (tokens per whitespace word — the
+    standard cross-lingual tokenizer-quality number) and **bytes per
+    token** (compression).  With ``include_vocab`` adds the exact
+    distinct-token count per group.
+
+    Scale shape: ONE aggregation shuffle keyed by the group column (all
+    inputs are map-side column expressions); ``include_vocab`` adds one
+    explode + a two-phase exact count_distinct — the same discipline as
+    :func:`corpus_report`'s duplication metric.  NULL token arrays count
+    as zero tokens, never poisoning the sums.
+    """
+    toks = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
+    words = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(_ws_tokens(text_col))
+    )
+    tbytes = F.coalesce(F.octet_length(text_col), F.lit(0))
+    base = (
+        docs.groupBy(F.col(group_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.sum(words).alias("total_words"),
+            F.sum(tbytes).alias("total_bytes"),
+        )
+        .withColumn(
+            "fertility", F.col("total_tokens") / F.col("total_words")
+        )
+        .withColumn(
+            "bytes_per_token", F.col("total_bytes") / F.col("total_tokens")
+        )
+    )
+    if not include_vocab:
+        return base.orderBy(group_col)
+    vocab = (
+        docs.select(group_col, F.explode_outer(tokens_col).alias("__tok"))
+        .groupBy(group_col)
+        .agg(F.count_distinct("__tok").alias("vocab_used"))
+    )
+    return base.join(vocab, group_col, "left").orderBy(group_col)

@@ -305,6 +305,46 @@ def test_connected_components_chain_and_cliques(spark):
     )
 
 
+def test_connected_components_match_union_find_on_random_graphs(spark):
+    """Fixed-seed randomized equivalence: min-label propagation +
+    pointer jumping vs a plain-Python union-find on random edge sets
+    (sparse, dense, and self-loop-bearing) — structure the hand-built
+    chain/clique cases can't cover."""
+    import random
+
+    from ballista_spark.operators.dedup import connected_components
+
+    for seed, n_nodes, n_edges in [(0, 60, 40), (1, 40, 120), (2, 80, 80)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            want[v] = min(u for u in touched if find(u) == root)
+        pairs = spark.createDataFrame(edges, "key_a long, key_b long")
+        got = {
+            r["key"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want, seed
+
+
 def test_connected_components_result_is_materialized(spark):
     """The returned frame must be backed by the final round's eager
     checkpoint — a consumer's plan contains NO joins/aggregates, so using

@@ -90,3 +90,80 @@ def test_report_plan_is_one_aggregate_pass(spark):
     plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------- tokenizer_report -------------------------
+
+def test_tokenizer_report_matches_duckdb_twin(spark, duck, tmp_path):
+    """Whitespace-token arrays written to parquet, aggregates replayed
+    exactly by DuckDB from the same file — fertility / bytes-per-token /
+    vocab_used are pure arithmetic over identical inputs."""
+    from ballista_spark.operators.report import tokenizer_report
+    from ballista_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "toks", F.filter(F.split(F.trim("text"), "\\s+"), lambda t: F.length(t) > 0)
+    )
+    path = str(tmp_path / "tokdocs")
+    docs.select("doc_id", "source", "text", "toks").write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    got = [
+        (
+            r["source"], r["n_docs"], r["total_tokens"], r["total_words"],
+            r["total_bytes"], round(r["fertility"], 9),
+            round(r["bytes_per_token"], 9), r["vocab_used"],
+        )
+        for r in tokenizer_report(
+            back, "toks", include_vocab=True
+        ).collect()
+    ]
+    want = [
+        tuple(
+            round(v, 9) if isinstance(v, float) else v for v in row
+        )
+        for row in duck.execute(f"""
+            WITH base AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     SUM(LEN(toks)) AS total_tokens,
+                     SUM(LEN(toks)) AS total_words,
+                     SUM(STRLEN(text)) AS total_bytes
+              FROM read_parquet('{path}/*.parquet') GROUP BY source
+            ), voc AS (
+              SELECT source, COUNT(DISTINCT t) AS vocab_used
+              FROM read_parquet('{path}/*.parquet'), UNNEST(toks) AS u(t)
+              GROUP BY source
+            )
+            SELECT base.source, n_docs, total_tokens, total_words,
+                   total_bytes,
+                   total_tokens / CAST(total_words AS DOUBLE) AS fertility,
+                   total_bytes / CAST(total_tokens AS DOUBLE) AS bpt,
+                   vocab_used
+            FROM base JOIN voc USING (source) ORDER BY source
+        """).fetchall()
+    ]
+    assert got == want
+
+
+def test_tokenizer_report_null_arrays_and_plan(spark):
+    from ballista_spark.operators.report import tokenizer_report
+
+    df = spark.createDataFrame(
+        [(0, "a", "one two", ["on", "e", "two"]),
+         (1, "a", None, None),
+         (2, "b", "x", ["x"])],
+        "doc_id long, source string, text string, toks array<string>",
+    )
+    rows = {r["source"]: r for r in tokenizer_report(df, "toks").collect()}
+    assert rows["a"]["n_docs"] == 2
+    assert rows["a"]["total_tokens"] == 3      # NULL array counts 0
+    assert rows["a"]["total_words"] == 2
+    assert rows["b"]["fertility"] == 1.0
+    plan = (
+        tokenizer_report(df, "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan            # no vocab -> single aggregation
+    assert "PythonUDF" not in plan
