@@ -17,6 +17,7 @@ from ballista_spark.operators.bpe import (
 from ballista_spark.operators.unigram import (
     UnigramModel,
     unigram_encode,
+    unigram_encode_ids,
     unigram_fit,
 )
 from ballista_spark.operators.dedup import (
@@ -186,6 +187,7 @@ __all__ = [
     "dsir_resample",
     "UnigramModel",
     "unigram_encode",
+    "unigram_encode_ids",
     "unigram_fit",
     "BPEModel",
     "bpe_decode",

@@ -279,3 +279,35 @@ def unigram_encode(
         return texts.map(one)
 
     return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Like :func:`unigram_encode` but maps pieces to ids — the piece
+    table's lexicographic order IS the id space (deterministic across
+    fits of the same corpus).  Unknown single characters get ``oov_id``.
+    Map-only, mirroring ``bpe_encode_ids``."""
+    ids = {
+        r["piece"]: i
+        for i, r in enumerate(model.pieces.orderBy("piece").collect())
+    }
+
+    @F.pandas_udf("array<long>")
+    def to_ids(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda ts: None
+            if ts is None
+            else [ids.get(t, oov_id) for t in ts]
+        )
+
+    tmp = "__uni_toks"
+    return (
+        unigram_encode(df, model, text_col, tmp)
+        .withColumn(out_col, to_ids(F.col(tmp)))
+        .drop(tmp)
+    )

@@ -188,3 +188,16 @@ def test_encode_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_encode_ids_deterministic_and_oov(spark):
+    from ballista_spark.operators.unigram import unigram_encode_ids
+
+    df = _corpus(spark)
+    model = unigram_fit(df, vocab_size=40, min_count=1)
+    n_vocab = model.pieces.count()
+    out = unigram_encode_ids(df, model).collect()
+    ids = [i for r in out for i in r["token_ids"]]
+    assert ids and all(0 <= i < n_vocab for i in ids)
+    oov = spark.createDataFrame([(0, "ΩΩ")], ["doc_id", "text"])
+    assert unigram_encode_ids(oov, model).collect()[0]["token_ids"] == [-1, -1]
