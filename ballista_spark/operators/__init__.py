@@ -117,6 +117,11 @@ from ballista_spark.operators.substr import (
     strip_duplicated_spans,
     window_occurrences,
 )
+from ballista_spark.operators.multimodal import (
+    dhash_images,
+    image_dhash,
+    image_neardup_pairs,
+)
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import shuffle_deterministic
 from ballista_spark.operators.model_io import load_model, save_model
@@ -205,6 +210,9 @@ __all__ = [
     "duplicated_window_spans",
     "strip_duplicated_spans",
     "corpus_report",
+    "dhash_images",
+    "image_dhash",
+    "image_neardup_pairs",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",

@@ -491,3 +491,130 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash image dedup: dHash over decoded pixels + pigeonhole-
+# banded Hamming pairing.  Ties the pure-numpy codec layer to the dedup
+# subsystem — near-duplicate *images* (recompressed, slightly edited)
+# that byte-level exact dedup can never catch.
+# --------------------------------------------------------------------
+
+#: dHash geometry: a 9x8 luminance grid -> 64 horizontal-gradient bits
+DHASH_COLS = 8
+
+
+def image_dhash(payload: bytes, mime: str) -> int:
+    """64-bit difference hash (dHash — the standard perceptual hash:
+    grayscale → 9×8 nearest-neighbor downscale → bit per horizontal
+    gradient sign).  Robust to recompression/resizing/brightness shifts;
+    Hamming distance between hashes tracks visual difference.  Videos
+    hash their first frame."""
+    decoded = decode_media(bytes(payload), mime)
+    if isinstance(decoded, tuple):
+        raise ValueError("image_dhash is defined for images/video, not audio")
+    arr = np.asarray(decoded, dtype=np.float64)
+    if mime.startswith("video"):
+        arr = arr[0]  # (n, h, w) luma stack -> first frame
+    gray = arr.mean(axis=-1) if arr.ndim == 3 else arr
+    small = _nn_resize(gray, DHASH_COLS + 1, DHASH_COLS)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """(media_id, dhash bigint) over a media-schema frame — map-only
+    Arrow-batched decode+hash (one ``mapInPandas``, no shuffle); NULL
+    payloads and non-image modalities yield NULL hashes.  The 64-bit
+    hash is returned as a signed long (bit patterns preserved)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["meta"]
+            out = []
+            for p, m in zip(pdf["payload"], metas):
+                mime = (m or {}).get("mime") or ""
+                if p is None or not (
+                    mime.startswith("image") or mime.startswith("video")
+                ):
+                    out.append(None)
+                else:
+                    h = image_dhash(p, mime)
+                    out.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    key_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs: (key_a, key_b, hamming) with
+    ``hamming <= max_hamming``, key_a < key_b.
+
+    Scale shape — pigeonhole banding, the same device as
+    ``dedup.simhash_pairs``: the 64-bit hash splits into
+    ``max_hamming + 1`` chunks, so any pair within the Hamming budget
+    agrees on at least one (chunk_index, chunk_value) — candidates come
+    from ONE banded equi-join (never a cartesian), then the exact
+    distance is a JVM ``bit_count(xor)`` verify.  EXACT: banding is
+    lossless for Hamming distance (pigeonhole), unlike MinHash's
+    probabilistic recall."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    h = F.col("hv")  # post-rename: chunks are built over the hv projection
+    # chunk i = bits [i*width, ...): the last chunk absorbs the 64 mod
+    # n_chunks remainder bits.  shiftrightunsigned keeps the sign bit's
+    # chunk well-defined on the signed-long representation.
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.shiftrightunsigned(h, i * width) % F.lit(1 << width)
+                    if i < n_chunks - 1
+                    # last chunk: the shift already isolates the top bits
+                    else F.shiftrightunsigned(h, i * width)
+                ).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = (
+        hashes.select(F.col(key_col).alias("key"), F.col(hash_col).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .select("key", "hv", F.explode(chunks).alias("c"))
+        .select("key", "hv", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.hv").bitwiseXOR(F.col("b.hv")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -249,3 +249,119 @@ def test_video_features_real_path(spark):
     [r] = extract_features(media, use_stub=False).collect()
     assert r["features"][0] == pytest.approx(0.5)
     assert r["features"][15] == pytest.approx(0.5)
+
+
+# ---------------- perceptual-hash image dedup (dHash) ----------------
+
+def _dhash_mirror(img: np.ndarray) -> int:
+    """Independent dHash reference: grayscale, floor-grid 9x8 resample,
+    horizontal gradient bits MSB-first."""
+    gray = img.astype(np.float64).mean(axis=-1) if img.ndim == 3 else img.astype(np.float64)
+    h, w = gray.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    small = gray[rows][:, cols]
+    out = 0
+    for r in range(8):
+        for c in range(8):
+            out = (out << 1) | int(small[r, c + 1] > small[r, c])
+    return out
+
+
+def test_image_dhash_matches_mirror_and_is_robust():
+    from ballista_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(0)
+    # keep headroom so the +40 brightness shift below never clips (a
+    # clipped gradient legitimately flattens and flips its bit)
+    base = rng.integers(0, 210, (32, 32, 3), dtype=np.uint8)
+    assert image_dhash(encode_bmp(base), "image/bmp") == _dhash_mirror(base)
+    # unclipped brightness shift leaves every gradient sign identical
+    brighter = (base.astype(np.int32) + 40).astype(np.uint8)
+    assert image_dhash(encode_bmp(brighter), "image/bmp") == _dhash_mirror(base)
+    # a downscaled copy of a SMOOTH image (the realistic case — photos
+    # are locally correlated; iid noise is the adversarial bound) stays
+    # within a small Hamming distance
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = ((np.sin(yy / 5.0) + np.cos(xx / 3.0) + 2) * 60).astype(np.uint8)
+    smooth = np.stack([smooth] * 3, axis=-1)
+    d = bin(
+        image_dhash(encode_bmp(smooth[::2, ::2]), "image/bmp")
+        ^ image_dhash(encode_bmp(smooth), "image/bmp")
+    ).count("1")
+    assert d <= 8
+    # audio refuses
+    with pytest.raises(ValueError):
+        image_dhash(encode_wav(np.zeros(8), 8000), "audio/wav")
+
+
+def test_dhash_images_and_neardup_pairs_end_to_end(spark):
+    from ballista_spark.operators.multimodal import (
+        dhash_images,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    dup = base.copy()
+    near = base.copy()
+    near[0:2, 0:2] += 1  # tiny edit -> few gradient bits at most
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    media = _media_df(
+        spark,
+        [
+            (1, encode_bmp(base), "image/bmp", "image"),
+            (2, encode_bmp(dup), "image/bmp", "image"),
+            (3, encode_bmp(near), "image/bmp", "image"),
+            (4, encode_bmp(other), "image/bmp", "image"),
+            (5, encode_wav(np.zeros(8), 8000), "audio/wav", "audio"),
+        ],
+    )
+    hashes = dhash_images(media)
+    hv = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert hv[1] == hv[2] and hv[5] is None
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in k for k in pairs)
+    plan = (
+        image_neardup_pairs(hashes, max_hamming=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_image_neardup_banding_is_exact_on_random_hashes(spark):
+    """Pigeonhole banding must be LOSSLESS for Hamming distance: on
+    random 64-bit hashes (sign bit exercised) the operator's pair set
+    equals the brute-force all-pairs answer at several budgets."""
+    import itertools
+    import random
+
+    from ballista_spark.operators.multimodal import image_neardup_pairs
+
+    rng = random.Random(7)
+    vals = [rng.getrandbits(64) - (1 << 63) for _ in range(40)]
+    # plant close pairs: copies of some values with few bits flipped
+    for i in (0, 5, 11):
+        v = vals[i]
+        for _ in range(rng.randint(1, 3)):
+            v ^= 1 << rng.randrange(64)
+        vals.append(v)
+    hashes = spark.createDataFrame(
+        list(enumerate(vals)), "media_id long, dhash long"
+    )
+    for k in (0, 2, 4):
+        got = {
+            (r["key_a"], r["key_b"]): r["hamming"]
+            for r in image_neardup_pairs(hashes, max_hamming=k).collect()
+        }
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+            d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if d <= k:
+                want[(i, j)] = d
+        assert got == want, k
