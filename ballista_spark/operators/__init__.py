@@ -118,6 +118,8 @@ from ballista_spark.operators.substr import (
     window_occurrences,
 )
 from ballista_spark.operators.multimodal import (
+    audio_dhash,
+    dhash_audio,
     dhash_images,
     image_dhash,
     image_neardup_pairs,
@@ -210,6 +212,8 @@ __all__ = [
     "duplicated_window_spans",
     "strip_duplicated_spans",
     "corpus_report",
+    "audio_dhash",
+    "dhash_audio",
     "dhash_images",
     "image_dhash",
     "image_neardup_pairs",

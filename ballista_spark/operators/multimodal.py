@@ -618,3 +618,60 @@ def image_neardup_pairs(
         )
         .distinct()
     )
+
+
+def audio_dhash(payload: bytes, mime: str, n_frames: int = 65) -> int:
+    """64-bit difference hash for audio: the dHash idea over the RMS
+    energy envelope — decode (PCM), mono-mix, split into ``n_frames``
+    equal frames, bit per energy-delta sign between consecutive frames.
+    Robust to gain changes (scaling preserves delta signs) and small
+    trims; Hamming distance tracks envelope difference.  Pairs with
+    :func:`image_neardup_pairs` (the pairing is hash-agnostic)."""
+    decoded = decode_media(bytes(payload), mime)
+    if not isinstance(decoded, tuple):
+        raise ValueError("audio_dhash is defined for audio payloads")
+    samples, _rate = decoded
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return 0
+    # frame boundaries on the floor grid (same device as _nn_resize)
+    idx = (np.arange(n_frames + 1) * n) // n_frames
+    energies = np.array(
+        [
+            float(np.sqrt(np.mean(np.square(mono[idx[i]:max(idx[i + 1], idx[i] + 1)]))))
+            for i in range(n_frames)
+        ]
+    )
+    bits = energies[1:] > energies[:-1]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def dhash_audio(media: DataFrame) -> DataFrame:
+    """(media_id, dhash bigint) for audio payloads — the audio face of
+    :func:`dhash_images`; non-audio rows yield NULL.  Map-only."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                mime = (m or {}).get("mime") or ""
+                if p is None or not mime.startswith("audio"):
+                    out.append(None)
+                else:
+                    h = audio_dhash(p, mime)
+                    out.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -365,3 +365,41 @@ def test_image_neardup_banding_is_exact_on_random_hashes(spark):
             if d <= k:
                 want[(i, j)] = d
         assert got == want, k
+
+
+def test_audio_dhash_gain_invariance_and_pairing(spark):
+    from ballista_spark.operators.multimodal import (
+        audio_dhash,
+        dhash_audio,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    env = np.abs(np.sin(np.linspace(0, 6, 4000))) + 0.05
+    base = (rng.uniform(-1, 1, 4000) * env * 0.4).astype(np.float64)
+    wav = encode_wav(base, 8000)
+    # gain change preserves every energy-delta sign
+    half = encode_wav(base * 0.5, 8000)
+    assert audio_dhash(wav, "audio/wav") == audio_dhash(half, "audio/wav")
+    # image payload refuses
+    with pytest.raises(ValueError):
+        audio_dhash(encode_bmp(np.zeros((4, 4, 3), np.uint8)), "image/bmp")
+
+    other = (rng.uniform(-1, 1, 4000) * (1.05 - env) * 0.4).astype(np.float64)
+    media = _media_df(
+        spark,
+        [
+            (1, encode_wav(base, 8000), "audio/wav", "audio"),
+            (2, encode_wav(base * 0.7, 8000), "audio/wav", "audio"),
+            (3, encode_wav(other, 8000), "audio/wav", "audio"),
+            (4, encode_bmp(np.zeros((4, 4, 3), np.uint8)), "image/bmp", "image"),
+        ],
+    )
+    hashes = dhash_audio(media)
+    hv = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert hv[1] == hv[2] and hv[4] is None
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in image_neardup_pairs(hashes, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in k for k in pairs)
