@@ -128,6 +128,7 @@ from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import shuffle_deterministic
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
+    ivf_store_append,
     ivf_store_topk,
     kmeans_fit,
     write_ivf_store,
@@ -227,6 +228,7 @@ __all__ = [
     "remove_boilerplate",
     "kmeans_fit",
     "write_ivf_store",
+    "ivf_store_append",
     "ivf_store_topk",
     "normalize_for_dedup",
     "contamination_matrix",

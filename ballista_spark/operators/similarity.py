@@ -1337,3 +1337,35 @@ def semdedup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_store_append(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest a new batch into an existing
+    :func:`write_ivf_store` store: assign cells with the SAME frozen
+    coarse quantizer (map-only broadcast-centroid pass) and append the
+    rows under their ``cell=`` partitions — no rewrite of existing
+    files, no read of the existing store.
+
+    This is the steady-state ingest path of a 100 TB vector-serving
+    deployment: the quantizer retrains rarely (then
+    :func:`write_ivf_store` rewrites), while daily batches append.
+    Dynamic partition append touches only the partitions the batch
+    lands in; searches via :func:`ivf_store_topk` see old + new rows
+    with the identical probed-cell pruning.  Caller contract: ids are
+    unique across the store's lifetime (the engine-wide dedup operators
+    screen the batch first — see ``dedup.screen_against``).
+    """
+    base = _spread(new_vectors, id_col).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cent = _centroid_frame(new_vectors.sparkSession, centroids)
+    assigned = _nearest_centroids(base, cent, "vec_id", "cv", n_probe=1)
+    assigned.withColumnRenamed("centroid_id", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path)

@@ -472,6 +472,41 @@ def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_ivf_store_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental ingest: write half the corpus, append the other half
+    under the same frozen quantizer — searches must equal a one-shot
+    store of the full corpus, and the appended files must land only in
+    the batch's own cell partitions."""
+    import glob as _g
+
+    from ballista_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_store_topk,
+        kmeans_fit,
+        write_ivf_store,
+    )
+    from ballista_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, 8, max_iters=3, spherical=True)
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_store(half_a, cents, inc)
+    files_before = set(_g.glob(f"{inc}/cell=*/*.parquet"))
+    ivf_store_append(half_b, cents, inc)
+    assert files_before <= set(_g.glob(f"{inc}/cell=*/*.parquet"))
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_store(emb, cents, full)
+    queries = emb.limit(3)
+    got = ivf_store_topk(spark, inc, queries, cents, k=5, n_probe=2)
+    want = ivf_store_topk(spark, full, queries, cents, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_screen_against_drops_exact_and_near_dups(spark):
     """Incremental-ingest screen: batch docs exactly or nearly duplicating
     the accepted corpus are dropped; fresh docs survive; the accepted
