@@ -63,6 +63,7 @@ PIPELINE = [
     "bpe_encode",  # map-only pandas-UDF tokenize over the whole corpus
     "pack_windows",  # prefix-sum + one seq_id shuffle window assembly
     "unigram_fit",  # word-count shuffle + bounded driver lattice EM
+    "unigram_encode",  # map-only Viterbi pandas UDF over the corpus
 ]
 
 
@@ -366,7 +367,27 @@ def _unigram_fit(spark, sf_dir: str):
     from ballista_spark.operators.unigram import unigram_fit
 
     docs = _load_docs(spark, sf_dir)
-    return unigram_fit(docs, vocab_size=500, min_count=2).pieces
+    model = unigram_fit(docs, vocab_size=500, min_count=2)
+    _UNIGRAM_MODELS[sf_dir] = model
+    return model.pieces
+
+
+#: per-scale fitted unigram model from the last _unigram_fit call
+_UNIGRAM_MODELS: dict = {}
+
+
+def _unigram_encode(spark, sf_dir: str):
+    """Unigram Viterbi encoding over the whole corpus: map-only pandas
+    UDF with a per-batch word memo, mirroring bpe_encode."""
+    from ballista_spark.operators.unigram import unigram_encode
+    from pyspark.sql import functions as FF
+
+    if sf_dir not in _UNIGRAM_MODELS:
+        _unigram_fit(spark, sf_dir).collect()
+    docs = _load_docs(spark, sf_dir)
+    return unigram_encode(docs, _UNIGRAM_MODELS[sf_dir]).select(
+        "doc_id", FF.size("unigram_tokens").alias("n_tokens")
+    )
 
 
 def _load_docs(spark, sf_dir: str):
@@ -381,6 +402,7 @@ LOCAL_BUILDERS = {
     "bpe_encode": _bpe_encode,
     "pack_windows": _pack_windows,
     "unigram_fit": _unigram_fit,
+    "unigram_encode": _unigram_encode,
     "boilerplate_words": _boilerplate_words,
     "lm_fit_score": _lm_fit_score,
     "quality_score": _quality_score,
