@@ -123,6 +123,7 @@ from ballista_spark.operators.multimodal import (
     dhash_images,
     image_dhash,
     image_neardup_pairs,
+    video_dhash,
 )
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import shuffle_deterministic
@@ -218,6 +219,7 @@ __all__ = [
     "dhash_images",
     "image_dhash",
     "image_neardup_pairs",
+    "video_dhash",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",

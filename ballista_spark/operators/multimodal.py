@@ -675,3 +675,27 @@ def dhash_audio(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=schema)
+
+
+def video_dhash(payload: bytes, mime: str, n_sample: int = 8) -> int:
+    """Temporal 64-bit perceptual hash for video: dHash each of
+    ``n_sample`` floor-grid-sampled frames, combine by per-bit majority
+    vote.  Robust to short trims and re-encodes (a dropped frame shifts
+    the sample grid by at most one frame; majority voting absorbs it);
+    two videos of different content disagree on ~half the bits.  Pairs
+    with :func:`image_neardup_pairs` like the image/audio hashes."""
+    decoded = decode_media(bytes(payload), mime)
+    if isinstance(decoded, tuple) or decoded.ndim != 3:
+        raise ValueError("video_dhash needs a (n_frames, h, w) luma stack")
+    n = decoded.shape[0]
+    idx = (np.arange(min(n_sample, n)) * n) // min(n_sample, n)
+    votes = np.zeros(64, dtype=np.int64)
+    for f in idx:
+        small = _nn_resize(decoded[f].astype(np.float64), DHASH_COLS + 1, DHASH_COLS)
+        bits = (small[:, 1:] > small[:, :-1]).ravel()
+        votes += bits.astype(np.int64)
+    maj = votes * 2 >= len(idx)
+    out = 0
+    for b in maj:
+        out = (out << 1) | int(b)
+    return out

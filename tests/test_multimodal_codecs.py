@@ -403,3 +403,28 @@ def test_audio_dhash_gain_invariance_and_pairing(spark):
         for r in image_neardup_pairs(hashes, max_hamming=4).collect()
     }
     assert (1, 2) in pairs and not any(3 in k for k in pairs)
+
+
+def test_video_dhash_trim_robust_and_discriminative():
+    from ballista_spark.operators.multimodal import encode_y4m, video_dhash
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:16, 0:16]
+    # smooth, slowly-evolving content (photographic-like)
+    frames = np.stack(
+        [
+            ((np.sin(yy / 4.0 + t / 3.0) + np.cos(xx / 3.0) + 2) * 55).astype(np.uint8)
+            for t in range(24)
+        ]
+    )
+    base = encode_y4m(frames)
+    trimmed = encode_y4m(frames[2:])  # drop first two frames
+    other = encode_y4m(
+        rng.integers(0, 256, (24, 16, 16), dtype=np.uint8)
+    )
+    hb = video_dhash(base, "video/x-yuv4mpeg")
+    d_trim = bin(hb ^ video_dhash(trimmed, "video/x-yuv4mpeg")).count("1")
+    d_other = bin(hb ^ video_dhash(other, "video/x-yuv4mpeg")).count("1")
+    assert d_trim <= 8 < d_other
+    with pytest.raises(ValueError):
+        video_dhash(encode_wav(np.zeros(8), 8000), "audio/wav")
