@@ -122,6 +122,7 @@ from ballista_spark.operators.multimodal import (
     dhash_audio,
     dhash_images,
     image_dhash,
+    hamming_neardup_pairs,
     image_neardup_pairs,
     video_dhash,
 )
@@ -218,6 +219,7 @@ __all__ = [
     "dhash_audio",
     "dhash_images",
     "image_dhash",
+    "hamming_neardup_pairs",
     "image_neardup_pairs",
     "video_dhash",
     "tokenizer_report",

@@ -699,3 +699,8 @@ def video_dhash(payload: bytes, mime: str, n_sample: int = 8) -> int:
     for b in maj:
         out = (out << 1) | int(b)
     return out
+
+
+#: the pairing is hash-agnostic (any 64-bit signature column) — this
+#: alias is the neutral name for audio/video/custom-signature callers
+hamming_neardup_pairs = image_neardup_pairs
