@@ -108,6 +108,58 @@ def shuffle_deterministic(
         else tagged.orderBy(*order).drop("__ord")
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit step of an
+    incremental dataset build (what changed between crawl N and crawl N+1,
+    which documents a re-curation pass touched).
+
+    Returns ``key_cols`` + ``diff_status`` in {'added', 'removed',
+    'changed'} (+ 'unchanged' when ``include_unchanged``).  Rows are
+    compared NULL-safely on ``compare_cols`` (default: every column the
+    two frames share beyond the keys).
+
+    Scale shape: ONE full-outer hash join on the keys (both sides shuffle
+    once); comparisons are map-side column equality — no content is
+    collected or broadcast, and at 100 TB the join is the unavoidable
+    cost of keying two snapshots.  Fully SQL-expressible (DuckDB twin in
+    tests/test_mixture_diff.py).
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    out = joined.select(*keys, status.alias("diff_status"))
+    if include_unchanged:
+        return out
+    return out.where(F.col("diff_status") != "unchanged")
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str | Sequence[str]) -> DataFrame:
     """MERGE (SCD-1): update rows present in ``updates``, keep the rest,
     insert new keys.  Equivalent to ``MERGE INTO … WHEN MATCHED THEN UPDATE
