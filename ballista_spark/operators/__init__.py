@@ -127,7 +127,17 @@ from ballista_spark.operators.multimodal import (
     video_dhash,
 )
 from ballista_spark.operators.report import corpus_report, tokenizer_report
-from ballista_spark.operators.dataset import shuffle_deterministic
+from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
+from ballista_spark.operators.mixture import (
+    budget_sample,
+    mixture_epochs,
+    mixture_rates,
+    mixture_sample,
+)
+from ballista_spark.operators.winnow import (
+    fingerprint_overlap_pairs,
+    winnow_fingerprints,
+)
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
     ivf_store_append,
@@ -236,4 +246,11 @@ __all__ = [
     "ivf_store_topk",
     "normalize_for_dedup",
     "contamination_matrix",
+    "corpus_diff",
+    "mixture_rates",
+    "mixture_sample",
+    "mixture_epochs",
+    "budget_sample",
+    "winnow_fingerprints",
+    "fingerprint_overlap_pairs",
 ]
