@@ -98,6 +98,7 @@ from ballista_spark.operators.rangejoin import range_join
 from ballista_spark.operators.text import (
     chunk_documents,
     dedup_lines_within,
+    dedup_spans_corpus,
     fingerprint,
     normalize_for_dedup,
     lang_id,
@@ -253,4 +254,5 @@ __all__ = [
     "budget_sample",
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
+    "dedup_spans_corpus",
 ]

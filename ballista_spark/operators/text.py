@@ -388,6 +388,91 @@ def remove_boilerplate(df, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
+def dedup_spans_corpus(df, text_col: str = "text", key_col: str = "doc_id",
+                       delim: str = "\n", min_count: int = 2):
+    """Corpus-wide span (line/paragraph) dedup keeping the globally-first
+    occurrence — the RefinedWeb/Dolma paragraph-dedup semantics: a span
+    occurring ``min_count``+ times keeps exactly ONE copy (min
+    ``(key, pos)``) and loses the rest, so quoted/syndicated paragraphs
+    deduplicate while the original survives.  Complements
+    :func:`remove_boilerplate`, which drops *every* copy of a frequent
+    span (chrome removal), and the within-document
+    :func:`dedup_lines_within` (map-side, no corpus state).
+
+    Returns the input columns with ``text_col`` rebuilt from surviving
+    spans plus ``n_spans``/``n_kept``.  Occurrences are counted per
+    occurrence (a span repeated twice inside one document deduplicates
+    against itself), matching operators/substr.py's window semantics.
+
+    Scale shape (100 TB): one explode + ONE span-keyed shuffle computing
+    (count, canonical-first) via groupBy + join-back — the skew-safe
+    form (a navigation line in 1e8 documents streams through the
+    hash-aggregate and an AQE-splittable join; a Window over the span
+    would buffer the hot span's whole partition, the substr.py lesson).
+    The explicit ``repartition(span)`` lets both consumers reuse ONE
+    exchange.  Reassembly is one doc-keyed shuffle with in-row
+    ``array_sort`` — no global ordering anywhere.
+    """
+    parts = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.split(F.col(text_col), _delim_pattern(delim), -1)
+        ).alias("pos", "span"),
+    ).where(F.trim(F.col("span")) != "").repartition("span")
+    dup = (
+        parts.groupBy("span")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct("key", "pos")).alias("__canon"),
+        )
+        .where(F.col("__cnt") >= min_count)
+        .select("span", "__canon")
+    )
+    kept_parts = (
+        parts.join(dup, "span", "left")
+        .where(
+            F.col("__canon").isNull()
+            | (
+                (F.col("key") == F.col("__canon.key"))
+                & (F.col("pos") == F.col("__canon.pos"))
+            )
+        )
+        .select("key", "pos", "span")
+    )
+    kept = (
+        kept_parts.groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"))
+        .select(
+            "key",
+            F.concat_ws(
+                delim, F.transform(F.col("ps"), lambda s: s.getField("span"))
+            ).alias("__clean"),
+            F.size("ps").cast("bigint").alias("n_kept"),
+        )
+    )
+    other = [c for c in df.columns if c not in (text_col, key_col)]
+    totals = df.select(
+        F.col(key_col).alias("key"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), _delim_pattern(delim), -1),
+                lambda s: F.trim(s) != "",
+            )
+        ).cast("bigint").alias("n_spans"),
+        *[F.col(c) for c in other],
+    )
+    return (
+        totals.join(kept, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            *other,
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def pii_hit_counts(text="text", patterns: dict[str, str] | None = None) -> F.Column:
     """Per-category PII match counts as a struct — the audit twin of
     :func:`redact_pii` (count before you scrub; a corpus where 30% of

@@ -222,3 +222,122 @@ def test_normalize_for_dedup_canonicalizes_variants(spark, duck):
         """
     ).fetchone()[0]
     assert oracle_cjk == got[4]
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide span dedup (keep-first semantics)
+
+SYND = "syndicated paragraph appearing everywhere"
+
+DOCS2 = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            f"{SYND}\nunique zero",
+            f"intro one\n{SYND}",
+            f"{SYND}",                        # nothing survives (non-canonical)
+            "self repeat\nself repeat\ntail",  # within-doc dedup vs itself
+            "wholly unique document",
+        ],
+        "source": ["s0", "s0", "s1", "s1", "s2"],
+    }
+)
+
+_DEDUP_TWIN = """
+WITH parts AS (
+  SELECT doc_id, source, g.i AS pos, l[g.i] AS span
+  FROM (SELECT doc_id, source, STRING_SPLIT(text, CHR(10)) AS l FROM docs),
+       UNNEST(GENERATE_SERIES(1, LEN(l))) AS g(i)
+  WHERE TRIM(l[g.i]) <> ''
+), f AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY span) AS cnt
+  FROM parts
+), kept AS (
+  SELECT doc_id, STRING_AGG(span, CHR(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM f WHERE cnt < 2 OR rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, source, COUNT(pos) AS n_spans
+  FROM (SELECT doc_id, source FROM docs) d
+  LEFT JOIN parts USING (doc_id, source)
+  GROUP BY doc_id, source
+)
+SELECT t.doc_id, COALESCE(k.text, '') AS text, t.source,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def test_span_dedup_matches_duckdb_twin(spark, duck):
+    from tests.conftest import assert_frames_match
+
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    out = dedup_spans_corpus(spark.createDataFrame(DOCS2)).orderBy("doc_id")
+    duck.register("docs", DOCS2)
+    try:
+        assert_frames_match(out, duck.sql(_DEDUP_TWIN))
+    finally:
+        duck.unregister("docs")
+
+
+def test_span_dedup_keep_first_semantics(spark):
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_spans_corpus(spark.createDataFrame(DOCS2)).collect()
+    }
+    # globally-first occurrence (doc 0) keeps the syndicated paragraph
+    assert rows[0]["text"] == f"{SYND}\nunique zero"
+    assert rows[1]["text"] == "intro one"
+    assert rows[2]["text"] == "" and rows[2]["n_spans"] == 1 and rows[2]["n_kept"] == 0
+    # within-document repeats deduplicate against themselves (first kept)
+    assert rows[3]["text"] == "self repeat\ntail"
+    assert rows[4]["text"] == "wholly unique document"
+    assert rows[4]["source"] == "s2"
+
+
+def test_span_dedup_min_count_threshold(spark):
+    """min_count=3: a span with only two occurrences is left alone."""
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans_corpus(
+            spark.createDataFrame(DOCS2), min_count=3
+        ).collect()
+    }
+    # SYND occurs 3x -> still deduped; "self repeat" occurs 2x -> kept both
+    assert rows[1] == "intro one" and rows[2] == ""
+    assert rows[3] == "self repeat\nself repeat\ntail"
+
+
+def test_span_dedup_partitioning_invariant(spark):
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    df = spark.createDataFrame(DOCS2)
+    a = sorted(map(tuple, dedup_spans_corpus(df).collect()))
+    b = sorted(
+        map(tuple, dedup_spans_corpus(df.repartition(7, "doc_id")).collect())
+    )
+    assert a == b
+
+
+def test_span_dedup_plan_stays_jvm_side(spark):
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    plan = (
+        dedup_spans_corpus(spark.createDataFrame(DOCS2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # canonical-first must come from a hash aggregate, not a span Window
+    assert "Window" not in plan, plan

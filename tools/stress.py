@@ -64,6 +64,10 @@ PIPELINE = [
     "pack_windows",  # prefix-sum + one seq_id shuffle window assembly
     "unigram_fit",  # word-count shuffle + bounded driver lattice EM
     "unigram_encode",  # map-only Viterbi pandas UDF over the corpus
+    "mixture_budget",  # |domains|-row rates + bucketed prefix-sum budget
+    "corpus_diff",   # one full-outer snapshot join
+    "winnow_fp",     # map-only k-gram hashing + per-doc window pass
+    "winnow_pairs",  # pair output quadratic in replicas — see docstring
 ]
 
 
@@ -390,6 +394,73 @@ def _unigram_encode(spark, sf_dir: str):
     )
 
 
+def _mixture_budget(spark, sf_dir: str):
+    """mixture_sample (ONE |domains|-row aggregate + broadcast-threshold
+    lottery filter) composed with budget_sample (two-level bucketed
+    prefix sum, no global-order window).  The token budget scales with
+    the corpus (40% of total chars) so the selection work is input-sized
+    — expect near-linear: two corpus aggregations + one bucketed window."""
+    from ballista_spark.operators.mixture import budget_sample, mixture_sample
+
+    docs = _load_docs(spark, sf_dir)
+    weights = {"src0": 5.0, "src1": 3.0, "src2": 1.0, "src4": 1.0}
+    mixed = mixture_sample(docs, "source", weights, ["doc_id"])
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    kept = budget_sample(
+        mixed, "n_chars", int(total * 0.4), ["doc_id"], domain_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+def _corpus_diff(spark, sf_dir: str):
+    """Snapshot diff between two corpus versions (1/7 removed, 1/5
+    edited, 1/11 re-keyed additions): ONE full-outer hash join on the
+    key + map-side NULL-safe column compares — expect linear."""
+    from ballista_spark.operators.dataset import corpus_diff
+
+    docs = _load_docs(spark, sf_dir)
+    changed = docs.where(F.expr("doc_id % 7 <> 0")).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 5 = 0"), F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.expr("doc_id % 11 = 0")).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000_000)
+    )
+    new = changed.unionByName(added)
+    return corpus_diff(docs, new, ["doc_id"]).groupBy("diff_status").count()
+
+
+def _winnow_fp(spark, sf_dir: str):
+    """Winnowing fingerprint extraction: map-only k-gram hashing (the
+    O(log k) doubling build) + ONE per-document window pass — expect
+    near-linear, partitions are document-sized."""
+    from ballista_spark.operators.winnow import winnow_fingerprints
+
+    docs = _load_docs(spark, sf_dir)
+    return winnow_fingerprints(docs).groupBy("key").agg(
+        F.count("*").alias("n_fp")
+    )
+
+
+def _winnow_pairs(spark, sf_dir: str):
+    """Shared-fingerprint overlap pairing.  On the replica corpus every
+    document has ~REPLICAS near-copies, so the PAIR OUTPUT grows
+    quadratically in the replica count by construction (same caveat as
+    dedup_minhash_lsh) — the ratio measures output volume, not plan
+    scaling; the capped-df equi-join structure is the scale claim."""
+    from ballista_spark.operators.winnow import fingerprint_overlap_pairs
+
+    docs = _load_docs(spark, sf_dir)
+    pairs = fingerprint_overlap_pairs(docs, min_shared=2, min_overlap=0.5)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.avg("overlap").alias("avg_overlap")
+    )
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -414,6 +485,10 @@ LOCAL_BUILDERS = {
     "bm25_topk_zipf": _bm25_topk_zipf,
     "substr_dedup": _substr_dedup,
     "fuzzy_decontam": _fuzzy_decontam,
+    "mixture_budget": _mixture_budget,
+    "corpus_diff": _corpus_diff,
+    "winnow_fp": _winnow_fp,
+    "winnow_pairs": _winnow_pairs,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
