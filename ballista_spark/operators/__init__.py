@@ -139,6 +139,7 @@ from ballista_spark.operators.winnow import (
     fingerprint_overlap_pairs,
     winnow_fingerprints,
 )
+from ballista_spark.operators.sketch import heavy_hitters
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
     ivf_store_append,
@@ -255,4 +256,5 @@ __all__ = [
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
     "dedup_spans_corpus",
+    "heavy_hitters",
 ]
