@@ -140,6 +140,7 @@ from ballista_spark.operators.winnow import (
     winnow_fingerprints,
 )
 from ballista_spark.operators.sketch import heavy_hitters
+from ballista_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
     ivf_store_append,
@@ -257,4 +258,6 @@ __all__ = [
     "fingerprint_overlap_pairs",
     "dedup_spans_corpus",
     "heavy_hitters",
+    "cdc_chunks",
+    "cdc_dedup_stats",
 ]
