@@ -141,6 +141,12 @@ from ballista_spark.operators.winnow import (
 )
 from ballista_spark.operators.sketch import heavy_hitters
 from ballista_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+from ballista_spark.operators.url import (
+    blocked_domain_hits,
+    filter_blocked_domains,
+    host_suffixes,
+    url_host,
+)
 from ballista_spark.operators.model_io import load_model, save_model
 from ballista_spark.operators.similarity import (
     ivf_store_append,
@@ -260,4 +266,8 @@ __all__ = [
     "heavy_hitters",
     "cdc_chunks",
     "cdc_dedup_stats",
+    "url_host",
+    "host_suffixes",
+    "blocked_domain_hits",
+    "filter_blocked_domains",
 ]
