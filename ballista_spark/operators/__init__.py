@@ -46,6 +46,8 @@ from ballista_spark.operators.similarity import (
     semdedup_pairs,
 )
 from ballista_spark.operators.quality import (
+    char_entropy,
+    compression_ratio,
     hashed_ngram_features,
     logreg_fit,
     quality_classifier_score,
@@ -270,4 +272,6 @@ __all__ = [
     "host_suffixes",
     "blocked_domain_hits",
     "filter_blocked_domains",
+    "compression_ratio",
+    "char_entropy",
 ]

@@ -32,6 +32,8 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -201,3 +203,62 @@ def quality_classifier_score(
     return df.join(scores, key_col, "left").withColumn(
         score_col, F.coalesce(F.col(score_col), F.lit(empty_score))
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-free compressibility signals (Gopher/Dolma-family heuristics)
+
+def compression_ratio(text: str = "text") -> "F.Column":
+    """zlib-compressed length / raw UTF-8 length (DOUBLE, NULL for
+    NULL/empty text) — the classic model-free junk detector: highly
+    repetitive boilerplate (keyword stuffing, navigation spam, repeated
+    templates) compresses far below natural prose (~0.3-0.6), while
+    random/encrypted noise sits near or above 1.0.  Both tails are
+    filtered in published pipelines (Gopher's repetition rules are a
+    hand-rolled proxy for exactly this).
+
+    Arrow-vectorized pandas UDF — the ONE justified Python stage here
+    (no JVM zlib surface through the SQL function set); map-only, no
+    state, no shuffle.  zlib level 6 is pinned for cross-run
+    determinism.
+    """
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    return _ratio(F.col(text) if isinstance(text, str) else text)
+
+
+def char_entropy(text: str = "text") -> "F.Column":
+    """Shannon entropy of the character distribution in bits/char
+    (DOUBLE, NULL for NULL/empty text).  Near-zero entropy = one-symbol
+    spam; natural language sits ~4-5 bits/char; the signal complements
+    :func:`compression_ratio` (entropy sees symbol skew, zlib sees
+    longer-range repetition).  Same vectorized map-only UDF shape.
+    """
+    @F.pandas_udf("double")
+    def _ent(s: pd.Series) -> pd.Series:
+        import math as _m
+        from collections import Counter
+
+        def one(t):
+            if not t:
+                return None
+            n = len(t)
+            return -sum(
+                (c / n) * _m.log2(c / n) for c in Counter(t).values()
+            )
+
+        return s.map(one)
+
+    return _ent(F.col(text) if isinstance(text, str) else text)
