@@ -146,6 +146,7 @@ from ballista_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
 from ballista_spark.operators.url import (
     blocked_domain_hits,
     filter_blocked_domains,
+    filter_blocked_domains_stream,
     host_suffixes,
     url_host,
 )
@@ -274,4 +275,5 @@ __all__ = [
     "filter_blocked_domains",
     "compression_ratio",
     "char_entropy",
+    "filter_blocked_domains_stream",
 ]

@@ -3,19 +3,29 @@ recipe composed from this package's operators, in the canonical order the
 public pipelines run it (C4's heuristics, CCNet's LM filter, Gopher's
 repetition rules, RefinedWeb's dedup-first ordering):
 
+0. URL blocklist filter           (operators.url.filter_blocked_domains —
+                                   before any text work: the cheapest
+                                   drop, and published pipelines
+                                   (RefinedWeb/FineWeb + UT1) gate on
+                                   the source domain first)
 1. line-level boilerplate removal (operators.text.remove_boilerplate —
-                                   first, so dedup sees de-chromed text)
+                                   first text stage, so dedup sees
+                                   de-chromed text)
 2. exact dedup                    (operators.dedup.exact_dedup)
 3. near-dup MinHash LSH + cluster resolution, one survivor per cluster
                                   (minhash_lsh_pairs + resolve_duplicates)
+3b. corpus-wide paragraph dedup   (operators.text.dedup_spans_corpus —
+                                   keep-first; coarser than the window
+                                   strip below, finer than whole-doc
+                                   dedup, the RefinedWeb ordering)
 4. exact substring dedup — repeated-passage strip, first occurrence kept
                                   (operators.substr.strip_duplicated_spans;
                                    after doc-level dedup so surviving docs
                                    don't donate removable windows, before
                                    the token band so emptied docs get
                                    dropped by the band)
-5. heuristic gates: token-count band, duplicate-n-gram fraction
-                                  (operators.text)
+5. heuristic gates: token-count band, duplicate-n-gram fraction,
+   zlib compression-ratio band    (operators.text, operators.quality)
 6. language filter                (operators.text.lang_id)
 7. benchmark decontamination      (operators.decontam.decontaminate,
                                    + optional fuzzy MinHash pass via
@@ -85,15 +95,20 @@ def curate_corpus(
     *,
     text_col: str = "text",
     key_col: str = "doc_id",
+    url_blocklist: DataFrame | Sequence[str] | None = None,
+    url_col: str = "url",
     boilerplate_max_docs: int | None = None,
     boilerplate_delim: str = "\n",
     exact: bool = True,
     near_dup_threshold: float | None = 0.8,
+    span_dedup_min_count: int | None = None,
+    span_dedup_delim: str = "\n",
     substr_window: int | None = None,
     substr_min_count: int = 2,
     min_tokens: int | None = None,
     max_tokens: int | None = None,
     max_dup_ngram_fraction: float | None = None,
+    compression_band: tuple[float, float] | None = None,
     languages: Sequence[str] | None = None,
     benchmark: DataFrame | None = None,
     max_contamination: float = 0.2,
@@ -133,6 +148,16 @@ def curate_corpus(
     if count_stages:
         counts["input"] = kept.count()
 
+    # URL gate runs before any text work: one suffix equi-join, and every
+    # downstream (CPU-heavy) stage sees only allowed-domain documents
+    if url_blocklist is not None:
+        from ballista_spark.operators.url import filter_blocked_domains
+
+        kept = advance(
+            filter_blocked_domains(kept, url_col, key_col, url_blocklist),
+            "url_blocklist",
+        )
+
     # boilerplate stripping runs FIRST (the C4 ordering): cleaning rewrites
     # the text, so dedup/gates/LM all see the de-chromed documents and two
     # pages differing only in navigation chrome deduplicate correctly
@@ -162,6 +187,29 @@ def curate_corpus(
             .where("is_canonical")
             .drop("component", "is_canonical"),
             "near_dup",
+        )
+
+    # corpus-wide keep-first paragraph dedup: coarser than the window
+    # strip (whole delimited spans), finer than doc-level dedup; rewrites
+    # text, so NULL-text docs must ride through (n_spans is NULL exactly
+    # for NULL input text — used to restore NULL instead of '')
+    if span_dedup_min_count is not None:
+        from ballista_spark.operators.text import dedup_spans_corpus
+
+        kept = advance(
+            dedup_spans_corpus(
+                kept, text_col, key_col,
+                delim=span_dedup_delim, min_count=span_dedup_min_count,
+            )
+            .withColumn(
+                text_col,
+                F.when(F.col("n_spans").isNull(), F.lit(None)).otherwise(
+                    F.col(text_col)
+                ),
+            )
+            .drop("n_spans", "n_kept")
+            .where(F.col(text_col).isNull() | (F.trim(F.col(text_col)) != "")),
+            "span_dedup",
         )
 
     # repeated-passage strip rewrites the text (like boilerplate removal)
@@ -203,6 +251,19 @@ def curate_corpus(
         kept = advance(
             kept.where(dup_ngram_fraction(text_col) <= max_dup_ngram_fraction),
             "repetition",
+        )
+
+    # compressibility band: drops both tails (templated spam compresses
+    # too well, binary/noise too poorly); NULL-ratio docs (NULL/empty
+    # text) ride through, consistent with the chain's NULL tolerance
+    if compression_band is not None:
+        from ballista_spark.operators.quality import compression_ratio
+
+        lo_cr, hi_cr = compression_band
+        cr = compression_ratio(text_col)
+        kept = advance(
+            kept.where(cr.isNull() | ((cr >= lo_cr) & (cr <= hi_cr))),
+            "compression",
         )
 
     if languages is not None:

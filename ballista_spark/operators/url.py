@@ -118,3 +118,52 @@ def filter_blocked_domains(
     hits = blocked_domain_hits(df, url_col, key_col, blocklist)
     keys = hits.select(F.col("key").alias(key_col)).distinct()
     return df.join(keys, key_col, "left_semi" if keep_blocked else "left_anti")
+
+
+def filter_blocked_domains_stream(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame | Sequence[str],
+    max_levels: int = 8,
+) -> DataFrame:
+    """Streaming-admissible variant of :func:`filter_blocked_domains`:
+    the batch form explodes suffixes and re-joins on the document key —
+    a stream-stream self-join Structured Streaming forbids.  Here the
+    match decomposes by *label count* instead: for each level ``i`` ≤
+    ``max_levels``, the host's last-``i``-labels suffix is ONE value per
+    row, so blocking level ``i`` is a stream-static LEFT ANTI equi-join
+    against the blocklist slice with exactly ``i`` labels — ≤
+    ``max_levels`` stateless joins, no explode, no per-key state.
+
+    Works identically on batch frames (same result as the batch filter
+    for rows with parseable hosts, except that rows with un-parseable
+    hosts are also kept here).  Blocklist entries with more than
+    ``max_levels`` labels are ignored (UT1-style lists top out around
+    5); raise ``max_levels`` if yours go deeper.
+    """
+    bl = _blocklist_df(df, blocklist)
+    bl_levels = bl.withColumn(
+        "__lvl", F.size(F.split(F.col("__bl_domain"), "\\."))
+    )
+    parts = F.split(url_host(url_col), "\\.")
+    n = F.size(parts)
+    kept = df.withColumn("__host_parts", parts)
+    for i in range(1, max_levels + 1):
+        suf = F.when(
+            F.size(F.col("__host_parts")) >= i,
+            F.concat_ws(
+                ".",
+                F.slice(
+                    F.col("__host_parts"),
+                    F.size(F.col("__host_parts")) - i + 1,
+                    i,
+                ),
+            ),
+        )
+        bl_i = bl_levels.where(F.col("__lvl") == i).select(
+            F.col("__bl_domain").alias(f"__suf{i}")
+        )
+        kept = kept.withColumn(f"__suf{i}", suf).join(
+            bl_i, f"__suf{i}", "left_anti"
+        ).drop(f"__suf{i}")
+    return kept.drop("__host_parts")

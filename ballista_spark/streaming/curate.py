@@ -8,8 +8,12 @@ Streaming changes which operators are admissible: only *map-only* and
 therefore composes
 
 - map-only gates (token band, Gopher repetition fraction, language
-  filter, heuristic quality band, PII redaction) — pure column
-  expressions, identical semantics to the batch chain;
+  filter, heuristic quality band, zlib compression band, PII redaction)
+  — pure column expressions / vectorized UDFs, identical semantics to
+  the batch chain;
+- URL blocklist as per-label-count stream-static LEFT ANTI equi-joins
+  (``url.filter_blocked_domains_stream`` — the batch suffix-explode
+  re-join is a stream self-join and inadmissible);
 - exact dedup as ``dropDuplicatesWithinWatermark`` on the content hash —
   state bounded by the watermark horizon (a duplicate arriving later
   than the horizon is the batch compactor's job, the standard
@@ -46,6 +50,9 @@ def curate_documents_stream(
     docs: DataFrame,
     *,
     text_col: str = "text",
+    url_blocklist: DataFrame | Sequence[str] | None = None,
+    url_col: str = "url",
+    compression_band: tuple[float, float] | None = None,
     min_tokens: int | None = None,
     max_tokens: int | None = None,
     max_dup_ngram_fraction: float | None = None,
@@ -68,6 +75,19 @@ def curate_documents_stream(
     DataFrame with ``text_col``.
     """
     kept = docs
+    # URL gate first (cheapest): per-label-count stream-static LEFT ANTI
+    # equi-joins — the streaming-admissible decomposition of the batch
+    # suffix-explode join (operators/url.py docstring)
+    if url_blocklist is not None:
+        from ballista_spark.operators.url import filter_blocked_domains_stream
+
+        kept = filter_blocked_domains_stream(kept, url_col, url_blocklist)
+    if compression_band is not None:
+        from ballista_spark.operators.quality import compression_ratio
+
+        lo_cr, hi_cr = compression_band
+        cr = compression_ratio(text_col)
+        kept = kept.where(cr.isNull() | ((cr >= lo_cr) & (cr <= hi_cr)))
     nt = F.size(_ws_tokens(text_col))
     if min_tokens is not None:
         kept = kept.where(nt >= min_tokens)

@@ -218,3 +218,60 @@ def test_curation_is_idempotent_on_its_own_output(spark):
     r2 = curate_corpus(r1.docs, **params)
     second = {r["doc_id"]: r["text"] for r in r2.docs.collect()}
     assert second == first
+
+
+def test_url_span_and_compression_stages(spark):
+    """The late-round stages: URL blocklist gates first (suffix-aware),
+    corpus-wide paragraph dedup keeps the globally-first copy, and the
+    compression band drops the repetitive-spam tail."""
+    synd = "syndicated weather report repeated across publishers"
+    rows = [
+        (0, "https://good.org/a", f"{synd}\n{CLEAN[0]}"),
+        (1, "https://news.example.net/x", f"intro line\n{synd}"),
+        (2, "https://ads.example.com/b", CLEAN[1]),   # blocked subdomain
+        (3, "https://ok.org/c", "buy now " * 50),     # compresses to ~0.05
+        (4, "https://ok.org/d", CLEAN[2]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    report = curate_corpus(
+        docs,
+        url_blocklist=["example.com"],
+        exact=False,
+        near_dup_threshold=None,
+        span_dedup_min_count=2,
+        compression_band=(0.3, 2.0),
+        count_stages=True,
+    )
+    out = {r["doc_id"]: r["text"] for r in report.docs.collect()}
+    assert sorted(out) == [0, 1, 4]
+    # doc 0 is the globally-first occurrence -> keeps the paragraph;
+    # doc 1 loses it but keeps its own line
+    assert out[0] == f"{synd}\n{CLEAN[0]}"
+    assert out[1] == "intro line"
+    assert report.stage_counts["url_blocklist"] == 4   # -2 (ads.example.com)
+    assert report.stage_counts["span_dedup"] == 4      # rewrite, no drop
+    assert report.stage_counts["compression"] == 3     # -3 (spam)
+    # url column rides through untouched
+    assert {r["url"] for r in report.docs.collect()} == {
+        "https://good.org/a", "https://news.example.net/x", "https://ok.org/d"
+    }
+
+
+def test_span_dedup_stage_preserves_null_text(spark):
+    """Enabling span_dedup must not silently drop NULL-text docs (the
+    round-4 advisor lesson for the substr stage, applied here): NULL
+    rides through; only strip-emptied docs drop."""
+    docs = spark.createDataFrame(
+        [(0, "dup para"), (1, "dup para"), (2, None), (3, "solo text")],
+        "doc_id long, text string",
+    )
+    report = curate_corpus(
+        docs,
+        exact=False,
+        near_dup_threshold=None,
+        span_dedup_min_count=2,
+        count_stages=True,
+    )
+    out = {r["doc_id"]: r["text"] for r in report.docs.collect()}
+    # doc 1's only paragraph deduped away -> dropped; NULL text kept as NULL
+    assert out == {0: "dup para", 2: None, 3: "solo text"}

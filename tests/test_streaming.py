@@ -241,3 +241,28 @@ def test_streaming_curation_gates_match_batch(spark, tmp_path):
     assert set(got) == survivors or (set(got) - {0, 1}) == (survivors - {0, 1})
     assert "@" not in got[5]["text"]
     assert all("content_hash" in r.asDict() for r in got.values())
+
+
+def test_streaming_url_and_compression_gates(spark, tmp_path):
+    """The late-round stream gates: blocklist anti-joins + compression
+    band run on an unbounded stream (append mode, no state)."""
+    from ballista_spark.streaming import curate_documents_stream
+
+    rows = [
+        (0, "https://good.org/a", "a clear morning with soft light over the valley"),
+        (1, "https://ads.example.com/b", "an article from a blocked ad domain"),
+        (2, "https://ok.org/c", "buy now " * 50),
+        (3, "https://sub.ads.example.com/d", "deep subdomain of the blocked one"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    src = str(tmp_path / "url_stream_src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    curated = curate_documents_stream(
+        stream,
+        url_blocklist=["example.com"],
+        compression_band=(0.3, 2.0),
+    )
+    _run_to_memory(curated, "url_gated_stream", "append")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM url_gated_stream").collect()}
+    assert got == {0}

@@ -141,3 +141,36 @@ def test_plan_is_equijoin_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_variant_equals_batch_filter(spark):
+    """filter_blocked_domains_stream (per-label-count anti-joins) admits
+    exactly the same rows as the batch suffix-explode filter."""
+    from ballista_spark.operators.url import filter_blocked_domains_stream
+
+    df = spark.createDataFrame(URLS)
+    batch_kept = {
+        r.doc_id for r in filter_blocked_domains(df, "url", "doc_id", BLOCK).collect()
+    }
+    stream_kept = {
+        r.doc_id
+        for r in filter_blocked_domains_stream(df, "url", BLOCK).collect()
+    }
+    assert stream_kept == batch_kept
+    # helper columns cleaned up
+    out = filter_blocked_domains_stream(df, "url", BLOCK)
+    assert out.columns == df.columns
+
+
+def test_stream_variant_max_levels_ignores_deep_entries(spark):
+    from ballista_spark.operators.url import filter_blocked_domains_stream
+
+    df = spark.createDataFrame(
+        [(0, "https://a.b.c.d.example.com/x")], "doc_id long, url string"
+    )
+    deep = "a.b.c.d.example.com"  # 5 labels
+    kept_default = filter_blocked_domains_stream(df, "url", [deep]).count()
+    kept_shallow = filter_blocked_domains_stream(
+        df, "url", [deep], max_levels=3
+    ).count()
+    assert kept_default == 0 and kept_shallow == 1
