@@ -166,6 +166,10 @@ def fingerprint_overlap_pairs(
     with ``key_a < key_b``, one pair-keyed count, two doc-count-sized
     shuffle joins for the denominators.  No broadcast of anything
     corpus-sized, no cartesian.
+
+    The output is edge-shaped (``key_a``/``key_b``) — feed it straight
+    to ``dedup.resolve_duplicates`` for cluster resolution and survivor
+    selection, exactly like the MinHash pair emitters.
     """
     fps = (
         winnow_fingerprints(df, text_col, key_col, k, w)

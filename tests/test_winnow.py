@@ -193,3 +193,25 @@ def test_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_composes_with_resolve_duplicates(spark):
+    """Winnow pairs are edge-shaped like the MinHash emitters: cluster
+    resolution keeps exactly one survivor per mirror group."""
+    from ballista_spark.operators.dedup import resolve_duplicates
+
+    rng = random.Random(77)
+    base = " ".join(rng.choice(WORDS) for _ in range(120))
+    docs = [
+        (0, base),
+        (1, base + " tiny tail difference"),     # mirror of 0
+        (2, "prefix words here " + base),        # mirror of 0 (transitive)
+        (3, " ".join(rng.choice(WORDS) for _ in range(100))),  # distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = fingerprint_overlap_pairs(
+        df, k=4, w=5, min_shared=2, min_overlap=0.6
+    )
+    out = resolve_duplicates(df, pairs, "doc_id")
+    canon = {r.doc_id: r.is_canonical for r in out.collect()}
+    assert canon == {0: True, 1: False, 2: False, 3: True}
