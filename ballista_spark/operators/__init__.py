@@ -142,6 +142,7 @@ from ballista_spark.operators.winnow import (
     winnow_fingerprints,
 )
 from ballista_spark.operators.sketch import heavy_hitters
+from ballista_spark.operators.html import html_title, html_to_text
 from ballista_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
 from ballista_spark.operators.url import (
     blocked_domain_hits,
@@ -276,4 +277,6 @@ __all__ = [
     "compression_ratio",
     "char_entropy",
     "filter_blocked_domains_stream",
+    "html_to_text",
+    "html_title",
 ]
