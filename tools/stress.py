@@ -68,6 +68,10 @@ PIPELINE = [
     "corpus_diff",   # one full-outer snapshot join
     "winnow_fp",     # map-only k-gram hashing + per-doc window pass
     "winnow_pairs",  # pair output quadratic in replicas — see docstring
+    "span_dedup",    # span-keyed groupBy/join-back + doc reassembly
+    "heavy_hitters",  # MG sweep (<=k rows/partition) + candidate count
+    "cdc_chunks",    # map-only chunking + hash-keyed dedup stats
+    "html_extract",  # pure regex chain, map-only
 ]
 
 
@@ -461,6 +465,62 @@ def _winnow_pairs(spark, sf_dir: str):
     )
 
 
+def _span_dedup(spark, sf_dir: str):
+    """Corpus-wide keep-first span dedup over sentence-ish spans ('.'
+    delimiter — the synthetic documents are single-line): one explode +
+    ONE span-keyed groupBy/join-back + one doc-keyed reassembly.
+    Expect near-linear; the hot-span path is hash-aggregate-shaped."""
+    from ballista_spark.operators.text import dedup_spans_corpus
+
+    docs = _load_docs(spark, sf_dir)
+    return dedup_spans_corpus(docs, delim=".").groupBy().agg(
+        F.count("*").alias("docs"), F.sum("n_kept").alias("kept_spans")
+    )
+
+
+def _heavy_hitters(spark, sf_dir: str):
+    """Exact heavy hitters over the exploded token stream: the MG sweep
+    is one Arrow map pass emitting <=k rows/partition, then a
+    candidates-only count.  Expect near-linear in corpus tokens."""
+    from ballista_spark.operators.lm import _tokens
+    from ballista_spark.operators.sketch import heavy_hitters
+
+    docs = _load_docs(spark, sf_dir)
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", 0.001, k=2000)
+
+
+def _cdc_chunks(spark, sf_dir: str):
+    """Content-defined chunking over the documents' UTF-8 bytes +
+    dedup-stats roll-up: one map-only Arrow pass + one hash-keyed
+    aggregation.  Expect near-linear in corpus bytes."""
+    from ballista_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return cdc_dedup_stats(cdc_chunks(docs, avg_size=256))
+
+
+def _html_extract(spark, sf_dir: str):
+    """HTML wrap + extract: a pure regexp_replace chain — map-only,
+    whole-stage codegen.  Expect linear in corpus bytes."""
+    from ballista_spark.operators.html import html_to_text
+
+    docs = _load_docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><div>nav</div><p>"),
+            F.col("text"),
+            F.lit("</p><div>&copy; footer</div></body></html>"),
+        ).alias("html"),
+    )
+    return wrapped.select(
+        F.sum(F.length(html_to_text("html"))).alias("chars")
+    )
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -489,6 +549,10 @@ LOCAL_BUILDERS = {
     "corpus_diff": _corpus_diff,
     "winnow_fp": _winnow_fp,
     "winnow_pairs": _winnow_pairs,
+    "span_dedup": _span_dedup,
+    "heavy_hitters": _heavy_hitters,
+    "cdc_chunks": _cdc_chunks,
+    "html_extract": _html_extract,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
