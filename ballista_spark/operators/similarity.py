@@ -1369,3 +1369,77 @@ def ivf_store_append(
     assigned.withColumnRenamed("centroid_id", "cell").write.partitionBy(
         "cell"
     ).mode("append").parquet(path)
+
+
+def cluster_assign(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Input rows plus a ``cluster`` column: nearest centroid by cosine
+    (ties toward the lower centroid id, zero vectors last — the
+    :func:`_nearest_centroids` contract, here public).
+
+    Map-only: centroids ride as ONE packed broadcast array — no shuffle,
+    no per-row Python.  Train ``centroids`` with :func:`kmeans_fit`
+    (``spherical=True`` for cosine-consistent cells) or pass frozen ones
+    (`model_io` round-trips them); like the IVF ingest path, assignment
+    at 100 TB is a single scan of the corpus.
+    """
+    spark = vecs.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["centroid_id", "centroid_v"],
+    )
+    cols = vecs.columns
+    base = _spread(vecs, id_col).withColumn(
+        "__cv", _as_double(F.col(vec_col))
+    )
+    assigned = _nearest_centroids(base, cent, id_col, "__cv", n_probe=1)
+    return assigned.select(*cols, F.col("centroid_id").alias("cluster"))
+
+
+def cluster_sizes(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n) — occupancy of each learned cell.  The audit view for
+    choosing per-cluster caps (and for spotting a degenerate quantizer:
+    one mega-cell means the centroids need retraining).  One map-only
+    assignment pass + one bounded aggregation (≤ k result rows)."""
+    return (
+        cluster_assign(vecs, centroids, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cluster_balanced_sample(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cluster_cap",
+) -> DataFrame:
+    """Diversity-preserving downsample: at most ``cap`` rows per learned
+    cluster, chosen by the deterministic md5 lottery — the
+    cluster-balanced pruning step of embedding-curation pipelines
+    (SemDeDup §4 / DataComp filtering track: web corpora are wildly
+    imbalanced across semantic clusters, and uniform sampling keeps the
+    mega-clusters mega).  Returns the input columns plus ``cluster``.
+
+    Scale shape: ONE map-only assignment scan + ONE hash shuffle on the
+    cluster key (:func:`ballista_spark.operators.sampling.group_cap` —
+    hot clusters rank streaming inside their partition, memory bounded
+    by sort spill, not cluster size).  Partitioning-invariant and
+    re-run-stable: the lottery orders by ``md5(seed || id)``, never by
+    physical row order.
+    """
+    from ballista_spark.operators.sampling import group_cap
+
+    assigned = cluster_assign(vecs, centroids, id_col, vec_col)
+    return group_cap(assigned, ["cluster"], cap, [id_col], seed=seed)

@@ -37,6 +37,25 @@ from pyspark.sql import functions as F
 #: scheme://[userinfo@]HOST[:port]/... — group 1 is the host
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
 
+#: full component split — 1 scheme, 2 userinfo, 3 host, 4 port, 5 path,
+#: 6 query (fragment is matched but never captured → dropped)
+_URL_PARTS_RE = (
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+    r"(?:([^/?#]*)@)?"
+    r"([^/:?#]+)"
+    r"(?::([0-9]+))?"
+    r"([^?#]*)"
+    r"(?:\?([^#]*))?"
+)
+
+#: query parameters that never change page content — ad-click and
+#: campaign attribution IDs (the set RefinedWeb/CCNet-style URL dedup
+#: strips).  Matched against the full `key=value` token.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|fbclid|gclid|gbraid|wbraid|msclkid|mc_cid|mc_eid"
+    r"|igshid|yclid|_hsenc|_hsmi|ref_src|spm|s_kwcid|dclid|twclid)(=.*)?$"
+)
+
 
 def url_host(url="url") -> F.Column:
     """Lower-cased host of an absolute URL (NULL when there is no
@@ -44,6 +63,73 @@ def url_host(url="url") -> F.Column:
     col = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(col, _HOST_RE, 1))
     return F.when(h == "", F.lit(None)).otherwise(h)
+
+
+def canonicalize_url(
+    url="url",
+    strip_www: bool = False,
+    tracking_param_re: str = TRACKING_PARAM_RE,
+) -> F.Column:
+    """Canonical form of an absolute URL — the grouping key for URL-level
+    deduplication (crawl frontiers and re-crawl snapshots reference the
+    same page under many spellings).  Rules, applied in one pass of pure
+    JVM expressions (regex split + ``filter``/``array_sort`` over the
+    query tokens — map-only, whole-stage codegen, no Python):
+
+    - scheme and host lower-cased; ``userinfo@`` and ``#fragment`` dropped
+    - default ports removed (``http:80``, ``https:443``, ``ftp:21``,
+      ``ws:80``, ``wss:443``); other ports kept
+    - empty path → ``/``; trailing ``/`` runs stripped elsewhere
+      (``/a//`` → ``/a``, ``/`` stays ``/``)
+    - query: empty tokens dropped, tokens matching ``tracking_param_re``
+      (campaign/click IDs — utm_*, fbclid, gclid, …) dropped, the rest
+      sorted bytewise; an emptied query loses its ``?``
+    - ``strip_www=True`` additionally removes ONE leading ``www.`` label
+      (host-merging variant; off by default because www/apex can differ)
+
+    Strings without a parseable ``scheme://host`` pass through unchanged
+    (a NULL would merge every unparseable row into one dedup bucket).
+    Percent-encoding is NOT normalized — ``%2F`` vs ``/`` changes path
+    semantics, so case differences inside escapes are kept as-is.
+    Idempotent: applying twice equals applying once (pinned in tests).
+
+    URL dedup = ``df.withColumn("curl", canonicalize_url("url"))`` then
+    exact dedup keyed on ``curl`` (:func:`ballista_spark.operators.dedup.
+    exact_dedup` with ``text_col="curl"``).
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(col, _URL_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(col, _URL_PARTS_RE, 3))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(col, _URL_PARTS_RE, 4)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "ftp") & (port == "21"))
+        | ((scheme == "ws") & (port == "80"))
+        | ((scheme == "wss") & (port == "443"))
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.regexp_extract(col, _URL_PARTS_RE, 5)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    raw_query = F.regexp_extract(col, _URL_PARTS_RE, 6)
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(raw_query, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(tracking_param_re),
+        )
+    )
+    query_part = F.when(
+        F.size(kept_params) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(kept_params, "&")))
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path, query_part
+    )
+    return F.when(host == "", col).otherwise(canon)
 
 
 def host_suffixes(host) -> F.Column:
