@@ -72,6 +72,9 @@ PIPELINE = [
     "heavy_hitters",  # MG sweep (<=k rows/partition) + candidate count
     "cdc_chunks",    # map-only chunking + hash-keyed dedup stats
     "html_extract",  # pure regex chain, map-only
+    "pagerank",      # 5 fixed power iterations over a synthetic digraph
+    "cluster_sample",  # broadcast-centroid assign + cluster-keyed cap
+    "url_canon",     # pure-JVM canonicalization, map-only
 ]
 
 
@@ -521,6 +524,71 @@ def _html_extract(spark, sf_dir: str):
     )
 
 
+def _pagerank(spark, sf_dir: str):
+    """PageRank over a synthetic skewed digraph sized to the documents
+    table (8 out-edges per node; dst ∝ u³ biases in-degree toward low
+    ids — hub skew), materialized once per scale.  Five FIXED power
+    iterations (tol=0) so the timing is per-iteration plan scaling:
+    one edge-sized join + one groupBy per round.  Expect near-linear
+    in edge count."""
+    from ballista_spark.operators.graph import pagerank
+
+    n = _load_docs(spark, sf_dir).count()
+    path = os.path.join("/tmp", f"bs_pr_edges_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        u = "pmod(xxhash64(src * 8 + j), 1000003) / 1000003.0"
+        spark.range(n).select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+        ).select(
+            "src",
+            F.expr(f"cast(floor({n} * pow({u}, 3.0)) as bigint)").alias("dst"),
+        ).write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    return pagerank(edges, max_iters=5, tol=0.0).groupBy().agg(
+        F.count("*").alias("nodes"), F.sum("rank").alias("mass")
+    )
+
+
+def _cluster_sample(spark, sf_dir: str):
+    """cluster_balanced_sample with 64 frozen centroids (the first 64
+    vectors by id — constant-cost stand-in for a trained quantizer): one
+    map-only broadcast-centroid assignment scan + one cluster-keyed cap
+    shuffle.  Expect near-linear; output is capped at 64·50 rows."""
+    from ballista_spark.operators.similarity import cluster_balanced_sample
+    from ballista_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(r.embedding)
+        for r in emb.orderBy("vec_id").limit(64).collect()
+    ]
+    return cluster_balanced_sample(emb, cents, cap=50).groupBy("cluster").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _url_canon(spark, sf_dir: str):
+    """canonicalize_url over synthetic messy URLs derived from doc ids:
+    pure-JVM regex/array expressions, map-only, whole-stage codegen.
+    Expect linear in row count."""
+    from ballista_spark.operators.url import canonicalize_url
+
+    docs = _load_docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("HTTPS://Host"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(997)),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id"),
+            F.lit("/?utm_source=x&b=2&a=1&fbclid=z#frag"),
+        ).alias("url")
+    )
+    return urls.select(
+        F.sum(F.length(canonicalize_url("url"))).alias("chars")
+    )
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -553,6 +621,9 @@ LOCAL_BUILDERS = {
     "heavy_hitters": _heavy_hitters,
     "cdc_chunks": _cdc_chunks,
     "html_extract": _html_extract,
+    "pagerank": _pagerank,
+    "cluster_sample": _cluster_sample,
+    "url_canon": _url_canon,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
