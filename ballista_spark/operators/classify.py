@@ -1,0 +1,305 @@
+"""Multiclass (softmax) text classification over hashed character
+n-grams — trained language identification, the fastText flagship task
+(Joulin et al. 2016 "Bag of Tricks for Efficient Text Classification";
+fastText's lid.176 model is exactly char-n-gram features + a linear
+multiclass head).  The engine's heuristic ``text.lang_id`` covers five
+hard-coded stopword lists; this operator LEARNS the head from labeled
+examples, for any label set — language, domain, topic, toxicity tier.
+
+Same Spark-idiomatic iterative shape as ``quality.logreg_fit`` (binary
+cousin) and ``similarity.kmeans_fit``:
+
+- the model is a ``(label, bucket, w)`` DataFrame bounded by
+  ``n_classes × n_features`` — broadcastable by construction (the
+  hashing trick caps it); the corpus is never collected.
+- one training iteration = margins (feature-sized broadcast join +
+  per-(doc, class) reduce), softmax + error (two windows over the doc
+  key — ONE shuffle), gradient (feature-sized join + per-(class,
+  bucket) reduce), driver-side bias update from ``n_classes`` scalars.
+- every per-iteration frame ends in an EAGER ``localCheckpoint`` (the
+  connected_components/logreg_fit discipline — lazy persists here
+  silently recompute the whole lineage per round and per consumer).
+
+Features are character n-grams (language ID needs sub-word signal;
+word-grams can't see that "sch"/"ación"/"ться" are different languages)
+hashed with the cross-engine ``md5_long``, so the numpy mirror in
+tests/test_classify.py reproduces training end-to-end, bit-for-bit
+modulo float summation order.
+
+Reference parity: the reference engine ships no ML operators
+(`rust/core/proto/ballista.proto` — relational surface only); this is
+"beyond the reference" pipeline functionality like quality/DSIR/LM.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ballista_spark.operators.hashing import md5_long
+
+#: langid default feature space: 2^16 buckets × n_classes doubles —
+#: a 176-language head is ~92 MB, still broadcast territory.
+N_FEATURES = 2**16
+
+
+class SoftmaxModel(NamedTuple):
+    """Trained multiclass head: sparse ``(label, bucket, w)`` weights +
+    per-class biases, plus the feature-hashing config training used —
+    scoring re-hashes with the same ``n_features``/``ngrams`` or bucket
+    lookups silently miss (the LogRegModel/NgramLM convention)."""
+
+    weights: DataFrame
+    biases: dict[str, float]
+    n_features: int = N_FEATURES
+    ngrams: "tuple[int, ...]" = (1, 2, 3)
+
+
+def char_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2, 3),
+    lowercase: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """(key, bucket, x) — L1-normalized hashed CHARACTER n-gram counts
+    per document (the char-level twin of ``quality.hashed_ngram_features``).
+
+    Pure JVM: per order n, ``transform(sequence(1, len-n+1), i ->
+    substr(s, i, n))`` materializes the gram array in one projection
+    (guarded to ``array()`` when the text is shorter than n), then one
+    explode + one (key, bucket) groupBy — a single shuffle.  Documents
+    with no grams (empty/NULL text) produce no rows.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.lower(col) if lowercase else col
+    slen = F.length(s)
+
+    def order_grams(n: int) -> F.Column:
+        # NOTE: the inner lambda must stay single-parameter — a second
+        # parameter (even a default like `n=n`) makes PySpark treat it
+        # as an (element, index) lambda and silently bind the array
+        # index to it
+        return F.when(
+            slen >= n,
+            F.transform(
+                F.sequence(F.lit(1), slen - F.lit(n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.flatten(F.array(*[order_grams(n) for n in ngrams]))
+    exploded = (
+        df.select(F.col(key_col).alias("key"), grams.alias("__grams"))
+        .where(F.size("__grams") > 0)
+        .select(
+            "key",
+            F.size("__grams").alias("total"),
+            F.explode("__grams").alias("gram"),
+        )
+        .withColumn("bucket", F.pmod(md5_long("gram"), F.lit(n_features)))
+    )
+    x = (
+        (F.count("*") / F.first("total")) if normalize else F.count("*").cast("double")
+    )
+    return exploded.groupBy("key", "bucket").agg(x.alias("x"))
+
+
+def _class_margins(
+    features: DataFrame, weights: DataFrame, biases: dict[str, float], grid: DataFrame
+) -> DataFrame:
+    """(key, y, m) for EVERY (document, class) pair: w_y·x + b_y.  The
+    grid supplies pairs whose weight rows are all absent (iteration 0,
+    unseen buckets) at margin b_y."""
+    spark = features.sparkSession
+    raw = (
+        features.join(F.broadcast(weights), "bucket")
+        .groupBy("key", "y")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("__m"))
+    )
+    bias_df = F.broadcast(
+        spark.createDataFrame(list(biases.items()), "y string, b double")
+    )
+    return (
+        grid.join(raw, ["key", "y"], "left")
+        .join(bias_df, "y")
+        .select(
+            "key", "y", (F.coalesce("__m", F.lit(0.0)) + F.col("b")).alias("m")
+        )
+    )
+
+
+def _softmax(margins: DataFrame) -> DataFrame:
+    """(key, y, p) — numerically-stable softmax per key: two window
+    passes over ONE hash partitioning on the doc key."""
+    w = Window.partitionBy("key")
+    e = F.exp(F.col("m") - F.max("m").over(w))
+    return margins.withColumn("__e", e).select(
+        "key", "y", (F.col("__e") / F.sum("__e").over(w)).alias("p")
+    )
+
+
+def softmax_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    key_col: str = "key",
+    n_iters: int = 30,
+    lr: float = 5.0,
+    reg: float = 0.0,
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2, 3),
+) -> SoftmaxModel:
+    """Train a softmax-regression head by batch gradient descent.
+
+    ``features``: (key, bucket, x) from :func:`char_ngram_features` (or
+    the word-level ``quality.hashed_ngram_features``); ``labels``:
+    (key, label).  The class set is the distinct labels (collected —
+    n_classes strings).  Pass the SAME hashing config the features were
+    built with; it is stored on the model.
+    """
+    lab = (
+        labels.select(
+            F.col(key_col).alias("key"), F.col(label_col).cast("string").alias("__y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    classes = sorted(r["__y"] for r in lab.select("__y").distinct().collect())
+    if len(classes) < 2:
+        raise ValueError(f"need >= 2 classes, got {classes}")
+    spark = features.sparkSession
+    feats = features.persist()
+    n_docs = lab.count()
+    # (key × class) margin grid — doc-sized × n_classes, built once
+    grid = (
+        lab.select("key")
+        .crossJoin(F.broadcast(spark.createDataFrame([(c,) for c in classes], "y string")))
+        .localCheckpoint(eager=True)
+    )
+    weights = spark.createDataFrame([], "y string, bucket long, w double")
+    biases = {c: 0.0 for c in classes}
+    try:
+        for _ in range(n_iters):
+            probs = _softmax(_class_margins(feats, weights, biases, grid))
+            err = (
+                probs.join(lab, "key")
+                .select(
+                    "key",
+                    "y",
+                    (
+                        F.col("p")
+                        - F.when(F.col("y") == F.col("__y"), 1.0).otherwise(0.0)
+                    ).alias("g"),
+                )
+                .localCheckpoint(eager=True)  # feeds gradient AND bias reduce
+            )
+            grad = (
+                feats.join(err, "key")
+                .groupBy("y", "bucket")
+                .agg((F.sum(F.col("g") * F.col("x")) / F.lit(n_docs)).alias("gw"))
+            )
+            weights = (
+                weights.join(grad, ["y", "bucket"], "full")
+                .select(
+                    "y",
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0)) * F.lit(1.0 - lr * reg)
+                        - F.lit(lr) * F.coalesce(F.col("gw"), F.lit(0.0))
+                    ).alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            for r in err.groupBy("y").agg((F.sum("g") / F.lit(n_docs)).alias("gb")).collect():
+                biases[r["y"]] -= lr * float(r["gb"])
+        return SoftmaxModel(weights, dict(biases), n_features, tuple(ngrams))
+    finally:
+        feats.unpersist()
+
+
+def softmax_probs(
+    df: DataFrame,
+    model: SoftmaxModel,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, y, p) — per-class probability for every document, including
+    feature-less ones (empty text scores the bias-only softmax)."""
+    feats = char_ngram_features(
+        df, text_col, key_col, model.n_features, model.ngrams
+    )
+    spark = df.sparkSession
+    grid = df.select(F.col(key_col).alias("key")).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(c,) for c in sorted(model.biases)], "y string")
+        )
+    )
+    return _softmax(_class_margins(feats, model.weights, model.biases, grid))
+
+
+def softmax_predict(
+    df: DataFrame,
+    model: SoftmaxModel,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    pred_col: str = "pred",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Annotate ``df`` with the argmax class and its probability (ties
+    break toward the lexicographically smaller label — deterministic)."""
+    probs = softmax_probs(df, model, text_col, key_col)
+    w = Window.partitionBy("key").orderBy(F.col("p").desc(), F.col("y"))
+    top = (
+        probs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("y").alias(pred_col),
+            F.col("p").alias(prob_col),
+        )
+    )
+    return df.join(top, key_col, "left")
+
+
+def langid_fit(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_features: int = N_FEATURES,
+    ngrams: Sequence[int] = (1, 2, 3),
+    n_iters: int = 30,
+    lr: float = 5.0,
+) -> SoftmaxModel:
+    """Train a language identifier from labeled documents: char-n-gram
+    features + softmax head (fastText lid recipe)."""
+    feats = char_ngram_features(docs, text_col, key_col, n_features, ngrams)
+    return softmax_fit(
+        feats,
+        docs.select(key_col, lang_col),
+        label_col=lang_col,
+        key_col=key_col,
+        n_iters=n_iters,
+        lr=lr,
+        n_features=n_features,
+        ngrams=ngrams,
+    )
+
+
+def langid_predict(
+    df: DataFrame,
+    model: SoftmaxModel,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate with (lang_pred, lang_prob) from a :func:`langid_fit`
+    model — the trained replacement for the heuristic ``text.lang_id``."""
+    return softmax_predict(
+        df, model, text_col, key_col, pred_col="lang_pred", prob_col="lang_prob"
+    )

@@ -1,5 +1,6 @@
 """Model persistence for the in-engine fitted models (NgramLM,
-LogRegModel, DSIRModel, PCAModel, BPEModel, UnigramModel): save to /
+LogRegModel, DSIRModel, PCAModel, BPEModel, UnigramModel,
+SoftmaxModel): save to /
 load from a directory on
 whatever storage the session can reach (local, HDFS, S3 — everything
 goes through Spark writers, no driver-side ``open()``, so the same code
@@ -25,6 +26,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, SparkSession
 
 from ballista_spark.operators.bpe import BPEModel
+from ballista_spark.operators.classify import SoftmaxModel
 from ballista_spark.operators.dsir import DSIRModel
 from ballista_spark.operators.lm import NgramLM
 from ballista_spark.operators.pca import PCAModel
@@ -39,6 +41,7 @@ _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
     PCAModel: ((), ()),
     BPEModel: (("merges", "vocab"), ()),
     UnigramModel: (("pieces",), ()),
+    SoftmaxModel: (("weights",), ("ngrams",)),
 }
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 
