@@ -32,6 +32,7 @@ from ballista_spark.operators.lm import NgramLM
 from ballista_spark.operators.pca import PCAModel
 from ballista_spark.operators.quality import LogRegModel
 from ballista_spark.operators.unigram import UnigramModel
+from ballista_spark.operators.wordpiece import WordPieceModel
 
 #: model class -> (DataFrame fields, tuple-valued scalar fields)
 _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
@@ -42,6 +43,7 @@ _REGISTRY: dict[type, tuple[tuple[str, ...], tuple[str, ...]]] = {
     BPEModel: (("merges", "vocab"), ()),
     UnigramModel: (("pieces",), ()),
     SoftmaxModel: (("weights",), ("ngrams",)),
+    WordPieceModel: (("vocab",), ()),
 }
 _BY_NAME = {cls.__name__: cls for cls in _REGISTRY}
 

@@ -75,6 +75,8 @@ PIPELINE = [
     "pagerank",      # 5 fixed power iterations over a synthetic digraph
     "cluster_sample",  # broadcast-centroid assign + cluster-keyed cap
     "url_canon",     # pure-JVM canonicalization, map-only
+    "langid_fit",    # softmax GD: feature-sized joins per iteration
+    "langid_predict",  # one margin join + window softmax over the corpus
 ]
 
 
@@ -589,6 +591,37 @@ def _url_canon(spark, sf_dir: str):
     )
 
 
+#: per-scale fitted langid model from the last _langid_fit call — the
+#: fit / predict split mirrors bpe_fit / bpe_encode
+_LANGID_MODELS: dict = {}
+
+
+def _langid_fit(spark, sf_dir: str):
+    """Softmax langid training, 5 fixed GD iterations: per round one
+    feature-sized broadcast-weight join + one window softmax + one
+    gradient reduce.  Feature rows grow with the corpus — expect
+    near-linear (the weight table is bounded by classes × buckets)."""
+    from ballista_spark.operators.classify import langid_fit
+
+    docs = _load_docs(spark, sf_dir)
+    model = langid_fit(docs, n_features=2**14, ngrams=(2, 3), n_iters=5)
+    _LANGID_MODELS[sf_dir] = model
+    return model.weights.groupBy("y").agg(F.count("*").alias("nnz"))
+
+
+def _langid_predict(spark, sf_dir: str):
+    """Scoring with a frozen model: one feature pass + one broadcast
+    margin join + one doc-keyed window softmax.  Expect near-linear."""
+    from ballista_spark.operators.classify import langid_predict
+
+    if sf_dir not in _LANGID_MODELS:
+        _langid_fit(spark, sf_dir).collect()
+    docs = _load_docs(spark, sf_dir)
+    return langid_predict(docs, _LANGID_MODELS[sf_dir]).groupBy(
+        "lang_pred"
+    ).agg(F.count("*").alias("n"))
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -624,6 +657,8 @@ LOCAL_BUILDERS = {
     "pagerank": _pagerank,
     "cluster_sample": _cluster_sample,
     "url_canon": _url_canon,
+    "langid_fit": _langid_fit,
+    "langid_predict": _langid_predict,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
