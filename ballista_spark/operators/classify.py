@@ -33,11 +33,12 @@ Reference parity: the reference engine ships no ML operators
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ballista_spark.operators.hashing import md5_long
@@ -303,3 +304,81 @@ def langid_predict(
     return softmax_predict(
         df, model, text_col, key_col, pred_col="lang_pred", prob_col="lang_prob"
     )
+
+
+def softmax_predict_local(
+    df: DataFrame,
+    model: SoftmaxModel,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    pred_col: str = "pred",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Map-only serving twin of :func:`softmax_predict`: the weight
+    matrix (n_classes × n_features doubles — bounded by the hashing
+    trick, the same reason the join path may broadcast it) collects into
+    an Arrow-batched pandas-UDF closure and every document is scored
+    where it sits — no feature explode, no join, NO shuffle.
+
+    Use this for serving and for STREAMS (the join/window path needs a
+    per-doc aggregation Structured Streaming would reject without a
+    watermark; this one is stateless and stream-admissible — compose
+    with ``readStream`` directly).  Results equal the distributed path
+    to float-summation noise (pinned in tests at 1e-9).  Prefer the
+    join path when the head is too large for a task closure (e.g.
+    n_features 2^20 × hundreds of classes).
+    """
+    import numpy as np
+
+    classes = sorted(model.biases)
+    cidx = {c: i for i, c in enumerate(classes)}
+    W = np.zeros((model.n_features, len(classes)))
+    for r in model.weights.collect():
+        W[r["bucket"], cidx[r["y"]]] = r["w"]
+    b = np.array([model.biases[c] for c in classes])
+    n_features, ngrams = model.n_features, model.ngrams
+    md5 = __import__("hashlib").md5
+
+    out_type = T.StructType(
+        [
+            T.StructField("pred", T.StringType()),
+            T.StructField("prob", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        def one(text):
+            feats: dict[int, float] = {}
+            if text is not None:
+                s = text.lower()
+                grams = []
+                for n in ngrams:
+                    if len(s) >= n:
+                        grams += [s[i : i + n] for i in range(len(s) - n + 1)]
+                for g in grams:
+                    bk = int(md5(g.encode("utf-8")).hexdigest()[:15], 16) % n_features
+                    feats[bk] = feats.get(bk, 0.0) + 1.0
+                total = sum(feats.values())
+                if total:
+                    feats = {k: v / total for k, v in feats.items()}
+            m = b.copy()
+            for bk, v in feats.items():
+                m = m + W[bk] * v
+            e = np.exp(m - m.max())
+            p = e / e.sum()
+            # argmax with ties toward the lexicographically smaller label
+            # (classes sorted, argmax returns the first max) — matches
+            # softmax_predict's row_number ordering
+            i = int(np.argmax(p))
+            return classes[i], float(p[i])
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(rows, columns=["pred", "prob"])
+
+    struct = score(F.col(text_col))
+    return df.withColumn("__s", struct).select(
+        "*",
+        F.col("__s.pred").alias(pred_col),
+        F.col("__s.prob").alias(prob_col),
+    ).drop("__s")

@@ -210,3 +210,65 @@ def test_model_roundtrip(spark, spark_model, tmp_path):
     b = {(r.doc_id, r.lang_pred, round(r.lang_prob, 12))
          for r in langid_predict(df, loaded).collect()}
     assert a == b
+
+
+def test_local_predict_matches_distributed(spark, spark_model):
+    """The map-only serving path equals the join/window path."""
+    from ballista_spark.operators.classify import softmax_predict_local
+
+    held = make_corpus(5, seed=21) + [(999, "", "lat")]
+    df = spark.createDataFrame(held, "doc_id long, text string, lang string")
+    a = {
+        r.doc_id: (r.pred, r.prob)
+        for r in softmax_predict(df, spark_model).collect()
+    }
+    b = {
+        r.doc_id: (r.pred, r.prob)
+        for r in softmax_predict_local(df, spark_model).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert a[k][1] == pytest.approx(b[k][1], abs=1e-9), k
+
+
+def test_local_predict_plan_is_map_only(spark, spark_model):
+    from ballista_spark.operators.classify import softmax_predict_local
+
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    plan = (
+        softmax_predict_local(df, spark_model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_local_predict_streaming_admissible(spark, spark_model, tmp_path):
+    """The map-only path runs under readStream (stateless map)."""
+    from ballista_spark.operators.classify import softmax_predict_local
+
+    src = str(tmp_path / "stream_src")
+    rows = make_corpus(2, seed=3)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(src)
+    out = softmax_predict_local(stream, spark_model)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("langid_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.pred
+        for r in spark.sql("select * from langid_stream_test").collect()
+    }
+    want = {r[0]: r[2] for r in rows}  # alphabets disjoint -> label == pred
+    assert got == want
