@@ -100,3 +100,45 @@ def html_title(html="html") -> F.Column:
         out = F.regexp_replace(out, pat, rep)
     out = F.trim(out)
     return F.when(out == "", F.lit(None)).otherwise(out)
+
+
+def extract_links(html="html") -> F.Column:
+    """Array of href values from anchor tags (both quote styles; order
+    preserved; NULL html → NULL) — the crawl-frontier / link-graph
+    feeder.  One ``regexp_extract_all`` — map-only, same fidelity
+    contract as the rest of this module (regex, not a DOM: hrefs inside
+    commented-out markup are NOT excluded).  javascript:/mailto:/
+    fragment-only pseudo-links are filtered; relative URLs pass through
+    (resolve or drop downstream — ``url.url_host`` returns NULL for
+    them, which :func:`host_link_edges` uses as its filter)."""
+    col = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(
+        col, F.lit(r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""), 1
+    )
+    return F.filter(
+        hrefs,
+        lambda h: ~F.lower(h).rlike(r"^(javascript:|mailto:|tel:|#)"),
+    )
+
+
+def host_link_edges(df, html_col: str = "html", url_col: str = "url"):
+    """(src, dst) host-level link edges from pages' anchor tags —
+    the input :func:`ballista_spark.operators.graph.pagerank` ranks.
+
+    One explode over the extracted hrefs; rows whose source or target
+    host does not parse (relative links, scheme-less hrefs) are dropped
+    (host-level graphs rank DOMAINS — in-page/relative navigation is
+    noise at that granularity).  Self-loop edges (same host) are kept:
+    they are real links and PageRank handles them; drop with
+    ``.where("src != dst")`` for a strict inter-domain graph.
+    """
+    from ballista_spark.operators.url import url_host
+
+    src = url_host(url_col)
+    return (
+        df.select(
+            src.alias("src"), F.explode(extract_links(html_col)).alias("__href")
+        )
+        .select("src", url_host(F.col("__href")).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )

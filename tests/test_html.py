@@ -129,3 +129,63 @@ def test_plan_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+# --- link extraction ---------------------------------------------------------
+
+LINK_PAGE = """<html><body>
+<a href="https://a.com/x">one</a>
+<a class=nav href='http://b.co.uk/y?z=1'>two</a>
+<a href="/relative/path">rel</a>
+<a href="javascript:void(0)">js</a>
+<a href="mailto:x@y.com">mail</a>
+<a href="#frag">frag</a>
+<a href="HTTPS://A.com/other">again</a>
+</body></html>"""
+
+
+def test_extract_links_order_and_filtering(spark):
+    from ballista_spark.operators.html import extract_links
+
+    df = spark.createDataFrame([(LINK_PAGE,), (None,)], "html string")
+    rows = df.select(extract_links("html").alias("l")).collect()
+    assert rows[0].l == [
+        "https://a.com/x",
+        "http://b.co.uk/y?z=1",
+        "/relative/path",
+        "HTTPS://A.com/other",
+    ]
+    assert rows[1].l is None
+
+
+def test_host_link_edges_and_pagerank_composition(spark):
+    from ballista_spark.operators.graph import pagerank
+    from ballista_spark.operators.html import host_link_edges
+
+    df = spark.createDataFrame(
+        [
+            ("https://src1.com/p", LINK_PAGE),
+            ("not a url", LINK_PAGE),  # unparseable source host -> dropped
+            ("https://src2.com/q", "<a href='https://a.com/z'>x</a>"),
+        ],
+        "url string, html string",
+    )
+    edges = host_link_edges(df)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # relative/js/mailto/frag links dropped; hosts lower-cased
+    assert got == {
+        ("src1.com", "a.com"),
+        ("src1.com", "b.co.uk"),
+        ("src2.com", "a.com"),
+    }
+    ranks = {r.node: r.rank for r in pagerank(edges, max_iters=20).collect()}
+    assert ranks["a.com"] == max(ranks.values())  # two in-links
+
+
+def test_edges_plan_is_map_only(spark):
+    from ballista_spark.operators.html import host_link_edges
+
+    df = spark.createDataFrame([("https://s.com", LINK_PAGE)], "url string, html string")
+    plan = host_link_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
