@@ -193,3 +193,56 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def mine_hard_negatives(
+    index: BM25Index,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    key_col: str = "query_id",
+    doc_col: str = "doc_id",
+    **bm25_kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — the top-``k`` BM25 hits per
+    query EXCLUDING its labeled positives: hard-negative mining, the
+    standard recipe for contrastive retriever / reranker training data
+    (in-batch random negatives are too easy; the top lexically-similar
+    non-answers are the gradient-bearing ones — public method, e.g. the
+    DPR / sentence-transformers mining pipelines).
+
+    ``positives``: (query_id, doc_id) labeled relevant pairs.  One
+    NULL-safe left-anti join on (query_id, doc_id) after scoring;
+    ranks are re-assigned AFTER the exclusion so the output is a dense
+    1..k per query.  Over-fetch happens inside the score ranking
+    (k + per-query positive count is unknowable cheaply, so this scores
+    top ``k + max_positives`` where ``max_positives`` is the observed
+    per-query maximum — one tiny aggregate).
+
+    Scale shape: identical to :func:`bm25_topk` (term-keyed posting
+    join) plus one anti-join against the label set, which is
+    training-data-sized (≪ corpus) by construction.
+    """
+    from pyspark.sql.window import Window
+
+    pos = positives.select(
+        F.col(key_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    )
+    [row] = pos.groupBy("query_id").agg(F.count("*").alias("c")).agg(
+        F.coalesce(F.max("c"), F.lit(0)).alias("m")
+    ).collect()
+    fetch = k + int(row["m"])
+    hits = bm25_topk(
+        index, queries, k=fetch, text_col=text_col, key_col=key_col,
+        **bm25_kwargs,
+    )
+    survivors = hits.join(pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -162,3 +162,44 @@ def test_rrf_validates(spark):
     r = spark.createDataFrame([(1, 1, 10)], "query_id long, rank long, doc_id long")
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([r], weights=[1.0, 2.0])
+
+
+def test_mine_hard_negatives_excludes_positives(spark, docs, index):
+    from ballista_spark.operators.retrieval import mine_hard_negatives
+
+    queries = docs.limit(5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    k = 8
+    base = {
+        (r.query_id, r.doc_id): r
+        for r in bm25_topk(index, queries, k=k + 3, key_col="query_id").collect()
+    }
+    # label each query's OWN document + its top-1 hit as positives
+    top1 = (
+        bm25_topk(index, queries, k=1, key_col="query_id")
+        .select("query_id", "doc_id")
+    )
+    own = queries.select("query_id", F.col("query_id").alias("doc_id"))
+    positives = top1.unionAll(own).distinct()
+    pos_set = {(r.query_id, r.doc_id) for r in positives.collect()}
+    mined = mine_hard_negatives(index, queries, positives, k=k).collect()
+    by_q = {}
+    for r in mined:
+        assert (r.query_id, r.doc_id) not in pos_set
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for q, rows in by_q.items():
+        ranks = sorted(r for r, _, _ in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # dense 1..k
+        assert len(rows) <= k
+        # equals the positives-filtered full ranking re-ranked
+        want = sorted(
+            (
+                (v.score, v.doc_id)
+                for (qq, d), v in base.items()
+                if qq == q and (qq, d) not in pos_set
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        got = [(s, d) for _, d, s in sorted(rows)]
+        assert got == [(s, d) for s, d in want]
