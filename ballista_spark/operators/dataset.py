@@ -400,3 +400,106 @@ def write_packed_shards(
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def group_split(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    seed: str = "split",
+) -> DataFrame:
+    """:func:`hash_split`, but the lottery ticket is drawn per GROUP —
+    every row of a group lands in the SAME split.  This is the
+    leakage-safe split: near-duplicate documents (one dedup cluster),
+    pages of one host, turns of one conversation must not straddle
+    train/test, or evaluation quietly measures memorization of
+    training neighbors.  Compose the group key from
+    ``dedup.connected_components`` output (cluster component),
+    ``url.url_host``, or ``similarity.cluster_assign``.
+
+    Map-only — the same xxhash64 ticket as :func:`hash_split`, keyed on
+    the group columns only, so no join against a group table and no
+    shuffle; deterministic across partitionings and runs.  Split sizes
+    land on the weights only in expectation over GROUPS (a giant group
+    drags its whole mass into one split — that is the point).
+    """
+    return df.withColumn(
+        "split", split_column(group_cols, weights, names, seed)
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key_cols: Sequence[str],
+    n_stages: int = 4,
+    ascending: bool = False,
+    seed: str = "curriculum",
+    n_shards: int | None = None,
+    boundaries: Sequence[float] | None = None,
+) -> DataFrame:
+    """Curriculum training order: rows bucketed into ``n_stages`` score
+    stages (default descending — highest quality first), deterministically
+    shuffled WITHIN each stage (the :func:`shuffle_deterministic`
+    lottery), stages concatenated in order.  Adds a ``stage`` column
+    (1-based).
+
+    Quality-ordered curricula (clean data first, noisy tail later — or
+    the anti-curriculum, ``ascending=True``) are a standard pretraining
+    data lever; the hard requirement is the same as epoch shuffling:
+    reproducible order.
+
+    Stage boundaries: by default the ``approx_percentile`` sketch
+    (mergeable, fully distributed — stages are equal-sized up to sketch
+    accuracy).  NOT an ``ntile`` window: global ntile funnels the whole
+    corpus through ONE task's sort — the exact anti-pattern the plan
+    lint exists to catch.  The sketch is deterministic for a fixed
+    physical layout; for byte-identical curricula across different
+    partitionings, pass explicit ``boundaries`` (len = n_stages - 1,
+    ascending score values; boundary ties land in the BETTER stage, and
+    NULL scores land in the last stage).
+
+    Scale shape: one sketch aggregation (scalar collect) + map-only
+    stage assignment + ONE range exchange for the final (stage,
+    lottery) order.
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    sc = F.col(score_col)
+    if boundaries is None:
+        if n_stages == 1:
+            boundaries = []
+        else:
+            qs = [i / n_stages for i in range(1, n_stages)]
+            [row] = df.agg(
+                F.percentile_approx(
+                    sc, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+                ).alias("b")
+            ).collect()
+            boundaries = sorted(float(x) for x in (row["b"] or []))
+    else:
+        boundaries = sorted(float(x) for x in boundaries)
+        if len(boundaries) != n_stages - 1:
+            raise ValueError(
+                f"need {n_stages - 1} boundaries, got {len(boundaries)}"
+            )
+    # stage 1 = best: for descending curricula the TOP quantile is stage 1
+    stage = F.lit(1)
+    ordered = boundaries if ascending else list(reversed(boundaries))
+    for i, b in enumerate(ordered):
+        past = (sc > F.lit(b)) if ascending else (sc < F.lit(b))
+        stage = F.when(past, F.lit(i + 2)).otherwise(stage)
+    stage = F.when(sc.isNull(), F.lit(n_stages)).otherwise(stage)
+    staged = df.withColumn("stage", stage)
+    lottery = md5_long(
+        F.concat_ws(
+            _SEP, F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    tagged = staged.withColumn("__ord", lottery)
+    order = [F.col("stage"), F.col("__ord")] + [F.col(c) for c in key_cols]
+    if n_shards is not None:
+        tagged = tagged.repartitionByRange(int(n_shards), *order)
+        return tagged.sortWithinPartitions(*order).drop("__ord")
+    return tagged.orderBy(*order).drop("__ord")
