@@ -50,6 +50,24 @@ def main() -> None:
         print(f"  curate/{stage}: {n} docs survive")
     kept = rep.docs
 
+    # 1b. leakage-safe held-out split: the split key is the DEDUP
+    # CLUSTER (exact-dup content hash here), so near-identical documents
+    # can never straddle train/val — then a quality curriculum orders
+    # the training slice (clean first).
+    from ballista_spark.operators.dataset import curriculum_order, group_split
+    from ballista_spark.operators.quality import char_entropy
+
+    keyed = kept.withColumn("__grp", F.md5(F.coalesce("text", F.lit(""))))
+    split = group_split(keyed, ["__grp"], weights=(0.9, 0.1),
+                        names=("train", "val")).drop("__grp")
+    counts = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    print(f"  split: {counts}")
+    train = split.where("split = 'train'").drop("split")
+    train = curriculum_order(
+        train.withColumn("q", char_entropy("text")), "q", ["doc_id"], n_stages=3
+    ).drop("q")
+    kept = train
+
     # 2. tokenizer trained on the CURATED corpus (never the raw one)
     model = bpe_fit(kept, num_merges=300, min_count=2)
     print(f"tokenizer: {model.merges.count()} merges, "
