@@ -131,6 +131,12 @@ from ballista_spark.operators.multimodal import (
 )
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
+from ballista_spark.operators.dataset import curriculum_order, group_split
+from ballista_spark.operators.similarity import (
+    cluster_assign,
+    cluster_balanced_sample,
+    cluster_sizes,
+)
 from ballista_spark.operators.mixture import (
     budget_sample,
     mixture_epochs,
@@ -157,6 +163,39 @@ from ballista_spark.operators.similarity import (
     ivf_store_topk,
     kmeans_fit,
     write_ivf_store,
+)
+
+from ballista_spark.operators.chat import (
+    assistant_spans,
+    chat_stats,
+    filter_valid_chats,
+    first_user_prompt,
+    is_valid_chat,
+    render_chat,
+)
+from ballista_spark.operators.classify import (
+    SoftmaxModel,
+    char_ngram_features,
+    langid_fit,
+    langid_predict,
+    softmax_fit,
+    softmax_predict,
+    softmax_predict_local,
+    softmax_probs,
+)
+from ballista_spark.operators.graph import out_degrees, pagerank
+from ballista_spark.operators.html import extract_links, host_link_edges
+from ballista_spark.operators.retrieval import mine_hard_negatives
+from ballista_spark.operators.unicodeops import (
+    nfkc_normalize,
+    strip_accents,
+    unicode_normalize,
+)
+from ballista_spark.operators.url import canonicalize_url
+from ballista_spark.operators.wordpiece import (
+    WordPieceModel,
+    wordpiece_encode,
+    wordpiece_fit,
 )
 
 __all__ = [
@@ -279,4 +318,35 @@ __all__ = [
     "filter_blocked_domains_stream",
     "html_to_text",
     "html_title",
+    "assistant_spans",
+    "chat_stats",
+    "filter_valid_chats",
+    "first_user_prompt",
+    "is_valid_chat",
+    "render_chat",
+    "SoftmaxModel",
+    "char_ngram_features",
+    "langid_fit",
+    "langid_predict",
+    "softmax_fit",
+    "softmax_predict",
+    "softmax_predict_local",
+    "softmax_probs",
+    "out_degrees",
+    "pagerank",
+    "extract_links",
+    "host_link_edges",
+    "mine_hard_negatives",
+    "nfkc_normalize",
+    "strip_accents",
+    "unicode_normalize",
+    "canonicalize_url",
+    "WordPieceModel",
+    "wordpiece_encode",
+    "wordpiece_fit",
+    "cluster_assign",
+    "cluster_sizes",
+    "cluster_balanced_sample",
+    "group_split",
+    "curriculum_order",
 ]
