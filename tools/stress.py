@@ -77,6 +77,8 @@ PIPELINE = [
     "url_canon",     # pure-JVM canonicalization, map-only
     "langid_fit",    # softmax GD: feature-sized joins per iteration
     "langid_predict",  # one margin join + window softmax over the corpus
+    "chat_ops",      # render/validate/spans: map-only array expressions
+    "curriculum",    # percentile sketch + one range exchange
 ]
 
 
@@ -622,6 +624,51 @@ def _langid_predict(spark, sf_dir: str):
     ).agg(F.count("*").alias("n"))
 
 
+def _chat_ops(spark, sf_dir: str):
+    """Chat rendering + validity + loss-mask spans over conversations
+    synthesized from the documents (first/second text halves as one
+    user/assistant exchange): pure JVM array expressions, map-only.
+    Expect linear in corpus bytes."""
+    from ballista_spark.operators.chat import (
+        assistant_spans,
+        chat_stats,
+        is_valid_chat,
+        render_chat,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    half = (F.length("text") / 2).cast("int")
+    msgs = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.col("text").substr(F.lit(1), half).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.col("text").substr(half + 1, F.length("text")).alias("content"),
+        ),
+    )
+    chats = docs.select("doc_id", msgs.alias("messages"))
+    return chats.select(
+        F.sum(F.length(render_chat("messages"))).alias("chars"),
+        F.sum(F.when(is_valid_chat("messages"), 1).otherwise(0)).alias("valid"),
+        F.sum(F.size(assistant_spans("messages"))).alias("spans"),
+        F.sum(chat_stats("messages").getField("n_turns")).alias("turns"),
+    )
+
+
+def _curriculum(spark, sf_dir: str):
+    """curriculum_order over the documents keyed by a cheap quality
+    score: one percentile_approx sketch aggregate + one range exchange.
+    Expect near-linear."""
+    from ballista_spark.operators.dataset import curriculum_order
+    from ballista_spark.operators.text import quality_score
+
+    docs = _load_docs(spark, sf_dir).withColumn("q", quality_score("text"))
+    ordered = curriculum_order(docs, "q", ["doc_id"], n_stages=4, n_shards=32)
+    return ordered.groupBy("stage").agg(F.count("*").alias("n"))
+
+
 def _load_docs(spark, sf_dir: str):
     from ballista_spark.sources.registry import load_table
 
@@ -659,6 +706,8 @@ LOCAL_BUILDERS = {
     "url_canon": _url_canon,
     "langid_fit": _langid_fit,
     "langid_predict": _langid_predict,
+    "chat_ops": _chat_ops,
+    "curriculum": _curriculum,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
