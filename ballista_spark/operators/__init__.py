@@ -167,6 +167,7 @@ from ballista_spark.operators.similarity import (
 
 from ballista_spark.operators.chat import (
     assistant_spans,
+    redact_chat_pii,
     chat_stats,
     filter_valid_chats,
     first_user_prompt,
@@ -324,6 +325,7 @@ __all__ = [
     "first_user_prompt",
     "is_valid_chat",
     "render_chat",
+    "redact_chat_pii",
     "SoftmaxModel",
     "char_ngram_features",
     "langid_fit",

@@ -200,3 +200,25 @@ def assistant_spans(messages="messages", template: str = "chatml") -> F.Column:
         )
 
     return F.aggregate(m, zero, step, lambda acc: acc.getField("spans"))
+
+
+def redact_chat_pii(messages="messages", patterns: dict | None = None) -> F.Column:
+    """The conversation with every turn's content passed through
+    ``text.redact_pii`` (emails/phones/IPs → ``<CATEGORY>`` markers),
+    roles untouched — SFT data needs the same scrub as pretraining text,
+    per turn.  One ``transform`` wrapping the same pure-JVM
+    ``regexp_replace`` chain; NULL contents stay NULL."""
+    from ballista_spark.operators.text import redact_pii
+
+    m = _msgs(messages)
+    return F.transform(
+        m,
+        lambda t: F.struct(
+            t.getField("role").alias("role"),
+            F.when(
+                t.getField("content").isNull(), F.lit(None).cast("string")
+            )
+            .otherwise(redact_pii(t.getField("content"), patterns))
+            .alias("content"),
+        ),
+    )

@@ -181,3 +181,14 @@ def test_assistant_spans_match_rendered_text(spark, template):
         contents = [c for role, c in msgs if role == "assistant"]
         for (s, e), want in zip(got, contents):
             assert r.t[s:e] == want
+
+
+def test_redact_chat_pii(spark):
+    from ballista_spark.operators.chat import redact_chat_pii
+
+    df = _mk(spark, [(0, [("user", "mail me at bob@x.com"),
+                          ("assistant", "ok, noted"),
+                          ("system", None)])])
+    [r] = df.select(redact_chat_pii("messages").alias("m")).collect()
+    assert [t.content for t in r.m] == ["mail me at <EMAIL>", "ok, noted", None]
+    assert [t.role for t in r.m] == ["user", "assistant", "system"]
