@@ -24,6 +24,7 @@ from ballista_spark.operators.dedup import (
     connected_components,
     dedup_against,
     exact_dedup,
+    exact_dedup_weighted,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     resolve_duplicates,
@@ -131,7 +132,7 @@ from ballista_spark.operators.multimodal import (
 )
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
-from ballista_spark.operators.dataset import curriculum_order, group_split
+from ballista_spark.operators.dataset import curriculum_order, fim_split, group_split
 from ballista_spark.operators.similarity import (
     cluster_assign,
     cluster_balanced_sample,
@@ -351,4 +352,6 @@ __all__ = [
     "cluster_balanced_sample",
     "group_split",
     "curriculum_order",
+    "fim_split",
+    "exact_dedup_weighted",
 ]

@@ -503,3 +503,53 @@ def curriculum_order(
         tagged = tagged.repartitionByRange(int(n_shards), *order)
         return tagged.sortWithinPartitions(*order).drop("__ord")
     return tagged.orderBy(*order).drop("__ord")
+
+
+def fim_split(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("doc_id",),
+    seed: str = "fim",
+    min_len: int = 3,
+) -> DataFrame:
+    """Fill-in-the-middle training prep (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): adds
+    ``fim_prefix`` / ``fim_middle`` / ``fim_suffix`` character slices
+    with ``prefix || middle || suffix == text`` exactly (pinned in
+    tests).  The two cut points derive from the md5 lottery of
+    ``(seed, key_cols)`` — deterministic across runs and partitionings,
+    re-rollable per epoch by reseeding, never from ``rand()``.
+
+    Character-level cuts (apply before tokenization, the PSM/SPM
+    document-level transform from the paper); texts shorter than
+    ``min_len`` chars (and NULLs) get the whole text as ``fim_prefix``
+    with empty middle/suffix — callers usually leave those in AR form.
+    Map-only: two hashes + three substrings, no shuffle.
+    """
+    col = F.col(text_col)
+    n = F.length(col)
+    h1 = F.pmod(
+        md5_long(F.concat_ws(_SEP, F.lit(seed + ":a"),
+                             *[F.col(c).cast("string") for c in key_cols])),
+        n + F.lit(1),
+    )
+    h2 = F.pmod(
+        md5_long(F.concat_ws(_SEP, F.lit(seed + ":b"),
+                             *[F.col(c).cast("string") for c in key_cols])),
+        n + F.lit(1),
+    )
+    a = F.least(h1, h2).cast("int")
+    b = F.greatest(h1, h2).cast("int")
+    splittable = col.isNotNull() & (n >= min_len)
+    prefix = F.when(splittable, col.substr(F.lit(1), a)).otherwise(col)
+    middle = F.when(splittable, col.substr(a + 1, b - a)).otherwise(
+        F.when(col.isNotNull(), F.lit("")).otherwise(F.lit(None))
+    )
+    suffix = F.when(splittable, col.substr(b + 1, n - b)).otherwise(
+        F.when(col.isNotNull(), F.lit("")).otherwise(F.lit(None))
+    )
+    return (
+        df.withColumn("fim_prefix", prefix)
+        .withColumn("fim_middle", middle)
+        .withColumn("fim_suffix", suffix)
+    )

@@ -64,6 +64,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     return withh.withColumn("is_canonical", F.col(key_col) == keep)
 
 
+def exact_dedup_weighted(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`exact_dedup` plus a ``dup_count`` column (how many input
+    rows share this row's content) — count-weighted dedup: training
+    pipelines that drop duplicates but keep the multiplicity as a loss
+    weight or mixture prior (a page crawled from 40 mirrors carries
+    more signal than a singleton, even deduplicated) filter to
+    ``is_canonical`` and train on ``dup_count``.
+
+    Same single content-hash shuffle — the count rides the identical
+    window partition the canonical min(key) already uses, so the weight
+    is free (one extra window aggregate over the same exchange, no
+    join, no broadcast).
+    """
+    withh = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("content_hash")
+    return (
+        withh.withColumn("is_canonical", F.col(key_col) == F.min(key_col).over(w))
+        .withColumn("dup_count", F.count("*").over(w))
+    )
+
+
 def dedup_against(
     batch: DataFrame,
     seen: DataFrame,

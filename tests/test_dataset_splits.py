@@ -132,3 +132,75 @@ def test_curriculum_validates(spark):
         curriculum_order(df, "score", ["doc_id"], n_stages=0)
     with pytest.raises(ValueError, match="boundaries"):
         curriculum_order(df, "score", ["doc_id"], n_stages=3, boundaries=[0.5])
+
+
+# --- fim_split ---------------------------------------------------------------
+
+
+def test_fim_reassembles_exactly(spark):
+    import random as _r
+    rng = _r.Random(5)
+    rows = [(i, "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 40))))
+            for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ballista_spark.operators.dataset import fim_split
+
+    out = fim_split(df).collect()
+    cuts = set()
+    for r in out:
+        want = dict(rows)[r.doc_id]
+        if want is None:
+            assert r.fim_prefix is None and r.fim_middle is None and r.fim_suffix is None
+            continue
+        assert (r.fim_prefix or "") + (r.fim_middle or "") + (r.fim_suffix or "") == want
+        if len(want) >= 3:
+            cuts.add((len(r.fim_prefix), len(r.fim_middle)))
+        else:
+            assert r.fim_prefix == want and r.fim_middle == "" and r.fim_suffix == ""
+    assert len(cuts) > 20  # cut points actually vary across documents
+
+
+def test_fim_deterministic_and_reseedable(spark):
+    df = spark.createDataFrame(
+        [(i, "hello world " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    from ballista_spark.operators.dataset import fim_split
+
+    a = {r.doc_id: (r.fim_prefix, r.fim_middle) for r in fim_split(df).collect()}
+    b = {r.doc_id: (r.fim_prefix, r.fim_middle)
+         for r in fim_split(df.repartition(7)).collect()}
+    assert a == b
+    c = {r.doc_id: (r.fim_prefix, r.fim_middle)
+         for r in fim_split(df, seed="epoch2").collect()}
+    assert c != a  # reseeding re-rolls the cuts
+
+
+def test_fim_plan_map_only(spark):
+    df = spark.createDataFrame([(0, "abcdefgh")], "doc_id long, text string")
+    from ballista_spark.operators.dataset import fim_split
+
+    plan = fim_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- exact_dedup_weighted ------------------------------------------------------
+
+
+def test_exact_dedup_weighted(spark):
+    from ballista_spark.operators.dedup import exact_dedup_weighted
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.is_canonical, r.dup_count) for r in
+           exact_dedup_weighted(df).collect()}
+    assert out[1] == (True, 3) and out[2] == (False, 3) and out[3] == (False, 3)
+    assert out[4] == (True, 1)
+    # NULL text: md5(NULL) = NULL -> its own partition; kept, weight 1
+    assert out[5][1] == 1
+    # single shuffle: the count rides the same window exchange
+    from ballista_spark.operators.dedup import exact_dedup_weighted as edw
+    plan = edw(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
