@@ -79,6 +79,7 @@ PIPELINE = [
     "langid_predict",  # one margin join + window softmax over the corpus
     "chat_ops",      # render/validate/spans: map-only array expressions
     "curriculum",    # percentile sketch + one range exchange
+    "langid_predict_local",  # map-only serving path (weights in closure)
 ]
 
 
@@ -624,6 +625,22 @@ def _langid_predict(spark, sf_dir: str):
     ).agg(F.count("*").alias("n"))
 
 
+def _langid_predict_local(spark, sf_dir: str):
+    """The map-only serving twin of langid_predict: weights ride the
+    Arrow-UDF closure, no feature explode, no join, no shuffle — the
+    row that shows why serving uses this path (compare the
+    langid_predict row).  Expect near-linear and several times
+    cheaper."""
+    from ballista_spark.operators.classify import softmax_predict_local
+
+    if sf_dir not in _LANGID_MODELS:
+        _langid_fit(spark, sf_dir).collect()
+    docs = _load_docs(spark, sf_dir)
+    return softmax_predict_local(
+        docs, _LANGID_MODELS[sf_dir], pred_col="lang_pred", prob_col="lang_prob"
+    ).groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
 def _chat_ops(spark, sf_dir: str):
     """Chat rendering + validity + loss-mask spans over conversations
     synthesized from the documents (first/second text halves as one
@@ -708,6 +725,7 @@ LOCAL_BUILDERS = {
     "langid_predict": _langid_predict,
     "chat_ops": _chat_ops,
     "curriculum": _curriculum,
+    "langid_predict_local": _langid_predict_local,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
