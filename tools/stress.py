@@ -80,6 +80,7 @@ PIPELINE = [
     "chat_ops",      # render/validate/spans: map-only array expressions
     "curriculum",    # percentile sketch + one range exchange
     "langid_predict_local",  # map-only serving path (weights in closure)
+    "warc_ingest",   # binaryFile + per-file Arrow parse, member-gzip
 ]
 
 
@@ -641,6 +642,66 @@ def _langid_predict_local(spark, sf_dir: str):
     ).groupBy("lang_pred").agg(F.count("*").alias("n"))
 
 
+def _warc_ingest(spark, sf_dir: str):
+    """WARC ingest: the documents table wrapped into member-gzip
+    .warc.gz archives (one per input partition, written executor-side,
+    materialized once per scale), then read_warc + html_to_text over
+    every record.  Parallel unit is the FILE — expect near-linear in
+    corpus bytes with the file count."""
+    import glob
+    import gzip
+    import uuid
+
+    import pandas as pd
+
+    from ballista_spark.operators.html import html_to_text
+    from ballista_spark.sources.warc import read_warc, warc_to_documents
+
+    n = _load_docs(spark, sf_dir).count()
+    path = os.path.join("/tmp", f"bs_warc_{n}")
+    if not glob.glob(os.path.join(path, "*.warc.gz")):
+        os.makedirs(path, exist_ok=True)
+
+        def write_archives(batches):
+            for pdf in batches:
+                members = []
+                for _, row in pdf.iterrows():
+                    body = (
+                        "<html><body><p>"
+                        + (row["text"] or "")
+                        + "</p></body></html>"
+                    ).encode("utf-8")
+                    payload = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + body
+                    )
+                    rec = (
+                        b"WARC/1.0\r\nWARC-Type: response\r\n"
+                        b"WARC-Record-ID: <urn:uuid:"
+                        + str(row["doc_id"]).encode()
+                        + b">\r\nWARC-Target-URI: https://h"
+                        + str(row["doc_id"]).encode()
+                        + b".example.com/p\r\n"
+                        b"Content-Length: " + str(len(payload)).encode()
+                        + b"\r\n\r\n" + payload + b"\r\n\r\n"
+                    )
+                    members.append(gzip.compress(rec))
+                fname = os.path.join(path, f"{uuid.uuid4().hex}.warc.gz")
+                with open(fname, "wb") as f:
+                    f.write(b"".join(members))
+                yield pd.DataFrame({"path": [fname], "n": [len(members)]})
+
+        _load_docs(spark, sf_dir).repartition(32).mapInPandas(
+            write_archives, schema="path string, n long"
+        ).collect()
+    recs = read_warc(spark, os.path.join(path, "*.warc.gz"))
+    docs = warc_to_documents(recs)
+    return docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.length(html_to_text("text"))).alias("chars"),
+    )
+
+
 def _chat_ops(spark, sf_dir: str):
     """Chat rendering + validity + loss-mask spans over conversations
     synthesized from the documents (first/second text halves as one
@@ -726,6 +787,7 @@ LOCAL_BUILDERS = {
     "chat_ops": _chat_ops,
     "curriculum": _curriculum,
     "langid_predict_local": _langid_predict_local,
+    "warc_ingest": _warc_ingest,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
