@@ -91,6 +91,7 @@ from ballista_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
     temperature_sample,
+    weighted_sample_k,
 )
 from ballista_spark.operators.partitioning import (
     salted_agg,
@@ -354,4 +355,5 @@ __all__ = [
     "curriculum_order",
     "fim_split",
     "exact_dedup_weighted",
+    "weighted_sample_k",
 ]

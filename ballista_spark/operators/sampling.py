@@ -211,3 +211,53 @@ def group_cap(
         .where(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: Sequence[str],
+    seed: str = "wsample",
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    selected with probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis exponential race (Inf. Proc. Letters 2006,
+    the standard one-pass distributed weighted reservoir): each row
+    draws ``race = -ln(u) / w`` from its deterministic md5 uniform
+    ``u`` and the ``k`` smallest race values win.
+
+    Composes with :func:`ballista_spark.operators.dedup.
+    exact_dedup_weighted` — sample canonical documents ∝ their
+    duplicate multiplicity — and with any quality score as the weight.
+
+    Deterministic and partitioning-invariant (the lottery is the
+    engine-wide md5 construction; ties break on the keys); reseed to
+    re-draw.  Rows with NULL, zero, or negative weight are excluded —
+    they have no sampling mass.
+
+    Scale shape: the race is a map-side projection.  Global form
+    (``group_cols=None``): ``orderBy(race).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort.  Grouped form: one window shuffle on the
+    group key, rank streaming within partitions (the
+    :func:`group_cap` discipline).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (lottery_long(key_cols, seed).cast("double") + F.lit(1.0)) / F.lit(
+        float(_LOTTERY_SPACE)
+    )
+    race = -F.log(u) / w
+    tagged = df.where(w.isNotNull() & (w > 0)).withColumn("__race", race)
+    order = [F.col("__race")] + [F.col(c) for c in key_cols]
+    if group_cols is None:
+        return tagged.orderBy(*order).limit(k).drop("__race")
+    win = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        tagged.withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .drop("__race", "__rk")
+    )
