@@ -68,6 +68,18 @@ def main() -> None:
     ).collect()[0]["total"]
     print(f"unigram-LM at the same vocab budget: {utoks} tokens "
           f"(BPE {stats['total']})")
+
+    from ballista_spark.operators.wordpiece import wordpiece_encode, wordpiece_fit
+
+    wp = wordpiece_fit(docs, num_merges=int(n_merges), min_count=2)
+    wrow = wordpiece_encode(docs, wp).select(
+        F.sum(F.size("wp_tokens")).alias("total"),
+        F.sum(
+            F.size(F.filter("wp_tokens", lambda t: t == F.lit(wp.unk)))
+        ).alias("unk"),
+    ).collect()[0]
+    print(f"wordpiece at the same merge budget: {wrow['total']} tokens, "
+          f"{wrow['unk']} [UNK] (BPE {stats['total']})")
     spark.stop()
 
 
