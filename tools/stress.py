@@ -81,6 +81,8 @@ PIPELINE = [
     "curriculum",    # percentile sketch + one range exchange
     "langid_predict_local",  # map-only serving path (weights in closure)
     "warc_ingest",   # binaryFile + per-file Arrow parse, member-gzip
+    "wordpiece_fit",     # word-count shuffle + bounded driver merge loop
+    "wordpiece_encode",  # map-only greedy longest-match pandas UDF
 ]
 
 
@@ -642,6 +644,36 @@ def _langid_predict_local(spark, sf_dir: str):
     ).groupBy("lang_pred").agg(F.count("*").alias("n"))
 
 
+#: per-scale fitted wordpiece model — the bpe_fit/_encode split pattern
+_WP_MODELS: dict = {}
+
+
+def _wordpiece_fit(spark, sf_dir: str):
+    """WordPiece training: the same ONE word-count shuffle as bpe_fit;
+    the driver merge loop re-scans the bounded pair table per merge
+    (likelihood scores invalidate the BPE heap trick) — still
+    corpus-size-independent.  Expect ~1× (shared replica vocabulary)."""
+    from ballista_spark.operators.wordpiece import wordpiece_fit
+
+    docs = _load_docs(spark, sf_dir)
+    model = wordpiece_fit(docs, num_merges=200, min_count=2)
+    _WP_MODELS[sf_dir] = model
+    return model.vocab.groupBy().agg(F.count("*").alias("vocab"))
+
+
+def _wordpiece_encode(spark, sf_dir: str):
+    """Greedy longest-match encode over the corpus: map-only Arrow UDF
+    with a per-batch word memo.  Expect near-linear in corpus bytes."""
+    from ballista_spark.operators.wordpiece import wordpiece_encode
+
+    if sf_dir not in _WP_MODELS:
+        _wordpiece_fit(spark, sf_dir).collect()
+    docs = _load_docs(spark, sf_dir)
+    return wordpiece_encode(docs, _WP_MODELS[sf_dir]).select(
+        F.sum(F.size("wp_tokens")).alias("total")
+    )
+
+
 def _warc_ingest(spark, sf_dir: str):
     """WARC ingest: the documents table wrapped into member-gzip
     .warc.gz archives (one per input partition, written executor-side,
@@ -788,6 +820,8 @@ LOCAL_BUILDERS = {
     "curriculum": _curriculum,
     "langid_predict_local": _langid_predict_local,
     "warc_ingest": _warc_ingest,
+    "wordpiece_fit": _wordpiece_fit,
+    "wordpiece_encode": _wordpiece_encode,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
