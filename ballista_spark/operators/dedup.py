@@ -37,8 +37,10 @@ from pyspark.sql.window import Window
 #: miss).  Halving from 128 measured ~0.9 s off the sf0.1 operator and
 #: 3× off the cold run (the 128-element signature fold's codegen compile)
 #: with the output still equal to brute force on the gate data; callers
-#: probing thresholds below ~0.75 get 128 hashes back via
-#: :func:`banding_for_threshold`, which picks width per threshold.
+#: whose threshold is <= 0.8 get 128 hashes back via
+#: :func:`banding_for_threshold` (direct :func:`minhash_lsh_pairs`
+#: callers at the 64-hash default accept the residual ~2e-4 miss at
+#: exactly j=0.8 — byte-identical duplicates still can't miss).
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -513,8 +515,15 @@ def banding_for_threshold(
     (``neardup_against``, ``decontaminate_fuzzy``) derive their banding
     here instead of inheriting the j≥0.8 default.
     """
-    if threshold >= 0.75:
+    if threshold > 0.8:
         rows, width = 4, n_hashes or N_HASHES
+    elif threshold >= 0.75:
+        # AT j=0.8 the 64-hash default sits on the recall edge
+        # (P(miss) ~2e-4); doubling to 128 hashes / 32 bands restores
+        # (1-j^4)^32 < 1e-7 for every caller that derives banding from
+        # its threshold.  Only thresholds strictly above 0.8 keep the
+        # narrow perf-tuned signature.
+        rows, width = 4, n_hashes or 128
     elif threshold >= 0.45:
         rows, width = 2, n_hashes or 128
     else:

@@ -578,14 +578,20 @@ def image_neardup_pairs(
     width = 64 // n_chunks
     h = F.col("hv")  # post-rename: chunks are built over the hv projection
     # chunk i = bits [i*width, ...): the last chunk absorbs the 64 mod
-    # n_chunks remainder bits.  shiftrightunsigned keeps the sign bit's
-    # chunk well-defined on the signed-long representation.
+    # n_chunks remainder bits.  Extraction must be sign-safe on the
+    # signed-long representation: shiftrightunsigned(h, 0) is h itself,
+    # so a `%`-based low-chunk extract would go negative for hashes with
+    # the sign bit set — mask with bitwiseAND instead (exact for every
+    # chunk; the last chunk's unsigned shift already isolates the top
+    # bits, so no mask is needed there).
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
                 (
-                    F.shiftrightunsigned(h, i * width) % F.lit(1 << width)
+                    F.shiftrightunsigned(h, i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
                     if i < n_chunks - 1
                     # last chunk: the shift already isolates the top bits
                     else F.shiftrightunsigned(h, i * width)

@@ -61,9 +61,14 @@ def strip_accents(text="text") -> F.Column:
             if v is None:
                 return None
             decomposed = unicodedata.normalize("NFD", v)
+            # category Mn (not combining-class != 0): BERT's documented
+            # predicate.  The two differ on ccc=0 Mn marks (many Indic
+            # matras/viramas), which BERT strips and combining() keeps.
             return unicodedata.normalize(
                 "NFC",
-                "".join(c for c in decomposed if not unicodedata.combining(c)),
+                "".join(
+                    c for c in decomposed if unicodedata.category(c) != "Mn"
+                ),
             )
 
         return s.map(one)

@@ -367,6 +367,40 @@ def test_image_neardup_banding_is_exact_on_random_hashes(spark):
         assert got == want, k
 
 
+def test_image_neardup_chunk0_sign_flip_regression(spark):
+    """Regression (round-5 ADVICE high): a pair whose ONLY agreeing
+    chunk is chunk 0 while the sign bits differ must still be found.
+    The old `%`-based chunk-0 extract gave a negative chunk value for
+    the negative hash and a positive one for the positive hash, so the
+    banded equi-join silently dropped the pair.  At max_hamming=4 the
+    hash splits into 5 chunks of width 12 (last absorbs bits 48..63):
+    flip bit 63 (sign) plus one bit in chunks 1, 2, 3 -> hamming 4,
+    chunks 1..4 all disagree, chunk 0 is the sole pigeonhole."""
+    from ballista_spark.operators.multimodal import image_neardup_pairs
+
+    a = 0x0123456789ABCDEF & ~(1 << 63)  # positive, arbitrary low bits
+    b = a ^ (1 << 63) ^ (1 << 12) ^ (1 << 24) ^ (1 << 36)
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    hashes = spark.createDataFrame(
+        [(1, to_signed(a)), (2, to_signed(b))], "media_id long, dhash long"
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes, max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4}
+    # and the mirrored polarity (a negative, b positive) also survives
+    hashes2 = spark.createDataFrame(
+        [(1, to_signed(a ^ (1 << 63))), (2, to_signed(b ^ (1 << 63)))],
+        "media_id long, dhash long",
+    )
+    got2 = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes2, max_hamming=4).collect()
+    }
+    assert got2 == {(1, 2): 4}
+
+
 def test_audio_dhash_gain_invariance_and_pairing(spark):
     from ballista_spark.operators.multimodal import (
         audio_dhash,
