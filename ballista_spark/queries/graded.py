@@ -1257,6 +1257,161 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # --- round-5 operator families folded into the driver window (round 6):
+    # url_canon / chat render+stats+validate / pagerank — each pinned
+    # cross-engine through the same (op, k, metric, v) tagged schema.
+    from ballista_spark.operators.chat import chat_stats, is_valid_chat, render_chat
+    from ballista_spark.operators.graph import pagerank
+    from ballista_spark.operators.url import canonicalize_url
+
+    d = F.col("doc_id")
+    # synthetic URLs exercising every canonicalization rule: mixed-case
+    # scheme/host, userinfo, default + non-default ports, empty and
+    # trailing-slash paths, tracking + empty query tokens needing a sort,
+    # fragments, and unparseable strings (the passthrough branch)
+    raw_url = F.when(
+        d % 7 == 0, F.concat(F.lit("not a url "), d.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://User:pw@WWW.Site"),
+            (d % 37).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(d % 3 == 0, F.lit(":443"))
+            .when(d % 3 == 1, F.lit(":8443"))
+            .otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("/Path/"),
+                    (d % 11).cast("string"),
+                    F.when(d % 5 == 0, F.lit("//")).otherwise(F.lit("")),
+                )
+            ),
+            F.lit("?utm_source=n&b=2&fbclid=x&a=1&"),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+    uc_g = (
+        docs.select("source", canonicalize_url(raw_url).alias("cu"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(md5_long(F.col("cu")) % 1000000).alias("h"),
+        )
+    )
+    url_rows = uc_g.select(
+        F.lit("url_canon").alias("op"),
+        F.col("source").alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        uc_g.select(
+            F.lit("url_canon"), F.col("source"), F.lit("md5_1e6"),
+            F.col("h").cast("long"),
+        )
+    )
+
+    # conversations synthesized from the documents (token halves as one
+    # user/assistant exchange) through the real chat operators; the
+    # rendered-template hash pins render_chat byte-for-byte
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    nt = F.size(toks)
+    half = F.floor(nt / 2).cast("int")
+    msgs = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.array_join(F.slice(toks, F.lit(1), half), " ").alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.array_join(F.slice(toks, half + F.lit(1), nt - half), " ").alias(
+                "content"
+            ),
+        ),
+    )
+    ch_g = (
+        docs.select("source", msgs.alias("messages"))
+        .select(
+            "source",
+            render_chat("messages").alias("r"),
+            chat_stats("messages").alias("s"),
+            is_valid_chat("messages").cast("long").alias("valid"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("valid").alias("nv"),
+            F.sum(md5_long(F.col("r")) % 1000000).alias("hr"),
+            F.sum(F.col("s.content_chars")).alias("cc"),
+            F.sum(F.col("s.n_empty").cast("long")).alias("ne"),
+        )
+    )
+
+    def chat_metric(metric: str, col: str) -> DataFrame:
+        return ch_g.select(
+            F.lit("chat").alias("op"),
+            F.col("source").alias("k"),
+            F.lit(metric).alias("metric"),
+            F.col(col).cast("long").alias("v"),
+        )
+
+    chat_rows = (
+        chat_metric("n", "n")
+        .unionAll(chat_metric("n_valid", "nv"))
+        .unionAll(chat_metric("render_md5_1e6", "hr"))
+        .unionAll(chat_metric("content_chars", "cc"))
+        .unionAll(chat_metric("n_empty", "ne"))
+    )
+
+    # PageRank over a doc-derived digraph (multi-edges + dangling nodes
+    # by construction); tol=0 pins exactly _PR_ITERS power iterations so
+    # the oracle's unrolled CTE ladder computes the identical iterate
+    edges = docs.select(
+        ((d * 7 + 3) % 53).alias("src"), ((d * 13 + 5) % 61).alias("dst")
+    )
+    pr_rows = pagerank(edges, max_iters=_PR_ITERS, tol=0.0).select(
+        F.lit("pagerank").alias("op"),
+        F.col("node").cast("string").alias("k"),
+        F.lit("rank_1e6").alias("metric"),
+        F.round(F.col("rank") * 1000000).cast("long").alias("v"),
+    )
+
+    # trained-langid SERVING path (training is iterative → pytest): a
+    # fixed literal-gram softmax head scored through the real
+    # char-n-gram-hash + broadcast-margin + windowed-softmax pipeline
+    # (operators/classify.py); the oracle replays the md5 buckets,
+    # including accidental collisions from non-weight grams.  Pins per
+    # (source, predicted class): n + argmax-prob sum at 1e-4.
+    from ballista_spark.operators.classify import (
+        N_FEATURES as _LG_NF,
+        SoftmaxModel,
+        softmax_predict,
+    )
+
+    lw = spark.createDataFrame(
+        _LANGID_WEIGHTS, "y string, gram string, w double"
+    ).select("y", F.pmod(md5_long("gram"), F.lit(_LG_NF)).alias("bucket"), "w")
+    lmodel = SoftmaxModel(
+        weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
+    )
+    lg_g = (
+        softmax_predict(docs, lmodel)
+        .groupBy("source", "pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
+        )
+        .localCheckpoint(eager=True)  # see lm_g
+    )
+    lg_k = F.concat(F.col("source"), F.lit("|"), F.col("pred"))
+    lg_rows = lg_g.select(
+        F.lit("langid").alias("op"),
+        lg_k.alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1286,6 +1441,10 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lm_rows)
         .unionAll(q_rows)
         .unionAll(ds_rows)
+        .unionAll(url_rows)
+        .unionAll(chat_rows)
+        .unionAll(pr_rows)
+        .unionAll(lg_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1299,15 +1458,72 @@ _QUALITY_WEIGHTS = [
 ]
 _QUALITY_BIAS = -0.25
 
+#: fixed softmax head for the graded 'langid' branch — grams drawn from
+#: the synthetic documents' character content (so weight buckets get
+#: real hits), weights/biases irregular so no margin ties occur
+_LANGID_WEIGHTS = [
+    ("en", "th", 2.13), ("en", " s", 0.77), ("en", "row", 1.41),
+    ("de", "sc", 2.71), ("de", "a", 0.39), ("de", "tab", 1.87),
+    ("fr", "jo", 2.29), ("fr", "e", 0.51), ("fr", "ast", 1.63),
+]
+_LANGID_BIASES = {"de": -0.12, "en": 0.31, "fr": -0.05}
+
+
+#: pinned power-iteration count for the graded 'pagerank' branch — the
+#: Spark side runs with tol=0 so exactly this many rounds execute, and
+#: the oracle unrolls the same ladder as chained CTEs
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_ctes() -> str:
+    """Unrolled power-iteration CTE ladder replaying graph.pagerank's
+    exact semantics: per-edge 1/deg weights (parallel edges count),
+    dangling mass redistributed uniformly, rank = (1-d)/n + d*(in +
+    dangling/n).  Column named ``pr`` (RANK is a reserved function)."""
+    parts = [
+        "pr_e AS (SELECT (doc_id*7+3)%53 AS src, (doc_id*13+5)%61 AS dst"
+        " FROM documents)",
+        "pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e)",
+        "pr_cnt AS (SELECT COUNT(*) AS n FROM pr_nodes)",
+        "pr_deg AS (SELECT src, COUNT(*) AS dg FROM pr_e GROUP BY src)",
+        "pr_w AS (SELECT e.src, e.dst, 1.0/dg AS w FROM pr_e e"
+        " JOIN pr_deg USING (src))",
+        "pr_r0 AS (SELECT node, 1.0/(SELECT n FROM pr_cnt) AS pr FROM pr_nodes)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"pr_r{i - 1}"
+        parts.append(f"""pr_r{i} AS (
+  SELECT n.node,
+         (1.0 - {_PR_DAMPING}) / (SELECT n FROM pr_cnt)
+         + {_PR_DAMPING} * (COALESCE(c.m, 0)
+             + (SELECT COALESCE(SUM(pr), 0) FROM {prev}
+                WHERE node NOT IN (SELECT src FROM pr_deg))
+               / (SELECT n FROM pr_cnt)) AS pr
+  FROM pr_nodes n LEFT JOIN (
+    SELECT w.dst AS node, SUM(r.pr * w.w) AS m
+    FROM {prev} r JOIN pr_w w ON r.node = w.src GROUP BY w.dst) c USING (node)
+)""")
+    return ",\n".join(parts)
+
 
 def _sketch_sampling_oracle() -> str:
     from ballista_spark.operators.quality import N_FEATURES
     from ballista_spark.operators.sampling import rate_threshold
+    from ballista_spark.operators.url import _URL_PARTS_RE, TRACKING_PARAM_RE
 
     th03 = rate_threshold(0.3)
     qvals = ", ".join(f"('{g}', {w})" for g, w in _QUALITY_WEIGHTS)
     qbias = _QUALITY_BIAS
     nf = N_FEATURES
+    upre = _URL_PARTS_RE
+    tpre = TRACKING_PARAM_RE
+    prctes = _pagerank_oracle_ctes()
+    pri = _PR_ITERS
+    from ballista_spark.operators.classify import N_FEATURES as lg_nf
+
+    lgvals = ", ".join(f"('{y}', '{g}', {w})" for y, g, w in _LANGID_WEIGHTS)
+    lgbias = ", ".join(f"('{y}', {b})" for y, b in sorted(_LANGID_BIASES.items()))
     strat_case = (
         f"CASE WHEN source = 'src0' THEN '{rate_threshold(1.0)}' "
         f"WHEN source = 'src1' THEN '{rate_threshold(0.5)}' "
@@ -1486,7 +1702,110 @@ WITH lot AS (
          CAST(SUM(COALESCE(dsdoc.ng, 0)) AS BIGINT) AS sg,
          CAST(ROUND(SUM(COALESCE(dsdoc.lw, 0.0)) * 10000) AS BIGINT) AS l4
   FROM documents d LEFT JOIN dsdoc ON d.doc_id = dsdoc.doc_id GROUP BY d.source
-)
+), ucu AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+         ELSE 'HTTPS://User:pw@WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+              || '.Example.COM'
+              || CASE WHEN doc_id % 3 = 0 THEN ':443'
+                      WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ''
+                      ELSE '/Path/' || CAST(doc_id % 11 AS VARCHAR)
+                           || CASE WHEN doc_id % 5 = 0 THEN '//' ELSE '' END END
+              || '?utm_source=n&b=2&fbclid=x&a=1&'
+              || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+         END AS url
+  FROM documents
+), ucp AS (
+  SELECT source, url,
+         LOWER(REGEXP_EXTRACT(url, '{upre}', 1)) AS scheme,
+         LOWER(REGEXP_EXTRACT(url, '{upre}', 3)) AS host,
+         REGEXP_EXTRACT(url, '{upre}', 4) AS port,
+         REGEXP_EXTRACT(url, '{upre}', 5) AS rawpath,
+         LIST_SORT(LIST_FILTER(STRING_SPLIT(
+             REGEXP_EXTRACT(url, '{upre}', 6), '&'),
+             x -> x <> '' AND NOT REGEXP_MATCHES(x, '{tpre}'))) AS kept
+  FROM ucu
+), ucc AS (
+  SELECT source,
+         CASE WHEN host = '' THEN url ELSE
+           scheme || '://' || host
+           || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'ftp' AND port = '21')
+                   OR (scheme = 'ws' AND port = '80')
+                   OR (scheme = 'wss' AND port = '443')
+                   THEN '' ELSE ':' || port END
+           || CASE WHEN REGEXP_REPLACE(rawpath, '/+$', '') = '' THEN '/'
+                   ELSE REGEXP_REPLACE(rawpath, '/+$', '') END
+           || CASE WHEN LEN(kept) = 0 THEN ''
+                   ELSE '?' || ARRAY_TO_STRING(kept, '&') END
+         END AS cu
+  FROM ucp
+), chm AS (
+  SELECT source,
+         ARRAY_TO_STRING(l[1:LEN(l)//2], ' ') AS c1,
+         ARRAY_TO_STRING(l[LEN(l)//2+1:LEN(l)], ' ') AS c2
+  FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS l
+        FROM documents)
+), chv AS (
+  SELECT source,
+         CASE WHEN TRIM(c1) <> '' AND TRIM(c2) <> '' THEN 1 ELSE 0 END AS valid,
+         CAST(CONCAT('0x', SUBSTR(MD5(
+             '<|im_start|>user' || CHR(10) || c1 || '<|im_end|>' || CHR(10)
+             || '<|im_start|>assistant' || CHR(10) || c2 || '<|im_end|>'),
+             1, 15)) AS BIGINT) % 1000000 AS hmod,
+         LEN(c1) + LEN(c2) AS cc,
+         (CASE WHEN TRIM(c1) = '' THEN 1 ELSE 0 END)
+         + (CASE WHEN TRIM(c2) = '' THEN 1 ELSE 0 END) AS ne
+  FROM chm
+), lgsrc AS (
+  SELECT doc_id, LOWER(text) AS s FROM documents
+), lgg AS (
+  SELECT doc_id, SUBSTR(s, i, 1) AS gram
+  FROM lgsrc, UNNEST(GENERATE_SERIES(1, LEN(s))) g(i)
+  UNION ALL
+  SELECT doc_id, SUBSTR(s, i, 2)
+  FROM lgsrc, UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) g(i)
+  UNION ALL
+  SELECT doc_id, SUBSTR(s, i, 3)
+  FROM lgsrc, UNNEST(GENERATE_SERIES(1, LEN(s) - 2)) g(i)
+), lgw AS (
+  SELECT y, CAST(CONCAT('0x', SUBSTR(MD5(gram), 1, 15)) AS BIGINT) % {lg_nf}
+            AS bucket, w
+  FROM (VALUES {lgvals}) t(y, gram, w)
+), lgf AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(gram), 1, 15)) AS BIGINT) % {lg_nf}
+           AS bucket,
+         COUNT(*) AS c
+  FROM lgg GROUP BY 1, 2
+), lgt AS (
+  SELECT doc_id, COUNT(*) AS total FROM lgg GROUP BY 1
+), lgm AS (
+  SELECT d.doc_id, b.y, COALESCE(s.m, 0) + b.b AS m
+  FROM documents d
+  CROSS JOIN (VALUES {lgbias}) b(y, b)
+  LEFT JOIN (
+    SELECT f.doc_id, lgw.y, SUM(lgw.w * (f.c * 1.0 / lgt.total)) AS m
+    FROM lgf f JOIN lgt USING (doc_id) JOIN lgw USING (bucket)
+    GROUP BY 1, 2
+  ) s ON d.doc_id = s.doc_id AND b.y = s.y
+), lge AS (
+  SELECT doc_id, y, EXP(m - MAX(m) OVER (PARTITION BY doc_id)) AS e FROM lgm
+), lgp AS (
+  SELECT doc_id, y, e / SUM(e) OVER (PARTITION BY doc_id) AS p FROM lge
+), lgtop AS (
+  SELECT doc_id, y, p FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY p DESC, y) AS rk FROM lgp)
+  WHERE rk = 1
+), lgres AS (
+  SELECT d.source, t.y, COUNT(*) AS n,
+         CAST(ROUND(SUM(t.p) * 10000) AS BIGINT) AS p4
+  FROM lgtop t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+{prctes}
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
 UNION ALL SELECT 'hll', l_returnflag, 'within_10pct', CAST(1 AS BIGINT) FROM hll
@@ -1537,6 +1856,26 @@ UNION ALL SELECT 'quality', source, 'score_1e4', s4 FROM qres
 UNION ALL SELECT 'dsir', source, 'n', CAST(n AS BIGINT) FROM dsres
 UNION ALL SELECT 'dsir', source, 'sum_grams', sg FROM dsres
 UNION ALL SELECT 'dsir', source, 'logw_1e4', l4 FROM dsres
+UNION ALL SELECT 'url_canon', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM ucc GROUP BY source
+UNION ALL SELECT 'url_canon', source, 'md5_1e6',
+  CAST(SUM(CAST(CONCAT('0x', SUBSTR(MD5(cu), 1, 15)) AS BIGINT) % 1000000)
+       AS BIGINT)
+  FROM ucc GROUP BY source
+UNION ALL SELECT 'chat', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM chv GROUP BY source
+UNION ALL SELECT 'chat', source, 'n_valid', CAST(SUM(valid) AS BIGINT)
+  FROM chv GROUP BY source
+UNION ALL SELECT 'chat', source, 'render_md5_1e6', CAST(SUM(hmod) AS BIGINT)
+  FROM chv GROUP BY source
+UNION ALL SELECT 'chat', source, 'content_chars', CAST(SUM(cc) AS BIGINT)
+  FROM chv GROUP BY source
+UNION ALL SELECT 'chat', source, 'n_empty', CAST(SUM(ne) AS BIGINT)
+  FROM chv GROUP BY source
+UNION ALL SELECT 'pagerank', CAST(node AS VARCHAR), 'rank_1e6',
+  CAST(ROUND(pr * 1000000) AS BIGINT) FROM pr_r{pri}
+UNION ALL SELECT 'langid', source || '|' || y, 'n', CAST(n AS BIGINT) FROM lgres
+UNION ALL SELECT 'langid', source || '|' || y, 'prob_1e4', p4 FROM lgres
 ORDER BY op, k, metric
 """
 
@@ -1553,7 +1892,14 @@ _b(
     "packing (two-level distributed prefix sum), and a stupid-backoff "
     "bigram-LM perplexity scorer (trained on src1, scored cross-source "
     "so backoff + OOV paths fire), and DSIR importance weighting "
-    "(Laplace-smoothed hashed-gram log p/q ratios, target=src1 vs raw=all) "
+    "(Laplace-smoothed hashed-gram log p/q ratios, target=src1 vs raw=all), "
+    "plus the round-5 families folded into the driver window (round 6): "
+    "URL canonicalization (operators/url.py — full rule set incl. "
+    "default-port/tracking-param/sort/passthrough branches, canonical "
+    "strings pinned via md5 sums), chat render/validate/stats "
+    "(operators/chat.py — ChatML template byte-pinned via md5), and "
+    "PageRank (operators/graph.py — 5 pinned power iterations vs an "
+    "unrolled CTE ladder, per-node ranks at 1e-6) "
     "— every selected set / token layout pinned exactly cross-engine "
     "(count + sum of ids per source; packing via window-id/offset sums; "
     "LM/quality/DSIR via integer totals + float sums at 1e-4).",
