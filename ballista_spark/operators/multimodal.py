@@ -20,6 +20,7 @@ no shuffle is introduced — decode/feature-extract is a map-only stage.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -269,8 +270,121 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
     return b"".join(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: (h, w) for grayscale, (h, w, c) for
+    gray+alpha/RGB/RGBA — stdlib ``zlib`` + numpy, no external codec
+    (PNG is DEFLATE + five per-scanline byte filters, RFC 2083).
+
+    Supports 8-bit color types 0/2/4/6 with all five filters (None/Sub/
+    Up/Average/Paeth), non-interlaced; palette (type 3), 16-bit, and
+    Adam7 interlacing raise ``NotImplementedError``.  Unfiltering is
+    vectorized across each row for None/Up; Sub/Average/Paeth scan
+    pixels left-to-right (an inherent data dependency).
+
+    This is the first *real web* image format the perceptual dedup
+    (``image_dhash`` → ``image_neardup_pairs``) runs on at production;
+    JPEG stays external-codec territory.
+    """
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG depth={depth} color_type={color}")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), np.uint16)  # headroom for sums
+    prev = np.zeros(stride, np.uint16)
+    for y in range(height):
+        f, row = int(filters[y]), rows[y].astype(np.uint16)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0  # left
+                b = int(prev[x])  # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8)
+    return img.reshape(height, width) if ch == 1 else img.reshape(height, width, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 array ((h, w) gray or (h, w, {2,3,4})) → PNG bytes
+    (filter 0 scanlines, one zlib stream)."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        h, w, ch = *img.shape, 1
+    else:
+        h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = img.reshape(h, w * ch)
+    scan = np.zeros((h, w * ch + 1), np.uint8)
+    scan[:, 1:] = flat
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 #: mime → decoder; the dispatch point for :func:`decode_media`
 _DECODERS = {
+    "image/png": decode_png,
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
@@ -285,7 +399,7 @@ _DECODERS = {
 
 def decode_media(payload: bytes, mime: str):
     """Decode a payload by mime type — ndarray for images, (samples,
-    rate) for audio.  Formats needing an external codec (JPEG/PNG/MP4…)
+    rate) for audio.  Formats needing an external codec (JPEG/MP4…)
     raise ``NotImplementedError`` — at deploy, register their decoders
     into ``_DECODERS`` (PIL/ffmpeg); everything downstream (batch loop,
     features, resize) is format-agnostic."""

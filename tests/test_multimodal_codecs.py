@@ -4,7 +4,9 @@ end-to-end through the Spark mapInPandas batch loop (use_stub=False).
 
 This retires the round-4 ``partial``: the codec layer is no longer an
 environment stub — only formats that genuinely need external libraries
-(JPEG/PNG/MP4) raise, from the same dispatch point a deploy would extend.
+(JPEG/MP4) raise, from the same dispatch point a deploy would extend.
+Round 6 adds PNG (stdlib zlib + numpy: DEFLATE + the five scanline
+filters), the first real web image format in the dispatch.
 """
 
 from __future__ import annotations
@@ -365,6 +367,169 @@ def test_image_neardup_banding_is_exact_on_random_hashes(spark):
             if d <= k:
                 want[(i, j)] = d
         assert got == want, k
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Encode a PNG applying a caller-chosen filter per scanline (the
+    forward transforms from RFC 2083) — exercises the decoder's
+    unfiltering paths, which the filter-0-only encoder cannot."""
+    import struct
+    import zlib
+
+    from ballista_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    if img.ndim == 2:
+        h, w, ch = *img.shape, 1
+        flat = img.astype(np.int32)
+    else:
+        h, w, ch = img.shape
+        flat = img.reshape(h, w * ch).astype(np.int32)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        enc = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(row[x]) - pred) & 0xFF
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_channel_counts():
+    from ballista_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in ((7, 5), (7, 5, 2), (7, 5, 3), (6, 9, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img), shape
+
+
+def test_png_decoder_handles_all_five_filters():
+    from ballista_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+    # every filter as the uniform choice, then a per-row mix
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_png_with_filters(img, filters))
+        assert np.array_equal(got, img), filters
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    for filters in ([1], [3], [4], [4, 3, 2, 1, 0]):
+        assert np.array_equal(decode_png(_png_with_filters(gray, filters)), gray)
+
+
+def test_png_known_answer_pixels():
+    """Literal byte-level known answer: a 2x2 RGB image built by hand
+    (filter 0), pinned against the decoder output pixel-for-pixel."""
+    import struct
+    import zlib as _z
+
+    from ballista_spark.operators.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    px = [[255, 0, 0, 0, 255, 0], [0, 0, 255, 10, 20, 30]]
+    raw = b"\x00" + bytes(px[0]) + b"\x00" + bytes(px[1])
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8
+    )
+    assert np.array_equal(got, want)
+    # multiple IDAT chunks concatenate into one zlib stream
+    z = _z.compress(raw)
+    split = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", z[:7])
+        + _png_chunk(b"IDAT", z[7:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(split), want)
+
+
+def test_png_unsupported_branches():
+    import struct
+    import zlib as _z
+
+    from ballista_spark.operators.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    # 16-bit and palette and interlaced all refuse loudly
+    for depth, color, inter in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, inter))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(payload)
+
+
+def test_png_dhash_and_neardup_end_to_end(spark):
+    """PNG payloads flow through decode → dHash → banded pairing: a PNG
+    and its BMP-encoded twin hash identically (same pixels), and the
+    near-dup operator pairs PNG-sourced hashes."""
+    from ballista_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] += 1
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert image_dhash(encode_png(base), "image/png") == image_dhash(
+        encode_bmp(base), "image/bmp"
+    )
+    media = _media_df(
+        spark,
+        [
+            (1, encode_png(base), "image/png", "image"),
+            (2, encode_png(near), "image/png", "image"),
+            (3, encode_png(other), "image/png", "image"),
+        ],
+    )
+    hashes = dhash_images(media)
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in image_neardup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in k for k in pairs)
 
 
 def test_image_neardup_chunk0_sign_flip_regression(spark):
