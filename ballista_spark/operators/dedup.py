@@ -215,6 +215,88 @@ def _minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return gs.select("key", sig.alias("sig"))
 
 
+def with_minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "band_keys",
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Append ``out_col``: array<struct<band_id int, band_hash bigint>> —
+    each document's LSH band keys computed as MAP-ONLY column stages (no
+    groupBy, no shuffle): tokens → distinct shingles → xxhash64 g-values
+    → the SAME affine-fold signature as :func:`_minhash_signatures`
+    (bit-identical, asserted in tests) → one xxhash64 per band slice.
+
+    Built for the STREAMING near-dup gate
+    (:func:`ballista_spark.streaming.curate.near_dup_gate_stream`),
+    where the batch path's per-key aggregation is inadmissible; also a
+    serving-side primitive (hash one incoming doc against a stored band
+    index with one equi-join).  Documents with fewer than ``n`` tokens
+    have no shingles and get an EMPTY array — they are exact-dedup's
+    domain, and giving them the degenerate all-init signature would
+    band-collide every short doc with every other.
+
+    The g-hash array is materialized as its own column before the
+    signature fold captures it: an HOF lambda that captures the full
+    expression subtree re-evaluates it per signature element — the
+    measured ~90× pathology lm._gram_orders documents.
+    """
+    rows = n_hashes // n_bands
+    coeffs = _affine_coeffs(n_hashes)
+    a_arr = F.expr("array(" + ",".join(f"{a}L" for a, _ in coeffs) + ")")
+    b_arr = F.expr("array(" + ",".join(f"{b}L" for _, b in coeffs) + ")")
+    toks = _tokens(text_col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    gcol, scol = f"__mh_g_{out_col}", f"__mh_sig_{out_col}"
+    with_g = df.withColumn(
+        gcol,
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.aggregate(
+            F.col(gcol),
+            F.lit(_MERSENNE31).cast("long"),
+            lambda acc, gg: F.least(
+                acc,
+                F.pmod(
+                    gg * F.element_at(a_arr, i + F.lit(1))
+                    + F.element_at(b_arr, i + F.lit(1)),
+                    F.lit(_MERSENNE31),
+                ),
+            ),
+        ),
+    )
+    with_sig = with_g.withColumn(scol, sig)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(
+                F.slice(F.col(scol), b * F.lit(rows) + F.lit(1), rows)
+            ).alias("band_hash"),
+        ),
+    )
+    out = F.when(F.size(F.col(gcol)) > 0, bands).otherwise(
+        F.array().cast("array<struct<band_id:int,band_hash:bigint>>")
+    )
+    return with_sig.withColumn(out_col, out).drop(gcol, scol)
+
+
 def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Annotate candidate (key_a, key_b) pairs with exact shingle jaccard.
 

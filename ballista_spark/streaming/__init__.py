@@ -17,6 +17,9 @@ __all__.append("streaming_dedup")
 from ballista_spark.streaming.sinks import write_stream_parquet_exactly_once  # noqa: E402
 
 __all__.append("write_stream_parquet_exactly_once")
-from ballista_spark.streaming.curate import curate_documents_stream  # noqa: E402
+from ballista_spark.streaming.curate import (  # noqa: E402
+    curate_documents_stream,
+    near_dup_gate_stream,
+)
 
-__all__.append("curate_documents_stream")
+__all__ += ["curate_documents_stream", "near_dup_gate_stream"]

@@ -120,3 +120,97 @@ def curate_documents_stream(
         )
         kept = kept.join(bench_hashes, "content_hash", "left_anti")
     return kept
+
+
+def near_dup_gate_stream(
+    docs: DataFrame,
+    ts_col: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "30 minutes",
+    window: str = "10 minutes",
+    n: int = 3,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash NEAR-dup gate — the in-stream approximation of
+    the batch ``minhash_lsh_pairs`` pass that the module docstring's
+    lambda split used to defer entirely to batch.
+
+    Mechanism: each document's LSH band keys are computed MAP-ONLY
+    (``dedup.with_minhash_band_keys`` — bit-identical to the batch
+    signature), exploded to (band_id, band_hash) rows, and run through
+    ``dropDuplicatesWithinWatermark`` on the band bucket; a per-document
+    windowed count of SURVIVING bands then classifies:
+
+    - ``admit``   — every band bucket was unseen within the horizon:
+      w.h.p. not a near-dup of anything recent; safe to land.
+    - ``suspect`` — ≥1 band collided with an earlier (or same-batch)
+      document: possibly a near-dup; route to the periodic batch
+      verifier (``minhash_lsh_pairs`` + exact jaccard), which both
+      confirms true near-dups and re-admits banding false positives.
+
+    Guarantees (quantified in tests/test_streaming.py): a true near-dup
+    pair within the horizon NEVER sees both members admitted — band
+    state keeps one row per bucket, so whichever member loses a shared
+    bucket is flagged; the gate never silently drops (output carries
+    the verdict, not a filtered stream).  Short documents (< ``n``
+    tokens — no shingles) are ``admit`` with 0 bands: they are exact
+    dedup's domain (``curate_documents_stream``), not near-dup's.
+
+    State: band buckets + per-(window, key) counts, both
+    watermark-bounded (two chained stateful operators, append mode —
+    results emit when the window closes past the watermark; the gate
+    trades ~watermark latency for bounded state, the standard
+    streaming-dedup contract).
+
+    Returns (key, window_start, n_bands, n_fresh, verdict).
+    """
+    from ballista_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        with_minhash_band_keys,
+    )
+
+    nh = n_hashes or N_HASHES
+    nb = n_bands or N_BANDS
+    keyed = with_minhash_band_keys(docs, text_col, "__bands", n, nh, nb)
+    # one undroppable PRESENCE row per document rides along with the band
+    # rows (band_id −1, bucket unique per (key, ts)) — without it a full
+    # duplicate would lose every band row to the dedup state and vanish
+    # from the output with no verdict at all
+    presence = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("band_id"),
+            F.xxhash64(F.col(key_col), F.col(ts_col)).alias("band_hash"),
+        )
+    )
+    bands = (
+        keyed.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("__ts"),
+            F.size("__bands").alias("__nb"),
+            F.explode(F.concat(F.col("__bands"), presence)).alias("b"),
+        )
+        .select(
+            "key",
+            "__ts",
+            "__nb",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+    fresh = bands.dropDuplicatesWithinWatermark(["band_id", "band_hash"])
+    counts = fresh.groupBy(
+        F.window("__ts", window).alias("w"), F.col("key"), F.col("__nb")
+    ).agg(F.sum((F.col("band_id") >= 0).cast("int")).alias("n_fresh"))
+    return counts.select(
+        "key",
+        F.col("w.start").alias("window_start"),
+        F.col("__nb").alias("n_bands"),
+        "n_fresh",
+        F.when(F.col("n_fresh") == F.col("__nb"), F.lit("admit"))
+        .otherwise(F.lit("suspect"))
+        .alias("verdict"),
+    )

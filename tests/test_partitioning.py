@@ -80,6 +80,93 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_aqe_skew_join_split_boundary_and_fallbacks(spark):
+    """The 100 TB skew case at model scale: a fact with 40% of rows on
+    ONE key, merge-hinted against a dim too big to broadcast (modeled
+    by disabling broadcast); AQE thresholds scaled to the local data
+    volume.  Pins the measured boundary of AQE's OptimizeSkewedJoin on
+    this engine version:
+
+    - pure join (no same-key downstream requirement): the hot
+      partition IS split — SortMergeJoin(skew=true) in the final
+      adaptive plan;
+    - join feeding a same-key groupBy: AQE declines (the join's output
+      partitioning satisfies the aggregation; observed even with
+      forceOptimizeSkewedJoin=true) — the case where the explicit
+      fallbacks are REQUIRED;
+    - both fallbacks produce the identical aggregate: salted_join
+      (spreads the hot key across salts) and the aggregate-below-join
+      rewrite (partial-agg the fact per host FIRST — post-agg there is
+      one row per host, no skew left at all — the plan to prefer when
+      the aggregate is algebraic)."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        fact = spark.range(30000).select(
+            F.col("id").alias("page_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < 40, F.lit("hot"))
+            .otherwise(
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.xxhash64(F.col("id") + 7), F.lit(500)).cast("string"),
+                )
+            )
+            .alias("host"),
+            (F.col("id") % 1000 / 10.0).alias("value"),
+        )
+        dim = spark.range(500).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            (F.col("id") % 97 / 9.7).alias("w"),
+        ).unionAll(spark.createDataFrame([("hot", 5.0)], "host string, w double"))
+
+        # 1. pure join: AQE splits the hot partition
+        pure = fact.join(dim.hint("merge"), "host").agg(
+            F.round(F.sum(F.col("value") * F.col("w")), 4).alias("s")
+        )
+        pure.collect()
+        assert "skew=true" in pure._jdf.queryExecution().executedPlan().toString()
+
+        # 2. join + same-key agg: AQE declines — fallbacks required
+        def agg(joined):
+            return joined.groupBy("host").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("value") * F.col("w")), 6).alias("s"),
+            )
+
+        plain = agg(fact.join(dim.hint("merge"), "host"))
+        plain_rows = sorted(map(tuple, plain.collect()))
+        assert "skew=true" not in (
+            plain._jdf.queryExecution().executedPlan().toString()
+        )
+
+        salted = agg(salted_join(fact, dim, "host", n_salts=8))
+        assert sorted(map(tuple, salted.collect())) == plain_rows
+
+        preagg = (
+            fact.groupBy("host")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .join(dim.hint("merge"), "host")
+            .select(
+                "host", "n", F.round(F.col("sv") * F.col("w"), 6).alias("s")
+            )
+        )
+        assert sorted(map(tuple, preagg.collect())) == plain_rows
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_connector_unavailable_is_actionable(spark):
     with pytest.raises(ConnectorUnavailable, match="spark.jars.packages"):
         read_delta(spark, "/tmp/nonexistent")

@@ -266,3 +266,112 @@ def test_streaming_url_and_compression_gates(spark, tmp_path):
     _run_to_memory(curated, "url_gated_stream", "append")
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM url_gated_stream").collect()}
     assert got == {0}
+
+
+def test_band_keys_map_only_matches_batch_signatures(spark):
+    """with_minhash_band_keys (map-only, streaming-admissible) must be
+    bit-identical to the batch shingle→groupBy→signature path: same
+    signature fold, same band hashes."""
+    from ballista_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        _minhash_signatures,
+        shingle_sets,
+        with_minhash_band_keys,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    batch_sig = _minhash_signatures(shingle_sets(docs))
+    batch_bands = batch_sig.select(
+        "key",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.slice(F.col("sig"), b * F.lit(ROWS_PER_BAND) + F.lit(1),
+                        ROWS_PER_BAND)
+            ),
+        ).alias("bh"),
+    )
+    want = {r["key"]: list(r["bh"]) for r in batch_bands.collect()}
+    got_rows = with_minhash_band_keys(docs).select("doc_id", "band_keys").collect()
+    got = {
+        r["doc_id"]: [b["band_hash"] for b in r["band_keys"]]
+        for r in got_rows
+        if r["band_keys"]
+    }
+    # batch path only emits docs with >= n tokens; map-only gives those
+    # docs identical band hashes and empty arrays to the rest
+    assert set(want) == set(got)
+    for k in want:
+        assert want[k] == got[k], k
+    empties = {r["doc_id"] for r in got_rows if not r["band_keys"]}
+    assert empties == {r["doc_id"] for r in docs.collect()} - set(want)
+
+
+def test_streaming_near_dup_gate_catches_planted_pairs(spark, tmp_path):
+    """Stream-vs-batch admission: every batch-confirmed near-dup pair
+    must have at least one member flagged 'suspect' in-stream (recall
+    1.0 on pair coverage); unrelated docs admit; short docs admit with
+    zero bands; an exact duplicate pair is never double-admitted."""
+    import datetime as dt
+
+    from ballista_spark.operators.dedup import minhash_lsh_pairs
+    from ballista_spark.streaming.curate import near_dup_gate_stream
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = []
+
+    def words(seed, n=40):
+        return " ".join(f"w{seed}x{j}" for j in range(n))
+
+    # originals 0..4 with near-dups 10..14 (one token changed)
+    for i in range(5):
+        orig = words(i)
+        near = orig.replace(f"w{i}x20", "CHANGED", 1)
+        rows.append((i, orig, base))
+        rows.append((10 + i, near, base + dt.timedelta(minutes=1)))
+    # unrelated 20..24
+    for i in range(5):
+        rows.append((20 + i, words(100 + i), base + dt.timedelta(minutes=2)))
+    # exact duplicate of doc 0, and a short doc
+    rows.append((30, words(0), base + dt.timedelta(minutes=3)))
+    rows.append((31, "tiny doc", base + dt.timedelta(minutes=4)))
+    # flusher far past watermark+window so the planted window closes
+    rows.append((99, words(999), base + dt.timedelta(hours=3)))
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "neardup_src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = near_dup_gate_stream(
+        stream, "ts", watermark="30 minutes", window="10 minutes"
+    )
+    _run_to_memory(gated, "neardup_gate", "append")
+    got = {
+        r["key"]: r
+        for r in spark.sql("SELECT * FROM neardup_gate").collect()
+    }
+    planted = {r[0] for r in rows if r[0] != 99}
+    assert planted <= set(got), sorted(planted - set(got))  # no silent drops
+
+    # batch ground truth on the same docs
+    pairs = [
+        (r["key_a"], r["key_b"])
+        for r in minhash_lsh_pairs(
+            batch.where(F.col("doc_id") != 99), threshold=0.8
+        ).collect()
+    ]
+    assert len(pairs) >= 6  # 5 near-dup pairs + the exact-dup pair
+    caught = sum(
+        1
+        for a, b in pairs
+        if got[a]["verdict"] == "suspect" or got[b]["verdict"] == "suspect"
+    )
+    assert caught == len(pairs)  # stream recall 1.0 on pair coverage
+
+    for i in range(20, 25):
+        assert got[i]["verdict"] == "admit", i
+    assert got[31]["verdict"] == "admit" and got[31]["n_bands"] == 0
+    # exact duplicate pair: never both admitted
+    assert not (got[0]["verdict"] == "admit" and got[30]["verdict"] == "admit")

@@ -785,6 +785,125 @@ def _load_docs(spark, sf_dir: str):
     return load_table(spark, sf_dir, "documents")
 
 
+def _skew_fact(spark, sf_dir: str):
+    """Hot-key fact table for the skew shapes: 200 rows per document,
+    40% of them on ONE host (the canonical 100 TB killer — a
+    crawl-frontier / link-graph table where a mega-site holds a large
+    share of all pages), the rest spread over 50k hosts.  Deterministic
+    (xxhash64 of the id), materialized once per scale under /tmp."""
+    n = _load_docs(spark, sf_dir).count() * 200
+    path = os.path.join("/tmp", f"bs_skew_fact_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.range(n).select(
+            F.col("id").alias("page_id"),
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(100)) < 40,
+                F.lit("hot.example.com"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.xxhash64(F.col("id") + 7), F.lit(50000)).cast(
+                        "string"
+                    ),
+                )
+            )
+            .alias("host"),
+            (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000)) / 10.0).alias(
+                "value"
+            ),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _skew_dim(spark):
+    dim = spark.range(50000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 97 / 9.7).alias("w"),
+    )
+    return dim.unionAll(
+        spark.createDataFrame([("hot.example.com", 5.0)], "host string, w double")
+    )
+
+
+#: AQE skew thresholds scaled to the local data volume — at 100 TB the
+#: hot partition is GBs over the stock 256 MB threshold; locally the
+#: whole fact is ~30 MB, so the thresholds scale down in the same
+#: proportion to let OptimizeSkewedJoin fire.  Conf persists for the
+#: session → run the skew shapes ISOLATED (SPARK_GRAFT_STRESS_QUERIES=
+#: skew_join,skew_join_salted), never in the default sweep.
+_SKEW_CONF = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+}
+
+
+def _skew_join(spark, sf_dir: str):
+    """Zipf/hot-key join + same-key groupBy — the 100 TB brief's
+    canonical skew case, in its NAIVE shape.  The host dim is
+    merge-hinted (models the production case where it outgrows
+    broadcast: a web-scale host-metadata table), so the join shuffles
+    on the 40%-hot key.  Measured boundary (pinned in
+    tests/test_partitioning.py): AQE's OptimizeSkewedJoin splits the
+    hot partition for a PURE join, but DECLINES here because the
+    join's output partitioning satisfies the same-key aggregation
+    (observed even with forceOptimizeSkewedJoin=true) — one task sorts
+    and joins 40% of the fact.  This row is the baseline the two
+    fallback rows beat."""
+    for k, v in _SKEW_CONF.items():
+        spark.conf.set(k, v)
+    fact = _skew_fact(spark, sf_dir)
+    joined = fact.join(_skew_dim(spark).hint("merge"), "host")
+    return (
+        joined.groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value") * F.col("w")).alias("s"))
+        .orderBy(F.col("n").desc())
+        .limit(20)
+    )
+
+
+def _skew_join_salted(spark, sf_dir: str):
+    """Fallback 1 — salted join over the same data: salt the fact's
+    key (content hash), replicate the dim across salts, join on
+    (key, salt); the hot key spreads over n_salts tasks and the
+    per-host groupBy collapses to ≤ n_salts partial rows per host
+    map-side.  The general fix when the aggregate is not algebraic or
+    the join output itself is the product."""
+    from ballista_spark.operators.partitioning import salted_join
+
+    for k, v in _SKEW_CONF.items():
+        spark.conf.set(k, v)
+    fact = _skew_fact(spark, sf_dir)
+    joined = salted_join(fact, _skew_dim(spark).hint("merge"), "host", n_salts=32)
+    return (
+        joined.groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value") * F.col("w")).alias("s"))
+        .orderBy(F.col("n").desc())
+        .limit(20)
+    )
+
+
+def _skew_join_preagg(spark, sf_dir: str):
+    """Fallback 2 — aggregate BELOW the join: partial-agg the fact per
+    host first (map-side combine collapses the hot key inside each
+    task; the exchange carries one row per (task, host)), then join
+    the one-row-per-host aggregate with the dim — after aggregation
+    there is NO skew left.  The plan to prefer whenever the aggregate
+    is algebraic; expect this row to beat both others."""
+    for k, v in _SKEW_CONF.items():
+        spark.conf.set(k, v)
+    fact = _skew_fact(spark, sf_dir)
+    return (
+        fact.groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .join(_skew_dim(spark).hint("merge"), "host")
+        .select("host", "n", (F.col("sv") * F.col("w")).alias("s"))
+        .orderBy(F.col("n").desc())
+        .limit(20)
+    )
+
+
 #: stress-only builders that are not graded corpus entries
 LOCAL_BUILDERS = {
     "bpe_fit": _bpe_fit,
@@ -822,6 +941,12 @@ LOCAL_BUILDERS = {
     "warc_ingest": _warc_ingest,
     "wordpiece_fit": _wordpiece_fit,
     "wordpiece_encode": _wordpiece_encode,
+    # skew shapes: NOT in the default sweep — they retune AQE thresholds
+    # for the whole session (see _SKEW_CONF); run isolated via
+    # SPARK_GRAFT_STRESS_QUERIES=skew_join,skew_join_salted,skew_join_preagg
+    "skew_join": _skew_join,
+    "skew_join_salted": _skew_join_salted,
+    "skew_join_preagg": _skew_join_preagg,
 }
 _override = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
 if _override:
