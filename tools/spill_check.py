@@ -65,12 +65,39 @@ def run_query(spark, name: str):
     return q.run(spark, SF_DIR)
 
 
+def force_sort_probe(spark) -> None:
+    """Graceful-spill demonstration: a 60M-row global sort whose
+    working set deliberately exceeds the execution-memory pool (row ~40
+    bytes × 60M ≈ 2.4 GB vs ~700 MB at a 1.5g heap) — the shape a
+    100 TB shuffle hits when partition sizing misestimates.  Spark
+    spills and finishes; the reference's sort aborts on budget
+    exhaustion.  Run: SPARK_GRAFT_DRIVER_MEM=1500m SPARK_GRAFT_CPUS=8
+    python tools/spill_check.py --force-sort"""
+    df = spark.range(60_000_000).select(
+        F.col("id"),
+        F.xxhash64("id").alias("h"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"),
+    )
+    t0 = time.time()
+    df.orderBy("h").write.format("noop").mode("overwrite").save()
+    mem, disk = spill_totals(spark)
+    print(
+        f"# force_sort: {time.time() - t0:.1f}s ok "
+        f"spill_mem={mem / 2**20:.0f}MB spill_disk={disk / 2**20:.0f}MB"
+    )
+    assert disk > 0, "probe sized to spill — zero means metrics plumbing broke"
+
+
 def main() -> None:
     from ballista_spark.session import get_spark
     from ballista_spark.sources.registry import register_tables
 
     heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark(app_name="ballista_spark_spill_check")
+    if "--force-sort" in sys.argv:
+        print(f"# heap={heap} force-sort probe")
+        force_sort_probe(spark)
+        return
     register_tables(spark, SF_DIR)
     print(f"# heap={heap} sf_dir={SF_DIR}")
     prev_mem = prev_disk = 0
