@@ -79,25 +79,47 @@ def char_ngram_features(
     with no grams (empty/NULL text) produce no rows.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    s = F.lower(col) if lowercase else col
+    # materialize the (lowered) text into its own column BEFORE any HOF
+    # lambda touches it: a lambda capturing the lower()/cast expression
+    # subtree re-evaluates it per array element in the interpreted HOF
+    # path — O(len²) per document (the lm._gram_orders pathology;
+    # measured 22.9 s → 2.6 s for the sf0.1 feature build)
+    lowered = df.select(
+        F.col(key_col).alias("key"),
+        (F.lower(col) if lowercase else col).alias("__s"),
+    )
+    s = F.col("__s")
     slen = F.length(s)
 
+    # astral (non-BMP) codepoints break the regex fast path: Java's
+    # regex engine advances the lookahead by code UNIT, so a surrogate
+    # pair spawns a spurious low-surrogate-anchored gram that the
+    # codepoint-exact substr path (and the numpy mirror) never emits
+    has_astral = s.rlike("[\\x{10000}-\\x{10FFFF}]")
+
     def order_grams(n: int) -> F.Column:
+        # fast path: one O(len) regex pass extracting the overlapping
+        # grams via a capturing lookahead — vs the substr HOF below,
+        # whose UTF-8 char-offset scan is O(i) per call → O(len²) per
+        # document (measured 11.5 s → 3.2 s for the sf0.1 gram build).
+        # CaseWhen evaluates per row, so only astral-bearing rows pay
+        # the quadratic path.
+        fast = F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{n}}}))"), 1)
         # NOTE: the inner lambda must stay single-parameter — a second
         # parameter (even a default like `n=n`) makes PySpark treat it
         # as an (element, index) lambda and silently bind the array
         # index to it
-        return F.when(
-            slen >= n,
-            F.transform(
-                F.sequence(F.lit(1), slen - F.lit(n - 1)),
-                lambda i: s.substr(i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        exact = F.transform(
+            F.sequence(F.lit(1), slen - F.lit(n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+        return F.when(slen < n, F.array().cast("array<string>")).otherwise(
+            F.when(has_astral, exact).otherwise(fast)
+        )
 
     grams = F.flatten(F.array(*[order_grams(n) for n in ngrams]))
     exploded = (
-        df.select(F.col(key_col).alias("key"), grams.alias("__grams"))
+        lowered.select("key", grams.alias("__grams"))
         .where(F.size("__grams") > 0)
         .select(
             "key",
@@ -164,6 +186,24 @@ def softmax_fit(
     (key, label).  The class set is the distinct labels (collected —
     n_classes strings).  Pass the SAME hashing config the features were
     built with; it is stored on the model.
+
+    Shape (round-6 rewrite): the head is dense in CLASSES (a handful)
+    and sparse in buckets, so training keeps the weights WIDE — one
+    per-class column set per bucket — instead of (y, bucket, w) rows.
+    Per iteration that is ONE fused distributed action — margins +
+    stable softmax + error as per-class column expressions over a
+    ``groupBy(key)`` (no (key × class) grid, no window pass), chained
+    into the ``groupBy(bucket)`` gradient whose sentinel bucket −1 row
+    (one (key, −1, x=1) feature per labeled doc) carries the per-class
+    bias gradient — versus the row form's three jobs per round with a
+    (key, y) grid join, window softmax, and n_classes× bigger shuffles
+    (measured 29 s → ~13 s on the sf0.1 stress shape, 5 iterations;
+    the fixed per-round scheduling latency was the cost, like
+    pagerank's).  The sentinel also gives feature-less documents their
+    bias-only margin row, so empty text needs no special path.
+    Numerics match the numpy mirror to 1e-7 (test_classify.py) —
+    identical formulas, only float summation order differs.  The
+    returned model is the standard row-form :class:`SoftmaxModel`.
     """
     lab = (
         labels.select(
@@ -172,54 +212,113 @@ def softmax_fit(
         .localCheckpoint(eager=True)
     )
     classes = sorted(r["__y"] for r in lab.select("__y").distinct().collect())
-    if len(classes) < 2:
+    k = len(classes)
+    if k < 2:
         raise ValueError(f"need >= 2 classes, got {classes}")
     spark = features.sparkSession
-    feats = features.persist()
+    # one sentinel row (key, bucket −1, x=1) per LABELED key unifies the
+    # whole loop: it gives feature-less docs a margin row (0 — the
+    # bias-only softmax), and its x·g product makes the per-class BIAS
+    # gradient fall out of the same groupBy(bucket) as the weight
+    # gradient — no separate bias reduce, no special cohort
+    feats = features.select("key", "bucket", "x").unionByName(
+        lab.select("key", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"))
+    ).persist()
     n_docs = lab.count()
-    # (key × class) margin grid — doc-sized × n_classes, built once
-    grid = (
-        lab.select("key")
-        .crossJoin(F.broadcast(spark.createDataFrame([(c,) for c in classes], "y string")))
-        .localCheckpoint(eager=True)
-    )
-    weights = spark.createDataFrame([], "y string, bucket long, w double")
-    biases = {c: 0.0 for c in classes}
+
+    wide = spark.createDataFrame([], "bucket long, ws array<double>")
+    biases = [0.0] * k
     try:
         for _ in range(n_iters):
-            probs = _softmax(_class_margins(feats, weights, biases, grid))
+            mcols = [
+                F.col(f"__m{i}") + F.lit(biases[i]) for i in range(k)
+            ]
+            mx = F.greatest(*mcols)
+            ecols = [F.exp(m - mx) for m in mcols]
+            tot = ecols[0]
+            for e in ecols[1:]:
+                tot = tot + e
+            # ONE distributed action per iteration: margins → softmax →
+            # error → weight gradient (groupBy bucket) with the raw
+            # per-class bias-gradient sums riding a sentinel bucket −1
+            # row — fusing what used to be three jobs (err checkpoint,
+            # weight checkpoint, bias collect) halves the fixed
+            # per-round scheduling latency that dominated this loop
             err = (
-                probs.join(lab, "key")
+                feats.join(F.broadcast(wide), "bucket", "left")
+                .groupBy("key")
+                .agg(
+                    *[
+                        F.sum(
+                            F.col("x")
+                            * F.coalesce(
+                                F.element_at(F.col("ws"), i + 1), F.lit(0.0)
+                            )
+                        ).alias(f"__m{i}")
+                        for i in range(k)
+                    ]
+                )
+                .join(lab, "key")
                 .select(
                     "key",
-                    "y",
-                    (
-                        F.col("p")
-                        - F.when(F.col("y") == F.col("__y"), 1.0).otherwise(0.0)
-                    ).alias("g"),
+                    *[
+                        (
+                            ecols[i] / tot
+                            - (F.col("__y") == classes[i]).cast("double")
+                        ).alias(f"__g{i}")
+                        for i in range(k)
+                    ],
                 )
-                .localCheckpoint(eager=True)  # feeds gradient AND bias reduce
             )
-            grad = (
+            gsum = (
                 feats.join(err, "key")
-                .groupBy("y", "bucket")
-                .agg((F.sum(F.col("g") * F.col("x")) / F.lit(n_docs)).alias("gw"))
+                .groupBy("bucket")
+                .agg(
+                    *[
+                        (F.sum(F.col("x") * F.col(f"__g{i}")) / F.lit(n_docs)).alias(
+                            f"__gw{i}"
+                        )
+                        for i in range(k)
+                    ]
+                )
             )
-            weights = (
-                weights.join(grad, ["y", "bucket"], "full")
+            upd = [
+                F.coalesce(F.element_at(F.col("ws"), i + 1), F.lit(0.0))
+                * F.lit(1.0 - lr * reg)
+                - F.lit(lr) * F.coalesce(F.col(f"__gw{i}"), F.lit(0.0))
+                for i in range(k)
+            ]
+            raw = [F.coalesce(F.col(f"__gw{i}"), F.lit(0.0)) for i in range(k)]
+            wide = (
+                wide.join(gsum, "bucket", "full")
                 .select(
-                    "y",
                     "bucket",
-                    (
-                        F.coalesce(F.col("w"), F.lit(0.0)) * F.lit(1.0 - lr * reg)
-                        - F.lit(lr) * F.coalesce(F.col("gw"), F.lit(0.0))
-                    ).alias("w"),
+                    # the sentinel carries the RAW per-class bias
+                    # gradient (no weight-style reg decay — biases are
+                    # unregularized, matching the numpy mirror)
+                    F.when(F.col("bucket") == -1, F.array(*raw))
+                    .otherwise(F.array(*upd))
+                    .alias("ws"),
                 )
                 .localCheckpoint(eager=True)
             )
-            for r in err.groupBy("y").agg((F.sum("g") / F.lit(n_docs)).alias("gb")).collect():
-                biases[r["y"]] -= lr * float(r["gb"])
-        return SoftmaxModel(weights, dict(biases), n_features, tuple(ngrams))
+            for r in wide.where(F.col("bucket") == -1).collect():
+                for i in range(k):
+                    biases[i] -= lr * float(r["ws"][i])
+            wide = wide.where(F.col("bucket") != -1)
+        class_arr = F.array(*[F.lit(c) for c in classes])
+        weights = (
+            wide.select("bucket", F.posexplode("ws"))
+            .select(
+                F.element_at(class_arr, F.col("pos") + 1).alias("y"),
+                "bucket",
+                F.col("col").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return SoftmaxModel(
+            weights, dict(zip(classes, biases)), n_features, tuple(ngrams)
+        )
     finally:
         feats.unpersist()
 

@@ -272,3 +272,25 @@ def test_local_predict_streaming_admissible(spark, spark_model, tmp_path):
     }
     want = {r[0]: r[2] for r in rows}  # alphabets disjoint -> label == pred
     assert got == want
+
+
+def test_features_astral_fallback_matches_mirror(spark):
+    """The regex gram fast path advances by UTF-16 code UNIT in Java, so
+    astral (non-BMP) codepoints would spawn spurious low-surrogate grams;
+    char_ngram_features routes such rows to the codepoint-exact substr
+    path.  Plant astral chars to pin both branches against the mirror."""
+    rows = [
+        (1, "h\U0001F600llo wörld"),            # astral mid-string
+        (2, "\U0001F600\U0001F601x"),                # leading astral pair
+        (3, "plain bmp text, fast path"),            # BMP-only (regex path)
+        (4, "tail astral \U0001F680"),               # astral at end
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in char_ngram_features(df, n_features=N_FEAT, ngrams=NGRAMS).collect():
+        got.setdefault(r.key, {})[r.bucket] = r.x
+    for did, text in rows:
+        want = py_features(text, N_FEAT, NGRAMS)
+        assert set(got[did]) == set(want), f"doc {did}: bucket set diverged"
+        for b in want:
+            assert got[did][b] == pytest.approx(want[b], abs=1e-12)
