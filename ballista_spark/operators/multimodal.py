@@ -4,12 +4,14 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (modality, mime, width/height/duration, …).  The Spark-side
 plumbing — schema, partition-sized Arrow batches through ``mapInPandas``,
 deterministic feature extraction signature — is real and tested, and so is
-the codec layer for the container-decodable formats: **BMP (24-bit), PPM
-(P6), PGM (P5) and WAV (PCM 8/16-bit) decode and encode in pure numpy**
-(:func:`decode_media` / ``encode_bmp``/``encode_ppm``/``encode_wav``), no
-PIL/ffmpeg required.  Formats that genuinely need an external codec
-(JPEG, PNG, MP4, …) raise ``NotImplementedError`` from the same dispatch
-point — that branch is now the exception, not the path.
+the codec layer: **JPEG (baseline, ``operators/jpeg.py``), PNG (8-bit,
+filters 0–4), BMP (24-bit), PPM (P6), PGM (P5) and WAV (PCM 8/16-bit)
+decode and encode in pure stdlib + numpy** (:func:`decode_media` /
+``encode_jpeg``/``encode_png``/``encode_bmp``/``encode_ppm``/
+``encode_wav``), no PIL/ffmpeg required.  Formats that genuinely need an
+external codec (MP4, WebP-lossy VP8, …) raise ``NotImplementedError``
+from the same dispatch point — that branch is now the exception, not the
+path.
 
 Scale notes: `mapInPandas` streams Arrow record batches per partition, so
 peak memory is one batch of payloads (bound it with
@@ -28,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
 #: metadata struct carried next to every payload
 MEDIA_META_SCHEMA = T.StructType(
@@ -286,9 +290,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     vectorized across each row for None/Up; Sub/Average/Paeth scan
     pixels left-to-right (an inherent data dependency).
 
-    This is the first *real web* image format the perceptual dedup
-    (``image_dhash`` → ``image_neardup_pairs``) runs on at production;
-    JPEG stays external-codec territory.
+    Together with baseline JPEG (``operators/jpeg.py``) this covers the
+    dominant real web image formats for the perceptual dedup path
+    (``image_dhash`` → ``image_neardup_pairs``) with zero deploy-time
+    codec dependencies.
     """
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -384,6 +389,8 @@ def encode_png(img: np.ndarray) -> bytes:
 
 #: mime → decoder; the dispatch point for :func:`decode_media`
 _DECODERS = {
+    "image/jpeg": decode_jpeg,
+    "image/jpg": decode_jpeg,
     "image/png": decode_png,
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
@@ -399,7 +406,7 @@ _DECODERS = {
 
 def decode_media(payload: bytes, mime: str):
     """Decode a payload by mime type — ndarray for images, (samples,
-    rate) for audio.  Formats needing an external codec (JPEG/MP4…)
+    rate) for audio.  Formats needing an external codec (MP4/WebP…)
     raise ``NotImplementedError`` — at deploy, register their decoders
     into ``_DECODERS`` (PIL/ffmpeg); everything downstream (batch loop,
     features, resize) is format-agnostic."""
@@ -489,6 +496,8 @@ def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 #: mime → re-encoder used by the real resize path
 _IMAGE_ENCODERS = {
+    "image/jpeg": encode_jpeg,
+    "image/jpg": encode_jpeg,
     "image/bmp": encode_bmp,
     "image/x-ms-bmp": encode_bmp,
     "image/x-portable-pixmap": encode_ppm,

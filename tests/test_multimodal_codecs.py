@@ -117,8 +117,8 @@ def test_decode_media_dispatch():
     np.testing.assert_array_equal(
         decode_media(encode_ppm(img), "image/x-portable-pixmap"), img
     )
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
-        decode_media(b"\xff\xd8", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 # --- Spark end-to-end: the real path through mapInPandas -------------

@@ -229,12 +229,13 @@ def test_multimodal_features_reference(spark):
 
 def test_multimodal_external_codec_formats_raise():
     """Formats that genuinely need an external codec stay explicit
-    NotImplementedError at the dispatch point; the container-decodable
-    formats (BMP/PPM/PGM/WAV) are REAL — see test_multimodal_codecs.py."""
+    NotImplementedError at the dispatch point; the decodable formats
+    (JPEG/PNG/BMP/PPM/PGM/WAV/Y4M) are REAL — see
+    test_multimodal_codecs.py and test_jpeg.py."""
     from ballista_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
