@@ -387,11 +387,192 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, growing code width,
+    CLEAR/EOI codes) → pixel index list."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + (entry[0],))
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+#: GIF interlace passes: (first row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → uint8 (h, w, 3) RGB of the FIRST frame, composited
+    onto the logical screen (background fill, frame offset, transparency
+    via the GCE index, interlacing) — stdlib-only LZW, no external codec.
+
+    Animated GIFs decode their first frame — the frame the perceptual
+    dedup path hashes (``image_dhash`` hashes videos by first frame
+    too); later frames' disposal/composition is out of scope.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control: transparency flag + index
+                size = payload[pos]
+                gce = payload[pos + 1 : pos + 1 + size]
+                if gce[0] & 0x01:
+                    transparent = gce[3]
+            while payload[pos] != 0:  # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            size = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        pos += 1
+        idx = np.array(_lzw_decode(b"".join(chunks), min_code)[: fw * fh], np.int64)
+        if idx.size < fw * fh:
+            raise ValueError("truncated GIF image data")
+        frame_idx = idx.reshape(fh, fw)
+        if iflags & 0x40:  # deinterlace
+            rows = np.concatenate(
+                [np.arange(start, fh, step) for start, step in _GIF_INTERLACE]
+            )
+            out_rows = np.empty(fh, np.int64)
+            out_rows[rows] = np.arange(fh)
+            frame_idx = frame_idx[out_rows]
+        # composite the (possibly smaller/offset) frame onto the screen
+        bg = (
+            gct[bg_idx]
+            if gct is not None and bg_idx < len(gct)
+            else np.zeros(3, np.uint8)
+        )
+        screen = np.broadcast_to(bg, (h, w, 3)).copy()
+        rgb = pal[np.clip(frame_idx, 0, len(pal) - 1)]
+        if transparent is not None:
+            mask = frame_idx == transparent
+            region = screen[top : top + fh, left : left + fw]
+            rgb = np.where(mask[..., None], region, rgb)
+        screen[top : top + fh, left : left + fw] = rgb
+        return screen
+    raise ValueError("GIF had no image block")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB (or (h, w) gray) → GIF89a bytes.
+
+    Uses the classic "uncompressed GIF" device: a CLEAR code before
+    every pixel code keeps the LZW dictionary (and code width) fixed, so
+    no string table is needed — valid output any decoder accepts, at
+    ~1.5 bytes/pixel.  The palette is the image's unique colors (≤256 —
+    raises otherwise; quantization is out of scope)."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"encode_gif needs <=256 unique colors, got {len(pal)}")
+    depth = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))  # min code size >= 2
+    ncolors = 1 << depth
+    palette = np.zeros((ncolors, 3), np.uint8)
+    palette[: len(pal)] = pal
+    clear = 1 << depth
+    eoi = clear + 1
+    width = depth + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for p in inv.ravel():
+        put(clear)
+        put(int(p))
+    put(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(depth)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 #: mime → decoder; the dispatch point for :func:`decode_media`
 _DECODERS = {
     "image/jpeg": decode_jpeg,
     "image/jpg": decode_jpeg,
     "image/png": decode_png,
+    "image/gif": decode_gif,
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
@@ -498,6 +679,8 @@ def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
 _IMAGE_ENCODERS = {
     "image/jpeg": encode_jpeg,
     "image/jpg": encode_jpeg,
+    "image/png": encode_png,
+    "image/gif": encode_gif,
     "image/bmp": encode_bmp,
     "image/x-ms-bmp": encode_bmp,
     "image/x-portable-pixmap": encode_ppm,
