@@ -131,6 +131,12 @@ from ballista_spark.operators.multimodal import (
     image_neardup_pairs,
     video_dhash,
 )
+from ballista_spark.operators.audiofp import (
+    audio_fingerprints,
+    audio_match_pairs,
+    landmark_fingerprints,
+)
+from ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
 from ballista_spark.operators.dataset import curriculum_order, fim_split, group_split
@@ -287,6 +293,11 @@ __all__ = [
     "hamming_neardup_pairs",
     "image_neardup_pairs",
     "video_dhash",
+    "audio_fingerprints",
+    "audio_match_pairs",
+    "landmark_fingerprints",
+    "decode_jpeg",
+    "encode_jpeg",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",
