@@ -129,7 +129,9 @@ from ballista_spark.operators.multimodal import (
     image_dhash,
     hamming_neardup_pairs,
     image_neardup_pairs,
+    scene_cut_scores,
     video_dhash,
+    video_scene_cuts,
 )
 from ballista_spark.operators.audiofp import (
     audio_fingerprints,
@@ -293,6 +295,8 @@ __all__ = [
     "hamming_neardup_pairs",
     "image_neardup_pairs",
     "video_dhash",
+    "scene_cut_scores",
+    "video_scene_cuts",
     "audio_fingerprints",
     "audio_match_pairs",
     "landmark_fingerprints",

@@ -799,6 +799,66 @@ def sample_frames(
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def scene_cut_scores(frames: np.ndarray, n_bins: int = 32) -> np.ndarray:
+    """Per-frame-transition cut scores for a (n, h, w) luma stack: L1
+    distance between consecutive frames' normalized luminance histograms
+    (in [0, 2]; hard cuts score near 2, steady content near 0).  Pure
+    numpy — one bincount pass over the stack."""
+    n = frames.shape[0]
+    if n < 2:
+        return np.zeros(0)
+    scaled = (frames.astype(np.int64) * n_bins) >> 8  # uint8 -> bin
+    flat = (scaled + n_bins * np.arange(n)[:, None, None]).ravel()
+    hists = np.bincount(flat, minlength=n_bins * n).reshape(n, n_bins)
+    hists = hists / hists.sum(axis=1, keepdims=True)
+    return np.abs(np.diff(hists, axis=0)).sum(axis=1)
+
+
+def video_scene_cuts(media: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(media_id, frame_idx, score) — scene boundaries in video
+    payloads: transitions whose histogram-delta score exceeds
+    ``threshold`` (``frame_idx`` is the first frame of the NEW scene).
+
+    The standard shot-boundary baseline (histogram difference — Boreczky
+    & Rowe 1996's strongest simple detector); feeds scene-aware frame
+    sampling (sample per scene, not per fixed grid) for video training
+    corpora.  Map-only over Arrow batches like the other media
+    operators; non-video/NULL rows yield nothing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, scores = [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                mime = (m or {}).get("mime") or ""
+                if p is None or not mime.startswith("video"):
+                    continue
+                frames = decode_media(bytes(p), mime)
+                s = scene_cut_scores(frames)
+                for i in np.nonzero(s > threshold)[0]:
+                    ids.append(mid)
+                    idxs.append(int(i) + 1)
+                    scores.append(float(s[i]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "score": pd.array(scores, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
 # --------------------------------------------------------------------
 # Perceptual-hash image dedup: dHash over decoded pixels + pigeonhole-
 # banded Hamming pairing.  Ties the pure-numpy codec layer to the dedup

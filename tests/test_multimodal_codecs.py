@@ -627,3 +627,69 @@ def test_video_dhash_trim_robust_and_discriminative():
     assert d_trim <= 8 < d_other
     with pytest.raises(ValueError):
         video_dhash(encode_wav(np.zeros(8), 8000), "audio/wav")
+
+
+# --- scene cuts -------------------------------------------------------
+
+
+def test_scene_cut_scores_flat_segments():
+    """Two flat-luma segments: exactly one transition scores high."""
+    from ballista_spark.operators.multimodal import scene_cut_scores
+
+    frames = np.concatenate(
+        [np.full((5, 16, 16), 40, np.uint8), np.full((4, 16, 16), 200, np.uint8)]
+    )
+    s = scene_cut_scores(frames)
+    assert len(s) == 8
+    assert s[4] == pytest.approx(2.0)  # disjoint histograms -> L1 = 2
+    assert (np.delete(s, 4) == 0).all()
+
+
+def test_scene_cut_scores_gradual_vs_hard():
+    from ballista_spark.operators.multimodal import scene_cut_scores
+
+    rng = np.random.default_rng(8)
+    drift = np.clip(
+        rng.integers(100, 120, (6, 8, 8)).cumsum(axis=0) // np.arange(1, 7)[:, None, None],
+        0,
+        255,
+    ).astype(np.uint8)
+    hard = np.concatenate([drift, rng.integers(0, 40, (1, 8, 8)).astype(np.uint8)])
+    s = scene_cut_scores(hard)
+    assert s[-1] == s.max()
+
+
+def test_video_scene_cuts_spark(spark):
+    from ballista_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        video_scene_cuts,
+    )
+
+    frames = np.concatenate(
+        [
+            np.full((4, 16, 16), 30, np.uint8),
+            np.full((3, 16, 16), 220, np.uint8),
+            np.full((3, 16, 16), 120, np.uint8),
+        ]
+    )
+    rows = [
+        (
+            1,
+            bytearray(encode_y4m(frames)),
+            {
+                "modality": "video",
+                "mime": "video/x-yuv4mpeg",
+                "width": 16,
+                "height": 16,
+                "duration_ms": 400,
+            },
+        ),
+        (2, None, {"modality": "video", "mime": "video/x-yuv4mpeg",
+                   "width": None, "height": None, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_idx"]) for r in video_scene_cuts(media, 0.5).collect()
+    }
+    assert got == {(1, 4), (1, 7)}
