@@ -120,18 +120,19 @@ def landmark_fingerprints(samples: np.ndarray, rate: int) -> np.ndarray:
     if len(peaks) < 2:
         return np.empty((0, 2), np.int64)
     lo, hi = TARGET_DT
-    out = []
     ts, fs = peaks[:, 0], peaks[:, 1]
-    for i in range(len(peaks)):
-        t0, f0 = int(ts[i]), int(fs[i])
-        j = np.searchsorted(ts, t0 + lo, side="left")
-        k = np.searchsorted(ts, t0 + hi, side="right")
-        for t1, f1 in peaks[j : min(k, j + FANOUT)]:
-            h = (f0 << 16) | (int(f1) << 6) | (int(t1) - t0)
-            out.append((h, t0))
-    if not out:
-        return np.empty((0, 2), np.int64)
-    return np.array(out, np.int64)
+    # vectorized pairing: per anchor i the targets are the first FANOUT
+    # peaks in the [t+lo, t+hi] frame window — one searchsorted pair +
+    # a broadcast index grid, no per-peak Python loop
+    j = np.searchsorted(ts, ts + lo, side="left")
+    k = np.searchsorted(ts, ts + hi, side="right")
+    tgt = j[:, None] + np.arange(FANOUT)[None, :]
+    valid = tgt < np.minimum(k, j + FANOUT)[:, None]
+    tgt = np.clip(tgt, 0, len(ts) - 1)
+    h = (fs[:, None] << 16) | (fs[tgt] << 6) | (ts[tgt] - ts[:, None])
+    anchors = np.broadcast_to(ts[:, None], h.shape)
+    out = np.stack([h[valid], anchors[valid]], axis=1)
+    return out.astype(np.int64)
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
