@@ -139,6 +139,7 @@ from ballista_spark.operators.audiofp import (
     landmark_fingerprints,
 )
 from ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from ballista_spark.operators.pdf import pdf_extract_text, pdf_page_count, pdf_to_text
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
 from ballista_spark.operators.dataset import curriculum_order, fim_split, group_split
@@ -302,6 +303,9 @@ __all__ = [
     "landmark_fingerprints",
     "decode_jpeg",
     "encode_jpeg",
+    "pdf_extract_text",
+    "pdf_page_count",
+    "pdf_to_text",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",
