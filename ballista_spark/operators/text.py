@@ -297,6 +297,41 @@ def chunk_documents(
     )
 
 
+#: common sentence-internal abbreviations the splitter must not break
+#: after (finite alternation — Java lookbehind requires bounded width)
+_ABBREV = "Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc|approx|No|Fig|Eq|al|Inc|Ltd|Co|Corp"
+#: split AFTER terminal punctuation (+ optional closing quote/bracket),
+#: at whitespace, BEFORE an uppercase/digit/opening-quote start; never
+#: after a known abbreviation or a single initial ("J. Smith").
+#: Decimal points are safe implicitly: no whitespace follows them.
+_SENT_SPLIT = (
+    rf"(?<=[.!?][\")\]']|[.!?])"
+    rf"(?<!\b(?:{_ABBREV})\.)(?<!\b[A-Z]\.)"
+    rf"\s+(?=[A-Z0-9\"'(\[])"
+)
+
+
+def split_sentences(df, text_col: str = "text", key_col: str = "doc_id"):
+    """(key, sentence_id, sentence) — rule-based sentence segmentation:
+    split at whitespace following terminal punctuation (with optional
+    closing quote/bracket) before an uppercase/digit start, guarded
+    against common abbreviations and single initials.
+
+    The pipeline's sentence-level unit for quality signals, sentence
+    dedup and citation-span work.  Pure-JVM (one regex split + one
+    posexplode), map-only, zero shuffle at any corpus size — the
+    ``chunk_documents`` scale shape.  Empty documents yield no rows;
+    surrounding whitespace is trimmed per sentence.
+    """
+    sents = F.split(F.col(text_col), _SENT_SPLIT)
+    return (
+        df.select(F.col(key_col).alias("key"), sents.alias("__s"))
+        .select("key", F.posexplode("__s").alias("sentence_id", "sentence"))
+        .withColumn("sentence", F.trim("sentence"))
+        .where(F.length("sentence") > 0)
+    )
+
+
 def span_doc_frequencies(df, text_col: str = "text", key_col: str = "doc_id",
                          delim: str = "\n"):
     """Global document frequency per text span (line/paragraph).

@@ -341,3 +341,54 @@ def test_span_dedup_plan_stays_jvm_side(spark):
     assert "CartesianProduct" not in plan, plan
     # canonical-first must come from a hash aggregate, not a span Window
     assert "Window" not in plan, plan
+
+
+# --- sentence segmentation -------------------------------------------
+
+
+def test_split_sentences_basic(spark):
+    from ballista_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "First sentence. Second one! Is this third? Yes.")],
+        "doc_id long, text string",
+    )
+    got = [r["sentence"] for r in split_sentences(df).orderBy("sentence_id").collect()]
+    assert got == ["First sentence.", "Second one!", "Is this third?", "Yes."]
+
+
+def test_split_sentences_guards(spark):
+    from ballista_spark.operators.text import split_sentences
+
+    cases = {
+        1: "Dr. Smith saw Mr. Jones. They met at 3.14 Main St. in town.",
+        2: 'He said "Stop!" Then left.',
+        3: "See Fig. 2 for details. The plot thickens.",
+        4: "J. R. Tolkien wrote it. Everyone read it.",
+        5: "",
+        6: "   ",
+    }
+    df = spark.createDataFrame(list(cases.items()), "doc_id long, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["key"], []).append((r["sentence_id"], r["sentence"]))
+    s1 = [s for _, s in sorted(got[1])]
+    assert s1 == [
+        "Dr. Smith saw Mr. Jones.",
+        "They met at 3.14 Main St. in town.",
+    ]
+    s2 = [s for _, s in sorted(got[2])]
+    assert s2 == ['He said "Stop!"', "Then left."]
+    s3 = [s for _, s in sorted(got[3])]
+    assert s3 == ["See Fig. 2 for details.", "The plot thickens."]
+    s4 = [s for _, s in sorted(got[4])]
+    assert s4 == ["J. R. Tolkien wrote it.", "Everyone read it."]
+    assert 5 not in got and 6 not in got
+
+
+def test_split_sentences_plan_map_only(spark):
+    from ballista_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame([(1, "A. B.")], "doc_id long, text string")
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
