@@ -140,6 +140,11 @@ from ballista_spark.operators.audiofp import (
 )
 from ballista_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from ballista_spark.operators.pdf import pdf_extract_text, pdf_page_count, pdf_to_text
+from ballista_spark.operators.robots import (
+    filter_robots_allowed,
+    parse_robots,
+    parse_robots_text,
+)
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
 from ballista_spark.operators.dataset import curriculum_order, fim_split, group_split
@@ -306,6 +311,9 @@ __all__ = [
     "pdf_extract_text",
     "pdf_page_count",
     "pdf_to_text",
+    "filter_robots_allowed",
+    "parse_robots",
+    "parse_robots_text",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",
