@@ -148,6 +148,7 @@ from ballista_spark.operators.robots import (
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
 from ballista_spark.operators.dataset import curriculum_order, fim_split, group_split
+from ballista_spark.operators.dataset import span_corrupt
 from ballista_spark.operators.similarity import (
     cluster_assign,
     cluster_balanced_sample,
@@ -381,6 +382,7 @@ __all__ = [
     "group_split",
     "curriculum_order",
     "fim_split",
+    "span_corrupt",
     "exact_dedup_weighted",
     "weighted_sample_k",
 ]

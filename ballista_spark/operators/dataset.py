@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -552,4 +553,101 @@ def fim_split(
         df.withColumn("fim_prefix", prefix)
         .withColumn("fim_middle", middle)
         .withColumn("fim_suffix", suffix)
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    key_cols: Sequence[str] = ("doc_id",),
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    seed: str = "t5",
+    sentinel_fmt: str = "<extra_id_{}>",
+) -> DataFrame:
+    """T5 span-corruption prep (Raffel et al. 2020 §3.1.4): adds
+    ``corrupt_inputs`` / ``corrupt_targets`` token arrays — masked spans
+    replaced by per-span sentinels in the inputs, targets = each
+    sentinel followed by the span it hides (then a final closing
+    sentinel), so the pair reconstructs the original exactly (pinned in
+    tests).
+
+    ``round(rate·n)`` tokens are masked across ``round(n_mask/mean_span)``
+    non-adjacent spans.  Span lengths and gap positions come from a
+    PRNG seeded with the md5 of ``(seed, key_cols)`` — the fim_split
+    determinism contract: identical across runs, partitionings and
+    cluster sizes, re-rollable per epoch by reseeding, never ``rand()``.
+
+    Arrow-batched pandas UDF (the per-doc segment construction is
+    genuinely imperative — the bpe_encode precedent), map-only, no
+    shuffle.  Docs with fewer than 2 tokens (or NULL) pass through with
+    empty targets.
+    """
+    import hashlib
+    import random
+
+    from pyspark.sql import types as T
+
+    keys = [F.col(c).cast("string") for c in key_cols]
+
+    # single Series UDF returning [inputs, targets] — a struct-returning
+    # pandas UDF can't infer its eval type under
+    # `from __future__ import annotations` (string hints)
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
+    def corrupt(toks_s: pd.Series, key_s: pd.Series) -> pd.Series:
+        out = []
+        for toks, key in zip(toks_s, key_s):
+            if toks is None:
+                out.append(None)
+                continue
+            if len(toks) < 2:
+                out.append([list(toks), []])
+                continue
+            toks = list(toks)
+            n = len(toks)
+            n_mask = min(n - 1, max(1, round(corruption_rate * n)))
+            n_spans = max(1, round(n_mask / mean_span))
+            rng = random.Random(
+                hashlib.md5((seed + ":" + key).encode()).digest()
+            )
+            # span lengths: positive parts of n_mask (stars and bars)
+            cuts = sorted(rng.sample(range(1, n_mask), n_spans - 1)) if n_spans > 1 else []
+            lens = [b - a for a, b in zip([0] + cuts, cuts + [n_mask])]
+            # gaps: n_keep tokens split into n_spans+1 segments, interior
+            # gaps >= 1 so spans never touch (T5's non-adjacency)
+            n_keep = n - n_mask
+            n_gaps = n_spans + 1
+            interior = n_gaps - 2
+            free = n_keep - interior  # first/last gap may be 0
+            if free < 0:  # degenerate: too many spans for the gaps
+                n_spans = max(1, n_keep)
+                cuts = sorted(rng.sample(range(1, n_mask), n_spans - 1)) if n_spans > 1 else []
+                lens = [b - a for a, b in zip([0] + cuts, cuts + [n_mask])]
+                interior = n_spans - 1
+                free = n_keep - interior
+            gcuts = sorted(rng.choices(range(free + 1), k=n_gaps - 1))
+            gaps = [b - a for a, b in zip([0] + gcuts, gcuts + [free])]
+            for i in range(1, len(gaps) - 1):
+                gaps[i] += 1  # interior minimum
+            inp, tgt = [], []
+            pos = 0
+            for si, (g, L) in enumerate(zip(gaps, lens + [0])):
+                inp.extend(toks[pos : pos + g])
+                pos += g
+                if si < n_spans:
+                    s = sentinel_fmt.format(si)
+                    inp.append(s)
+                    tgt.append(s)
+                    tgt.extend(toks[pos : pos + L])
+                    pos += L
+            tgt.append(sentinel_fmt.format(n_spans))
+            out.append([inp, tgt])
+        return pd.Series(out)
+
+    packed = corrupt(F.col(tokens_col), F.concat_ws("\x1f", *keys))
+    return (
+        df.withColumn("__c", packed)
+        .withColumn("corrupt_inputs", F.try_element_at("__c", F.lit(1)))
+        .withColumn("corrupt_targets", F.try_element_at("__c", F.lit(2)))
+        .drop("__c")
     )

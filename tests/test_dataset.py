@@ -76,3 +76,79 @@ def test_shuffle_deterministic_order_properties(spark, duck):
     ).collect()
     concat = [d for _, ds in sorted(by_shard) for d in ds]
     assert concat == base  # shard i = i-th contiguous slice of the order
+
+
+# --- T5 span corruption ------------------------------------------------
+
+
+def _reconstruct(inputs, targets):
+    """Invert span corruption: splice each sentinel's span back in."""
+    spans = {}
+    cur = None
+    for t in targets:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    out = []
+    for tok in inputs:
+        if tok.startswith("<extra_id_"):
+            out.extend(spans.get(tok, []))
+        else:
+            out.append(tok)
+    return out
+
+
+def test_span_corrupt_reconstructs_exactly(spark):
+    from ballista_spark.operators.dataset import span_corrupt
+
+    rows = [(i, [f"w{i}_{j}" for j in range(5 + (i * 7) % 40)]) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = span_corrupt(df).collect()
+    assert len(got) == 29
+    for r in got:
+        orig = dict(rows)[r["doc_id"]]
+        assert _reconstruct(r["corrupt_inputs"], r["corrupt_targets"]) == orig
+        # targets end with the closing sentinel
+        assert r["corrupt_targets"][-1].startswith("<extra_id_")
+        # sentinels appear in order in the inputs
+        sents = [t for t in r["corrupt_inputs"] if t.startswith("<extra_id_")]
+        assert sents == [f"<extra_id_{k}>" for k in range(len(sents))]
+
+
+def test_span_corrupt_rate_and_determinism(spark):
+    from ballista_spark.operators.dataset import span_corrupt
+
+    rows = [(i, [f"t{j}" for j in range(200)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {r["doc_id"]: r for r in span_corrupt(df, corruption_rate=0.15).collect()}
+    masked = [
+        sum(1 for t in r["corrupt_targets"] if not t.startswith("<extra_id_"))
+        for r in got.values()
+    ]
+    assert all(m == 30 for m in masked)  # round(0.15*200) exactly
+    # partition-layout invariance + reseed changes the draw
+    again = {
+        r["doc_id"]: r for r in span_corrupt(df.repartition(7)).collect()
+    }
+    assert all(
+        again[k]["corrupt_inputs"] == got[k]["corrupt_inputs"] for k in got
+    )
+    other = {r["doc_id"]: r for r in span_corrupt(df, seed="epoch2").collect()}
+    assert any(
+        other[k]["corrupt_inputs"] != got[k]["corrupt_inputs"] for k in got
+    )
+
+
+def test_span_corrupt_edges(spark):
+    from ballista_spark.operators.dataset import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, None), (3, ["a", "b"])],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r["doc_id"]: r for r in span_corrupt(df).collect()}
+    assert got[1]["corrupt_inputs"] == ["a"] and got[1]["corrupt_targets"] == []
+    assert got[2]["corrupt_inputs"] is None and got[2]["corrupt_targets"] is None
+    assert _reconstruct(got[3]["corrupt_inputs"], got[3]["corrupt_targets"]) == ["a", "b"]
