@@ -153,6 +153,8 @@ from ballista_spark.operators.similarity import (
     cluster_assign,
     cluster_balanced_sample,
     cluster_sizes,
+    dequantize_embedding,
+    quantize_embeddings,
 )
 from ballista_spark.operators.mixture import (
     budget_sample,
@@ -383,6 +385,8 @@ __all__ = [
     "curriculum_order",
     "fim_split",
     "span_corrupt",
+    "quantize_embeddings",
+    "dequantize_embedding",
     "exact_dedup_weighted",
     "weighted_sample_k",
 ]
