@@ -153,8 +153,6 @@ from ballista_spark.operators.similarity import (
     cluster_assign,
     cluster_balanced_sample,
     cluster_sizes,
-    dequantize_embedding,
-    quantize_embeddings,
 )
 from ballista_spark.operators.mixture import (
     budget_sample,
@@ -385,8 +383,6 @@ __all__ = [
     "curriculum_order",
     "fim_split",
     "span_corrupt",
-    "quantize_embeddings",
-    "dequantize_embedding",
     "exact_dedup_weighted",
     "weighted_sample_k",
 ]

@@ -1444,40 +1444,3 @@ def cluster_balanced_sample(
     assigned = cluster_assign(vecs, centroids, id_col, vec_col)
     return group_cap(assigned, ["cluster"], cap, [id_col], seed=seed)
 
-
-def quantize_embeddings(
-    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
-) -> DataFrame:
-    """Symmetric per-vector int8 quantization: adds ``out_col``
-    (array<tinyint>, ``round(x / scale)``) and ``<out_col>_scale``
-    (``max|x| / 127``) — a 4× storage/shuffle-byte cut for embedding
-    columns at corpus scale with cosine distortion well under any ANN
-    recall budget (pinned in tests on the real embeddings table).
-
-    Pure-JVM array expressions, map-only, zero shuffle; NULL vectors
-    stay NULL, all-zero vectors quantize to zeros with scale 0.
-    Dequantize with :func:`dequantize_embedding` (exact inverse up to
-    the ±scale/2 rounding bound, also pinned)."""
-    if out_col is None:
-        out_col = f"{vec_col}_q"
-    x = F.col(vec_col)
-    scale_col = f"{out_col}_scale"
-    # materialize the scale into its own column BEFORE the codes lambda
-    # touches it — a lambda capturing the array_max expression would
-    # re-evaluate it per element (the interpreted-HOF O(d²) trap)
-    with_scale = df.withColumn(
-        scale_col, F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
-    )
-    s = F.col(scale_col)
-    codes = F.when(
-        s == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))
-    ).otherwise(F.transform(x, lambda v: F.round(v / s).cast("tinyint")))
-    return with_scale.withColumn(out_col, codes)
-
-
-def dequantize_embedding(codes="embedding_q", scale="embedding_q_scale") -> F.Column:
-    """array<double> reconstruction of a quantized embedding:
-    ``codes[i] * scale`` (the exact inverse of the quantizer's grid)."""
-    c = F.col(codes) if isinstance(codes, str) else codes
-    s = F.col(scale) if isinstance(scale, str) else scale
-    return F.transform(c, lambda v: v.cast("double") * s)

@@ -536,53 +536,3 @@ def test_screen_against_drops_exact_and_near_dups(spark):
         for r in screen_against(batch, seen, near_dup_threshold=None).collect()
     )
     assert kept2 == [2, 3]
-
-
-# --- int8 embedding quantization ---------------------------------------
-
-
-def test_quantize_embeddings_roundtrip_and_cosine(spark):
-    import numpy as np
-    from pyspark.sql import functions as F
-
-    from ballista_spark.operators.similarity import (
-        dequantize_embedding,
-        quantize_embeddings,
-    )
-
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    q = quantize_embeddings(emb)
-    rows = q.select("embedding", "embedding_q", "embedding_q_scale").limit(200).collect()
-    assert rows
-    for r in rows:
-        x = np.array(r["embedding"], np.float64)
-        codes = np.array(r["embedding_q"], np.int64)
-        s = r["embedding_q_scale"]
-        assert codes.min() >= -127 and codes.max() <= 127
-        # rounding bound: |x - c*s| <= s/2 (+fp eps)
-        assert np.abs(x - codes * s).max() <= s / 2 + 1e-9
-        deq = codes * s
-        cos = deq @ x / (np.linalg.norm(deq) * np.linalg.norm(x))
-        assert cos > 0.999
-    # dequantize expression matches numpy
-    back = q.select(dequantize_embedding().alias("d"), "embedding_q", "embedding_q_scale").first()
-    np.testing.assert_allclose(
-        back["d"], np.array(back["embedding_q"]) * back["embedding_q_scale"], rtol=1e-12
-    )
-
-
-def test_quantize_embeddings_zero_and_plan(spark):
-    from pyspark.sql import functions as F
-
-    from ballista_spark.operators.similarity import quantize_embeddings
-
-    df = spark.createDataFrame(
-        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
-        "id long, emb array<double>",
-    )
-    q = quantize_embeddings(df, vec_col="emb")
-    got = {r["id"]: r for r in q.collect()}
-    assert got[1]["emb_q"] == [0, 0, 0] and got[1]["emb_q_scale"] == 0.0
-    assert got[2]["emb_q"][1] == -127  # max-magnitude dim maps to +-127
-    plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "BatchEvalPython" not in plan
