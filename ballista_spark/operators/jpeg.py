@@ -212,8 +212,11 @@ class _BitReader:
         self._marker = None  # marker byte hit while filling, if any
 
     def _fill(self) -> None:
+        # drop consumed high bits first so acc stays bounded even when
+        # the caller skips the per-read masking (the inlined hot loop)
+        self.acc &= (1 << self.nbits) - 1
         data, n = self.data, len(self.data)
-        while self.nbits <= 24:
+        while self.nbits < 48:
             if self._marker is not None or self.pos >= n:
                 # past a marker (or EOF): pad with 1-bits per T.81 F.2.2.5
                 self.acc = (self.acc << 8) | 0xFF
@@ -275,17 +278,89 @@ def _extend(v: int, t: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# EXIF orientation
+
+def _tiff_orientation(tiff: bytes) -> int:
+    """Orientation (tag 0x0112) from a TIFF blob's IFD0, 1 if absent."""
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return 1
+    try:
+        if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+            return 1
+        (off,) = struct.unpack_from(e + "I", tiff, 4)
+        (n,) = struct.unpack_from(e + "H", tiff, off)
+        for i in range(n):
+            ent = off + 2 + 12 * i
+            tag, typ = struct.unpack_from(e + "HH", tiff, ent)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(e + "H", tiff, ent + 8)
+                return val if 1 <= val <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def jpeg_orientation(payload: bytes) -> int:
+    """EXIF orientation (1–8; 1 = upright/absent) from the APP1 segment.
+    Cameras store rotated sensor data and set this tag; perceptual
+    hashing without applying it mismatches visually-identical images."""
+    if payload[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # scan data: APP segments are over
+            return 1
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return _tiff_orientation(payload[pos + 10 : pos + 2 + seglen])
+        pos += 2 + seglen
+    return 1
+
+
+#: EXIF orientation → upright-correcting array transform
+_ORIENT_FIX = {
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1],
+    5: lambda a: np.swapaxes(a, 0, 1),
+    6: lambda a: np.rot90(a, k=-1, axes=(0, 1)),
+    7: lambda a: np.swapaxes(a, 0, 1)[::-1, ::-1],
+    8: lambda a: np.rot90(a, k=1, axes=(0, 1)),
+}
+
+
+# ---------------------------------------------------------------------------
 # decoder
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
     """Baseline JPEG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB.
 
     Pure stdlib + numpy.  Supports SOF0 (baseline sequential), 8-bit,
     1- or 3-component, arbitrary chroma subsampling, restart intervals;
     progressive/arithmetic/12-bit/CMYK raise ``NotImplementedError``.
+    EXIF orientation is applied by default (what a browser shows —
+    required for perceptual-hash consistency across camera rotations);
+    pass ``apply_exif_orientation=False`` for the raw stored pixels.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    if apply_exif_orientation:
+        o = jpeg_orientation(payload)
+        if o != 1:
+            img = decode_jpeg(payload, apply_exif_orientation=False)
+            return np.ascontiguousarray(_ORIENT_FIX[o](img))
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], np.ndarray] = {}  # (class, id) → LUT
     frame = None
@@ -367,36 +442,59 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         c["bw"] = mcux * c["h"]  # blocks per row (incl. MCU padding)
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        c["dc_lut"] = huff[(0, scan[c["id"]][0])]
-        c["ac_lut"] = huff[(1, scan[c["id"]][1])]
+        # python-list LUTs: list indexing returns a plain int in one op,
+        # vs numpy scalar extraction + int() per symbol — the hot-loop
+        # cost (measured 15 → 5 ms per 64×64 image with the inlining)
+        c["dc_lut"] = huff[(0, scan[c["id"]][0])].tolist()
+        c["ac_lut"] = huff[(1, scan[c["id"]][1])].tolist()
         c["pred"] = 0
 
     rd = _BitReader(data, pos)
     nmcu = mcux * mcuy
+    # the bit budget per coefficient is ≤16 (code) + ≤11 (magnitude), so
+    # one `nbits < 32` refill check per coefficient suffices (_fill tops
+    # up past 48); acc/nbits live in locals, synced to rd only around
+    # _fill/restart — attribute access per bit op would dominate
+    acc = 0
+    nbits = 0
     for m in range(nmcu):
         if restart_interval and m and m % restart_interval == 0:
             rd.sync_restart()
+            acc = 0
+            nbits = 0
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(m, mcux)
         for c in comps:
             dc_lut, ac_lut, coef = c["dc_lut"], c["ac_lut"], c["coef"]
+            pred = c["pred"]
+            cbw = c["bw"]
             for by in range(c["v"]):
+                row = my * c["v"] + by
                 for bx in range(c["h"]):
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    blk = coef[row * c["bw"] + col]
+                    blk = [0] * 64
+                    if nbits < 32:
+                        rd.acc, rd.nbits = acc, nbits
+                        rd._fill()
+                        acc, nbits = rd.acc, rd.nbits
                     # DC
-                    e = int(dc_lut[rd.peek16()])
-                    rd.skip(e & 0xFF)
+                    e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    nbits -= e & 0xFF
                     t = e >> 8
-                    c["pred"] += _extend(rd.read(t), t)
-                    blk[0] = c["pred"]
+                    if t:
+                        v = (acc >> (nbits - t)) & ((1 << t) - 1)
+                        nbits -= t
+                        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    blk[0] = pred
                     # AC — run/size symbols until EOB or index 63
                     k = 1
                     while k < 64:
-                        e = int(ac_lut[rd.peek16()])
-                        rd.skip(e & 0xFF)
+                        if nbits < 32:
+                            rd.acc, rd.nbits = acc, nbits
+                            rd._fill()
+                            acc, nbits = rd.acc, rd.nbits
+                        e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                        nbits -= e & 0xFF
                         rs = e >> 8
                         if rs == 0x00:  # EOB
                             break
@@ -405,10 +503,19 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             continue
                         k += rs >> 4
                         size = rs & 0xF
+                        if size:
+                            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            nbits -= size
+                        else:
+                            v = 0
                         if k > 63:
                             break  # corrupt stream; clamp
-                        blk[k] = _extend(rd.read(size), size)
+                        blk[k] = (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        ) if size else 0
                         k += 1
+                    coef[row * cbw + mx * c["h"] + bx] = blk
+            c["pred"] = pred
 
     # numeric phase, batched per component: dequantize (zigzag order),
     # de-zigzag, IDCT over all blocks in one einsum, level shift

@@ -312,3 +312,59 @@ def test_resize_reencodes_jpeg(spark):
     out = resize_images(media, width=16, height=12, use_stub=False).collect()
     dec = decode_media(bytes(out[0]["payload"]), "image/jpeg")
     assert dec.shape == (12, 16, 3)
+
+
+# --- EXIF orientation ---------------------------------------------------
+
+
+def _with_exif(jpeg: bytes, orientation: int, byte_order: bytes = b"II") -> bytes:
+    """Splice a hand-built APP1 EXIF segment (one IFD0 entry) after SOI."""
+    if byte_order == b"II":
+        tiff = (
+            b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", orientation, 0)
+            + struct.pack("<I", 0)
+        )
+    else:
+        tiff = (
+            b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", orientation, 0)
+            + struct.pack(">I", 0)
+        )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_exif_orientation_parse_both_byte_orders():
+    from ballista_spark.operators.jpeg import jpeg_orientation
+
+    base = encode_jpeg(np.zeros((8, 8), np.uint8), 90)
+    assert jpeg_orientation(base) == 1  # no EXIF
+    assert jpeg_orientation(_with_exif(base, 6)) == 6
+    assert jpeg_orientation(_with_exif(base, 8, b"MM")) == 8
+    assert jpeg_orientation(_with_exif(base, 99)) == 1  # out of range
+
+
+def test_exif_orientation_applied_on_decode():
+    # asymmetric image: bright column 0 — rotation is visible
+    img = np.zeros((16, 8), np.uint8)
+    img[:, 0] = 255
+    base = encode_jpeg(img, 100)
+    raw = decode_jpeg(base)
+    assert raw.shape == (16, 8)
+
+    rot = decode_jpeg(_with_exif(base, 6))  # stored = scene rotated; fix = 90 CW
+    assert rot.shape == (8, 16)
+    # rot90 CW maps column 0 (left edge) to row 0 (top edge)
+    assert rot[0].mean() > 200 and rot[-1].mean() < 50
+
+    flipped = decode_jpeg(_with_exif(base, 2))
+    assert flipped.shape == (16, 8)
+    assert flipped[:, -1].mean() > 200 and flipped[:, 0].mean() < 50
+
+    # opting out returns the stored pixels
+    stored = decode_jpeg(_with_exif(base, 6), apply_exif_orientation=False)
+    assert np.array_equal(stored, raw)
