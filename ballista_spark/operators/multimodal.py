@@ -923,6 +923,38 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
+def hash_pigeonhole_chunks(h: F.Column, max_hamming: int) -> F.Column:
+    """array<struct(ci, cv)> of ``max_hamming + 1`` bit-chunks of a
+    64-bit hash: any pair within the Hamming budget agrees on ≥1
+    (ci, cv) — the lossless pigeonhole banding key shared by the batch
+    pairer and the streaming gate.
+
+    chunk i = bits [i*width, ...); the last chunk absorbs the 64 mod
+    n_chunks remainder bits.  Extraction must be sign-safe on the
+    signed-long representation: shiftrightunsigned(h, 0) is h itself,
+    so a ``%``-based low-chunk extract would go negative for hashes
+    with the sign bit set — mask with bitwiseAND instead (exact for
+    every chunk; the last chunk's unsigned shift already isolates the
+    top bits, so no mask is needed there)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.shiftrightunsigned(h, i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    if i < n_chunks - 1
+                    else F.shiftrightunsigned(h, i * width)
+                ).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+
+
 def image_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 4,
@@ -940,32 +972,7 @@ def image_neardup_pairs(
     distance is a JVM ``bit_count(xor)`` verify.  EXACT: banding is
     lossless for Hamming distance (pigeonhole), unlike MinHash's
     probabilistic recall."""
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    h = F.col("hv")  # post-rename: chunks are built over the hv projection
-    # chunk i = bits [i*width, ...): the last chunk absorbs the 64 mod
-    # n_chunks remainder bits.  Extraction must be sign-safe on the
-    # signed-long representation: shiftrightunsigned(h, 0) is h itself,
-    # so a `%`-based low-chunk extract would go negative for hashes with
-    # the sign bit set — mask with bitwiseAND instead (exact for every
-    # chunk; the last chunk's unsigned shift already isolates the top
-    # bits, so no mask is needed there).
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                (
-                    F.shiftrightunsigned(h, i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    if i < n_chunks - 1
-                    # last chunk: the shift already isolates the top bits
-                    else F.shiftrightunsigned(h, i * width)
-                ).alias("cv"),
-            )
-            for i in range(n_chunks)
-        ]
-    )
+    chunks = hash_pigeonhole_chunks(F.col("hv"), max_hamming)
     banded = (
         hashes.select(F.col(key_col).alias("key"), F.col(hash_col).alias("hv"))
         .where(F.col("hv").isNotNull())

@@ -214,3 +214,82 @@ def near_dup_gate_stream(
         .otherwise(F.lit("suspect"))
         .alias("verdict"),
     )
+
+
+def media_neardup_gate_stream(
+    hashes: DataFrame,
+    ts_col: str,
+    key_col: str = "media_id",
+    hash_col: str = "dhash",
+    watermark: str = "30 minutes",
+    window: str = "10 minutes",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Streaming perceptual near-dup gate for media — the in-stream face
+    of the batch ``multimodal.image_neardup_pairs`` (images, audio and
+    video all pair through their 64-bit dHashes, so one gate serves all
+    three).  Input is a streaming (key, hash, ts) frame — compute hashes
+    upstream with ``dhash_images``/``dhash_audio`` (``mapInPandas`` is
+    streaming-admissible).
+
+    Mechanism mirrors :func:`near_dup_gate_stream`, with a STRONGER
+    guarantee: the hash splits into ``max_hamming + 1`` pigeonhole
+    chunks (``multimodal.hash_pigeonhole_chunks`` — the exact batch
+    banding), so any pair within the Hamming budget shares ≥1 chunk
+    DETERMINISTICALLY, not w.h.p.; chunk buckets run through
+    ``dropDuplicatesWithinWatermark`` and a windowed count of surviving
+    chunks classifies:
+
+    - ``admit``   — every chunk bucket unseen within the horizon: NOT
+      within ``max_hamming`` of any recent item (pigeonhole — exact).
+    - ``suspect`` — ≥1 chunk collided: possibly a near-dup (chunk
+      collisions can be coincidental); route to the batch verifier
+      (``image_neardup_pairs``'s ``bit_count(xor)``), which re-admits
+      false positives.
+
+    A presence row (chunk −1, bucket unique per (key, ts)) keeps full
+    duplicates visible in the output with a verdict.  State: chunk
+    buckets + per-(window, key) counts, both watermark-bounded, append
+    mode.  Returns (key, window_start, n_chunks, n_fresh, verdict).
+    """
+    from ballista_spark.operators.multimodal import hash_pigeonhole_chunks
+
+    n_chunks = max_hamming + 1
+    presence = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("ci"),
+            F.xxhash64(F.col(key_col), F.col(ts_col)).alias("cv"),
+        )
+    )
+    rows = (
+        hashes.where(F.col(hash_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("__ts"),
+            F.explode(
+                F.concat(
+                    hash_pigeonhole_chunks(F.col(hash_col), max_hamming), presence
+                )
+            ).alias("c"),
+        )
+        .select(
+            "key",
+            "__ts",
+            F.col("c.ci").alias("chunk_id"),
+            F.col("c.cv").alias("chunk_val"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+    fresh = rows.dropDuplicatesWithinWatermark(["chunk_id", "chunk_val"])
+    counts = fresh.groupBy(
+        F.window("__ts", window).alias("w"), F.col("key")
+    ).agg(F.sum((F.col("chunk_id") >= 0).cast("int")).alias("n_fresh"))
+    return counts.select(
+        "key",
+        F.col("w.start").alias("window_start"),
+        F.lit(n_chunks).alias("n_chunks"),
+        "n_fresh",
+        F.when(F.col("n_fresh") == n_chunks, F.lit("admit"))
+        .otherwise(F.lit("suspect"))
+        .alias("verdict"),
+    )

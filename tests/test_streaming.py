@@ -375,3 +375,48 @@ def test_streaming_near_dup_gate_catches_planted_pairs(spark, tmp_path):
     assert got[31]["verdict"] == "admit" and got[31]["n_bands"] == 0
     # exact duplicate pair: never both admitted
     assert not (got[0]["verdict"] == "admit" and got[30]["verdict"] == "admit")
+
+
+def test_streaming_media_neardup_gate(spark, tmp_path):
+    """Perceptual in-stream gate: a hamming<=4 pair must never see both
+    members admitted (pigeonhole is exact, not probabilistic); distant
+    hashes admit; an exact hash duplicate stays visible with a verdict."""
+    import datetime as dt
+
+    from ballista_spark.streaming.curate import media_neardup_gate_stream
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    h0 = 0x1234_5678_9ABC_DEF0
+    near = h0 ^ 0b1011  # hamming 3 within chunk 0
+    sign_near = h0 ^ (1 << 63) ^ (1 << 20)  # hamming 2, sign bit flipped
+    far = 0x0F0F_0F0F_F0F0_A5A5
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        (1, signed(h0), base),
+        (2, signed(near), base + dt.timedelta(minutes=1)),
+        (3, signed(far), base + dt.timedelta(minutes=2)),
+        (4, signed(h0), base + dt.timedelta(minutes=3)),        # exact dup
+        (5, signed(sign_near), base + dt.timedelta(minutes=4)),  # sign-bit case
+        (99, 42, base + dt.timedelta(hours=3)),                  # flusher
+    ]
+    batch = spark.createDataFrame(rows, "media_id long, dhash long, ts timestamp")
+    src = str(tmp_path / "media_gate_src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = media_neardup_gate_stream(
+        stream, "ts", watermark="30 minutes", window="10 minutes", max_hamming=4
+    )
+    _run_to_memory(gated, "media_gate", "append")
+    got = {r["key"]: r for r in spark.sql("SELECT * FROM media_gate").collect()}
+    assert {1, 2, 3, 4, 5} <= set(got)  # no silent drops (presence row)
+    # near-dup pair: at least one member flagged
+    assert got[2]["verdict"] == "suspect" or got[1]["verdict"] == "suspect"
+    assert got[3]["verdict"] == "admit"
+    # exact duplicate: never both admitted
+    assert not (got[1]["verdict"] == "admit" and got[4]["verdict"] == "admit")
+    # the ADVICE-high regression shape: sign-bit-differing near pair is caught
+    assert got[5]["verdict"] == "suspect"
+    assert all(r["n_chunks"] == 5 for r in got.values())
