@@ -36,7 +36,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["pdf_to_text", "pdf_page_count", "pdf_extract_text"]
@@ -162,22 +161,25 @@ def _decode_string_token(tok: bytes) -> str:
     return _string_to_text(bytes.fromhex(hexdigits.decode("ascii")))
 
 
-def pdf_to_text(payload: bytes) -> str:
-    """Extract text from a PDF's content streams.  Returns '' for
-    encrypted or text-free files; never raises on malformed input (the
-    crawl-robustness contract shared with `parse_warc_bytes`)."""
+def _pdf_parse(payload: bytes) -> tuple[str, int]:
+    """ONE object scan → (text, n_pages) — the mapInPandas stage calls
+    this so multi-MB payloads are regex-walked once, not once per
+    public accessor."""
     if not payload or payload[:5] != b"%PDF-":
-        return ""
+        return "", 0
     if _ENCRYPT_RE.search(payload):
-        return ""
+        return "", 0
     texts = []
+    n_pages = 0
     for obj in _OBJ_RE.finditer(payload):
         body = obj.group(1)
         sm = _STREAM_RE.search(body)
+        head = body[: sm.start()] if sm else body
+        n_pages += len(_PAGE_RE.findall(head))
         if not sm:
             continue
         data = sm.group(1)
-        if _FLATE_RE.search(body[: sm.start()]):
+        if _FLATE_RE.search(head):
             try:
                 data = zlib.decompress(data)
             except zlib.error:
@@ -187,19 +189,19 @@ def pdf_to_text(payload: bytes) -> str:
         t = _extract_stream_text(data)
         if t:
             texts.append(t)
-    return "\n".join(texts)
+    return "\n".join(texts), n_pages
+
+
+def pdf_to_text(payload: bytes) -> str:
+    """Extract text from a PDF's content streams.  Returns '' for
+    encrypted or text-free files; never raises on malformed input (the
+    crawl-robustness contract shared with `parse_warc_bytes`)."""
+    return _pdf_parse(payload)[0]
 
 
 def pdf_page_count(payload: bytes) -> int:
     """Number of /Type /Page objects (0 for non-PDF/encrypted input)."""
-    if not payload or payload[:5] != b"%PDF-":
-        return 0
-    n = 0
-    for obj in _OBJ_RE.finditer(payload):
-        sm = _STREAM_RE.search(obj.group(1))
-        head = obj.group(1)[: sm.start()] if sm else obj.group(1)
-        n += len(_PAGE_RE.findall(head))
-    return n
+    return _pdf_parse(payload)[1]
 
 
 PDF_TEXT_SCHEMA = T.StructType(
@@ -227,10 +229,9 @@ def pdf_extract_text(
                     texts.append(None)
                     pages.append(0)
                     continue
-                b = bytes(p)
-                t = pdf_to_text(b)
+                t, np_ = _pdf_parse(bytes(p))
                 texts.append(t if t else None)
-                pages.append(pdf_page_count(b))
+                pages.append(np_)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="int64"),

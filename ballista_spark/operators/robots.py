@@ -62,7 +62,7 @@ def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
     names lowercase (product tokens are case-insensitive)."""
     rules: list[tuple[str, bool, str]] = []
     agents: list[str] = []
-    last_was_agent = False
+    collecting_agents = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -71,15 +71,21 @@ def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            if not last_was_agent:
+            if not collecting_agents:
                 agents = []
             agents.append(value.lower())
-            last_was_agent = True
+            collecting_agents = True
             continue
-        last_was_agent = False
-        if key in ("allow", "disallow") and agents and value:
-            for a in agents:
-                rules.append((a, key == "allow", value))
+        if key in ("allow", "disallow"):
+            # only RULE lines close the agent-collection phase: unknown
+            # directives (Crawl-delay, Sitemap, …) between stacked
+            # User-agent lines MUST NOT split the group (RFC 9309
+            # §2.2.4 "parsing of other records MUST NOT interfere";
+            # Google's reference parser behaves the same)
+            collecting_agents = False
+            if agents and value:
+                for a in agents:
+                    rules.append((a, key == "allow", value))
     return rules
 
 
@@ -120,7 +126,12 @@ _URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
 
 def _url_path(url: F.Column) -> F.Column:
     p = F.regexp_extract(url, _URL_PATH_RE, 1)
-    return F.when(p == "", F.lit("/")).otherwise(p)
+    # a URL with a query but empty path ("http://h?a=1") captures "?a=1";
+    # RFC 9309 matches path-plus-query octets rooted at "/", so restore
+    # the leading slash or "Disallow: /" would never match it
+    return F.when(p == "", F.lit("/")).otherwise(
+        F.when(p.startswith("/"), p).otherwise(F.concat(F.lit("/"), p))
+    )
 
 
 def _path_regex(path: F.Column) -> F.Column:

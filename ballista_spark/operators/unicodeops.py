@@ -50,10 +50,13 @@ def nfkc_normalize(text="text") -> F.Column:
 
 
 def strip_accents(text="text") -> F.Column:
-    """Remove combining marks (BERT ``strip_accents`` semantics): NFD
-    decompose, drop category-Mn codepoints, NFC recompose what remains.
-    ``é`` → ``e``, ``ñ`` → ``n``; non-Latin scripts without combining
-    marks pass through unchanged.  NULL in, NULL out."""
+    """Remove combining marks (BERT ``_run_strip_accents``, verbatim):
+    NFD decompose, drop category-Mn codepoints, and return the
+    decomposed remainder WITHOUT recomposing — BERT does not NFC the
+    result, and recomposing diverges on scripts NFC composes (e.g.
+    Hangul syllables recompose from Jamo; BERT leaves the Jamo), which
+    would mismatch a vocab built with the reference tokenizer.
+    ``é`` → ``e``, ``ñ`` → ``n``; NULL in, NULL out."""
 
     @F.pandas_udf(T.StringType())
     def _strip(s: pd.Series) -> pd.Series:
@@ -64,11 +67,8 @@ def strip_accents(text="text") -> F.Column:
             # category Mn (not combining-class != 0): BERT's documented
             # predicate.  The two differ on ccc=0 Mn marks (many Indic
             # matras/viramas), which BERT strips and combining() keeps.
-            return unicodedata.normalize(
-                "NFC",
-                "".join(
-                    c for c in decomposed if unicodedata.category(c) != "Mn"
-                ),
+            return "".join(
+                c for c in decomposed if unicodedata.category(c) != "Mn"
             )
 
         return s.map(one)

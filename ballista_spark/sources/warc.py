@@ -104,12 +104,20 @@ def _iter_gunzip(chunks: Iterable[bytes]) -> Iterator[bytes]:
             if d.eof:  # previous member finished mid-chunk — next one
                 d = zlib.decompressobj(16 + zlib.MAX_WBITS)
             try:
-                out = d.decompress(data)
+                # cap the inflate per call: a high-ratio chunk (zero
+                # runs, decompression bombs) would otherwise inflate a
+                # 4 MiB read to GiBs in ONE allocation, violating the
+                # O(chunk) contract above; drain unconsumed_tail until
+                # the input chunk is fully processed
+                out = d.decompress(data, DEFAULT_CHUNK_BYTES)
             except zlib.error:
                 return
             if out:
                 yield out
-            data = d.unused_data
+            if d.unconsumed_tail:
+                data = d.unconsumed_tail
+            else:
+                data = d.unused_data
         nxt = next(it, None)
         if nxt is None:
             return

@@ -164,3 +164,22 @@ def test_filter_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+def test_parse_unknown_directive_between_agent_lines_keeps_group():
+    """RFC 9309 §2.2.4: non-rule records between stacked User-agent
+    lines must not split the group (the Google-parser behavior)."""
+    rules = parse_robots_text(
+        "User-agent: googlebot\nCrawl-delay: 5\n"
+        "User-agent: bingbot\nDisallow: /private"
+    )
+    assert ("googlebot", False, "/private") in rules
+    assert ("bingbot", False, "/private") in rules
+
+
+def test_filter_query_only_url_matches_root_rules(spark):
+    """'http://h?a=1' has path-plus-query '/?a=1' — '/'-anchored rules
+    (incl. Disallow: /) must match it."""
+    rules = _rules_df(spark, [("q.com", "User-agent: *\nDisallow: /")])
+    urls = _urls_df(spark, ["https://q.com?a=1", "https://other.com?a=1"])
+    got = {r["url"] for r in filter_robots_allowed(urls, rules).collect()}
+    assert got == {"https://other.com?a=1"}

@@ -96,3 +96,25 @@ def test_tokenizer_prep_composition(spark):
         .collect()
     )
     assert {(r.w, r["count"]) for r in words} == {("fire", 4)}
+
+
+def test_strip_accents_does_not_recompose(spark):
+    """BERT's _run_strip_accents returns the NFD remainder WITHOUT NFC
+    recomposition: a Hangul syllable stays decomposed Jamo (category Lo,
+    untouched by the Mn filter) — recomposing would mismatch tokens
+    against a vocab built with the reference tokenizer."""
+    import unicodedata
+
+    from ballista_spark.operators.unicodeops import strip_accents
+
+    han = "한"  # HANGUL SYLLABLE HAN
+    df = spark.createDataFrame([(han,)], "text string")
+    [r] = df.select(strip_accents("text").alias("s")).collect()
+    want = "".join(
+        c
+        for c in unicodedata.normalize("NFD", han)
+        if unicodedata.category(c) != "Mn"
+    )
+    assert r["s"] == want            # decomposed Jamo
+    assert r["s"] != han             # NOT recomposed
+    assert len(r["s"]) == 3

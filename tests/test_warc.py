@@ -249,3 +249,20 @@ def test_warc_to_documents_composition(spark, tmp_path):
     }
     assert out["x.com"] == "Hello WARC"
     assert out["y.org"] == "café unicode"
+
+
+def test_iter_gunzip_bounds_inflation_per_yield():
+    """A high-ratio member (zeros compress ~1000:1) must inflate in
+    bounded slices, never one archive-sized allocation — the O(chunk)
+    contract (decompress bombs are a real crawl input)."""
+    import gzip
+
+    from ballista_spark.sources.warc import DEFAULT_CHUNK_BYTES, _iter_gunzip
+
+    blob = gzip.compress(b"\x00" * (64 * 1024 * 1024))  # 64 MiB -> ~64 KiB
+    assert len(blob) < 1024 * 1024
+    total = 0
+    for out in _iter_gunzip([blob]):
+        assert len(out) <= DEFAULT_CHUNK_BYTES
+        total += len(out)
+    assert total == 64 * 1024 * 1024
