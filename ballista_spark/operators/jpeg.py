@@ -184,17 +184,20 @@ def _canonical_codes(bits: list[int], huffval: list[int]):
     return out
 
 
-def _decode_lut(bits: list[int], huffval: list[int]) -> np.ndarray:
+def _decode_lut(bits: list[int], huffval: list[int]) -> list[int]:
     """Flat 2^16 lookup: LUT[next16bits] = (symbol << 8) | code_length.
 
     Fills each code's aligned prefix range so ONE table index replaces
-    the bit-by-bit tree walk — the classic fast Huffman decode.
+    the bit-by-bit tree walk — the classic fast Huffman decode.  A
+    plain Python list: list indexing returns an int in one op, and a
+    slice-assign fill beats building a numpy array + per-scan tolist()
+    (which profiled as ⅓ of small-image decode time).
     """
-    lut = np.zeros(1 << _LUT_BITS, dtype=np.uint16)
+    lut = [0] * (1 << _LUT_BITS)
     for sym, code, length in _canonical_codes(bits, huffval):
         lo = code << (_LUT_BITS - length)
-        hi = lo + (1 << (_LUT_BITS - length))
-        lut[lo:hi] = (sym << 8) | length
+        span = 1 << (_LUT_BITS - length)
+        lut[lo : lo + span] = [(sym << 8) | length] * span
     return lut
 
 
@@ -216,7 +219,10 @@ class _BitReader:
         # the caller skips the per-read masking (the inlined hot loop)
         self.acc &= (1 << self.nbits) - 1
         data, n = self.data, len(self.data)
-        while self.nbits < 48:
+        # top up well past one coefficient's 27-bit worst case: a large
+        # buffer amortizes the call overhead (the scan refills every
+        # ~8 coefficients instead of every other one)
+        while self.nbits < 256:
             if self._marker is not None or self.pos >= n:
                 # past a marker (or EOF): pad with 1-bits per T.81 F.2.2.5
                 self.acc = (self.acc << 8) | 0xFF
@@ -362,7 +368,7 @@ def decode_jpeg(payload: bytes, apply_exif_orientation: bool = True) -> np.ndarr
             img = decode_jpeg(payload, apply_exif_orientation=False)
             return np.ascontiguousarray(_ORIENT_FIX[o](img))
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], np.ndarray] = {}  # (class, id) → LUT
+    huff: dict[tuple[int, int], list[int]] = {}  # (class, id) → LUT
     frame = None
     restart_interval = 0
     pos = 2
@@ -442,11 +448,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         c["bw"] = mcux * c["h"]  # blocks per row (incl. MCU padding)
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        # python-list LUTs: list indexing returns a plain int in one op,
-        # vs numpy scalar extraction + int() per symbol — the hot-loop
-        # cost (measured 15 → 5 ms per 64×64 image with the inlining)
-        c["dc_lut"] = huff[(0, scan[c["id"]][0])].tolist()
-        c["ac_lut"] = huff[(1, scan[c["id"]][1])].tolist()
+        c["dc_lut"] = huff[(0, scan[c["id"]][0])]
+        c["ac_lut"] = huff[(1, scan[c["id"]][1])]
         c["pred"] = 0
 
     rd = _BitReader(data, pos)
