@@ -639,39 +639,71 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         [] if gray else [_encode_table(_HUFF_AC_CHROMA)]
     )
 
-    bwt = _BitWriter()
+    # inlined bit writer (locals instead of method calls — the encode
+    # hot loop, same discipline as the decoder's scan) over list-form
+    # blocks (one C-level tolist per component, not per-element numpy
+    # scalar reads)
+    comp_lists = [c.tolist() for c in comp_coefs]
+    acc = 0
+    nbits = 0
+    out_bytes = bytearray()
+    append = out_bytes.append
     preds = [0] * len(planes)
     for bi in range(bh * bw):
         for ci in range(len(planes)):
             t = 0 if ci == 0 else 1
             dct_, act_ = dc_tabs[t], ac_tabs[t]
-            blk = comp_coefs[ci][bi]
-            diff = int(blk[0]) - preds[ci]
-            preds[ci] = int(blk[0])
+            blk = comp_lists[ci][bi]
+            dc = blk[0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
             size = _csize(diff)
             code, ln = dct_[size]
-            bwt.write(code, ln)
             if size:
-                bwt.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                acc = (acc << (ln + size)) | (code << size) | (
+                    diff if diff >= 0 else diff + (1 << size) - 1
+                )
+                nbits += ln + size
+            else:
+                acc = (acc << ln) | code
+                nbits += ln
             run = 0
             for k in range(1, 64):
-                v = int(blk[k])
+                v = blk[k]
                 if v == 0:
                     run += 1
                     continue
                 while run >= 16:
                     code, ln = act_[0xF0]
-                    bwt.write(code, ln)
+                    acc = (acc << ln) | code
+                    nbits += ln
                     run -= 16
                 size = _csize(v)
                 code, ln = act_[(run << 4) | size]
-                bwt.write(code, ln)
-                bwt.write(v if v >= 0 else v + (1 << size) - 1, size)
+                acc = (acc << (ln + size)) | (code << size) | (
+                    v if v >= 0 else v + (1 << size) - 1
+                )
+                nbits += ln + size
                 run = 0
             if run:
                 code, ln = act_[0x00]  # EOB
-                bwt.write(code, ln)
-    bwt.flush()
+                acc = (acc << ln) | code
+                nbits += ln
+            while nbits >= 8:
+                b = (acc >> (nbits - 8)) & 0xFF
+                append(b)
+                if b == 0xFF:
+                    append(0x00)  # byte stuffing
+                nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:  # pad the tail with 1-bits
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        append(b)
+        if b == 0xFF:
+            append(0x00)
+    bwt = _BitWriter()
+    bwt.out = out_bytes
 
     out = bytearray(b"\xff\xd8")
     for tid, q in enumerate(qts):
