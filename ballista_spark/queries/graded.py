@@ -1412,6 +1412,58 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
     )
 
+    # robots.txt permission gate (round 6): synthesized URLs over four
+    # hosts × three path classes run through the REAL parser + longest-
+    # match join (operators/robots.py) with fixed literal rule bodies;
+    # the oracle hand-derives the verdicts from RFC 9309 semantics
+    # (host3 no-rules → allow; host1's exact 'engine' group Disallow /
+    # beats its * group; /private/pub outlengthens Disallow /private;
+    # /*.pdf$ anchors) — a known-answer check of the generic machinery.
+    from ballista_spark.operators.robots import filter_robots_allowed, parse_robots
+
+    rb_path = (
+        F.when(d % 3 == 0, F.concat(F.lit("/private/x"), (d % 5).cast("string")))
+        .when(d % 3 == 1, F.lit("/private/pub/y"))
+        .otherwise(F.concat(F.lit("/p"), (d % 7).cast("string"), F.lit(".pdf")))
+    )
+    rb_urls = docs.select(
+        "source",
+        F.concat(
+            F.lit("https://host"), (d % 4).cast("string"), F.lit(".ex.com"), rb_path
+        ).alias("url"),
+    )
+    star_body = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+        "Disallow: /*.pdf$"
+    )
+    rb_bodies = spark.createDataFrame(
+        [
+            ("host0.ex.com", star_body),
+            ("host1.ex.com", "User-agent: engine\nDisallow: /\nUser-agent: *\nAllow: /"),
+            ("host2.ex.com", star_body),
+        ],
+        "host string, robots_txt string",
+    )
+    rb_g = (
+        filter_robots_allowed(rb_urls, parse_robots(rb_bodies), agent="engine")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(md5_long(F.col("url")) % 1000000).alias("h"),
+        )
+    )
+    rb_rows = rb_g.select(
+        F.lit("robots").alias("op"),
+        F.col("source").alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        rb_g.select(
+            F.lit("robots"), F.col("source"), F.lit("md5_1e6"),
+            F.col("h").cast("long"),
+        )
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1445,6 +1497,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chat_rows)
         .unionAll(pr_rows)
         .unionAll(lg_rows)
+        .unionAll(rb_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1804,6 +1857,22 @@ WITH lot AS (
   SELECT d.source, t.y, COUNT(*) AS n,
          CAST(ROUND(SUM(t.p) * 10000) AS BIGINT) AS p4
   FROM lgtop t JOIN documents d USING (doc_id) GROUP BY 1, 2
+), rb AS (
+  -- robots gate verdicts hand-derived from RFC 9309 over the fixed
+  -- literal rule bodies (agent='engine'): host3 publishes no robots.txt
+  -- (allow); host1's exact 'engine' group Disallow / blocks everything
+  -- (the * group's Allow / must NOT apply); on hosts 0/2 the * group
+  -- blocks /private (longest match) EXCEPT /private/pub (longer Allow)
+  -- and blocks the $-anchored /*.pdf paths
+  SELECT source,
+         'https://host' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com' ||
+         CASE WHEN doc_id % 3 = 0
+                THEN '/private/x' || CAST(doc_id % 5 AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN '/private/pub/y'
+              ELSE '/p' || CAST(doc_id % 7 AS VARCHAR) || '.pdf' END AS url
+  FROM documents
+  WHERE (doc_id % 4) = 3
+     OR ((doc_id % 4) IN (0, 2) AND (doc_id % 3) = 1)
 ),
 {prctes}
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
@@ -1876,6 +1945,12 @@ UNION ALL SELECT 'pagerank', CAST(node AS VARCHAR), 'rank_1e6',
   CAST(ROUND(pr * 1000000) AS BIGINT) FROM pr_r{pri}
 UNION ALL SELECT 'langid', source || '|' || y, 'n', CAST(n AS BIGINT) FROM lgres
 UNION ALL SELECT 'langid', source || '|' || y, 'prob_1e4', p4 FROM lgres
+UNION ALL SELECT 'robots', source, 'n', CAST(COUNT(*) AS BIGINT)
+  FROM rb GROUP BY source
+UNION ALL SELECT 'robots', source, 'md5_1e6',
+  CAST(SUM(CAST(CONCAT('0x', SUBSTR(MD5(url), 1, 15)) AS BIGINT) % 1000000)
+       AS BIGINT)
+  FROM rb GROUP BY source
 ORDER BY op, k, metric
 """
 
@@ -1899,7 +1974,11 @@ _b(
     "strings pinned via md5 sums), chat render/validate/stats "
     "(operators/chat.py — ChatML template byte-pinned via md5), and "
     "PageRank (operators/graph.py — 5 pinned power iterations vs an "
-    "unrolled CTE ladder, per-node ranks at 1e-6) "
+    "unrolled CTE ladder, per-node ranks at 1e-6), and the round-6 "
+    "robots.txt gate (operators/robots.py — generic parse + longest-"
+    "match join over literal rule bodies vs verdicts hand-derived from "
+    "RFC 9309: exact-agent-beats-*, Allow-outlengthens-Disallow, "
+    "$-anchored wildcards, no-rules hosts) "
     "— every selected set / token layout pinned exactly cross-engine "
     "(count + sum of ids per source; packing via window-id/offset sums; "
     "LM/quality/DSIR via integer totals + float sums at 1e-4).",
