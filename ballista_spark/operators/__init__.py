@@ -144,6 +144,8 @@ from ballista_spark.operators.robots import (
     filter_robots_allowed,
     parse_robots,
     parse_robots_text,
+    parse_sitemap_text,
+    parse_sitemaps,
 )
 from ballista_spark.operators.report import corpus_report, tokenizer_report
 from ballista_spark.operators.dataset import corpus_diff, shuffle_deterministic
@@ -315,6 +317,8 @@ __all__ = [
     "filter_robots_allowed",
     "parse_robots",
     "parse_robots_text",
+    "parse_sitemap_text",
+    "parse_sitemaps",
     "tokenizer_report",
     "shuffle_deterministic",
     "save_model",

@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["parse_robots_text", "parse_robots", "filter_robots_allowed"]
+__all__ = [
+    "parse_robots_text",
+    "parse_robots",
+    "filter_robots_allowed",
+    "parse_sitemap_text",
+    "parse_sitemaps",
+]
 
 ROBOTS_RULE_SCHEMA = T.StructType(
     [
@@ -220,3 +226,80 @@ def filter_robots_allowed(
         .where(F.coalesce(F.col("__allowed"), F.lit(True)))
         .drop("__host", "__path", "__allowed")
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemaps — the discovery-side complement to the permission gate
+
+_SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.I | re.S)
+_SITEMAP_URL_BLOCK_RE = re.compile(r"<(url|sitemap)\b(.*?)</\1>", re.I | re.S)
+_SITEMAP_LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.I | re.S)
+_SITEMAP_INDEX_RE = re.compile(r"<sitemapindex\b", re.I)
+_XML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+
+
+def parse_sitemap_text(text: str) -> list[tuple[str, str | None, bool]]:
+    """One sitemap XML body → [(url, lastmod, is_index_entry)].
+
+    Tolerant regex extraction rather than an XML parser: crawl-fetched
+    sitemaps are routinely malformed (truncation, stray ampersands,
+    entity bombs an eager XML parser would chase), and the sitemaps.org
+    schema constrains the fields we need to flat ``<loc>``/``<lastmod>``
+    children of ``<url>``/``<sitemap>`` blocks.  ``is_index_entry`` is
+    True inside a ``<sitemapindex>`` (the loc is ANOTHER sitemap to
+    fetch, not a page).  The five predefined XML entities are unescaped
+    in locs; blocks without a loc are skipped."""
+    is_index = bool(_SITEMAP_INDEX_RE.search(text))
+    out = []
+    for m in _SITEMAP_URL_BLOCK_RE.finditer(text):
+        block = m.group(2)
+        loc = _SITEMAP_LOC_RE.search(block)
+        if not loc:
+            continue
+        url = loc.group(1)
+        for ent, ch in _XML_ENTITIES.items():
+            url = url.replace(ent, ch)
+        lm = _SITEMAP_LASTMOD_RE.search(block)
+        out.append((url, lm.group(1) if lm else None, is_index))
+    return out
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("is_index_entry", T.BooleanType(), False),
+    ]
+)
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, url, lastmod, is_index_entry) from per-host sitemap
+    bodies — map-only Arrow batches, the `parse_robots` shape.  Feed
+    the non-index rows to :func:`filter_robots_allowed` and the URL
+    canonicalizer/frontier; index rows are further sitemaps to fetch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls, lastmods, idxs = [], [], [], []
+            for h, txt in zip(pdf[host_col], pdf[text_col]):
+                if not txt:
+                    continue
+                for url, lm, isx in parse_sitemap_text(str(txt)):
+                    hosts.append(h)
+                    urls.append(url)
+                    lastmods.append(lm)
+                    idxs.append(isx)
+            yield pd.DataFrame(
+                {
+                    "host": pd.array(hosts, dtype=object),
+                    "url": pd.array(urls, dtype=object),
+                    "lastmod": pd.array(lastmods, dtype=object),
+                    "is_index_entry": pd.array(idxs, dtype=bool),
+                }
+            )
+
+    return df.mapInPandas(run, schema=SITEMAP_SCHEMA)

@@ -4,6 +4,7 @@ the RFC 9309 examples plus the Spark join semantics end-to-end."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ballista_spark.operators.robots import (
     filter_robots_allowed,
@@ -183,3 +184,71 @@ def test_filter_query_only_url_matches_root_rules(spark):
     urls = _urls_df(spark, ["https://q.com?a=1", "https://other.com?a=1"])
     got = {r["url"] for r in filter_robots_allowed(urls, rules).collect()}
     assert got == {"https://other.com?a=1"}
+
+
+# --- sitemaps -----------------------------------------------------------
+
+
+def test_parse_sitemap_urlset_and_entities():
+    from ballista_spark.operators.robots import parse_sitemap_text
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://ex.com/a?x=1&amp;y=2</loc><lastmod>2026-01-02</lastmod></url>
+  <url><loc>
+      https://ex.com/b
+  </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    got = parse_sitemap_text(xml)
+    assert got == [
+        ("https://ex.com/a?x=1&y=2", "2026-01-02", False),
+        ("https://ex.com/b", None, False),
+    ]
+
+
+def test_parse_sitemap_index_and_malformed():
+    from ballista_spark.operators.robots import parse_sitemap_text
+
+    idx = """<sitemapindex>
+  <sitemap><loc>https://ex.com/sitemap1.xml</loc></sitemap>
+  <sitemap><loc>https://ex.com/sitemap2.xml</loc>"""  # truncated!
+    got = parse_sitemap_text(idx)
+    # the complete block survives; the truncated one is skipped, no raise
+    assert got == [("https://ex.com/sitemap1.xml", None, True)]
+    assert parse_sitemap_text("not xml at all") == []
+
+
+def test_parse_sitemaps_spark_and_compose_with_robots(spark):
+    from ballista_spark.operators.robots import (
+        filter_robots_allowed,
+        parse_robots,
+        parse_sitemaps,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            (
+                "s.com",
+                "<urlset><url><loc>https://s.com/ok</loc></url>"
+                "<url><loc>https://s.com/private/x</loc></url></urlset>",
+            ),
+            ("t.com", None),
+        ],
+        "host string, sitemap_xml string",
+    )
+    urls = parse_sitemaps(bodies)
+    assert urls.count() == 2
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("s.com", "User-agent: *\nDisallow: /private")],
+            "host string, robots_txt string",
+        )
+    )
+    kept = {
+        r["url"]
+        for r in filter_robots_allowed(
+            urls.where(~F.col("is_index_entry")), rules
+        ).collect()
+    }
+    assert kept == {"https://s.com/ok"}
