@@ -33,7 +33,11 @@ def main() -> None:
         image_neardup_pairs,
     )
     from ballista_spark.operators.pdf import pdf_extract_text
-    from ballista_spark.operators.robots import filter_robots_allowed, parse_robots
+    from ballista_spark.operators.robots import (
+        filter_robots_allowed,
+        parse_robots,
+        parse_sitemaps,
+    )
     from ballista_spark.operators.text import split_sentences
     from ballista_spark.session import get_spark
     from ballista_spark.sources.registry import load_table
@@ -45,7 +49,27 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
-    # 1. robots.txt gate: which synthesized URLs may we keep? --------------
+    # 1. sitemap discovery -> robots.txt gate --------------------------------
+    # each host publishes a sitemap whose <loc> entries are the frontier;
+    # the robots rules then decide which of those URLs may be fetched
+    sitemap_bodies = spark.createDataFrame(
+        [
+            (
+                f"host{h}.example.com",
+                "<urlset>"
+                + "".join(
+                    f"<url><loc>https://host{h}.example.com{p}</loc></url>"
+                    for p in ("/private/x", "/public/y", "/public/archive.pdf")
+                )
+                + "</urlset>",
+            )
+            for h in range(5)
+        ],
+        "host string, sitemap_xml string",
+    )
+    discovered = parse_sitemaps(sitemap_bodies).where(~F.col("is_index_entry"))
+    print(f"sitemap discovery: {discovered.count()} urls from 5 hosts")
+
     urls = docs.select(
         "doc_id",
         F.concat(
