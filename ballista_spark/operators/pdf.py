@@ -18,9 +18,13 @@ negative TJ kerns emitting spaces.  Literal-string escapes and hex
 strings are handled; UTF-16BE (BOM) strings decode as such, other
 bytes decode per PDFDocEncoding≈Latin-1.  Out of scope, by design:
 CID/Type0 composite fonts' ToUnicode CMaps (bytes pass through
-unmapped), encrypted files (detected → empty text + flag), and object
-streams (``/Type /ObjStm`` — a v1.5 compression feature; their
-contained objects are invisible to the raw scan).
+unmapped) and encrypted files (detected → empty text + flag).  Object
+streams (``/Type /ObjStm``, v1.5+) hide non-stream objects from the raw
+scan — but the spec forbids STREAM objects inside them, so page CONTENT
+streams stay top-level and text extraction still works; only the page
+*dicts* can disappear, which is why ``pdf_page_count`` falls back to
+the page-tree root's ``/Count`` when no ``/Type /Page`` object is
+visible.
 
 Reference parity: the reference engine ships no document-format
 operators (relational surface only — `rust/core/proto/ballista.proto`);
@@ -44,6 +48,9 @@ _OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+#: page-tree root /Count — the v1.5+ fallback when page dicts hide
+#: inside object streams (only non-stream objects may live there)
+_PAGES_COUNT_RE = re.compile(rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
 
 #: content-stream tokens: strings, hex strings, arrays, numbers, names,
@@ -171,11 +178,15 @@ def _pdf_parse(payload: bytes) -> tuple[str, int]:
         return "", 0
     texts = []
     n_pages = 0
+    pages_root_count = 0
     for obj in _OBJ_RE.finditer(payload):
         body = obj.group(1)
         sm = _STREAM_RE.search(body)
         head = body[: sm.start()] if sm else body
         n_pages += len(_PAGE_RE.findall(head))
+        cm = _PAGES_COUNT_RE.search(head)
+        if cm:
+            pages_root_count = max(pages_root_count, int(cm.group(1)))
         if not sm:
             continue
         data = sm.group(1)
@@ -189,7 +200,10 @@ def _pdf_parse(payload: bytes) -> tuple[str, int]:
         t = _extract_stream_text(data)
         if t:
             texts.append(t)
-    return "\n".join(texts), n_pages
+    # v1.5+ files can hide every /Type /Page dict in an object stream;
+    # the page-tree root's /Count (often in the visible trailer chain)
+    # is then the only page-count signal
+    return "\n".join(texts), n_pages or pages_root_count
 
 
 def pdf_to_text(payload: bytes) -> str:

@@ -137,3 +137,18 @@ def test_spark_plan_is_map_only(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
     plan = pdf_extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def test_page_count_falls_back_to_pages_root_count():
+    """PDF 1.5+ object streams may hide every /Type /Page dict from the
+    raw scan (stream objects — incl. page CONTENT — cannot live there,
+    so text still extracts); the page-tree root /Count is the fallback."""
+    pdf = _mini_pdf(b"BT (objstm style) Tj ET", n_pages=2)
+    # simulate: strip the /Type /Page objects (as if inside an ObjStm)
+    hidden = b"\n".join(
+        line
+        for line in pdf.split(b"\n")
+        if b"/Type /Page " not in line
+    )
+    assert pdf_to_text(hidden) == "objstm style"   # content stream survives
+    assert pdf_page_count(hidden) == 2              # via /Pages /Count
+    assert pdf_page_count(pdf) == 2                 # direct path unchanged
