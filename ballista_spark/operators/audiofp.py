@@ -147,7 +147,10 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 mime = (m or {}).get("mime") or ""
                 if p is None or not mime.startswith("audio"):
                     continue
-                samples, rate = decode_media(bytes(p), mime)
+                try:
+                    samples, rate = decode_media(bytes(p), mime)
+                except Exception:
+                    continue  # corrupt/unsupported payload → no landmarks
                 fps = landmark_fingerprints(samples, rate)
                 ids.extend([mid] * len(fps))
                 hashes.extend(fps[:, 0].tolist())

@@ -842,7 +842,10 @@ def video_scene_cuts(media: DataFrame, threshold: float = 0.5) -> DataFrame:
                 mime = (m or {}).get("mime") or ""
                 if p is None or not mime.startswith("video"):
                     continue
-                frames = decode_media(bytes(p), mime)
+                try:
+                    frames = decode_media(bytes(p), mime)
+                except Exception:
+                    continue  # corrupt/unsupported payload → no cuts
                 s = scene_cut_scores(frames)
                 for i in np.nonzero(s > threshold)[0]:
                     ids.append(mid)
@@ -914,7 +917,14 @@ def dhash_images(media: DataFrame) -> DataFrame:
                 ):
                     out.append(None)
                 else:
-                    h = image_dhash(p, mime)
+                    try:
+                        h = image_dhash(p, mime)
+                    except Exception:
+                        # crawl-robustness contract: unsupported codecs
+                        # (progressive JPEG), truncated/corrupt payloads
+                        # → NULL hash, never a task failure
+                        out.append(None)
+                        continue
                     out.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
@@ -1047,7 +1057,11 @@ def dhash_audio(media: DataFrame) -> DataFrame:
                 if p is None or not mime.startswith("audio"):
                     out.append(None)
                 else:
-                    h = audio_dhash(p, mime)
+                    try:
+                        h = audio_dhash(p, mime)
+                    except Exception:
+                        out.append(None)  # corrupt/unsupported → NULL
+                        continue
                     out.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}

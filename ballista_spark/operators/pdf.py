@@ -49,8 +49,12 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 #: page-tree root /Count — the v1.5+ fallback when page dicts hide
-#: inside object streams (only non-stream objects may live there)
-_PAGES_COUNT_RE = re.compile(rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)")
+#: inside object streams (only non-stream objects may live there).
+#: PDF dict key order is arbitrary, so /Type /Pages membership and the
+#: /Count value are matched by two independent searches over the
+#: object head, never one ordered regex.
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+_COUNT_RE = re.compile(rb"/Count\s+(\d+)")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
 
 #: content-stream tokens: strings, hex strings, arrays, numbers, names,
@@ -184,9 +188,10 @@ def _pdf_parse(payload: bytes) -> tuple[str, int]:
         sm = _STREAM_RE.search(body)
         head = body[: sm.start()] if sm else body
         n_pages += len(_PAGE_RE.findall(head))
-        cm = _PAGES_COUNT_RE.search(head)
-        if cm:
-            pages_root_count = max(pages_root_count, int(cm.group(1)))
+        if _PAGES_TYPE_RE.search(head):
+            cm = _COUNT_RE.search(head)
+            if cm:
+                pages_root_count = max(pages_root_count, int(cm.group(1)))
         if not sm:
             continue
         data = sm.group(1)

@@ -235,7 +235,16 @@ _SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.I | re.S)
 _SITEMAP_URL_BLOCK_RE = re.compile(r"<(url|sitemap)\b(.*?)</\1>", re.I | re.S)
 _SITEMAP_LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.I | re.S)
 _SITEMAP_INDEX_RE = re.compile(r"<sitemapindex\b", re.I)
-_XML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+#: ordered: ``&amp;`` must decode LAST (standard entity ordering) so
+#: doubly-escaped text like ``&amp;lt;`` yields the literal ``&lt;``,
+#: not ``<``
+_XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
 
 
 def parse_sitemap_text(text: str) -> list[tuple[str, str | None, bool]]:
@@ -257,7 +266,7 @@ def parse_sitemap_text(text: str) -> list[tuple[str, str | None, bool]]:
         if not loc:
             continue
         url = loc.group(1)
-        for ent, ch in _XML_ENTITIES.items():
+        for ent, ch in _XML_ENTITIES:
             url = url.replace(ent, ch)
         lm = _SITEMAP_LASTMOD_RE.search(block)
         out.append((url, lm.group(1) if lm else None, is_index))

@@ -124,21 +124,58 @@ def _iter_gunzip(chunks: Iterable[bytes]) -> Iterator[bytes]:
         data = nxt
 
 
+#: Hadoop-only scheme aliases → the pyarrow-native scheme that reaches
+#: the same store.  pyarrow's FileSystem.from_uri knows s3/gs/hdfs/abfs
+#: but not the Hadoop connector spellings (s3a://, wasbs://, …) that
+#: real deployments — Common Crawl on EMR most of all — actually use.
+_SCHEME_ALIASES = {
+    "s3a": "s3",
+    "s3n": "s3",
+    "gcs": "gs",
+    "wasb": "abfs",
+    "wasbs": "abfss",
+    "viewfs": "hdfs",
+}
+
+
+def _pyarrow_uri(path: str) -> str:
+    """Rewrite a Hadoop-connector URI scheme to its pyarrow equivalent
+    (s3a://b/k → s3://b/k); pyarrow-native schemes pass through."""
+    scheme, sep, rest = path.partition("://")
+    alias = _SCHEME_ALIASES.get(scheme.lower())
+    return f"{alias}{sep}{rest}" if alias else path
+
+
 def _open_chunks(path: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> Iterator[bytes]:
     """Chunked reader over a file URI.  ``file:`` URIs and bare paths
     open locally; any other scheme goes through pyarrow's FileSystem
-    (hdfs://, s3://, gs://, …) so executors stream straight from object
-    storage without JVM round-trips."""
+    (hdfs://, s3://, gs://, … — Hadoop spellings like s3a:// are
+    aliased first, see ``_SCHEME_ALIASES``) so executors stream straight
+    from object storage without JVM round-trips.  If pyarrow cannot
+    resolve the scheme, fsspec is tried before giving up (fsspec covers
+    the long tail: ftp, sftp, http, …)."""
     if path.startswith("file:"):
         local = path[5:]
         while local.startswith("//"):
             local = local[1:]
         f = open(local, "rb")
     elif "://" in path:
+        import pyarrow as pa
         from pyarrow import fs as pafs
 
-        fsys, rel = pafs.FileSystem.from_uri(path)
-        f = fsys.open_input_stream(rel)
+        try:
+            fsys, rel = pafs.FileSystem.from_uri(_pyarrow_uri(path))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+            try:
+                import fsspec
+            except ImportError:
+                raise ValueError(
+                    f"no filesystem for {path!r}: pyarrow does not "
+                    "recognize the scheme and fsspec is not installed"
+                ) from None
+            f = fsspec.open(path, "rb").open()
+        else:
+            f = fsys.open_input_stream(rel)
     else:
         f = open(path, "rb")
     with f:

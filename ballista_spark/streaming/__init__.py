@@ -19,7 +19,12 @@ from ballista_spark.streaming.sinks import write_stream_parquet_exactly_once  # 
 __all__.append("write_stream_parquet_exactly_once")
 from ballista_spark.streaming.curate import (  # noqa: E402
     curate_documents_stream,
+    media_neardup_gate_stream,
     near_dup_gate_stream,
 )
 
-__all__ += ["curate_documents_stream", "near_dup_gate_stream"]
+__all__ += [
+    "curate_documents_stream",
+    "near_dup_gate_stream",
+    "media_neardup_gate_stream",
+]

@@ -145,3 +145,31 @@ def test_match_pairs_prunes_ubiquitous_hashes(spark):
     fps = spark.createDataFrame(rows, "media_id long, fp_hash long, t int")
     got = audio_match_pairs(fps, min_matches=1, max_df=5).collect()
     assert {(r["key_a"], r["key_b"]) for r in got} == {(1, 2)}
+
+
+def test_fingerprints_skip_corrupt_payloads(spark):
+    """Corrupt/undecodable audio rows yield no landmarks, never a task
+    failure (the crawl-robustness contract of the media operators)."""
+    from ballista_spark.operators.multimodal import MEDIA_SCHEMA
+
+    track = _tone_track(7, 3.0)
+
+    def row(mid, payload, mime):
+        return (
+            mid,
+            bytearray(payload),
+            {"modality": "audio", "mime": mime, "width": None,
+             "height": None, "duration_ms": None},
+        )
+
+    media = spark.createDataFrame(
+        [
+            row(1, _wav(track), "audio/wav"),
+            row(2, b"RIFFgarbage-not-a-wav", "audio/wav"),
+            row(3, b"\x00\x01\x02", "audio/mpeg"),  # external-codec format
+        ],
+        MEDIA_SCHEMA,
+    )
+    fps = audio_fingerprints(media)
+    assert fps.where("media_id = 1").count() > 0
+    assert fps.where("media_id != 1").count() == 0

@@ -693,3 +693,34 @@ def test_video_scene_cuts_spark(spark):
         (r["media_id"], r["frame_idx"]) for r in video_scene_cuts(media, 0.5).collect()
     }
     assert got == {(1, 4), (1, 7)}
+
+
+def test_media_hash_ops_survive_corrupt_payloads(spark):
+    """Crawl-robustness contract: truncated/corrupt payloads and
+    formats needing an external codec (progressive JPEG, WebP) must
+    yield NULL hashes / no rows — never a task failure."""
+    from ballista_spark.operators.multimodal import (
+        dhash_audio,
+        dhash_images,
+        video_scene_cuts,
+    )
+
+    rng = np.random.default_rng(7)
+    good = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    media = _media_df(
+        spark,
+        [
+            (1, encode_bmp(good), "image/bmp", "image"),
+            (2, b"\xff\xd8\xff\xc2 progressive-ish", "image/jpeg", "image"),
+            (3, b"RIFF....WEBPVP8 ", "image/webp", "image"),
+            (4, b"BM truncated", "image/bmp", "image"),
+            (5, b"RIFFgarbage", "audio/wav", "audio"),
+            (6, b"YUV4MPEG2 garbage", "video/x-yuv4mpeg", "video"),
+        ],
+    )
+    hv = {r["media_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    assert hv[1] is not None
+    assert hv[2] is None and hv[3] is None and hv[4] is None and hv[6] is None
+    av = {r["media_id"]: r["dhash"] for r in dhash_audio(media).collect()}
+    assert av[5] is None
+    assert video_scene_cuts(media, 0.0).count() == 0  # corrupt video: no rows

@@ -152,3 +152,18 @@ def test_page_count_falls_back_to_pages_root_count():
     assert pdf_to_text(hidden) == "objstm style"   # content stream survives
     assert pdf_page_count(hidden) == 2              # via /Pages /Count
     assert pdf_page_count(pdf) == 2                 # direct path unchanged
+
+
+def test_pages_root_count_key_order_independent():
+    """PDF dict key order is arbitrary: /Count listed BEFORE /Type in
+    the page-tree root must still drive the v1.5+ fallback."""
+    pdf = _mini_pdf(b"BT (reordered) Tj ET", n_pages=2)
+    hidden = b"\n".join(
+        line for line in pdf.split(b"\n") if b"/Type /Page " not in line
+    )
+    reordered = hidden.replace(
+        b"<< /Type /Pages ", b"<< /Count 2 /Type /Pages "
+    ).replace(b" /Count 2 >>", b" >>")
+    assert reordered != hidden  # the swap must have applied
+    assert reordered.index(b"/Count 2") < reordered.index(b"/Type /Pages")
+    assert pdf_page_count(reordered) == 2

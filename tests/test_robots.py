@@ -252,3 +252,13 @@ def test_parse_sitemaps_spark_and_compose_with_robots(spark):
         ).collect()
     }
     assert kept == {"https://s.com/ok"}
+
+
+def test_sitemap_entity_decode_ordering():
+    """&amp; decodes LAST: doubly-escaped '&amp;lt;' is the literal
+    '&lt;', not '<' (the standard entity-decode ordering)."""
+    from ballista_spark.operators.robots import parse_sitemap_text
+
+    xml = "<urlset><url><loc>https://ex.com/?q=&amp;lt;tag&amp;gt;&amp;amp;x</loc></url></urlset>"
+    (url, _, _), = parse_sitemap_text(xml)
+    assert url == "https://ex.com/?q=&lt;tag&gt;&amp;x"

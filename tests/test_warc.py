@@ -266,3 +266,26 @@ def test_iter_gunzip_bounds_inflation_per_yield():
         assert len(out) <= DEFAULT_CHUNK_BYTES
         total += len(out)
     assert total == 64 * 1024 * 1024
+
+
+def test_hadoop_scheme_aliases_rewrite_to_pyarrow():
+    """s3a:// (the Common Crawl-on-EMR spelling) and friends must map
+    to schemes pyarrow's FileSystem.from_uri understands; native and
+    local paths pass through untouched."""
+    from ballista_spark.sources.warc import _pyarrow_uri
+
+    assert _pyarrow_uri("s3a://bucket/cc/file.warc.gz") == "s3://bucket/cc/file.warc.gz"
+    assert _pyarrow_uri("s3n://b/k") == "s3://b/k"
+    assert _pyarrow_uri("S3A://b/k") == "s3://b/k"
+    assert _pyarrow_uri("wasbs://c@a.blob/x") == "abfss://c@a.blob/x"
+    assert _pyarrow_uri("viewfs://ns/x") == "hdfs://ns/x"
+    assert _pyarrow_uri("s3://b/k") == "s3://b/k"
+    assert _pyarrow_uri("gs://b/k") == "gs://b/k"
+    assert _pyarrow_uri("/local/path.warc.gz") == "/local/path.warc.gz"
+
+
+def test_streaming_package_exports_media_gate():
+    import ballista_spark.streaming as bss
+
+    assert callable(bss.media_neardup_gate_stream)
+    assert "media_neardup_gate_stream" in bss.__all__
