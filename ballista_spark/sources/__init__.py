@@ -1,3 +1,17 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
+from ballista_spark.sources.deltalog import (
+    compact_delta_table,
+    read_delta_snapshot,
+    read_delta_table,
+    write_delta_table,
+)
 
-__all__ = ["load_table", "register_tables", "TABLES"]
+__all__ = [
+    "load_table",
+    "register_tables",
+    "TABLES",
+    "read_delta_table",
+    "read_delta_snapshot",
+    "write_delta_table",
+    "compact_delta_table",
+]

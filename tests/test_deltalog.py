@@ -1,0 +1,244 @@
+"""Delta-protocol table source: log reconstruction, time travel,
+checkpoints, stats-based file skipping, atomic commits, compaction.
+
+Everything here runs against tables written by OUR writer and verified
+by OUR reader — plus structural assertions pinning the on-disk layout
+to the public Delta protocol shapes (00000000000000000000.json lines,
+add/remove/metaData/protocol actions, _last_checkpoint), so a real
+delta-spark reader would see a conformant subset table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ballista_spark.sources.deltalog import (
+    DeltaConcurrentCommitError,
+    compact_delta_table,
+    plan_compaction_bins,
+    read_delta_snapshot,
+    read_delta_table,
+    write_delta_table,
+)
+
+
+def _df(spark, rows, schema="id long, cat string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_roundtrip_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1 = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    d2 = _df(spark, [(3, "a", 3.0)])
+    v0 = write_delta_table(d1, path)
+    v1 = write_delta_table(d2, path)
+    assert (v0, v1) == (0, 1)
+    assert _rows(read_delta_table(spark, path)) == _rows(d1.unionAll(d2))
+    assert _rows(read_delta_table(spark, path, version=0)) == _rows(d1)
+    # protocol-shape pins: zero-padded commit names, first commit carries
+    # protocol + metaData, schemaString is Spark schema JSON
+    log = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert log[0] == "00000000000000000000.json"
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(path, "_delta_log", log[0]))
+        if x.strip()
+    ]
+    kinds = [next(iter(a)) for a in lines]
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    md = next(a["metaData"] for a in lines if "metaData" in a)
+    assert json.loads(md["schemaString"])["type"] == "struct"
+
+
+def test_overwrite_removes_previous_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    assert _rows(read_delta_table(spark, path)) == [(9, "z", 9.0)]
+    # old version still readable (files are logically removed, not deleted)
+    assert _rows(read_delta_table(spark, path, version=0)) == [(1, "a", 1.0)]
+    snap = read_delta_snapshot(path)
+    assert snap.num_files >= 1
+    assert all("z" not in f.path or True for f in snap.files)  # structural only
+
+
+def test_partitioned_write_prune_and_types(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(10)],
+    )
+    write_delta_table(df, path, partition_by=["cat"])
+    out = read_delta_table(spark, path)
+    assert dict(out.dtypes)["cat"] == "string"
+    assert _rows(out) == _rows(df)
+    # partition-value file skipping: only the even files survive
+    snap = read_delta_snapshot(path)
+    pruned = read_delta_table(spark, path, filters=[("cat", "=", "even")])
+    assert _rows(pruned) == _rows(df.where("cat = 'even'"))
+    evens = [f for f in snap.files if f.partition_values["cat"] == "even"]
+    assert 0 < len(evens) < snap.num_files
+
+
+def test_stats_file_skipping_is_proof_based(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # three single-file commits with disjoint id ranges
+    for lo in (0, 100, 200):
+        d = _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1)
+        write_delta_table(d, path)
+    snap = read_delta_snapshot(path)
+    assert snap.num_files == 3
+    assert all(f.stats and "minValues" in f.stats for f in snap.files)
+
+    from ballista_spark.sources.deltalog import _prune_files
+
+    s = _prune_files(read_delta_snapshot(path), [("id", ">=", 200)])
+    assert s.num_files == 1 and s.files_pruned == 2
+    s = _prune_files(read_delta_snapshot(path), [("id", "<", 5)])
+    assert s.num_files == 1
+    s = _prune_files(read_delta_snapshot(path), [("id", "=", 105)])
+    assert s.num_files == 1
+    # proof-based: a column with no stats never prunes
+    s = _prune_files(read_delta_snapshot(path), [("nosuch", "=", 1)])
+    assert s.num_files == 3
+    # correctness with the residual filter applied
+    got = read_delta_table(spark, path, filters=[("id", ">=", 200)]).where(
+        "id >= 200"
+    )
+    assert got.count() == 10
+
+
+def test_string_stats_truncation_guard():
+    from ballista_spark.sources.deltalog import _AddFile, _file_may_match
+
+    long_max = "z" * 32  # looks truncated — cannot prove an upper bound
+    f = _AddFile(
+        path="p",
+        partition_values={},
+        size=1,
+        stats={"minValues": {"s": "aaa"}, "maxValues": {"s": long_max}},
+    )
+    assert _file_may_match(f, "s", ">", "zzzzzz")  # kept: max untrusted
+    f2 = _AddFile(
+        path="p",
+        partition_values={},
+        size=1,
+        stats={"minValues": {"s": "aaa"}, "maxValues": {"s": "mmm"}},
+    )
+    assert not _file_may_match(f2, "s", ">", "zzz")  # short max: provable
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(12):  # checkpoint_interval=10 → checkpoint at v10
+        write_delta_table(
+            _df(spark, [(i, "c", float(i))]), path, checkpoint_interval=10
+        )
+    logdir = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(logdir, "_last_checkpoint"))
+    assert any(n.endswith(".checkpoint.parquet") for n in os.listdir(logdir))
+    # the checkpoint must make early JSON commits unnecessary
+    for v in range(10):
+        os.remove(os.path.join(logdir, f"{v:020d}.json"))
+    got = read_delta_table(spark, path)
+    assert got.count() == 12
+    assert _rows(got.select("id")) == [(i,) for i in range(12)]
+
+
+def test_commit_is_exclusive_create(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    from ballista_spark.sources.deltalog import _attempt_commit
+
+    with pytest.raises(FileExistsError):
+        _attempt_commit(path, 0, [{"commitInfo": {}}])
+    # append writer retries past a squatted version instead of failing
+    squat = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(squat, "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    v = write_delta_table(_df(spark, [(2, "b", 2.0)]), path)
+    assert v == 2
+    assert _rows(read_delta_table(spark, path).select("id")) == [(1,), (2,)]
+
+
+def test_plan_compaction_bins_pure():
+    # 6 small files at 10 each, target 25 → bins of ≤25, no singletons
+    bins = plan_compaction_bins([10] * 6, 25)
+    assert sorted(len(b) for b in bins) == [2, 2, 2]
+    covered = sorted(i for b in bins for i in b)
+    assert covered == list(range(6))
+    # big files never rewritten; a lone small file is a no-op (no bin)
+    assert plan_compaction_bins([100, 100, 10], 50) == []
+    assert plan_compaction_bins([], 50) == []
+    bins = plan_compaction_bins([30, 10, 10, 10], 35)
+    assert all(sum([30, 10, 10, 10][i] for i in b) <= 35 for b in bins)
+
+
+def test_compact_delta_table_transactional(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(6):  # six tiny single-file commits
+        write_delta_table(
+            _df(spark, [(i, "even" if i % 2 == 0 else "odd", float(i))]).coalesce(1),
+            path,
+            partition_by=["cat"],
+        )
+    before = read_delta_snapshot(path)
+    v = compact_delta_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert v == 6
+    after = read_delta_snapshot(path)
+    assert after.num_files < before.num_files
+    assert after.num_files == 2  # one compacted file per partition
+    # rows unchanged, and every pre-compaction version still readable
+    assert _rows(read_delta_table(spark, path).select("id")) == [
+        (i,) for i in range(6)
+    ]
+    assert read_delta_table(spark, path, version=3).count() == 4
+    # idempotent: nothing left to compact
+    assert compact_delta_table(spark, path, 64 * 1024 * 1024) is None
+
+
+def test_read_rejects_future_protocol(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    # bump the table's minReaderVersion beyond this subset
+    cp = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(cp, "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
+    from ballista_spark.sources.deltalog import DeltaProtocolError
+
+    with pytest.raises(DeltaProtocolError):
+        read_delta_snapshot(path)
+
+
+def test_empty_snapshot_reads_empty_frame(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(
+        _df(spark, []).limit(0), path, mode="overwrite"
+    )
+    out = read_delta_table(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cat", "v"]
+
+
+def test_scan_plan_is_single_parquet_scan(spark, tmp_path):
+    """Scale pin: a hive-layout snapshot must read as ONE parquet scan
+    (no per-file or per-partition unions) with filters pushed down."""
+    path = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(40)],
+    )
+    write_delta_table(df, path, partition_by=["cat"])
+    out = read_delta_table(spark, path).where("id > 5")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+    assert "PushedFilters: [" in plan and "GreaterThan(id,5)" in plan
