@@ -67,6 +67,7 @@ __all__ = [
     "read_delta_snapshot",
     "write_delta_table",
     "compact_delta_table",
+    "vacuum_delta_table",
     "plan_compaction_bins",
     "DeltaProtocolError",
     "DeltaConcurrentCommitError",
@@ -182,6 +183,12 @@ class DeltaSnapshot:
     files: list[_AddFile] = field(default_factory=list)
     #: populated by filter pruning: how many live files the filters removed
     files_pruned: int = 0
+    #: streaming idempotence: appId → highest committed txn version
+    #: (the Delta `txn` action — the exactly-once handshake)
+    app_versions: dict[str, int] = field(default_factory=dict)
+    #: remove tombstones seen in the replayed log tail: rel path →
+    #: deletionTimestamp ms (vacuum's retention input)
+    tombstones: dict[str, int] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -245,6 +252,8 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     adds: dict[str, _AddFile] = {}
     schema: T.StructType | None = None
     part_cols: list[str] = []
+    app_versions: dict[str, int] = {}
+    tombstones: dict[str, int] = {}
     for stream in action_streams:
         for action in stream:
             if "add" in action:
@@ -263,7 +272,17 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                     stats=stats if isinstance(stats, dict) else None,
                 )
             elif "remove" in action:
-                adds.pop(_normalize_rel(table_path, action["remove"]["path"]), None)
+                r = action["remove"]
+                rel = _normalize_rel(table_path, r["path"])
+                adds.pop(rel, None)
+                tombstones[rel] = int(r.get("deletionTimestamp") or 0)
+            elif "txn" in action:
+                t = action["txn"]
+                app = t.get("appId")
+                if app is not None and t.get("version") is not None:
+                    app_versions[app] = max(
+                        app_versions.get(app, -1), int(t["version"])
+                    )
             elif "metaData" in action:
                 md = action["metaData"]
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
@@ -285,6 +304,8 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         schema=schema,
         partition_columns=part_cols,
         files=sorted(adds.values(), key=lambda f: f.path),
+        app_versions=app_versions,
+        tombstones=tombstones,
     )
 
 
@@ -530,7 +551,9 @@ def write_delta_table(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     max_retries: int = 10,
-) -> int:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
     """Write ``df`` as a Delta commit; returns the committed version.
 
     Data files are written by Spark (full parallelism, hive-style
@@ -542,11 +565,25 @@ def write_delta_table(
     a vacuum).  A lost commit race re-reads the log and retries with the
     next version (append) or fails cleanly (overwrite, where the removes
     may be stale).
+
+    ``txn_app_id``/``txn_version`` make the commit IDEMPOTENT (the Delta
+    ``txn`` action): a version already recorded for the app id is
+    skipped and None returned — replaying a streaming micro-batch after
+    a failure cannot double-append.  A skip detected after the data
+    files were staged leaves orphans; :func:`vacuum_delta_table` reaps
+    them (never referenced by any commit, so they are invisible to
+    readers either way).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     partition_by = list(partition_by or [])
     os.makedirs(table_path, exist_ok=True)
+    if txn_app_id is not None and _list_log_versions(table_path):
+        committed = read_delta_snapshot(table_path).app_versions.get(txn_app_id)
+        if committed is not None and committed >= int(txn_version):
+            return None  # replay of an already-committed batch
 
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -580,7 +617,10 @@ def write_delta_table(
                     part_values[k] = (
                         None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                     )
-            stats, _n = _file_stats_json(dest, stat_cols)
+            stats, n_records = _file_stats_json(dest, stat_cols)
+            if n_records == 0:
+                os.remove(dest)  # empty task output — never add it
+                continue
             adds.append(
                 {
                     "add": {
@@ -606,6 +646,13 @@ def write_delta_table(
     for attempt in range(max_retries):
         versions = _list_log_versions(table_path)
         next_version = (versions[-1] + 1) if versions else 0
+        if txn_app_id is not None and attempt > 0 and versions:
+            # we lost a race — the winner may have been our own replay
+            committed = read_delta_snapshot(table_path).app_versions.get(
+                txn_app_id
+            )
+            if committed is not None and committed >= int(txn_version):
+                return None
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -670,6 +717,16 @@ def write_delta_table(
                             }
                         }
                     )
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": int(txn_version),
+                        "lastUpdated": _now_ms(),
+                    }
+                }
+            )
         actions.extend(adds)
         try:
             _attempt_commit(table_path, next_version, actions)
@@ -693,30 +750,30 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     import pyarrow.parquet as pq
 
     snap = read_delta_snapshot(table_path, version)
+    blank = {"protocol": None, "metaData": None, "add": None, "txn": None}
     rows = [
         {
+            **blank,
             "protocol": {
                 "minReaderVersion": 1,
                 "minWriterVersion": MAX_WRITER_VERSION,
             },
-            "metaData": None,
-            "add": None,
         },
         {
-            "protocol": None,
+            **blank,
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
             },
-            "add": None,
         },
     ]
+    for app, ver in sorted(snap.app_versions.items()):
+        rows.append({**blank, "txn": {"appId": app, "version": ver}})
     for f in snap.files:
         rows.append(
             {
-                "protocol": None,
-                "metaData": None,
+                **blank,
                 "add": {
                     "path": f.path,
                     "partitionValues": {
@@ -761,6 +818,10 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                         ("stats", pa.string()),
                     ]
                 ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
         ]
     )
@@ -809,6 +870,7 @@ def compact_delta_table(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
     """Transactional small-file compaction: per partition, bin-pack live
     files under ``target_file_bytes`` and rewrite each bin as one file,
@@ -816,6 +878,15 @@ def compact_delta_table(
     the table's rows are unchanged, so concurrent readers at any version
     stay correct).  Returns the committed version, or None when nothing
     needed compacting.
+
+    ``cluster_by`` switches to CLUSTERED rewrite (the OPTIMIZE ZORDER
+    analogue): each partition's live files are rewritten as
+    range-partitioned, sorted files on the given columns, so every
+    output file covers a narrow value range and the log's per-file
+    min/max stats become selective — stats-based file skipping on those
+    columns then prunes most of the table.  For multi-dimensional
+    locality pass a ``zorder_column`` (``operators/partitioning.py``)
+    materialized as a column and cluster on it.
 
     This is the operational answer to the classic 100 TB failure mode:
     streaming/append pipelines produce millions of KB-sized files whose
@@ -838,39 +909,34 @@ def compact_delta_table(
         if fld.name not in snap.partition_columns
     ]
     stat_cols = [fld.name for fld in data_fields]
-    for key, files in by_part.items():
-        bins = plan_compaction_bins([f.size for f in files], target_file_bytes)
-        for members in bins:
-            group = [files[i] for i in members]
-            paths = [os.path.join(table_path, g.path) for g in group]
-            merged = (
-                spark.read.schema(T.StructType(data_fields))
-                .parquet(*paths)
-                .coalesce(1)
-            )
-            part_dir = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
-                for c, v in key
-            )
-            out_dir = os.path.join(
-                table_path, f".compact-{uuid.uuid4().hex}"
-            )
-            merged.write.mode("overwrite").parquet(out_dir)
-            written = [
-                n for n in os.listdir(out_dir) if n.endswith(".parquet")
-            ]
-            assert len(written) == 1, "coalesce(1) must yield one file"
-            dest_dir = (
-                os.path.join(table_path, part_dir) if part_dir else table_path
-            )
-            os.makedirs(dest_dir, exist_ok=True)
-            new_name = f"part-compact-{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(dest_dir, new_name)
-            os.rename(os.path.join(out_dir, written[0]), dest)
-            import shutil
 
-            shutil.rmtree(out_dir, ignore_errors=True)
-            stats, _n = _file_stats_json(dest, stat_cols)
+    def _rewrite(group: list[_AddFile], key: tuple, shaped) -> None:
+        """Write `shaped` (already coalesced/range-partitioned), move its
+        files into the partition dir, queue remove+add actions."""
+        part_dir = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
+            for c, v in key
+        )
+        out_dir = os.path.join(table_path, f".compact-{uuid.uuid4().hex}")
+        shaped.write.mode("overwrite").parquet(out_dir)
+        written = sorted(
+            n for n in os.listdir(out_dir) if n.endswith(".parquet")
+        )
+        dest_dir = (
+            os.path.join(table_path, part_dir) if part_dir else table_path
+        )
+        os.makedirs(dest_dir, exist_ok=True)
+        import shutil
+
+        for name in written:
+            dest = os.path.join(
+                dest_dir, f"part-compact-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(os.path.join(out_dir, name), dest)
+            stats, n = _file_stats_json(dest, stat_cols)
+            if n == 0:
+                os.remove(dest)  # empty range split — drop it
+                continue
             adds.append(
                 {
                     "add": {
@@ -885,7 +951,34 @@ def compact_delta_table(
                     }
                 }
             )
-            removes.extend(group)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        removes.extend(group)
+
+    for key, files in by_part.items():
+        if cluster_by:
+            # clustered rewrite: ALL live files of the partition become
+            # n_out range-sorted files (narrow per-file stat ranges)
+            total = sum(f.size for f in files)
+            n_out = max(1, -(-total // target_file_bytes))
+            paths = [os.path.join(table_path, g.path) for g in files]
+            shaped = (
+                spark.read.schema(T.StructType(data_fields))
+                .parquet(*paths)
+                .repartitionByRange(int(n_out), *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+            )
+            _rewrite(files, key, shaped)
+            continue
+        bins = plan_compaction_bins([f.size for f in files], target_file_bytes)
+        for members in bins:
+            group = [files[i] for i in members]
+            paths = [os.path.join(table_path, g.path) for g in group]
+            shaped = (
+                spark.read.schema(T.StructType(data_fields))
+                .parquet(*paths)
+                .coalesce(1)
+            )
+            _rewrite(group, key, shaped)
     if not adds:
         return None
     ts = _now_ms()
@@ -926,3 +1019,52 @@ def compact_delta_table(
                     "compaction inputs were removed concurrently; rerun"
                 ) from None
     raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+# ---------------------------------------------------------------------------
+# vacuum
+
+
+def vacuum_delta_table(
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    now: int | None = None,
+) -> list[str]:
+    """Physically delete data files no longer referenced by the CURRENT
+    snapshot whose tombstone (or, for never-committed orphans from
+    crashed writers, file mtime) is older than ``retention_ms``.
+    Returns the deleted paths (table-relative).
+
+    Semantics match Delta's VACUUM: logical deletes (overwrite,
+    compaction) keep old files readable for time travel until vacuum
+    reaps them; after a vacuum, versions older than the horizon are no
+    longer reconstructable — the retention window is the time-travel
+    window.  Driver-side listing; at object-store scale run the walk
+    from a manifest instead.
+    """
+    now = _now_ms() if now is None else int(now)
+    horizon = now - int(retention_ms)
+    snap = read_delta_snapshot(table_path)
+    live = {f.path for f in snap.files}
+    deleted: list[str] = []
+    root = os.path.abspath(table_path)
+    for dirpath, dirs, names in os.walk(root):
+        # never touch the log or in-flight staging dirs
+        dirs[:] = [
+            d for d in dirs
+            if d != "_delta_log" and not d.startswith((".staging-", ".compact-"))
+        ]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root).replace(os.sep, "/")
+            if rel in live:
+                continue
+            ts = snap.tombstones.get(rel)
+            if ts is None:  # orphan from a crashed/skipped writer
+                ts = int(os.path.getmtime(full) * 1000)
+            if ts < horizon:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted)

@@ -41,3 +41,43 @@ def write_stream_parquet_exactly_once(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_delta_exactly_once(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Stream into a Delta-protocol table with TRUE exactly-once appends.
+
+    Where the parquet sink above gets idempotence from epoch-named
+    directories, this one gets it from the table's transaction log: each
+    micro-batch commits with a ``txn`` action ``(app_id, epoch_id)``, and
+    a replayed batch (foreachBatch redelivery after a failure) is
+    detected in the log and skipped before any file is added — the
+    Delta streaming-sink protocol.  Appends are atomic (exclusive-create
+    commit), so a concurrent batch reader of the same table never sees a
+    torn batch; data files staged by a skipped replay are orphans that
+    ``vacuum_delta_table`` reaps.
+    """
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        write_delta_table(
+            batch,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn_app_id=app_id,
+            txn_version=int(epoch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

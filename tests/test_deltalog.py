@@ -242,3 +242,117 @@ def test_scan_plan_is_single_parquet_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1
     assert "Union" not in plan
     assert "PushedFilters: [" in plan and "GreaterThan(id,5)" in plan
+
+
+def test_txn_action_makes_commits_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d = _df(spark, [(1, "a", 1.0)])
+    v = write_delta_table(d, path, txn_app_id="job-7", txn_version=0)
+    assert v == 0
+    # replaying the same (app, version) is a no-op
+    assert write_delta_table(d, path, txn_app_id="job-7", txn_version=0) is None
+    assert read_delta_table(spark, path).count() == 1
+    # the next version commits; a different app is independent
+    assert write_delta_table(d, path, txn_app_id="job-7", txn_version=1) == 1
+    assert write_delta_table(d, path, txn_app_id="job-8", txn_version=0) == 2
+    assert read_delta_table(spark, path).count() == 3
+    snap = read_delta_snapshot(path)
+    assert snap.app_versions == {"job-7": 1, "job-8": 0}
+
+
+def test_txn_state_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(11):  # crosses the checkpoint_interval=10 boundary
+        write_delta_table(
+            _df(spark, [(i, "c", 0.0)]),
+            path,
+            checkpoint_interval=10,
+            txn_app_id="app",
+            txn_version=i,
+        )
+    logdir = os.path.join(path, "_delta_log")
+    for v in range(10):
+        os.remove(os.path.join(logdir, f"{v:020d}.json"))
+    # idempotence info must come from the checkpoint now
+    assert read_delta_snapshot(path).app_versions == {"app": 10}
+    assert (
+        write_delta_table(
+            _df(spark, [(99, "z", 9.0)]), path, txn_app_id="app", txn_version=5
+        )
+        is None
+    )
+
+
+def test_stream_delta_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → delta appends; a manual replay of the same epoch
+    (the redelivery case) does not double-append."""
+    import ballista_spark.streaming as bss
+
+    src = str(tmp_path / "src")
+    _df(spark, [(i, "a", float(i)) for i in range(5)]).write.parquet(src)
+    stream = spark.readStream.schema("id long, cat string, v double").parquet(src)
+    table = str(tmp_path / "t")
+    q = bss.write_stream_delta_exactly_once(
+        stream, table, str(tmp_path / "ckpt"), app_id="stream-1"
+    )
+    q.awaitTermination(120)
+    out = read_delta_table(spark, table)
+    assert out.count() == 5
+    # redelivery: same epoch id replayed straight through the writer
+    write_delta_table(
+        _df(spark, [(0, "a", 0.0)]),
+        table,
+        txn_app_id="stream-1",
+        txn_version=0,
+    )
+    assert read_delta_table(spark, table).count() == 5
+
+
+def test_vacuum_reaps_tombstones_and_orphans(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(_df(spark, [(2, "b", 2.0)]), path, mode="overwrite")
+    from ballista_spark.sources.deltalog import _now_ms, vacuum_delta_table
+
+    # an orphan from a "crashed writer"
+    orphan = os.path.join(path, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1garbagePAR1")
+    # within retention: nothing deleted, time travel intact
+    assert vacuum_delta_table(path, retention_ms=10**12) == []
+    assert read_delta_table(spark, path, version=0).count() == 1
+    # zero retention: tombstoned v0 file + orphan reaped, snapshot intact
+    deleted = vacuum_delta_table(path, retention_ms=-1)
+    assert len(deleted) == 2 and "part-orphan.parquet" in deleted
+    assert _rows(read_delta_table(spark, path)) == [(2, "b", 2.0)]
+    assert not os.path.exists(orphan)
+
+
+def test_clustered_compaction_tightens_file_skipping(spark, tmp_path):
+    """cluster_by rewrite: interleaved appends (every file spans the
+    whole id range → nothing prunable) become range-sorted files where
+    an id predicate skips all but one file."""
+    from ballista_spark.sources.deltalog import _prune_files
+
+    path = str(tmp_path / "t")
+    for k in range(4):  # round-robin ids: every file sees 0..399
+        d = _df(
+            spark, [(i, "c", float(i)) for i in range(k, 400, 4)]
+        ).coalesce(1)
+        write_delta_table(d, path)
+    before = _prune_files(read_delta_snapshot(path), [("id", "<", 100)])
+    assert before.files_pruned == 0  # interleaved: stats can't skip
+    total = sum(f.size for f in read_delta_snapshot(path).files)
+    v = compact_delta_table(
+        spark, path, target_file_bytes=total // 4 + 1, cluster_by=["id"]
+    )
+    assert v is not None
+    after_snap = read_delta_snapshot(path)
+    assert 2 <= after_snap.num_files <= 6
+    after = _prune_files(read_delta_snapshot(path), [("id", "<", 100)])
+    assert after.files_pruned >= after_snap.num_files - 2
+    got = read_delta_table(spark, path, filters=[("id", "<", 100)]).where(
+        "id < 100"
+    )
+    assert got.count() == 100
+    assert read_delta_table(spark, path).count() == 400
