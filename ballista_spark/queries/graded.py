@@ -83,6 +83,13 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     with BallistaContext.create_external_table over the parquet path —
     grading the CreateExternalTable DDL surface (ballista.proto:236-248)
     through the driver gate (oracle: the same select on the base table).
+
+    A third branch round-trips ``part`` through the pure-Python Delta
+    table source (sources/deltalog.py): two appends + a range-clustered
+    compaction build a real multi-version log, then the read goes
+    through snapshot reconstruction with stats-based file skipping —
+    grading the lakehouse layer end-to-end (oracle: identical select on
+    the base parquet).
     """
     from ballista_spark.context import BallistaContext
 
@@ -120,8 +127,36 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csv_branch = spark.sql(_PART_PREDICATE.format(src="csv", table="part_tbl"))
     ext_branch = spark.sql(_PART_PREDICATE.format(src="ext", table="part_ext"))
+
+    from ballista_spark.sources.deltalog import (
+        compact_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    # fresh per-call table dir (snapshot resolution is eager; data files
+    # persist under `root`, reaped at process exit with the csv dirs)
+    import uuid as _uuid
+
+    dt = os.path.join(root, f"part_delta_{_uuid.uuid4().hex}")
+    write_delta_table(
+        part.where("p_partkey % 2 = 0").repartition(2), dt, mode="append"
+    )
+    write_delta_table(
+        part.where("p_partkey % 2 = 1").repartition(2), dt, mode="append"
+    )
+    compact_delta_table(spark, dt, cluster_by=["p_size"])
+    read_delta_table(
+        spark, dt, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
+    ).createOrReplaceTempView("part_delta")
+    delta_branch = spark.sql(_PART_PREDICATE.format(src="delta", table="part_delta"))
+
     # neg_price asc == p_retailprice desc: same order as each branch's sort
-    return csv_branch.unionAll(ext_branch).orderBy("src", "neg_price", "p_partkey")
+    return (
+        csv_branch.unionAll(ext_branch)
+        .unionAll(delta_branch)
+        .orderBy("src", "neg_price", "p_partkey")
+    )
 
 
 _b(
@@ -131,8 +166,10 @@ _b(
     "Projection/Selection with BETWEEN/IN/LIKE/IS NOT NULL/NOT/OR/negation "
     "+ multi-key Sort + LIMIT/OFFSET, plus a second branch selecting the "
     "same rows through BallistaContext.create_external_table DDL "
-    "(ballista.proto:236-248).  Oracle reads the same rows from parquet "
-    "twice, tagged.",
+    "(ballista.proto:236-248), plus a third through the Delta-protocol "
+    "table source (append x2 + clustered compaction + stats-skipped "
+    "snapshot read, sources/deltalog.py).  Oracle reads the same rows "
+    "from parquet three times, tagged.",
     _csv_select_builder,
     oracle=f"""
 SELECT * FROM (
@@ -142,6 +179,10 @@ UNION ALL
 SELECT * FROM (
   {_PART_PREDICATE.format(src="ext", table="part")}
 ) b
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="delta", table="part")}
+) c
 ORDER BY src, neg_price, p_partkey
 """,
 )
