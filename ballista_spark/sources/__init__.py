@@ -1,6 +1,7 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
 from ballista_spark.sources.deltalog import (
     compact_delta_table,
+    merge_delta_table,
     vacuum_delta_table,
     read_delta_snapshot,
     read_delta_table,
@@ -15,5 +16,6 @@ __all__ = [
     "read_delta_snapshot",
     "write_delta_table",
     "compact_delta_table",
+    "merge_delta_table",
     "vacuum_delta_table",
 ]

@@ -356,3 +356,95 @@ def test_clustered_compaction_tightens_file_skipping(spark, tmp_path):
     )
     assert got.count() == 100
     assert read_delta_table(spark, path).count() == 400
+
+
+def test_merge_updates_inserts_and_preserves_untouched_files(spark, tmp_path):
+    from ballista_spark.sources.deltalog import merge_delta_table
+
+    path = str(tmp_path / "t")
+    # three files with disjoint id ranges (stats pre-prune has teeth)
+    for lo in (0, 100, 200):
+        write_delta_table(
+            _df(spark, [(lo + i, "c", float(lo + i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    before = {f.path for f in read_delta_snapshot(path).files}
+    src = _df(spark, [(5, "UPD", -5.0), (205, "UPD", -205.0), (999, "NEW", 9.0)])
+    v = merge_delta_table(spark, path, src, on=["id"])
+    assert v == 3
+    out = {r["id"]: (r["cat"], r["v"]) for r in read_delta_table(spark, path).collect()}
+    assert len(out) == 31  # 30 original keys + 1 insert
+    assert out[5] == ("UPD", -5.0) and out[205] == ("UPD", -205.0)
+    assert out[999] == ("NEW", 9.0)
+    assert out[6] == ("c", 6.0)  # untouched row intact
+    after = {f.path for f in read_delta_snapshot(path).files}
+    # the id=100..109 file matched no source key: same physical file
+    assert len(before & after) == 1
+    # pre-merge version still reads the original rows
+    old = {r["id"]: r["cat"] for r in read_delta_table(spark, path, version=2).collect()}
+    assert old[5] == "c" and 999 not in old
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    from ballista_spark.sources.deltalog import merge_delta_table
+
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(i, "c", float(i)) for i in range(10)]), path)
+    src = spark.createDataFrame([(3,), (7,), (42,)], "id long")
+    v = merge_delta_table(
+        spark, path, src, on=["id"], when_matched="delete",
+        insert_not_matched=False,
+    )
+    assert v == 1
+    got = sorted(r["id"] for r in read_delta_table(spark, path).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_merge_all_inserts_and_noop(spark, tmp_path):
+    from ballista_spark.sources.deltalog import merge_delta_table
+
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    # disjoint keys: pure insert
+    v = merge_delta_table(spark, path, _df(spark, [(50, "n", 5.0)]), on=["id"])
+    assert v == 1
+    assert read_delta_table(spark, path).count() == 2
+    # delete-matched with nothing matching: no-op, no commit
+    src = spark.createDataFrame([(777,)], "id long")
+    assert (
+        merge_delta_table(
+            spark, path, src, on=["id"], when_matched="delete",
+            insert_not_matched=False,
+        )
+        is None
+    )
+    assert read_delta_snapshot(path).version == 1
+
+
+def test_merge_partitioned_table_keeps_layout(spark, tmp_path):
+    from ballista_spark.sources.deltalog import merge_delta_table
+
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(8)])
+    write_delta_table(df, path, partition_by=["cat"])
+    src = _df(spark, [(2, "even", -2.0), (11, "odd", 11.0)])
+    merge_delta_table(spark, path, src, on=["id"])
+    out = read_delta_table(spark, path)
+    assert out.count() == 9
+    assert out.where("id = 2").collect()[0]["v"] == -2.0
+    # layout still hive-style: partition filters keep pruning
+    snap = read_delta_snapshot(path)
+    assert all("cat=" in f.path for f in snap.files)
+    assert read_delta_table(
+        spark, path, filters=[("cat", "=", "odd")]
+    ).where("cat = 'odd'").count() == 5
+
+
+def test_merge_schema_mismatch_raises(spark, tmp_path):
+    from ballista_spark.sources.deltalog import merge_delta_table
+
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    bad = spark.createDataFrame([(1, "x")], "id long, cat string")
+    with pytest.raises(ValueError, match="schema"):
+        merge_delta_table(spark, path, bad, on=["id"])
