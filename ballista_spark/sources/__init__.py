@@ -4,6 +4,7 @@ from ballista_spark.sources.deltalog import (
     merge_delta_table,
     vacuum_delta_table,
     read_delta_snapshot,
+    read_delta_changes,
     read_delta_table,
     write_delta_table,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "TABLES",
     "read_delta_table",
     "read_delta_snapshot",
+    "read_delta_changes",
     "write_delta_table",
     "compact_delta_table",
     "merge_delta_table",

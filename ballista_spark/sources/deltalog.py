@@ -65,6 +65,7 @@ __all__ = [
     "DeltaSnapshot",
     "read_delta_table",
     "read_delta_snapshot",
+    "read_delta_changes",
     "write_delta_table",
     "compact_delta_table",
     "merge_delta_table",
@@ -699,7 +700,10 @@ def write_delta_table(
             )
         else:
             prev = read_delta_snapshot(table_path)
-            if prev.schema.json() != schema_json or (
+            # compare names + types; nullability differences (literal
+            # columns are non-nullable) don't constitute schema change
+            shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
+            if shape(prev.schema) != shape(df.schema) or (
                 prev.partition_columns != partition_by
             ):
                 if mode != "overwrite":
@@ -1129,7 +1133,10 @@ def merge_delta_table(
     on = list(on)
     snap = read_delta_snapshot(table_path)
     if when_matched == "update" or insert_not_matched:
-        if source.schema.json() != snap.schema.json():
+        # names + types must match; nullability may differ (literals are
+        # non-nullable, table columns usually nullable — irrelevant here)
+        shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
+        if shape(source.schema) != shape(snap.schema):
             raise ValueError(
                 "merge source schema must equal the table schema "
                 f"(table {snap.schema.simpleString()}, "
@@ -1264,3 +1271,72 @@ def merge_delta_table(
                     "new snapshot"
                 ) from None
     raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+# ---------------------------------------------------------------------------
+# incremental change reads
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED in commits ``(from_version, to_version]`` — the
+    incremental-consumption face of the log (the batch analogue of the
+    Delta change feed, insert-level granularity): a downstream pipeline
+    remembers the last version it processed and reads only newer data
+    files, never rescanning the table.
+
+    Only ``dataChange: true`` adds count — compaction/clustering
+    rewrites are invisible, exactly as a consumer wants.  Each row
+    carries its ``_commit_version``.  Update-merges surface their
+    rewritten file's rows as adds (the kept rows of a touched file
+    reappear); consumers needing exact row-level deltas should pair this
+    with a key-based ``corpus_diff`` (operators/mixture.py) downstream.
+    """
+    versions = [
+        v
+        for v in _list_log_versions(table_path)
+        if from_version < v <= (to_version if to_version is not None else 1 << 60)
+    ]
+    snap = read_delta_snapshot(table_path)  # schema + partition cols
+    data_fields = [
+        fld for fld in snap.schema.fields
+        if fld.name not in snap.partition_columns
+    ]
+    out = None
+    for v in versions:
+        adds = []
+        for action in _iter_commit_actions(_commit_path(table_path, v)):
+            a = action.get("add")
+            if a and a.get("dataChange", True):
+                adds.append(
+                    _AddFile(
+                        path=_normalize_rel(table_path, a["path"]),
+                        partition_values=dict(a.get("partitionValues") or {}),
+                        size=int(a.get("size") or 0),
+                        stats=None,
+                    )
+                )
+        if not adds:
+            continue
+        vsnap = DeltaSnapshot(
+            table_path=table_path,
+            version=v,
+            schema=snap.schema,
+            partition_columns=snap.partition_columns,
+            files=adds,
+        )
+        part = _scan_snapshot(spark, vsnap).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        empty_schema = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField("_commit_version", T.LongType())]
+        )
+        return spark.createDataFrame([], empty_schema)
+    return out

@@ -448,3 +448,20 @@ def test_merge_schema_mismatch_raises(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], "id long, cat string")
     with pytest.raises(ValueError, match="schema"):
         merge_delta_table(spark, path, bad, on=["id"])
+
+
+def test_read_delta_changes_incremental(spark, tmp_path):
+    from ballista_spark.sources.deltalog import read_delta_changes
+
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)          # v0
+    write_delta_table(_df(spark, [(2, "b", 2.0)]), path)          # v1
+    compact_delta_table(spark, path, target_file_bytes=1 << 30)   # v2 (no dataChange)
+    write_delta_table(_df(spark, [(3, "c", 3.0)]), path)          # v3
+    ch = read_delta_changes(spark, path, from_version=0)
+    got = sorted((r["id"], r["_commit_version"]) for r in ch.collect())
+    # v0 excluded (from_version is exclusive), compaction invisible
+    assert got == [(2, 1), (3, 3)]
+    assert read_delta_changes(spark, path, from_version=1, to_version=1).count() == 0
+    # full history from "before the table existed"
+    assert read_delta_changes(spark, path, from_version=-1).count() == 3

@@ -85,6 +85,8 @@ PIPELINE = [
     "wordpiece_encode",  # map-only greedy longest-match pandas UDF
     "audio_match",   # map-only landmark fingerprints + offset-vote join
     "jpeg_decode",   # pure-numpy JPEG encode+decode+dHash, map-only
+    "delta_write_read",  # delta source round-trip: write+commit+stats-skipped read
+    "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
 ]
 
 
@@ -630,6 +632,88 @@ def _langid_predict(spark, sf_dir: str):
     ).agg(F.count("*").alias("n"))
 
 
+def _delta_scratch(sf_dir: str, tag: str) -> str:
+    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    return os.path.join("/tmp", f"bs_delta_stress_{tag}_{base}")
+
+
+def _delta_lineitem(spark, sf_dir: str):
+    from ballista_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+def _delta_write_read(spark, sf_dir: str):
+    """Delta source round-trip at lineitem volume (600k → 6M rows):
+    range-clustered distributed write + driver-side footer stats + one
+    commit, then a stats-skipped snapshot read of the lowest orderkey
+    quartile.  Write and scan are map-only IO — expect near-linear in
+    rows; the metadata cost (log + per-file stats) is per-FILE and the
+    file count is fixed, so it amortizes to zero with scale."""
+    import shutil
+
+    from ballista_spark.sources.deltalog import (
+        read_delta_table,
+        write_delta_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "wr")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta_table(li.repartitionByRange(16, "l_orderkey"), path)
+    hi = li.agg(F.max("l_orderkey")).collect()[0][0] or 0
+    cut = int(hi * 0.25)
+    out = read_delta_table(
+        spark, path, filters=[("l_orderkey", "<", cut)]
+    ).where(F.col("l_orderkey") < cut)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+def _delta_merge_touch(spark, sf_dir: str):
+    """MERGE with a narrow-key CDC batch against the range-clustered
+    lineitem table: the stats pre-prune + touch probe confine the
+    rewrite to the files the keys land in, so rewrite cost tracks the
+    BATCH, not the table.  The table is built once per scale (first
+    timed run pays it; min-of-runs reports the steady state); each run
+    re-merges the same keys — same touched files, stable per-run cost.
+    The probe is a map-only broadcast semi-join over the candidate
+    files — expect clearly sub-linear."""
+    from ballista_spark.sources.deltalog import (
+        merge_delta_table,
+        read_delta_snapshot,
+        write_delta_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "mrg")
+    try:
+        read_delta_snapshot(path)
+    except FileNotFoundError:
+        write_delta_table(li.repartitionByRange(16, "l_orderkey"), path)
+    # a contiguous low-key batch: the clustered layout confines it to
+    # the first file(s) at every scale
+    src = (
+        li.where(F.col("l_orderkey") < 60)
+        .groupBy("l_orderkey")  # single key: the stats pre-prune path
+        .agg(
+            F.first("l_partkey").alias("l_partkey"),
+            F.first("l_quantity").alias("l_quantity"),
+            F.first("l_extendedprice").alias("l_extendedprice"),
+        )
+        .withColumn("l_quantity", F.lit(-1.0))
+    )
+    merge_delta_table(spark, path, src, on=["l_orderkey"])
+    snap = read_delta_snapshot(path)
+    return spark.createDataFrame(
+        [(snap.version, snap.num_files)], "version long, n_files long"
+    )
+
+
 def _langid_predict_local(spark, sf_dir: str):
     """The map-only serving twin of langid_predict: weights ride the
     Arrow-UDF closure, no feature explode, no join, no shuffle — the
@@ -1064,6 +1148,8 @@ LOCAL_BUILDERS = {
     "wordpiece_encode": _wordpiece_encode,
     "audio_match": _audio_match,
     "jpeg_decode": _jpeg_decode,
+    "delta_write_read": _delta_write_read,
+    "delta_merge_touch": _delta_merge_touch,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
     # SPARK_GRAFT_STRESS_QUERIES=skew_join,skew_join_salted,skew_join_preagg
