@@ -123,17 +123,19 @@ class BallistaContext:
         return BallistaDataFrame(self.spark.read.orc(path))
 
     def read_avro(self, path: str) -> BallistaDataFrame:
-        """Avro scan — requires the spark-avro datasource module, which is not
-        bundled with the pip pyspark distribution; raises a clear error when
-        absent (same honest-gate pattern as sources/connectors.py)."""
+        """Avro scan (reference parity: ballista.proto:246 AvroFormat,
+        rust/client/src/context.rs read_avro).  Prefers the JVM
+        spark-avro datasource when its jars are present (fastest, full
+        type surface); falls back to the engine's pure-Python container
+        codec (sources/avroio.py — stdlib zigzag/deflate, Arrow-batched
+        block streaming) so Avro works on the stock pip pyspark this
+        repo targets."""
         try:
             return BallistaDataFrame(self.spark.read.format("avro").load(path))
-        except Exception as exc:  # pragma: no cover - environment-dependent
-            raise RuntimeError(
-                "Avro source requires the org.apache.spark:spark-avro package "
-                "on the session classpath (not bundled with pip pyspark); "
-                "start the session with spark.jars.packages set"
-            ) from exc
+        except Exception:  # jars absent: the pure-Python path
+            from ballista_spark.sources.avroio import read_avro as _read_avro
+
+            return BallistaDataFrame(_read_avro(self.spark, path))
 
     # -- registry (rust/client/src/context.rs:112-128) ------------------------
 

@@ -1,4 +1,5 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
+from ballista_spark.sources.avroio import read_avro, write_avro
 from ballista_spark.sources.deltalog import (
     compact_delta_table,
     merge_delta_table,
@@ -13,6 +14,8 @@ __all__ = [
     "load_table",
     "register_tables",
     "TABLES",
+    "read_avro",
+    "write_avro",
     "read_delta_table",
     "read_delta_snapshot",
     "read_delta_changes",

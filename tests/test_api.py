@@ -159,10 +159,11 @@ def test_sink_round_trips(spark, tmp_path=None):
         assert back.count() == 25, fmt
 
 
-def test_orc_round_trip_and_avro_gate(spark):
-    """ORC is a native Spark columnar source/sink; Avro's datasource module is
-    absent from the pip distribution, so read_avro must raise its documented
-    gate error rather than an opaque ClassNotFound."""
+def test_orc_round_trip_and_avro_fallback(spark):
+    """ORC is a native Spark columnar source/sink; Avro's JVM datasource
+    module is absent from the pip distribution, so read_avro must fall
+    back to the engine's pure-Python container codec and still read the
+    table (sources/avroio.py)."""
     ctx = BallistaContext(spark)
     ctx.register_parquet("nation_o", os.path.join(SF_SMOKE, "nation.parquet"))
     df = ctx.table("nation_o")
@@ -174,12 +175,19 @@ def test_orc_round_trip_and_avro_gate(spark):
     assert {f.name for f in back.schema()} == {f.name for f in df.schema()}
     ctx.create_external_table("nation_orc_ext", path, file_type="orc")
     assert ctx.sql("SELECT COUNT(*) AS n FROM nation_orc_ext").collect()[0]["n"] == 25
-    try:
-        ctx.read_avro(path)
-    except RuntimeError as exc:
-        assert "spark-avro" in str(exc)
-    else:  # pragma: no cover - only if the env gains the avro module
-        pass
+
+    from ballista_spark.sources.avroio import write_avro
+
+    apath = os.path.join(d, "avro")
+    write_avro(df.df, apath)
+    aback = ctx.read_avro(apath)
+    assert aback.count() == 25
+    assert {f.name for f in aback.schema()} == {f.name for f in df.schema()}
+    ctx.create_external_table("nation_avro_ext", apath, file_type="avro")
+    assert (
+        ctx.sql("SELECT COUNT(*) AS n FROM nation_avro_ext").collect()[0]["n"]
+        == 25
+    )
 
 
 def test_tbl_pipe_delimited_read(spark):
