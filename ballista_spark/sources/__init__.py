@@ -1,5 +1,6 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
 from ballista_spark.sources.avroio import read_avro, write_avro
+from ballista_spark.sources.iceberg import read_iceberg_snapshot, read_iceberg_table
 from ballista_spark.sources.deltalog import (
     compact_delta_table,
     merge_delta_table,
@@ -16,6 +17,8 @@ __all__ = [
     "TABLES",
     "read_avro",
     "write_avro",
+    "read_iceberg_table",
+    "read_iceberg_snapshot",
     "read_delta_table",
     "read_delta_snapshot",
     "read_delta_changes",

@@ -1,0 +1,293 @@
+"""Iceberg reader: spec-shaped fixtures (metadata JSON + Avro manifest
+list + Avro manifests + parquet data files, all field names and
+encodings from the public Iceberg table spec) built with the engine's
+own Avro codec, then read back through read_iceberg_table.
+
+No iceberg library exists in this environment to cross-check against,
+so fidelity rests on (a) the fixture following the spec's field names,
+file layout and Appendix-D single-value bound encodings exactly, and
+(b) byte-level pins for the bound codec below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ballista_spark.sources.avroio import write_avro_bytes
+from ballista_spark.sources.iceberg import (
+    IcebergFeatureError,
+    decode_bound,
+    read_iceberg_snapshot,
+    read_iceberg_table,
+)
+
+_KV = {
+    "type": "record",
+    "name": "k126_v127",
+    "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"},
+    ],
+}
+_DATA_FILE = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", {"type": "array", "items": _KV}]},
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {**_KV, "name": "k128_v129"},
+                },
+            ],
+        },
+    ],
+}
+MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _DATA_FILE},
+    ],
+}
+MANIFEST_FILE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+SCHEMA_JSON = {
+    "schema-id": 0,
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "cat", "required": False, "type": "string"},
+        {"id": 3, "name": "v", "required": False, "type": "double"},
+    ],
+}
+
+
+def _bound_long(x):
+    return struct.pack("<q", x)
+
+
+def _bound_double(x):
+    return struct.pack("<d", x)
+
+
+def _write_data_file(table, name, rows):
+    """rows: list[(id, cat, v)] → parquet file + manifest entry dict."""
+    path = os.path.join(table, "data", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "cat": pa.array([r[1] for r in rows], pa.string()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, path)
+    ids = [r[0] for r in rows]
+    vs = [r[2] for r in rows]
+    return {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.relpath(path, table),
+            "file_format": "PARQUET",
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": [
+                {"key": 1, "value": _bound_long(min(ids))},
+                {"key": 3, "value": _bound_double(min(vs))},
+            ],
+            "upper_bounds": [
+                {"key": 1, "value": _bound_long(max(ids))},
+                {"key": 3, "value": _bound_double(max(vs))},
+            ],
+        },
+    }
+
+
+def _commit_snapshot(table, snapshot_id, entries, version, prev_snapshots=()):
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_rel = f"metadata/manifest-{snapshot_id}.avro"
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(write_avro_bytes(entries, MANIFEST_ENTRY))
+    mlist_rel = f"metadata/snap-{snapshot_id}.avro"
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(
+            write_avro_bytes(
+                [
+                    {
+                        "manifest_path": manifest_rel,
+                        "manifest_length": os.path.getsize(
+                            os.path.join(table, manifest_rel)
+                        ),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snapshot_id,
+                    }
+                ],
+                MANIFEST_FILE,
+            )
+        )
+    snapshots = list(prev_snapshots) + [
+        {"snapshot-id": snapshot_id, "manifest-list": mlist_rel}
+    ]
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table,
+        "schemas": [SCHEMA_JSON],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": snapshots,
+        "current-snapshot-id": snapshot_id,
+    }
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshots
+
+
+def _fixture_table(tmp_path):
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet",
+                          [(i, "a", float(i)) for i in range(10)])
+    e2 = _write_data_file(table, "f2.parquet",
+                          [(100 + i, "b", float(100 + i)) for i in range(10)])
+    snaps = _commit_snapshot(table, 1001, [e1, e2], version=1)
+    e3 = _write_data_file(table, "f3.parquet",
+                          [(200 + i, "c", float(200 + i)) for i in range(5)])
+    _commit_snapshot(table, 1002, [e1, e2, e3], version=2,
+                     prev_snapshots=snaps)
+    return table
+
+
+def test_bound_codec_spec_pins():
+    """Appendix D single-value serialization: little-endian fixed
+    widths, UTF-8 strings — hand-computed bytes."""
+    assert decode_bound(b"\x07\x00\x00\x00", "int") == 7
+    assert decode_bound(b"\xff\xff\xff\xff", "int") == -1
+    assert decode_bound(struct.pack("<q", 2**40), "long") == 2**40
+    assert decode_bound(struct.pack("<d", -0.5), "double") == -0.5
+    assert decode_bound("héllo".encode(), "string") == "héllo"
+    assert decode_bound(b"\x01", "boolean") is True
+    assert decode_bound(b"\xaa\xbb", "binary") is None  # no trusted order
+    assert decode_bound(b"\x00", "long") is None  # wrong width: no prune
+
+
+def test_read_current_and_named_snapshot(spark, tmp_path):
+    table = _fixture_table(tmp_path)
+    cur = read_iceberg_table(spark, table)
+    assert cur.count() == 25
+    assert dict(cur.dtypes) == {"id": "bigint", "cat": "string", "v": "double"}
+    old = read_iceberg_table(spark, table, snapshot_id=1001)
+    assert old.count() == 20
+    assert old.where("cat = 'c'").count() == 0
+
+
+def test_bounds_file_skipping(spark, tmp_path):
+    table = _fixture_table(tmp_path)
+    snap = read_iceberg_snapshot(table)
+    assert snap.num_files == 3
+    out = read_iceberg_table(spark, table, filters=[("id", ">=", 200)])
+    assert out.count() == 5
+    # prune accounting: only f3 survives
+    snap2 = read_iceberg_snapshot(table)
+    from ballista_spark.sources.iceberg import _bounds_may_match
+
+    kept = [
+        f for f in snap2.files
+        if _bounds_may_match(f[2], "id", ">=", 200)
+    ]
+    assert len(kept) == 1
+    # equality inside a hole between files: every file provably excluded
+    assert (
+        read_iceberg_table(spark, table, filters=[("id", "=", 50)]).count()
+        == 0
+    )
+    # proof-based: unknown column never prunes
+    assert (
+        read_iceberg_table(spark, table, filters=[("nosuch", "=", 1)]).count()
+        == 25
+    )
+
+
+def test_single_scan_plan_with_pushdown(spark, tmp_path):
+    table = _fixture_table(tmp_path)
+    out = read_iceberg_table(spark, table).where("id > 5").select("id", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters: [" in plan and "GreaterThan(id,5)" in plan
+
+
+def test_delete_files_raise(spark, tmp_path):
+    table = _fixture_table(tmp_path)
+    # append a snapshot whose manifest carries a positional-delete file
+    e = _write_data_file(table, "f4.parquet", [(900, "d", 9.0)])
+    e["data_file"]["content"] = 1  # POSITION_DELETES
+    _commit_snapshot(table, 1003, [e], version=3)
+    with pytest.raises(IcebergFeatureError, match="delete"):
+        read_iceberg_snapshot(table)
+
+
+def test_future_format_version_raises(tmp_path):
+    table = str(tmp_path / "ice")
+    meta = os.path.join(table, "metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+        json.dump({"format-version": 3, "schemas": []}, f)
+    with open(os.path.join(meta, "version-hint.text"), "w") as f:
+        f.write("1")
+    with pytest.raises(IcebergFeatureError, match="format-version"):
+        read_iceberg_snapshot(table)
+
+
+def test_v1_inline_manifests(spark, tmp_path):
+    """Format v1: `schema` singular + snapshot `manifests` array, no
+    manifest list."""
+    table = str(tmp_path / "ice1")
+    e = _write_data_file(table, "f1.parquet", [(1, "a", 1.0), (2, "b", 2.0)])
+    manifest_rel = "metadata/manifest-1.avro"
+    os.makedirs(os.path.join(table, "metadata"), exist_ok=True)
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(write_avro_bytes([e], MANIFEST_ENTRY))
+    md = {
+        "format-version": 1,
+        "location": table,
+        "schema": SCHEMA_JSON,
+        "partition-spec": [],
+        "snapshots": [{"snapshot-id": 7, "manifests": [manifest_rel]}],
+        "current-snapshot-id": 7,
+    }
+    with open(os.path.join(table, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    out = read_iceberg_table(spark, table)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
