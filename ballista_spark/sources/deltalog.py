@@ -648,6 +648,10 @@ def write_delta_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
+    if partition_by is None and _list_log_versions(table_path):
+        # not specified: inherit the table's partitioning (the common
+        # append case — a caller shouldn't have to restate it)
+        partition_by = read_delta_snapshot(table_path).partition_columns
     partition_by = list(partition_by or [])
     os.makedirs(table_path, exist_ok=True)
     if txn_app_id is not None and _list_log_versions(table_path):
