@@ -230,6 +230,24 @@ class BallistaContext:
             self.register_orc(name, path)
         elif ft == "avro":
             self.register_table(name, self.read_avro(path))
+        elif ft == "delta":
+            from ballista_spark.sources.deltalog import read_delta_table
+
+            self.register_table(
+                name,
+                read_delta_table(
+                    self.spark, path, version=options.get("version")
+                ),
+            )
+        elif ft == "iceberg":
+            from ballista_spark.sources.iceberg import read_iceberg_table
+
+            self.register_table(
+                name,
+                read_iceberg_table(
+                    self.spark, path, snapshot_id=options.get("snapshot_id")
+                ),
+            )
         else:
             raise ValueError(f"unsupported file type: {file_type}")
 

@@ -465,3 +465,29 @@ def test_read_delta_changes_incremental(spark, tmp_path):
     assert read_delta_changes(spark, path, from_version=1, to_version=1).count() == 0
     # full history from "before the table existed"
     assert read_delta_changes(spark, path, from_version=-1).count() == 3
+
+
+def test_create_external_table_delta_and_iceberg(spark, tmp_path):
+    """DDL surface: CREATE EXTERNAL TABLE over both lakehouse formats,
+    queryable through SQL (incl. time travel via the version option)."""
+    from ballista_spark.context import BallistaContext
+
+    dt = str(tmp_path / "dt")
+    write_delta_table(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), dt)
+    write_delta_table(_df(spark, [(3, "c", 3.0)]), dt)
+    ctx = BallistaContext(spark)
+    ctx.create_external_table("docs_delta", dt, file_type="delta")
+    assert ctx.sql("SELECT COUNT(*) AS n FROM docs_delta").collect()[0]["n"] == 3
+    ctx.create_external_table("docs_delta_v0", dt, file_type="delta", version=0)
+    assert (
+        ctx.sql("SELECT COUNT(*) AS n FROM docs_delta_v0").collect()[0]["n"]
+        == 2
+    )
+
+    from tests.test_iceberg import _commit_snapshot, _write_data_file
+
+    ice = str(tmp_path / "ice")
+    e = _write_data_file(ice, "f1.parquet", [(1, "a", 1.0), (2, "b", 2.0)])
+    _commit_snapshot(ice, 9, [e], version=1)
+    ctx.create_external_table("docs_ice", ice, file_type="iceberg")
+    assert ctx.sql("SELECT SUM(id) AS s FROM docs_ice").collect()[0]["s"] == 3
