@@ -1,6 +1,7 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
 from ballista_spark.sources.avroio import read_avro, write_avro
 from ballista_spark.sources.iceberg import read_iceberg_snapshot, read_iceberg_table
+from ballista_spark.sources.pyds import register_data_sources
 from ballista_spark.sources.deltalog import (
     compact_delta_table,
     merge_delta_table,
@@ -17,6 +18,7 @@ __all__ = [
     "TABLES",
     "read_avro",
     "write_avro",
+    "register_data_sources",
     "read_iceberg_table",
     "read_iceberg_snapshot",
     "read_delta_table",

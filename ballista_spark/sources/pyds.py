@@ -1,0 +1,381 @@
+"""Spark 4 Python DataSource faces for the jar-free table formats —
+``spark.read.format("ballista_delta")``, a STREAMING Delta source, and
+``format("ballista_avro")``.
+
+The Python DataSource API (pyspark.sql.datasource, Spark 4) is the
+idiomatic integration point: Catalyst owns the plan, the source
+declares its schema, receives pushed filters, and hands Spark one
+InputPartition per file — so parallelism, task scheduling, AQE and
+column pruning all behave exactly like a native source, while the
+format logic stays the pure-Python readers this repo already tests
+(`deltalog`, `avroio`).
+
+What each face adds over the function APIs:
+
+- ``ballista_delta`` (batch): Catalyst-integrated FILE SKIPPING —
+  with ``.option("pushdown", "true")``, ``pushFilters`` receives the
+  query's own predicates, the reader prunes live files against the
+  log's per-file stats (the ``deltalog._file_may_match`` proof
+  contract), and returns every filter as residual so Spark still
+  applies exact row filtering.  No advisory ``filters=`` argument
+  needed: ``.where("id > 5")`` alone skips files.
+
+  Pruning is OPT-IN because of a Spark 4.1 scan-reuse hazard this
+  repo measured directly: the JVM caches the planned (read function,
+  partitions) on the relation and re-plans ONLY when the next query
+  has pushable filters.  A query with no filters re-uses the cached
+  scan — so ``df = load(); df.where("id>=200").count(); df.count()``
+  would answer the second count from the PRUNED partition list
+  (observed: 10 instead of 30).  The Python side cannot detect the
+  reuse (the planning worker builds a fresh reader each run —
+  ``pyspark/sql/worker/data_source_pushdown_filters.py``), so the
+  only always-correct default is a filter-INDEPENDENT scan.  With
+  ``pushdown=true`` the intended pattern is one ``load()`` per query
+  (re-planning with fresh filters is always correct); reusing one
+  loaded DataFrame for a later filterless query is the one unsafe
+  shape, and the regression test pins both behaviors.
+- ``ballista_delta`` (stream): ``spark.readStream`` over the
+  transaction log — offsets are commit versions, each micro-batch is
+  exactly the ``dataChange`` files of the new commits (the
+  ``read_delta_changes`` contract), one Spark task per file.  With the
+  exactly-once sink (`streaming/sinks.py`) this closes the loop: Delta
+  in, Delta out, both jar-free.
+- ``ballista_avro`` (batch): one partition per container file, Arrow
+  record batches straight from the block decoder.
+
+Registration: ``register_data_sources(spark)`` — then the formats are
+available by name for the session.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql import types as T
+
+__all__ = [
+    "DeltaDataSource",
+    "AvroDataSource",
+    "register_data_sources",
+]
+
+
+def _arrow_schema_for(spark_schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _py_partition_value(raw: str | None, dt: T.DataType):
+    """Log partition values are strings; coerce to the column's type."""
+    if raw is None or raw == "":
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, T.DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    partition_values: dict
+
+
+class _DeltaReader(DataSourceReader):
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+        self.version = (
+            int(options["version"]) if options.get("version") else None
+        )
+        self.pushdown = (
+            str(options.get("pushdown", "false")).lower() == "true"
+        )
+        self._pruned: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Translate top-level comparison filters into the log-stats
+        prune list; EVERY filter is returned as residual — pruning is a
+        file-level superset proof, Spark keeps exact row semantics.
+
+        Pruning only applies when the relation was loaded with
+        ``pushdown=true`` — see the module doc for the Spark 4.1
+        scan-reuse hazard that makes a filter-dependent scan unsafe as
+        the default."""
+        self._pruned = []
+        if not self.pushdown:
+            yield from filters
+            return
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                yield f
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                self._pruned.append((col, "=", f.value))
+            elif isinstance(f, GreaterThan):
+                self._pruned.append((col, ">", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._pruned.append((col, ">=", f.value))
+            elif isinstance(f, LessThan):
+                self._pruned.append((col, "<", f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self._pruned.append((col, "<=", f.value))
+            elif isinstance(f, IsNull):
+                self._pruned.append((col, "is_null", None))
+            yield f  # always residual
+
+    def partitions(self):
+        from ballista_spark.sources.deltalog import (
+            _prune_files,
+            read_delta_snapshot,
+        )
+
+        snap = read_delta_snapshot(self.table_path, self.version)
+        # consume-and-clear: a later query on the same relation that has
+        # no filters never calls pushFilters, and must see every file.
+        # Worst case of clearing (a replanned retry losing the prune
+        # list) costs only skipped-file reads, never correctness —
+        # filters are always returned as residual.
+        pruned, self._pruned = self._pruned, []
+        if pruned:
+            snap = _prune_files(snap, pruned)
+        return [
+            _FilePartition(
+                path=os.path.join(self.table_path, f.path),
+                partition_values={
+                    c: f.partition_values.get(c)
+                    for c in snap.partition_columns
+                },
+            )
+            for f in snap.files
+        ] or [_FilePartition(path="", partition_values={})]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:  # empty snapshot sentinel
+            return
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+
+def _read_parquet_with_partition_values(
+    partition: _FilePartition, spark_schema: T.StructType
+):
+    """One data file → Arrow batches in the declared schema order, with
+    hive partition columns attached as constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_schema_for(spark_schema)
+    part_cols = set(partition.partition_values)
+    data_cols = [f.name for f in spark_schema.fields if f.name not in part_cols]
+    for batch in pq.ParquetFile(partition.path).iter_batches(
+        columns=data_cols
+    ):
+        n = batch.num_rows
+        arrays = []
+        for field in spark_schema.fields:
+            tf = target.field(field.name)
+            if field.name in part_cols:
+                v = _py_partition_value(
+                    partition.partition_values[field.name], field.dataType
+                )
+                arrays.append(pa.array([v] * n, type=tf.type))
+            else:
+                arrays.append(
+                    batch.column(field.name).cast(tf.type)
+                )
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the transaction log: offsets are commit
+    versions; batch (start, end] = the dataChange files those commits
+    added, one task per file.  Compaction/clustering rewrites
+    (dataChange: false) are invisible, exactly as a consumer wants."""
+
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+
+    def _current_version(self) -> int:
+        from ballista_spark.sources.deltalog import _list_log_versions
+
+        versions = _list_log_versions(self.table_path)
+        return versions[-1] if versions else -1
+
+    def initialOffset(self) -> dict:
+        start = self.options.get("startingVersion")
+        if start is not None:
+            return {"version": int(start) - 1}  # consume from `start` on
+        return {"version": self._current_version()}  # only NEW commits
+
+    def latestOffset(self) -> dict:
+        return {"version": self._current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        from ballista_spark.sources.deltalog import (
+            _commit_path,
+            _iter_commit_actions,
+            _list_log_versions,
+            _normalize_rel,
+            read_delta_snapshot,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        snap = read_delta_snapshot(self.table_path)  # partition cols
+        out = []
+        for v in _list_log_versions(self.table_path):
+            if not (lo < v <= hi):
+                continue
+            for action in _iter_commit_actions(
+                _commit_path(self.table_path, v)
+            ):
+                a = action.get("add")
+                if a and a.get("dataChange", True):
+                    pv = dict(a.get("partitionValues") or {})
+                    out.append(
+                        _FilePartition(
+                            path=os.path.join(
+                                self.table_path,
+                                _normalize_rel(self.table_path, a["path"]),
+                            ),
+                            partition_values={
+                                c: pv.get(c) for c in snap.partition_columns
+                            },
+                        )
+                    )
+        return out
+
+    def read(self, partition: _FilePartition):
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the source of truth; nothing to acknowledge
+
+
+class DeltaDataSource(DataSource):
+    """``spark.read.format("ballista_delta").option("path", p)`` /
+    ``spark.readStream.format("ballista_delta")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ballista_delta"
+
+    def schema(self):
+        from ballista_spark.sources.deltalog import read_delta_snapshot
+
+        version = self.options.get("version")
+        return read_delta_snapshot(
+            self.options["path"], int(version) if version else None
+        ).schema
+
+    def reader(self, schema):
+        return _DeltaReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return _DeltaStreamReader(self.options, schema)
+
+
+class _AvroReader(DataSourceReader):
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+
+    def partitions(self):
+        import glob as _glob
+
+        path = self.options["path"]
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        else:
+            files = [path]
+        if not files:
+            raise FileNotFoundError(f"no .avro files under {path!r}")
+        return [_FilePartition(path=p, partition_values={}) for p in files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
+        from ballista_spark.sources.avroio import iter_avro_blocks
+
+        target = _arrow_schema_for(self.spark_schema)
+        names = [f.name for f in self.spark_schema.fields]
+        with open(partition.path, "rb") as f:
+            for block in iter_avro_blocks(f):
+                if not block:
+                    continue
+                cols = {c: [r.get(c) for r in block] for c in names}
+                yield pa.RecordBatch.from_pydict(cols, schema=target)
+
+
+class AvroDataSource(DataSource):
+    """``spark.read.format("ballista_avro").option("path", p)`` — the
+    stdlib container codec behind the DataSource API (one partition per
+    file, Arrow batches per block)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ballista_avro"
+
+    def schema(self):
+        import glob as _glob
+
+        from ballista_spark.sources.avroio import (
+            _read_header,
+            avro_to_spark_schema,
+        )
+
+        path = self.options["path"]
+        first = (
+            sorted(_glob.glob(os.path.join(path, "*.avro")))[0]
+            if os.path.isdir(path)
+            else path
+        )
+        with open(first, "rb") as f:
+            avro_schema, _codec, _sync = _read_header(f)
+        return avro_to_spark_schema(avro_schema)
+
+    def reader(self, schema):
+        return _AvroReader(self.options, schema)
+
+
+def register_data_sources(spark) -> None:
+    """Register both formats on the session — afterwards
+    ``format("ballista_delta")`` / ``format("ballista_avro")`` work in
+    batch reads, and ``ballista_delta`` in ``readStream``.  Python-source
+    filter pushdown ships disabled by default (Spark 4.1) — enabling it
+    here is what lets ``pushFilters`` receive the query predicates."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaDataSource)
+    spark.dataSource.register(AvroDataSource)

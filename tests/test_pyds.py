@@ -1,0 +1,171 @@
+"""Python DataSource faces (Spark 4 API): batch + streaming Delta,
+batch Avro — format-by-name reads with Catalyst-pushed filter pruning.
+"""
+
+from __future__ import annotations
+
+
+import pytest
+
+from ballista_spark.sources.deltalog import write_delta_table
+from ballista_spark.sources.pyds import register_data_sources
+
+
+def _df(spark, rows, schema="id long, cat string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def registered(spark):
+    register_data_sources(spark)
+    return spark
+
+
+def test_batch_read_partitioned(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(20)],
+    )
+    write_delta_table(df, path, partition_by=["cat"])
+    out = spark.read.format("ballista_delta").option("path", path).load()
+    assert out.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_batch_read_version_option(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(_df(spark, [(2, "b", 2.0)]), path)
+    v0 = (
+        spark.read.format("ballista_delta")
+        .option("path", path)
+        .option("version", "0")
+        .load()
+    )
+    assert v0.count() == 1
+
+
+def test_catalyst_filters_prune_files(registered, tmp_path):
+    """With pushdown=true the query's own .where() drives file
+    skipping through pushFilters — no advisory filters argument.
+    Proof: with disjoint per-file key ranges, the filtered scan plans
+    exactly ONE input partition (file)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_delta_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+
+    def load():
+        return (
+            spark.read.format("ballista_delta")
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+        )
+
+    out = load().where("id >= 200")
+    assert out.rdd.getNumPartitions() == 1  # 2 of 3 files skipped
+    assert out.count() == 10
+    # row-level correctness is exact even though pruning is file-level
+    assert load().where("id = 105").count() == 1
+    assert load().count() == 30
+
+
+def test_default_scan_is_reuse_safe(registered, tmp_path):
+    """Spark 4.1 re-plans a Python scan only when the next query has
+    pushable filters; a filterless query on the same loaded DataFrame
+    reuses the cached (read func, partitions).  The default (no
+    pushdown option) therefore plans a filter-INDEPENDENT scan — this
+    is the regression shape that returned 10 instead of 30 when
+    pruning was unconditional."""
+    spark = registered
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_delta_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    src = spark.read.format("ballista_delta").option("path", path).load()
+    assert src.where("id >= 200").count() == 10  # exact rows, no pruning
+    assert src.count() == 30  # reused scan still sees every file
+
+
+def test_streaming_delta_source_consumes_new_commits(registered, tmp_path):
+    """Default startingVersion = latest at QUERY START (initialOffset
+    is called on the first trigger, not at load()): the pre-existing
+    seed commit is never replayed; each later commit flows through the
+    next trigger via the checkpointed offset."""
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_delta")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_delta_table(_df(spark, [(0, "seed", 0.0)]), path)  # pre-stream
+    run_trigger()  # initialOffset = current version → nothing to consume
+    # (the sink may still write an EMPTY batch-0 file — assert rows)
+    assert (
+        spark.read.parquet(out_dir).count() == 0
+    ), "the seed commit (pre-start) must not be replayed"
+
+    # commits after query start flow through the checkpointed offset
+    write_delta_table(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2]
+
+    write_delta_table(_df(spark, [(3, "c", 3.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]
+
+
+def test_streaming_starting_version_zero(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(_df(spark, [(2, "b", 2.0)]), path)
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("ballista_delta")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in spark.read.parquet(out_dir).collect()) == [1, 2]
+
+
+def test_avro_format_read(registered, tmp_path):
+    spark = registered
+    from ballista_spark.sources.avroio import write_avro
+
+    df = _df(spark, [(i, f"s{i}", float(i)) for i in range(100)])
+    out = str(tmp_path / "av")
+    write_avro(df, out)
+    got = spark.read.format("ballista_avro").option("path", out).load()
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
