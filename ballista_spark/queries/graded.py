@@ -1505,6 +1505,119 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # --- round-6 codec/document families folded into the driver window
+    # (round 7): baseline JPEG decode, stdlib PDF extraction, rule-based
+    # sentence segmentation, audio landmark fingerprint matching — each
+    # a known-answer check of the REAL distributed path (mapInPandas
+    # decode, regex-split machinery, the fp_hash self-join) over fixed
+    # literal inputs.  Every oracle value is derived INDEPENDENTLY of
+    # the implementation: JPEG pixels from the T.81 A.3.3 IDCT formula
+    # (hand-computed, pinned as literals), the PDF text and sentence
+    # strings as SQL literals that DuckDB itself hashes, and the audio
+    # alignment offset planted by construction (the clip starts exactly
+    # _AFP_SHIFT_FRAMES STFT hops into the track).
+    from ballista_spark.operators.audiofp import (
+        HOP,
+        audio_fingerprints,
+        audio_match_pairs,
+    )
+    from ballista_spark.operators.multimodal import MEDIA_SCHEMA, encode_wav
+    from ballista_spark.operators.pdf import pdf_extract_text
+    from ballista_spark.operators.text import split_sentences
+
+    jp_df = spark.createDataFrame(
+        [(bytes.fromhex(_JPEG_KA_HEX),)], "payload binary"
+    )
+
+    def _jp(batches):
+        import pandas as _pd
+
+        from ballista_spark.operators.jpeg import decode_jpeg
+
+        for b in batches:
+            for p in b["payload"]:
+                img = decode_jpeg(bytes(p))
+                ks = [f"c{j}" for j in range(img.shape[1])]
+                ms = ["px"] * img.shape[1] + ["meta", "meta"]
+                vs = [int(x) for x in img[0]] + [
+                    img.shape[0] * 1000 + img.shape[1],
+                    int(bool((img == img[0:1, :]).all())),
+                ]
+                yield _pd.DataFrame(
+                    {"k": ks + ["shape", "const_rows"], "metric": ms, "v": vs}
+                )
+
+    jp_rows = (
+        jp_df.mapInPandas(_jp, "k string, metric string, v long")
+        .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
+        .localCheckpoint(eager=True)  # see lm_g
+    )
+
+    pdf_df = spark.createDataFrame(
+        [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
+    )
+    pe = pdf_extract_text(pdf_df)
+    pdf_rows = (
+        pe.select(
+            F.lit("pdf").alias("op"),
+            F.lit("d0").alias("k"),
+            F.lit("md5_1e6").alias("metric"),
+            (md5_long("text") % 1000000).cast("long").alias("v"),
+        )
+        .unionAll(
+            pe.select(
+                F.lit("pdf"), F.lit("d0"), F.lit("n_pages"),
+                F.col("n_pages").cast("long"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    sent_df = spark.createDataFrame([(0, _SENT_KA_TEXT)], "doc_id long, text string")
+    ss = split_sentences(sent_df)
+    sent_rows = (
+        ss.select(
+            F.lit("sent").alias("op"),
+            F.col("sentence_id").cast("string").alias("k"),
+            F.lit("md5_1e6").alias("metric"),
+            (md5_long("sentence") % 1000000).cast("long").alias("v"),
+        )
+        .unionAll(
+            ss.agg(F.count("*").alias("n")).select(
+                F.lit("sent"), F.lit("all"), F.lit("n"), F.col("n").cast("long")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    afp_ref, afp_clip = _afp_signals(HOP)
+
+    def _afp_row(mid, sig):
+        return (
+            mid,
+            bytearray(encode_wav(sig, _AFP_RATE)),
+            {
+                "modality": "audio", "mime": "audio/wav",
+                "width": None, "height": None, "duration_ms": None,
+            },
+        )
+
+    afp_media = spark.createDataFrame(
+        [_afp_row(1, afp_ref), _afp_row(2, afp_clip)], MEDIA_SCHEMA
+    )
+    afp_rows = (
+        audio_match_pairs(audio_fingerprints(afp_media), min_matches=8)
+        .orderBy(F.desc("n_matches"), "offset")
+        .limit(1)
+        .select(
+            F.lit("audiofp").alias("op"),
+            F.concat_ws("|", "key_a", "key_b").alias("k"),
+            F.lit("offset").alias("metric"),
+            F.col("offset").cast("long").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
         .unionAll(
@@ -1539,8 +1652,96 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pr_rows)
         .unionAll(lg_rows)
         .unionAll(rb_rows)
+        .unionAll(jp_rows)
+        .unionAll(pdf_rows)
+        .unionAll(sent_rows)
+        .unionAll(afp_rows)
         .orderBy("op", "k", "metric")
     )
+
+
+#: hand-assembled baseline-JPEG bitstream (the single-AC-coefficient
+#: vector of tests/test_jpeg.py, assembled with that file's independent
+#: bit-writer): 8x8 grayscale, quant table all-16s, one AC coefficient
+#: 3 at zigzag index 1 — the decoded row is the T.81 A.3.3 IDCT of
+#: coef[0,1]=48, hand-computed as 136 135 133 130 126 123 121 120 and
+#: pinned as literals in the oracle (constant down rows: the 'const_rows'
+#: pin catches a transposed decoder that a round-trip would cancel)
+_JPEG_KA_HEX = (
+    "ffd8ffdb0043001010101010101010101010101010101010101010101010101010101010"
+    "1010101010101010101010101010101010101010101010101010101010101010101010ff"
+    "c0000b080008000801011100ffc40014000100000000000000000000000000000000ffc4"
+    "001510000200000000000000000000000000000200ffda0008010100003f001bffd9"
+)
+
+#: row 0 of the decoded 8x8 (constant down rows) — HAND-COMPUTED from
+#: the IDCT definition, the oracle's independent expectation
+_JPEG_KA_ROW0 = [136, 135, 133, 130, 126, 123, 121, 120]
+
+#: the Tj operand of _PDF_KA_HEX's content stream — what extraction
+#: must return; the oracle hashes this literal itself
+_PDF_KA_TEXT = "Engines index the web"
+
+#: structurally-honest one-page mini-PDF (catalog, page tree, content
+#: stream `... (Engines index the web) Tj ...`, trailer) — the expected
+#: text is fixed by the Tj operand, so the oracle hashes the literal
+#: string itself
+_PDF_KA_HEX = (
+    "255044462d312e340a312030206f626a203c3c202f54797065202f436174616c6f67"
+    "202f5061676573203220302052203e3e20656e646f626a0a322030206f626a203c3c"
+    "202f54797065202f5061676573202f4b696473205b3130203020525d202f436f756e"
+    "742031203e3e20656e646f626a0a332030206f626a203c3c202f4c656e6774682035"
+    "32203e3e2073747265616d0a4254202f463120313220546620373220373230205464"
+    "2028456e67696e657320696e64657820746865207765622920546a2045540a656e64"
+    "73747265616d20656e646f626a0a342030206f626a203c3c202f54797065202f466f"
+    "6e74202f53756274797065202f5479706531202f42617365466f6e74202f48656c76"
+    "6574696361203e3e20656e646f626a0a31302030206f626a203c3c202f5479706520"
+    "2f50616765202f506172656e74203220302052202f436f6e74656e74732033203020"
+    "52202f5265736f7572636573203c3c202f466f6e74203c3c202f4631203420302052"
+    "203e3e203e3e203e3e20656e646f626a0a747261696c6572203c3c202f526f6f7420"
+    "3120302052203e3e0a2525454f46"
+)
+
+#: fixed paragraph for the graded 'sent' branch — exercises every
+#: splitter rule: abbreviation guard (Dr., Fig., vs.), single-initial
+#: guard (J.), a quote-closed exclamation that must NOT split before a
+#: lowercase continuation, and a digit-start sentence.  The four
+#: expected sentences are hand-derived and pinned as oracle literals.
+_SENT_KA_TEXT = (
+    'Dr. Smith met J. Kline at the lab. "It works!" she said. '
+    "See Fig. 2 for the vs. baseline plot. 2024 confirmed it."
+)
+_SENT_KA_EXPECTED = [
+    "Dr. Smith met J. Kline at the lab.",
+    '"It works!" she said.',
+    "See Fig. 2 for the vs. baseline plot.",
+    "2024 confirmed it.",
+]
+
+_AFP_RATE = 16000
+#: the clip is cut exactly this many STFT hops into the track, so the
+#: landmark offset vote must land on this value — by construction, not
+#: by replaying the implementation
+_AFP_SHIFT_FRAMES = 64
+
+
+def _afp_signals(hop: int):
+    """Deterministic 3 s chord track + a 1 s clip cut at exactly
+    ``_AFP_SHIFT_FRAMES`` STFT hops — seeded numpy, no wall-clock."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    seg = _AFP_RATE // 4
+    n = _AFP_RATE * 3
+    t = np.arange(seg) / _AFP_RATE
+    ref = np.empty(n)
+    for i in range(0, n, seg):
+        freqs = rng.integers(200, 4000, 3)
+        chord = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+        ref[i : i + seg] = chord[: n - i]
+    ref = ref / np.abs(ref).max() * 0.8
+    clip = ref[_AFP_SHIFT_FRAMES * hop : _AFP_SHIFT_FRAMES * hop + _AFP_RATE]
+    return ref, clip
 
 
 #: fixed scoring model for the graded 'quality' branch — grams from the
@@ -1618,6 +1819,16 @@ def _sketch_sampling_oracle() -> str:
 
     lgvals = ", ".join(f"('{y}', '{g}', {w})" for y, g, w in _LANGID_WEIGHTS)
     lgbias = ", ".join(f"('{y}', {b})" for y, b in sorted(_LANGID_BIASES.items()))
+    # known-answer literals for the round-7 codec/document branches —
+    # every value here is derived independently of the implementation
+    # (see the builder comment)
+    jpx = ", ".join(f"({j}, {v})" for j, v in enumerate(_JPEG_KA_ROW0))
+    sentvals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_SENT_KA_EXPECTED)
+    )
+    n_sent = len(_SENT_KA_EXPECTED)
+    pdf_text = _PDF_KA_TEXT
+    afp_off = _AFP_SHIFT_FRAMES
     strat_case = (
         f"CASE WHEN source = 'src0' THEN '{rate_threshold(1.0)}' "
         f"WHEN source = 'src1' THEN '{rate_threshold(0.5)}' "
@@ -1992,6 +2203,24 @@ UNION ALL SELECT 'robots', source, 'md5_1e6',
   CAST(SUM(CAST(CONCAT('0x', SUBSTR(MD5(url), 1, 15)) AS BIGINT) % 1000000)
        AS BIGINT)
   FROM rb GROUP BY source
+-- round-7 known-answer branches: JPEG pixels hand-computed from the
+-- T.81 IDCT definition; PDF/sentence expectations are the literal
+-- strings themselves (DuckDB derives the hash); the audio offset is
+-- the planted clip position in STFT hops
+UNION ALL SELECT 'jpeg', 'c' || CAST(i AS VARCHAR), 'px', CAST(v AS BIGINT)
+  FROM (VALUES {jpx}) AS jpx(i, v)
+UNION ALL SELECT 'jpeg', 'shape', 'meta', CAST(8008 AS BIGINT)
+UNION ALL SELECT 'jpeg', 'const_rows', 'meta', CAST(1 AS BIGINT)
+UNION ALL SELECT 'pdf', 'd0', 'md5_1e6',
+  CAST(CAST(CONCAT('0x', SUBSTR(MD5('{pdf_text}'), 1, 15)) AS BIGINT)
+       % 1000000 AS BIGINT)
+UNION ALL SELECT 'pdf', 'd0', 'n_pages', CAST(1 AS BIGINT)
+UNION ALL SELECT 'sent', CAST(i AS VARCHAR), 'md5_1e6',
+  CAST(CAST(CONCAT('0x', SUBSTR(MD5(txt), 1, 15)) AS BIGINT)
+       % 1000000 AS BIGINT)
+  FROM (VALUES {sentvals}) AS sv(i, txt)
+UNION ALL SELECT 'sent', 'all', 'n', CAST({n_sent} AS BIGINT)
+UNION ALL SELECT 'audiofp', '1|2', 'offset', CAST({afp_off} AS BIGINT)
 ORDER BY op, k, metric
 """
 
@@ -2019,7 +2248,15 @@ _b(
     "robots.txt gate (operators/robots.py — generic parse + longest-"
     "match join over literal rule bodies vs verdicts hand-derived from "
     "RFC 9309: exact-agent-beats-*, Allow-outlengthens-Disallow, "
-    "$-anchored wildcards, no-rules hosts) "
+    "$-anchored wildcards, no-rules hosts), and the round-7 known-answer "
+    "branches: baseline JPEG decode (operators/jpeg.py — hand-assembled "
+    "bitstream, pixels pinned from the T.81 IDCT definition), stdlib PDF "
+    "text extraction (operators/pdf.py — mini-PDF literal, DuckDB hashes "
+    "the expected Tj text itself), rule-based sentence segmentation "
+    "(operators/text.py:split_sentences — abbreviation/initial/quote/"
+    "digit rules vs hand-derived sentences), and audio landmark "
+    "fingerprint matching (operators/audiofp.py — the offset vote must "
+    "recover the planted clip position) "
     "— every selected set / token layout pinned exactly cross-engine "
     "(count + sum of ids per source; packing via window-id/offset sums; "
     "LM/quality/DSIR via integer totals + float sums at 1e-4).",
