@@ -1,6 +1,10 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
 from ballista_spark.sources.avroio import read_avro, write_avro
-from ballista_spark.sources.iceberg import read_iceberg_snapshot, read_iceberg_table
+from ballista_spark.sources.iceberg import (
+    read_iceberg_snapshot,
+    read_iceberg_table,
+    write_iceberg_table,
+)
 from ballista_spark.sources.pyds import register_data_sources
 from ballista_spark.sources.deltalog import (
     compact_delta_table,
@@ -21,6 +25,7 @@ __all__ = [
     "register_data_sources",
     "read_iceberg_table",
     "read_iceberg_snapshot",
+    "write_iceberg_table",
     "read_delta_table",
     "read_delta_snapshot",
     "read_delta_changes",

@@ -447,15 +447,20 @@ def write_avro_bytes(
     codec: str = "deflate",
     block_bytes: int = DEFAULT_BLOCK_BYTES,
     sync: bytes = b"\x00" * SYNC_SIZE,
+    extra_meta: dict | None = None,
 ) -> bytes:
     """One Avro object container file as bytes (deterministic: fixed
-    sync marker by default so tests can byte-compare)."""
+    sync marker by default so tests can byte-compare).  ``extra_meta``
+    adds application key/value pairs to the container header (Iceberg
+    manifests carry their table schema and spec there)."""
     out = bytearray()
     out += MAGIC
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _encode_datum(out, {"type": "map", "values": "bytes"}, meta)
     out += sync
 

@@ -29,10 +29,20 @@ ignoring them would return deleted rows.
 The reference engine has no table-format layer (CSV/Parquet/Avro file
 scans only, `rust/core/proto/ballista.proto:244-258`); with
 ``deltalog`` this completes both open lakehouse formats, beyond-parity.
-Write support is deliberately absent: Iceberg writes require sequence
--number bookkeeping and manifest merge policies that belong to the
-reference implementation; this engine writes Delta (`write_delta_table`)
-and reads both.
+
+WRITE side (round 7): ``write_iceberg_table`` produces spec
+format-version 1 tables — append and overwrite snapshots, one Avro
+manifest per commit plus a full manifest list, per-file Appendix-D
+column bounds (the same bounds this reader prunes on), and optimistic
+concurrency through exclusive-create of ``vN.metadata.json`` (the same
+one-winner-per-version device as the Delta log).  v1 deliberately:
+sequence-number bookkeeping and manifest-merge policy only exist to
+serve v2 row-level deletes, which this engine neither writes nor reads
+(they raise above); an append-only v1 table is exactly what a batch
+analytics pipeline needs and is readable by every Iceberg
+implementation.  Unpartitioned layout: Iceberg data files always carry
+every column, and file skipping here rides the column bounds — the
+mechanism Iceberg itself uses within a partition.
 """
 
 from __future__ import annotations
@@ -50,6 +60,10 @@ from ballista_spark.sources.avroio import read_avro_bytes
 __all__ = [
     "read_iceberg_table",
     "read_iceberg_snapshot",
+    "write_iceberg_table",
+    "spark_to_iceberg_schema",
+    "encode_bound",
+    "decode_bound",
     "IcebergSnapshot",
     "IcebergFeatureError",
 ]
@@ -344,3 +358,497 @@ def read_iceberg_table(
     return spark.read.schema(snap.spark_schema).parquet(
         *[f[0] for f in files]
     )
+
+
+# ---------------------------------------------------------------------------
+# WRITE side — spec format-version 1 (see module doc for the v1 stance)
+
+
+def spark_to_iceberg_schema(spark_schema: T.StructType) -> tuple[dict, int]:
+    """(Iceberg schema JSON, last-column-id) with unique field ids
+    assigned depth-first — the inverse of :func:`iceberg_to_spark_type`
+    over the same supported subset."""
+    counter = [0]
+
+    def nid() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    prim = {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.DateType: "date",
+        T.TimestampNTZType: "timestamp",
+        T.TimestampType: "timestamptz",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+    }
+
+    def conv(dt: T.DataType):
+        if type(dt) in prim:
+            return prim[type(dt)]
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = nid()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = nid()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element-required": not dt.containsNull,
+                "element": conv(dt.elementType),
+            }
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise IcebergFeatureError("non-string map keys unsupported")
+            kid, vid = nid(), nid()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": "string",
+                "value-id": vid,
+                "value-required": not dt.valueContainsNull,
+                "value": conv(dt.valueType),
+            }
+        raise IcebergFeatureError(
+            f"unsupported Spark type for Iceberg write: {dt.simpleString()}"
+        )
+
+    top = conv(spark_schema)
+    top["schema-id"] = 0
+    return top, counter[0]
+
+
+def encode_bound(value, iceberg_type: str) -> bytes | None:
+    """Spec Appendix D single-value serialization — the exact inverse of
+    :func:`decode_bound`; returns None for values/types without a
+    trustworthy fixed encoding (those columns simply don't prune)."""
+    if value is None:
+        return None
+    try:
+        if iceberg_type in ("int", "date"):
+            return struct.pack("<i", int(value))
+        if iceberg_type in ("long", "timestamp", "timestamptz", "time"):
+            return struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(value))
+        if iceberg_type == "string":
+            raw = str(value).encode("utf-8")
+            # bounds must bound: a truncated UPPER needs last-byte
+            # increment logic to stay an upper bound, so long strings
+            # are omitted instead (prune-on-proof keeps correctness)
+            return raw if len(raw) <= 32 else None
+        if iceberg_type == "boolean":
+            return b"\x01" if value else b"\x00"
+    except (struct.error, ValueError, OverflowError):
+        return None
+    return None
+
+
+def _to_iceberg_scalar(v, iceberg_type: str):
+    """Parquet-footer statistics value → the spec's integer domain
+    (dates = days since epoch, timestamps = micros since epoch)."""
+    import datetime
+
+    if iceberg_type == "date" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if iceberg_type in ("timestamp", "timestamptz") and isinstance(
+        v, datetime.datetime
+    ):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        td = v - datetime.datetime(1970, 1, 1)
+        return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return v
+
+
+def _footer_bounds(path: str, ids: dict[int, tuple[str, str]]):
+    """(record_count, lower, upper, null_counts) from ONE parquet footer
+    — same footer-only discipline as deltalog._file_stats_json, but
+    keyed by Iceberg field id with Appendix-D encoded values."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    by_name = {name: (fid, ftype) for fid, (name, ftype) in ids.items()}
+    mins: dict[int, bytes] = {}
+    maxs: dict[int, bytes] = {}
+    nulls: dict[int, int] = {}
+    raw_min: dict[str, object] = {}
+    raw_max: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in by_name:
+                continue
+            st = c.statistics
+            if st is None:
+                continue
+            fid, _ftype = by_name[name]
+            if st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + int(st.null_count)
+            if st.has_min_max:
+                mn = _to_iceberg_scalar(st.min, _ftype)
+                mx = _to_iceberg_scalar(st.max, _ftype)
+                if mn is None or mx is None:
+                    continue
+                raw_min[name] = (
+                    mn if name not in raw_min else min(raw_min[name], mn)
+                )
+                raw_max[name] = (
+                    mx if name not in raw_max else max(raw_max[name], mx)
+                )
+    for name, (fid, ftype) in by_name.items():
+        lo = encode_bound(raw_min.get(name), ftype)
+        hi = encode_bound(raw_max.get(name), ftype)
+        if lo is not None and hi is not None:
+            mins[fid] = lo
+            maxs[fid] = hi
+    return md.num_rows, mins, maxs, nulls
+
+
+#: Avro schemas for the v1 manifest + manifest list, spec field names
+#: and the array<record{key,value}> bounds form (struct field-id avro
+#: attributes omitted: they are v2 reader aids, and every field here is
+#: resolved by name)
+_KV_SCHEMA = {
+    "type": "record",
+    "name": "k126_v127",
+    "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"},
+    ],
+}
+_CNT_SCHEMA = {
+    "type": "record",
+    "name": "k118_v119",
+    "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "long"},
+    ],
+}
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "block_size_in_bytes", "type": "long"},
+        {
+            "name": "null_value_counts",
+            "type": ["null", {"type": "array", "items": _CNT_SCHEMA}],
+        },
+        {
+            "name": "lower_bounds",
+            "type": ["null", {"type": "array", "items": _KV_SCHEMA}],
+        },
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {"type": "array", "items": {**_KV_SCHEMA, "name": "k128_v129"}},
+            ],
+        },
+    ],
+}
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA},
+    ],
+}
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "added_data_files_count", "type": ["null", "int"]},
+        {"name": "existing_data_files_count", "type": ["null", "int"]},
+        {"name": "deleted_data_files_count", "type": ["null", "int"]},
+        {"name": "added_rows_count", "type": ["null", "long"]},
+    ],
+}
+
+
+def _schema_compatible(existing: T.StructType, new: T.StructType) -> bool:
+    """Same names + types in order; nullability relaxed (the Delta
+    source's append discipline)."""
+    if len(existing.fields) != len(new.fields):
+        return False
+    for a, b in zip(existing.fields, new.fields):
+        if a.name != b.name or a.dataType != b.dataType:
+            return False
+    return True
+
+
+def write_iceberg_table(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to an Iceberg v1 table at ``table_path`` (created
+    on first write); returns the new snapshot id.
+
+    One commit = Spark writes the parquet data files under ``data/``
+    (distributed; the driver only moves files and reads footers), ONE
+    new Avro manifest listing them with Appendix-D column bounds, a
+    manifest list (previous manifests carried forward on append,
+    dropped on overwrite — their files stay readable through snapshot
+    time travel), and ``v<N+1>.metadata.json`` committed by exclusive
+    create — two racing writers produce two metadata versions, one
+    wins, the loser raises (the Delta log's one-winner-per-version
+    device, `deltalog._attempt_commit`).
+
+    Scale: metadata work is O(files in this commit) + one manifest-list
+    rewrite; data-file writing is the engine's normal distributed
+    parquet path.  Nothing is collected.
+    """
+    import time
+    import uuid as _uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # normalize to the Iceberg type domain up front (short/byte → int)
+    # so the schema recorded in metadata round-trips exactly and later
+    # appends of the same DataFrame shape stay compatible
+    _ice, _ = spark_to_iceberg_schema(df.schema)
+    norm = iceberg_to_spark_type(_ice)
+    if [f.dataType for f in norm.fields] != [f.dataType for f in df.schema.fields]:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(f.name).cast(norm.fields[i].dataType)
+                for i, f in enumerate(df.schema.fields)
+            ]
+        )
+    meta_dir = os.path.join(table_path, "metadata")
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    try:
+        md = _load_metadata(table_path)
+    except FileNotFoundError:
+        md = None
+    if md is not None:
+        schema_json = _current_schema(md)
+        existing_spark = iceberg_to_spark_type(schema_json)
+        if not _schema_compatible(existing_spark, df.schema):
+            raise ValueError(
+                "schema mismatch on Iceberg append: table has "
+                f"{existing_spark.simpleString()}, DataFrame has "
+                f"{df.schema.simpleString()}"
+            )
+        last_column_id = int(md.get("last-column-id", 0))
+        table_uuid = md["table-uuid"]
+        # new version = version READ + 1 (not highest-on-disk + 1): if a
+        # racer already claimed it, the exclusive create below raises
+        # instead of silently dropping that racer's snapshot
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                prev_version = int(f.read().strip())
+        else:
+            prev_version = max(
+                int(os.path.basename(p)[1:].split(".")[0])
+                for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+            )
+    else:
+        schema_json, last_column_id = spark_to_iceberg_schema(df.schema)
+        table_uuid = str(_uuid.uuid4())
+        prev_version = 0
+
+    ids = _field_ids(schema_json)
+    snapshot_id = _uuid.uuid4().int >> 75  # unique positive 53-bit long
+    now_ms = int(time.time() * 1000)
+
+    # --- data files: distributed parquet write, then move into data/.
+    # The spec REQUIRES int64-micros parquet timestamps (and Spark's
+    # INT96 default also writes no statistics, killing bound pruning) —
+    # force TIMESTAMP_MICROS for the staging write, then restore.
+    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
+    spark = df.sparkSession
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
+        os.rename(os.path.join(staging, name), dest)
+        n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
+        if n_records == 0:
+            os.remove(dest)  # empty task output — never commit it
+            continue
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_records,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "block_size_in_bytes": 67108864,
+                    "null_value_counts": [
+                        {"key": k, "value": v} for k, v in sorted(nulls.items())
+                    ],
+                    "lower_bounds": [
+                        {"key": k, "value": v} for k, v in sorted(lowers.items())
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v} for k, v in sorted(uppers.items())
+                    ],
+                },
+            }
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # --- one manifest for this commit
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    manifest_path = os.path.join(
+        meta_dir, f"{_uuid.uuid4().hex}-m0.avro"
+    )
+    manifest_bytes = write_avro_bytes(
+        entries,
+        _MANIFEST_ENTRY_SCHEMA,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as f:
+        f.write(manifest_bytes)
+
+    # --- manifest list: carry previous manifests forward on append
+    carried: list[dict] = []
+    parent_snapshot_id = None
+    if md is not None and md.get("current-snapshot-id") not in (None, -1):
+        parent_snapshot_id = md["current-snapshot-id"]
+        if mode == "append":
+            cur = next(
+                s
+                for s in md.get("snapshots", [])
+                if s["snapshot-id"] == parent_snapshot_id
+            )
+            with open(_norm_path(table_path, cur["manifest-list"]), "rb") as f:
+                prev_manifests, _sch = read_avro_bytes(f.read())
+            for m in prev_manifests:
+                carried.append(
+                    {k: m.get(k) for k in
+                     [f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]]}
+                )
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in entries
+        ),
+    }
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    )
+    with open(list_path, "wb") as f:
+        f.write(
+            write_avro_bytes(
+                carried + [new_manifest],
+                _MANIFEST_FILE_SCHEMA,
+                extra_meta={"format-version": "1", "snapshot-id": str(snapshot_id)},
+            )
+        )
+
+    # --- new metadata version, committed by exclusive create
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(entries)),
+            "added-records": str(new_manifest["added_rows_count"]),
+        },
+    }
+    if parent_snapshot_id is not None:
+        snapshot["parent-snapshot-id"] = parent_snapshot_id
+    new_md = {
+        "format-version": 1,
+        "table-uuid": table_uuid,
+        "location": table_path,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "schema": schema_json,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
+        "snapshot-log": (md.get("snapshot-log", []) if md else [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+    }
+    new_version = prev_version + 1
+    md_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    # exclusive create IS the commit: one winner per version
+    with open(md_path, "x", encoding="utf-8") as f:
+        json.dump(new_md, f)
+    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snapshot_id

@@ -1,0 +1,314 @@
+"""Iceberg v1 WRITER tests (sources/iceberg.py:write_iceberg_table).
+
+The round-trip through this repo's own reader is necessary but not
+sufficient (paired writer/reader bugs cancel), so the suite also pins
+the on-disk artifacts against the PUBLIC spec directly: metadata JSON
+field names, manifest/manifest-list Avro field names, Appendix-D bound
+encodings byte-compared against struct-packed literals, and footer
+bounds cross-checked against pyarrow's own statistics.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+
+import pyarrow.parquet as pq
+import pytest
+
+from ballista_spark.sources.avroio import read_avro_bytes
+from ballista_spark.sources.iceberg import (
+    encode_bound,
+    decode_bound,
+    read_iceberg_snapshot,
+    read_iceberg_table,
+    spark_to_iceberg_schema,
+    write_iceberg_table,
+)
+
+
+def _df(spark, rows, schema="id long, cat string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _read_meta(path):
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    with open(hint) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(path, "metadata", f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# round-trips through the reader
+
+
+def test_write_then_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, f"c{i % 3}", float(i)) for i in range(100)])
+    write_iceberg_table(df, path)
+    got = read_iceberg_table(spark, path)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_append_accumulates_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    s2 = write_iceberg_table(_df(spark, [(2, "b", 2.0)]), path)
+    assert s1 != s2
+    assert read_iceberg_table(spark, path).count() == 2
+    # time travel to the first snapshot
+    assert read_iceberg_table(spark, path, snapshot_id=s1).count() == 1
+    assert [
+        r["id"] for r in read_iceberg_table(spark, path, snapshot_id=s1).collect()
+    ] == [1]
+
+
+def test_overwrite_replaces_but_keeps_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_table(_df(spark, [(i, "a", 0.0) for i in range(10)]), path)
+    write_iceberg_table(_df(spark, [(99, "z", 9.0)]), path, mode="overwrite")
+    cur = read_iceberg_table(spark, path)
+    assert [r["id"] for r in cur.collect()] == [99]
+    # the overwritten snapshot stays readable (files never deleted)
+    assert read_iceberg_table(spark, path, snapshot_id=s1).count() == 10
+
+
+def test_bounds_drive_file_skipping(spark, tmp_path):
+    """Disjoint per-commit key ranges: the reader's advisory filters
+    must prune whole files using the bounds this writer recorded."""
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    snap = read_iceberg_snapshot(path)
+    assert snap.num_files == 3
+    got = read_iceberg_table(spark, path, filters=[("id", ">=", 200)])
+    assert got.count() == 10
+    pruned = read_iceberg_snapshot(path)
+    kept = [
+        f
+        for f in pruned.files
+        if f[2].get("id") and f[2]["id"][1] is not None and f[2]["id"][1] >= 200
+    ]
+    assert len(kept) == 1
+
+
+def test_schema_mismatch_on_append_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_table(
+            spark.createDataFrame([(1, 2)], "id long, other int"), path
+        )
+
+
+def test_concurrent_version_collision_single_winner(spark, tmp_path):
+    """Exclusive create of vN.metadata.json: simulate the losing writer
+    by pre-creating the version file it will try to claim."""
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    with open(os.path.join(path, "metadata", "v2.metadata.json"), "x") as f:
+        f.write("{}")
+    with pytest.raises(FileExistsError):
+        write_iceberg_table(_df(spark, [(2, "b", 2.0)]), path)
+
+
+def test_empty_partitions_never_committed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0)]).repartition(8)  # 7 empty task outputs
+    write_iceberg_table(df, path)
+    snap = read_iceberg_snapshot(path)
+    assert snap.num_files == 1
+    assert read_iceberg_table(spark, path).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# spec-structural pins (writer checked against the PUBLIC spec, not the
+# repo's own reader)
+
+
+def test_metadata_json_spec_fields(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sid = write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    md = _read_meta(path)
+    assert md["format-version"] == 1
+    for key in (
+        "table-uuid",
+        "location",
+        "last-updated-ms",
+        "last-column-id",
+        "schema",
+        "partition-spec",
+        "current-snapshot-id",
+        "snapshots",
+    ):
+        assert key in md, key
+    assert md["current-snapshot-id"] == sid
+    assert md["schema"]["type"] == "struct"
+    names = [f["name"] for f in md["schema"]["fields"]]
+    assert names == ["id", "cat", "v"]
+    ids = [f["id"] for f in md["schema"]["fields"]]
+    assert ids == sorted(set(ids))  # unique, assigned
+    assert md["last-column-id"] == max(ids)
+    snap = md["snapshots"][-1]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+
+
+def test_manifest_avro_spec_fields(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(7, "q", 3.5)]).coalesce(1), path)
+    md = _read_meta(path)
+    with open(md["snapshots"][-1]["manifest-list"], "rb") as f:
+        manifests, list_schema = read_avro_bytes(f.read())
+    lf = {x["name"] for x in list_schema["fields"]}
+    assert {
+        "manifest_path",
+        "manifest_length",
+        "partition_spec_id",
+        "added_snapshot_id",
+    } <= lf
+    (m,) = manifests
+    assert m["manifest_length"] == os.path.getsize(m["manifest_path"])
+    with open(m["manifest_path"], "rb") as f:
+        entries, entry_schema = read_avro_bytes(f.read())
+    assert entry_schema["name"] == "manifest_entry"
+    ef = {x["name"] for x in entry_schema["fields"]}
+    assert {"status", "snapshot_id", "data_file"} <= ef
+    (e,) = entries
+    assert e["status"] == 1  # ADDED
+    d = e["data_file"]
+    assert d["file_format"] == "PARQUET"
+    assert d["record_count"] == 1
+    assert d["file_size_in_bytes"] == os.path.getsize(d["file_path"])
+
+
+def test_bounds_match_pyarrow_footer_stats(spark, tmp_path):
+    """Decoded manifest bounds == pyarrow's own min/max for every
+    column — the independent statistics source."""
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, f"k{i % 5}", float(i) * 1.5 - 3) for i in range(50)])
+    write_iceberg_table(df.coalesce(1), path)
+    md = _read_meta(path)
+    with open(md["snapshots"][-1]["manifest-list"], "rb") as f:
+        manifests, _ = read_avro_bytes(f.read())
+    with open(manifests[0]["manifest_path"], "rb") as f:
+        (entry,), _ = read_avro_bytes(f.read())
+    d = entry["data_file"]
+    lowers = {x["key"]: x["value"] for x in d["lower_bounds"]}
+    uppers = {x["key"]: x["value"] for x in d["upper_bounds"]}
+    fid = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    ftyp = {f["name"]: f["type"] for f in md["schema"]["fields"]}
+    t = pq.read_table(d["file_path"])
+    import pyarrow.compute as pc
+
+    for col in ("id", "cat", "v"):
+        lo = decode_bound(lowers[fid[col]], ftyp[col])
+        hi = decode_bound(uppers[fid[col]], ftyp[col])
+        assert lo == pc.min(t[col]).as_py(), col
+        assert hi == pc.max(t[col]).as_py(), col
+
+
+def test_encode_bound_appendix_d_literals():
+    """Byte-level pins straight from spec Appendix D (little-endian
+    fixed widths, UTF-8 strings) — independent of decode_bound."""
+    assert encode_bound(1, "int") == b"\x01\x00\x00\x00"
+    assert encode_bound(-1, "int") == b"\xff\xff\xff\xff"
+    assert encode_bound(500, "long") == struct.pack("<q", 500)
+    assert encode_bound(1.5, "double") == b"\x00\x00\x00\x00\x00\x00\xf8?"
+    assert encode_bound(True, "boolean") == b"\x01"
+    assert encode_bound(False, "boolean") == b"\x00"
+    assert encode_bound("iceberg", "string") == b"iceberg"
+    assert encode_bound("x" * 33, "string") is None  # too long to bound
+    # decode inverts encode for every supported type
+    for v, t in [(42, "int"), (7, "date"), (10**12, "long"),
+                 (2.25, "double"), ("abc", "string"), (True, "boolean")]:
+        assert decode_bound(encode_bound(v, t), t) == v
+
+
+def test_date_timestamp_bound_domains(spark, tmp_path):
+    """date bounds are days-since-epoch ints; timestamptz bounds are
+    micros-since-epoch longs (spec value domains, not ISO strings)."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    rows = [
+        (datetime.date(2020, 1, 1 + i),
+         datetime.datetime(2020, 1, 1, 12, 0, i))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "d date, ts timestamp")
+    write_iceberg_table(df.coalesce(1), path)
+    md = _read_meta(path)
+    with open(md["snapshots"][-1]["manifest-list"], "rb") as f:
+        manifests, _ = read_avro_bytes(f.read())
+    with open(manifests[0]["manifest_path"], "rb") as f:
+        (entry,), _ = read_avro_bytes(f.read())
+    lowers = {x["key"]: x["value"] for x in entry["data_file"]["lower_bounds"]}
+    fid = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    assert decode_bound(lowers[fid["d"]], "date") == (
+        datetime.date(2020, 1, 1) - datetime.date(1970, 1, 1)
+    ).days
+    # session timezone is UTC in tests: noon Jan 1 2020 in micros
+    want_us = int(
+        (datetime.datetime(2020, 1, 1, 12) - datetime.datetime(1970, 1, 1))
+        .total_seconds()
+    ) * 1_000_000
+    assert decode_bound(lowers[fid["ts"]], "timestamptz") == want_us
+
+
+def test_spark_to_iceberg_schema_nested_ids_unique():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.DoubleType())
+            ),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("inner", T.IntegerType())]),
+            ),
+        ]
+    )
+    js, last = spark_to_iceberg_schema(schema)
+
+    seen = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    seen.append(f["id"])
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                seen.append(t["element-id"])
+                walk(t["element"])
+            elif t.get("type") == "map":
+                seen.extend([t["key-id"], t["value-id"]])
+                walk(t["value"])
+
+    walk(js)
+    assert len(seen) == len(set(seen))
+    assert last == max(seen)
+
+
+def test_short_and_byte_normalize_to_int_and_append(spark, tmp_path):
+    """short/byte live outside Iceberg's type domain — the writer casts
+    to int once, and the SAME DataFrame shape appends cleanly."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2)], "a short, b tinyint")
+    write_iceberg_table(df, path)
+    write_iceberg_table(df, path)  # append must not raise
+    got = read_iceberg_table(spark, path)
+    assert got.schema.simpleString() == "struct<a:int,b:int>"
+    assert got.count() == 2
