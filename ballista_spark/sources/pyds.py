@@ -42,6 +42,15 @@ What each face adds over the function APIs:
   in, Delta out, both jar-free.
 - ``ballista_avro`` (batch): one partition per container file, Arrow
   record batches straight from the block decoder.
+- ``ballista_iceberg`` (batch): same Catalyst integration over the
+  Iceberg metadata tree — ``pushFilters`` prunes data files against the
+  manifests' Appendix-D column bounds (opt-in ``pushdown=true``, same
+  reuse hazard), one partition per live data file; ``version`` selects
+  a snapshot id (time travel).
+- ``ballista_iceberg`` (stream): micro-batches over the snapshot log —
+  offsets are snapshot-log ordinals, each batch is exactly the data
+  files the new append snapshots added (manifest entries with
+  ``status=1`` and a matching ``snapshot_id``).
 
 Registration: ``register_data_sources(spark)`` — then the formats are
 available by name for the session.
@@ -70,6 +79,7 @@ from pyspark.sql import types as T
 __all__ = [
     "DeltaDataSource",
     "AvroDataSource",
+    "IcebergDataSource",
     "register_data_sources",
 ]
 
@@ -307,6 +317,163 @@ class DeltaDataSource(DataSource):
         return _DeltaStreamReader(self.options, schema)
 
 
+class _IcebergReader(DataSourceReader):
+    """One partition per live data file; opt-in pushFilters pruning over
+    the manifests' decoded column bounds (same consume-and-clear +
+    reuse-hazard contract as _DeltaReader — see the module doc)."""
+
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+        self.snapshot_id = (
+            int(options["version"]) if options.get("version") else None
+        )
+        self.pushdown = (
+            str(options.get("pushdown", "false")).lower() == "true"
+        )
+        self._pruned: list[tuple[str, str, object]] = []
+
+    pushFilters = _DeltaReader.pushFilters
+
+    def partitions(self):
+        from ballista_spark.sources.iceberg import (
+            _bounds_may_match,
+            read_iceberg_snapshot,
+        )
+
+        snap = read_iceberg_snapshot(self.table_path, self.snapshot_id)
+        pruned, self._pruned = self._pruned, []
+        files = snap.files
+        if pruned:
+            files = [
+                f
+                for f in files
+                if all(_bounds_may_match(f[2], c, op, v) for (c, op, v) in pruned)
+            ]
+        return [
+            _FilePartition(path=f[0], partition_values={}) for f in files
+        ] or [_FilePartition(path="", partition_values={})]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:  # empty snapshot sentinel
+            return
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+
+class _IcebergStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the snapshot log: offsets are ordinals
+    into ``snapshot-log``; batch (start, end] = the data files those
+    APPEND snapshots added (manifest entries with status=1 and the
+    snapshot's id).  Overwrite/replace snapshots raise — a stream
+    cannot represent retraction."""
+
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+
+    def _log(self) -> list[dict]:
+        from ballista_spark.sources.iceberg import _load_metadata
+
+        try:
+            md = _load_metadata(self.table_path)
+        except FileNotFoundError:
+            return []
+        return list(md.get("snapshot-log") or [])
+
+    def initialOffset(self) -> dict:
+        # ordinals are COUNTS (next log index to process), unlike the
+        # delta face's last-processed version — startingOrdinal=N means
+        # "consume from log index N on", so the offset IS N
+        start = self.options.get("startingOrdinal")
+        if start is not None:
+            return {"ordinal": int(start)}
+        return {"ordinal": len(self._log())}  # only NEW snapshots
+
+    def latestOffset(self) -> dict:
+        return {"ordinal": len(self._log())}
+
+    def partitions(self, start: dict, end: dict):
+        from ballista_spark.sources.avroio import read_avro_bytes
+        from ballista_spark.sources.iceberg import _load_metadata, _norm_path
+
+        lo, hi = int(start["ordinal"]), int(end["ordinal"])
+        if hi <= lo:
+            return []
+        md = _load_metadata(self.table_path)
+        log = list(md.get("snapshot-log") or [])
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+        out = []
+        for i in range(lo, hi):
+            snap = snaps[log[i]["snapshot-id"]]
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} is {op!r}: a stream "
+                    "cannot represent retraction — restart from a later "
+                    "startingOrdinal past it"
+                )
+            with open(
+                _norm_path(self.table_path, snap["manifest-list"]), "rb"
+            ) as f:
+                manifests, _sch = read_avro_bytes(f.read())
+            for m in manifests:
+                if m.get("added_snapshot_id") != snap["snapshot-id"]:
+                    continue
+                with open(
+                    _norm_path(self.table_path, m["manifest_path"]), "rb"
+                ) as f:
+                    entries, _sch = read_avro_bytes(f.read())
+                for e in entries:
+                    if e.get("status", 1) != 1:
+                        continue
+                    if e.get("snapshot_id") not in (None, snap["snapshot-id"]):
+                        continue
+                    out.append(
+                        _FilePartition(
+                            path=_norm_path(
+                                self.table_path, e["data_file"]["file_path"]
+                            ),
+                            partition_values={},
+                        )
+                    )
+        return out
+
+    def read(self, partition: _FilePartition):
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the snapshot log is the source of truth
+
+
+class IcebergDataSource(DataSource):
+    """``spark.read.format("ballista_iceberg").option("path", p)`` /
+    ``spark.readStream.format("ballista_iceberg")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ballista_iceberg"
+
+    def schema(self):
+        from ballista_spark.sources.iceberg import read_iceberg_snapshot
+
+        version = self.options.get("version")
+        return read_iceberg_snapshot(
+            self.options["path"], int(version) if version else None
+        ).spark_schema
+
+    def reader(self, schema):
+        return _IcebergReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return _IcebergStreamReader(self.options, schema)
+
+
 class _AvroReader(DataSourceReader):
     def __init__(self, options, spark_schema: T.StructType):
         self.options = options
@@ -371,11 +538,13 @@ class AvroDataSource(DataSource):
 
 
 def register_data_sources(spark) -> None:
-    """Register both formats on the session — afterwards
-    ``format("ballista_delta")`` / ``format("ballista_avro")`` work in
-    batch reads, and ``ballista_delta`` in ``readStream``.  Python-source
+    """Register the formats on the session — afterwards
+    ``format("ballista_delta")`` / ``format("ballista_avro")`` /
+    ``format("ballista_iceberg")`` work in batch reads, and the delta +
+    iceberg faces in ``readStream``.  Python-source
     filter pushdown ships disabled by default (Spark 4.1) — enabling it
     here is what lets ``pushFilters`` receive the query predicates."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaDataSource)
     spark.dataSource.register(AvroDataSource)
+    spark.dataSource.register(IcebergDataSource)

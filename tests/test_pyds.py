@@ -169,3 +169,117 @@ def test_avro_format_read(registered, tmp_path):
     got = spark.read.format("ballista_avro").option("path", out).load()
     assert got.schema.simpleString() == df.schema.simpleString()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# ballista_iceberg face
+
+
+def test_iceberg_format_read_and_version(registered, tmp_path):
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    spark = registered
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, f"c{i % 3}", float(i)) for i in range(30)])
+    s1 = write_iceberg_table(df, path)
+    write_iceberg_table(_df(spark, [(99, "z", 9.0)]), path)
+    got = spark.read.format("ballista_iceberg").option("path", path).load()
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert got.count() == 31
+    v1 = (
+        spark.read.format("ballista_iceberg")
+        .option("path", path)
+        .option("version", str(s1))
+        .load()
+    )
+    assert v1.count() == 30  # snapshot time travel by id
+
+
+def test_iceberg_catalyst_bound_pruning(registered, tmp_path):
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    spark = registered
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+
+    def load():
+        return (
+            spark.read.format("ballista_iceberg")
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+        )
+
+    out = load().where("id >= 200")
+    assert out.rdd.getNumPartitions() == 1  # 2 of 3 files skipped
+    assert out.count() == 10
+    assert load().count() == 30
+
+    # default (no pushdown option) stays reuse-safe — the _DeltaReader
+    # regression shape
+    src = spark.read.format("ballista_iceberg").option("path", path).load()
+    assert src.where("id >= 200").count() == 10
+    assert src.count() == 30
+
+
+def test_iceberg_streaming_consumes_new_snapshots(registered, tmp_path):
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_iceberg")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_iceberg_table(_df(spark, [(0, "seed", 0.0)]), path)
+    run_trigger()  # initialOffset = current log length → nothing
+    assert spark.read.parquet(out_dir).count() == 0
+
+    write_iceberg_table(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2]
+
+    write_iceberg_table(_df(spark, [(3, "c", 3.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]
+
+
+def test_iceberg_streaming_starting_ordinal_zero(registered, tmp_path):
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    spark = registered
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_iceberg_table(_df(spark, [(2, "b", 2.0)]), path)
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("ballista_iceberg")
+        .option("path", path)
+        .option("startingOrdinal", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in spark.read.parquet(out_dir).collect()) == [1, 2]
