@@ -248,6 +248,15 @@ class BallistaContext:
                     self.spark, path, snapshot_id=options.get("snapshot_id")
                 ),
             )
+        elif ft == "hudi":
+            from ballista_spark.sources.hudi import read_hudi_table
+
+            self.register_table(
+                name,
+                read_hudi_table(
+                    self.spark, path, as_of_instant=options.get("as_of_instant")
+                ),
+            )
         else:
             raise ValueError(f"unsupported file type: {file_type}")
 

@@ -1,5 +1,10 @@
 from ballista_spark.sources.registry import load_table, register_tables, TABLES
 from ballista_spark.sources.avroio import read_avro, write_avro
+from ballista_spark.sources.hudi import (
+    hudi_snapshot_files,
+    read_hudi_changes,
+    read_hudi_table,
+)
 from ballista_spark.sources.iceberg import (
     read_iceberg_snapshot,
     read_iceberg_table,
@@ -26,6 +31,9 @@ __all__ = [
     "read_iceberg_table",
     "read_iceberg_snapshot",
     "write_iceberg_table",
+    "read_hudi_table",
+    "read_hudi_changes",
+    "hudi_snapshot_files",
     "read_delta_table",
     "read_delta_snapshot",
     "read_delta_changes",

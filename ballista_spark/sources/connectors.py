@@ -39,7 +39,15 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 
 def read_hudi(spark: SparkSession, path: str) -> DataFrame:
-    _probe_format(spark, "hudi", "org.apache.hudi.DataSourceReadOptions")
+    """Hudi through the runtime jars when present; otherwise the pure
+    COW reader (`sources/hudi.py`) — same jar-free fallback stance as
+    the Delta/Iceberg sources."""
+    try:
+        _probe_format(spark, "hudi", "org.apache.hudi.DataSourceReadOptions")
+    except ConnectorUnavailable:
+        from ballista_spark.sources.hudi import read_hudi_table
+
+        return read_hudi_table(spark, path)
     return spark.read.format("hudi").load(path)
 
 
