@@ -87,6 +87,7 @@ PIPELINE = [
     "jpeg_decode",   # pure-numpy JPEG encode+decode+dHash, map-only
     "delta_write_read",  # delta source round-trip: write+commit+stats-skipped read
     "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
+    "iceberg_write_read",  # iceberg v1 round-trip: manifest commit + bound-pruned read
 ]
 
 
@@ -674,6 +675,35 @@ def _delta_write_read(spark, sf_dir: str):
     )
 
 
+def _iceberg_write_read(spark, sf_dir: str):
+    """Iceberg v1 writer round-trip at lineitem volume: range-clustered
+    distributed write + footer-bound manifest commit, then a
+    bound-pruned snapshot read of the lowest orderkey quartile.  Same
+    expectation as delta_write_read — write and scan are map-only IO
+    (near-linear in rows); the manifest/metadata cost is per-FILE with
+    a fixed file count, amortizing to zero with scale."""
+    import shutil
+
+    from ballista_spark.sources.iceberg import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "ice")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_table(li.repartitionByRange(16, "l_orderkey"), path)
+    hi = li.agg(F.max("l_orderkey")).collect()[0][0] or 0
+    cut = int(hi * 0.25)
+    out = read_iceberg_table(
+        spark, path, filters=[("l_orderkey", "<", cut)]
+    ).where(F.col("l_orderkey") < cut)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
 def _delta_merge_touch(spark, sf_dir: str):
     """MERGE with a narrow-key CDC batch against the range-clustered
     lineitem table: the stats pre-prune + touch probe confine the
@@ -1149,6 +1179,7 @@ LOCAL_BUILDERS = {
     "audio_match": _audio_match,
     "jpeg_decode": _jpeg_decode,
     "delta_write_read": _delta_write_read,
+    "iceberg_write_read": _iceberg_write_read,
     "delta_merge_touch": _delta_merge_touch,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
