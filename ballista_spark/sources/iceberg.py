@@ -620,6 +620,8 @@ def write_iceberg_table(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v1 table at ``table_path`` (created
     on first write); returns the new snapshot id.
@@ -637,6 +639,14 @@ def write_iceberg_table(
     Scale: metadata work is O(files in this commit) + one manifest-list
     rewrite; data-file writing is the engine's normal distributed
     parquet path.  Nothing is collected.
+
+    ``txn_app_id``/``txn_version`` give the same idempotent-commit
+    contract as the Delta source's ``txn`` action: the snapshot summary
+    records both, and a write whose version is <= the app's last
+    recorded version is SKIPPED before any file is staged — the
+    exactly-once streaming-sink hook
+    (`streaming.write_stream_iceberg_exactly_once`).  Returns the
+    already-committed snapshot id on a skip.
     """
     import time
     import uuid as _uuid
@@ -693,6 +703,21 @@ def write_iceberg_table(
         schema_json, last_column_id = spark_to_iceberg_schema(df.schema)
         table_uuid = str(_uuid.uuid4())
         prev_version = 0
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None and md is not None:
+        # idempotent replay check BEFORE staging: a redelivered epoch is
+        # skipped without writing a byte
+        last = None
+        for s in md.get("snapshots", []):
+            summ = s.get("summary") or {}
+            if summ.get("txn-app-id") == txn_app_id:
+                v = int(summ.get("txn-version", -1))
+                if last is None or v > last[0]:
+                    last = (v, s["snapshot-id"])
+        if last is not None and int(txn_version) <= last[0]:
+            return last[1]
 
     ids = _field_ids(schema_json)
     snapshot_id = _uuid.uuid4().int >> 75  # unique positive 53-bit long
@@ -822,6 +847,11 @@ def write_iceberg_table(
             "operation": "append" if mode == "append" else "overwrite",
             "added-data-files": str(len(entries)),
             "added-records": str(new_manifest["added_rows_count"]),
+            **(
+                {"txn-app-id": txn_app_id, "txn-version": str(int(txn_version))}
+                if txn_app_id is not None
+                else {}
+            ),
         },
     }
     if parent_snapshot_id is not None:

@@ -16,10 +16,15 @@ from ballista_spark.streaming.events import streaming_dedup  # noqa: E402
 __all__.append("streaming_dedup")
 from ballista_spark.streaming.sinks import (  # noqa: E402
     write_stream_delta_exactly_once,
+    write_stream_iceberg_exactly_once,
     write_stream_parquet_exactly_once,
 )
 
-__all__ += ["write_stream_parquet_exactly_once", "write_stream_delta_exactly_once"]
+__all__ += [
+    "write_stream_parquet_exactly_once",
+    "write_stream_delta_exactly_once",
+    "write_stream_iceberg_exactly_once",
+]
 from ballista_spark.streaming.curate import (  # noqa: E402
     curate_documents_stream,
     media_neardup_gate_stream,

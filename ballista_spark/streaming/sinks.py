@@ -81,3 +81,40 @@ def write_stream_delta_exactly_once(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_iceberg_exactly_once(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Stream into an Iceberg v1 table with TRUE exactly-once appends —
+    the Iceberg twin of :func:`write_stream_delta_exactly_once`.
+
+    Each micro-batch commits a snapshot whose summary records
+    ``(txn-app-id, txn-version=epoch_id)``; a replayed batch is detected
+    in the snapshot history and skipped BEFORE any file is staged
+    (`sources.iceberg.write_iceberg_table`'s txn contract), so a
+    foreachBatch redelivery never duplicates rows and never leaves
+    orphan data files.  Commits are atomic (exclusive metadata-version
+    create), so concurrent batch readers never see a torn epoch.
+    """
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        write_iceberg_table(
+            batch,
+            table_path,
+            mode="append",
+            txn_app_id=app_id,
+            txn_version=int(epoch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

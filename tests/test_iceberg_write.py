@@ -312,3 +312,34 @@ def test_short_and_byte_normalize_to_int_and_append(spark, tmp_path):
     got = read_iceberg_table(spark, path)
     assert got.schema.simpleString() == "struct<a:int,b:int>"
     assert got.count() == 2
+
+
+def test_txn_idempotent_commit_and_stream_sink(spark, tmp_path):
+    """(txn-app-id, txn-version) in the snapshot summary gives the Delta
+    txn contract: a replayed epoch is skipped before staging; the
+    foreachBatch sink rides it for exactly-once streaming appends."""
+    import ballista_spark.streaming as bss
+
+    src = str(tmp_path / "src")
+    _df(spark, [(i, "a", float(i)) for i in range(5)]).write.parquet(src)
+    stream = spark.readStream.schema("id long, cat string, v double").parquet(src)
+    table = str(tmp_path / "t")
+    q = bss.write_stream_iceberg_exactly_once(
+        stream, table, str(tmp_path / "ckpt"), app_id="stream-1"
+    )
+    q.awaitTermination(120)
+    assert read_iceberg_table(spark, table).count() == 5
+    # redelivery: same epoch id replayed straight through the writer —
+    # returns the already-committed snapshot, appends nothing
+    before = _read_meta(table)
+    sid = write_iceberg_table(
+        _df(spark, [(0, "a", 0.0)]), table, txn_app_id="stream-1", txn_version=0
+    )
+    assert sid == before["current-snapshot-id"]
+    assert read_iceberg_table(spark, table).count() == 5
+    assert _read_meta(table) == before  # no new metadata version either
+    # a NEW epoch from the same app still commits
+    write_iceberg_table(
+        _df(spark, [(9, "z", 9.0)]), table, txn_app_id="stream-1", txn_version=1
+    )
+    assert read_iceberg_table(spark, table).count() == 6
