@@ -204,6 +204,11 @@ from ballista_spark.operators.classify import (
     softmax_probs,
 )
 from ballista_spark.operators.graph import out_degrees, pagerank
+from ballista_spark.operators.preference import (
+    bt_strengths,
+    judgment_consistency,
+    win_rate_table,
+)
 from ballista_spark.operators.html import extract_links, host_link_edges
 from ballista_spark.operators.retrieval import mine_hard_negatives
 from ballista_spark.operators.unicodeops import (
@@ -370,6 +375,9 @@ __all__ = [
     "softmax_probs",
     "out_degrees",
     "pagerank",
+    "bt_strengths",
+    "win_rate_table",
+    "judgment_consistency",
     "extract_links",
     "host_link_edges",
     "mine_hard_negatives",
