@@ -1590,6 +1590,28 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # Bradley-Terry strengths (round 7, operators/preference.py): a
+    # synthetic pairwise-comparison table derived from doc_id runs
+    # through the REAL distributed MM fit at a pinned iteration count
+    # (tol=0 so exactly _BT_ITERS rounds execute); the oracle unrolls
+    # the identical update as chained CTEs — the pagerank discipline.
+    from ballista_spark.operators.preference import bt_strengths
+
+    bt_pairs = docs.select(
+        F.pmod(d, F.lit(7)).alias("key_a"),
+        F.pmod(F.pmod(d * 13 + 5, F.lit(11)), F.lit(7)).alias("key_b"),
+        F.pmod(d, F.lit(2)).cast("double").alias("wins_a"),
+    )
+    bt = bt_strengths(
+        bt_pairs, max_iters=_BT_ITERS, tol=0.0, smoothing=_BT_SMOOTHING
+    )
+    bt_rows = bt.select(
+        F.lit("btrank").alias("op"),
+        F.col("item").cast("string").alias("k"),
+        F.lit("strength_1e6").alias("metric"),
+        F.round(F.col("strength") * 1000000).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+
     afp_ref, afp_clip = _afp_signals(HOP)
 
     def _afp_row(mid, sig):
@@ -1656,6 +1678,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pdf_rows)
         .unionAll(sent_rows)
         .unionAll(afp_rows)
+        .unionAll(bt_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1770,6 +1793,65 @@ _LANGID_BIASES = {"de": -0.12, "en": 0.31, "fr": -0.05}
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
 
+#: pinned MM-iteration count + anchor smoothing for the graded 'btrank'
+#: branch (same tol=0 / unrolled-CTE discipline as pagerank)
+_BT_ITERS = 3
+_BT_SMOOTHING = 0.1
+
+
+def _bt_oracle_ctes() -> str:
+    """Unrolled Hunter-2004 MM ladder replaying preference.bt_strengths'
+    exact semantics: canonicalized per-pair totals, W_i + smoothing,
+    per-round denominator sum + the 2*smoothing/(pi+1) anchor term,
+    mean-1 renormalization each round."""
+    s = _BT_SMOOTHING
+    parts = [
+        f"""bt_e AS (
+  SELECT lo, hi, SUM(w_lo) + SUM(w_hi) AS n, SUM(w_lo) AS w_lo FROM (
+    SELECT CASE WHEN a <= b THEN a ELSE b END AS lo,
+           CASE WHEN a <= b THEN b ELSE a END AS hi,
+           CASE WHEN a <= b THEN w ELSE 1.0 - w END AS w_lo,
+           CASE WHEN a <= b THEN 1.0 - w ELSE w END AS w_hi
+    FROM (SELECT doc_id % 7 AS a, ((doc_id * 13 + 5) % 11) % 7 AS b,
+                 CAST(doc_id % 2 AS DOUBLE) AS w FROM documents)
+    WHERE a <> b)
+  GROUP BY lo, hi
+)""",
+        "bt_items AS (SELECT lo AS item FROM bt_e UNION SELECT hi FROM bt_e)",
+        "bt_cnt AS (SELECT COUNT(*) AS n FROM bt_items)",
+        f"""bt_w AS (
+  SELECT item, SUM(w) + {s} AS wins FROM (
+    SELECT lo AS item, w_lo AS w FROM bt_e
+    UNION ALL SELECT hi, n - w_lo FROM bt_e) GROUP BY item
+)""",
+        "bt_p0 AS (SELECT item, 1.0 AS pi FROM bt_items)",
+    ]
+    for r in range(1, _BT_ITERS + 1):
+        prev = f"bt_p{r - 1}"
+        parts.append(f"""bt_r{r} AS (
+  SELECT i.item,
+         w.wins / (COALESCE(sdm.d, 0)
+                   + {2.0 * s} / (p.pi + 1.0)) AS raw
+  FROM bt_items i
+  JOIN {prev} p USING (item)
+  JOIN bt_w w USING (item)
+  LEFT JOIN (
+    SELECT item, SUM(d) AS d FROM (
+      SELECT e.lo AS item, e.n / (pl.pi + ph.pi) AS d
+      FROM bt_e e JOIN {prev} pl ON e.lo = pl.item
+                  JOIN {prev} ph ON e.hi = ph.item
+      UNION ALL
+      SELECT e.hi, e.n / (pl.pi + ph.pi)
+      FROM bt_e e JOIN {prev} pl ON e.lo = pl.item
+                  JOIN {prev} ph ON e.hi = ph.item
+    ) GROUP BY item) sdm USING (item)
+)""")
+        parts.append(
+            f"bt_p{r} AS (SELECT item, raw / ((SELECT SUM(raw) FROM bt_r{r})"
+            f" / (SELECT n FROM bt_cnt)) AS pi FROM bt_r{r})"
+        )
+    return ",\n".join(parts)
+
 
 def _pagerank_oracle_ctes() -> str:
     """Unrolled power-iteration CTE ladder replaying graph.pagerank's
@@ -1822,6 +1904,8 @@ def _sketch_sampling_oracle() -> str:
     # known-answer literals for the round-7 codec/document branches —
     # every value here is derived independently of the implementation
     # (see the builder comment)
+    btctes = _bt_oracle_ctes()
+    bti = _BT_ITERS
     jpx = ", ".join(f"({j}, {v})" for j, v in enumerate(_JPEG_KA_ROW0))
     sentvals = ", ".join(
         f"({i}, '{s}')" for i, s in enumerate(_SENT_KA_EXPECTED)
@@ -2126,7 +2210,8 @@ WITH lot AS (
   WHERE (doc_id % 4) = 3
      OR ((doc_id % 4) IN (0, 2) AND (doc_id % 3) = 1)
 ),
-{prctes}
+{prctes},
+{btctes}
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
 UNION ALL SELECT 'hll', l_returnflag, 'within_10pct', CAST(1 AS BIGINT) FROM hll
@@ -2221,6 +2306,8 @@ UNION ALL SELECT 'sent', CAST(i AS VARCHAR), 'md5_1e6',
   FROM (VALUES {sentvals}) AS sv(i, txt)
 UNION ALL SELECT 'sent', 'all', 'n', CAST({n_sent} AS BIGINT)
 UNION ALL SELECT 'audiofp', '1|2', 'offset', CAST({afp_off} AS BIGINT)
+UNION ALL SELECT 'btrank', CAST(item AS VARCHAR), 'strength_1e6',
+  CAST(ROUND(pi * 1000000) AS BIGINT) FROM bt_p{bti}
 ORDER BY op, k, metric
 """
 
