@@ -6,6 +6,7 @@ from ballista_spark.sources.hudi import (
     read_hudi_table,
 )
 from ballista_spark.sources.iceberg import (
+    compact_iceberg_table,
     read_iceberg_snapshot,
     read_iceberg_table,
     write_iceberg_table,
@@ -31,6 +32,7 @@ __all__ = [
     "read_iceberg_table",
     "read_iceberg_snapshot",
     "write_iceberg_table",
+    "compact_iceberg_table",
     "read_hudi_table",
     "read_hudi_changes",
     "hudi_snapshot_files",

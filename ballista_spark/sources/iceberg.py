@@ -61,6 +61,7 @@ __all__ = [
     "read_iceberg_table",
     "read_iceberg_snapshot",
     "write_iceberg_table",
+    "compact_iceberg_table",
     "spark_to_iceberg_schema",
     "encode_bound",
     "decode_bound",
@@ -881,4 +882,210 @@ def write_iceberg_table(
     with open(hint_tmp, "w") as f:
         f.write(str(new_version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snapshot_id
+
+
+def compact_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int | None:
+    """Transactional small-file compaction — the Iceberg twin of
+    ``deltalog.compact_delta_table``: bin-pack live data files under
+    ``target_file_bytes`` (first-fit-decreasing, shared planner) and
+    rewrite each bin as one file, committing a REPLACE snapshot whose
+    manifest carries every surviving file's original record (bounds
+    bytes untouched, status EXISTING) plus the rewritten outputs
+    (status ADDED).  Returns the new snapshot id, or None when nothing
+    needed compacting.
+
+    ``cluster_by`` range-partitions + sorts the rewrite on the given
+    columns so each output file covers a narrow value range and the
+    manifests' Appendix-D bounds become selective — the OPTIMIZE
+    analogue, same as the Delta source.
+
+    Readers at older snapshots stay correct (old files are never
+    deleted here); the ``ballista_iceberg`` STREAMING face skips
+    replace snapshots entirely — a compaction adds no rows, the Delta
+    ``dataChange: false`` analogue.  Rows are unchanged by
+    construction: the rewrite is a read→repartition→write of exactly
+    the replaced files.
+    """
+    import time
+    import uuid as _uuid
+
+    from ballista_spark.sources.avroio import write_avro_bytes
+    from ballista_spark.sources.deltalog import plan_compaction_bins
+
+    md = _load_metadata(table_path)
+    schema_json = _current_schema(md)
+    ids = _field_ids(schema_json)
+    meta_dir = os.path.join(table_path, "metadata")
+    data_dir = os.path.join(table_path, "data")
+    cur_id = md.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    if cur_id in (None, -1) or cur_id not in snaps:
+        return None
+    cur = snaps[cur_id]
+
+    # all live entries, records carried verbatim from the manifests
+    with open(_norm_path(table_path, cur["manifest-list"]), "rb") as f:
+        manifests, _sch = read_avro_bytes(f.read())
+    live: list[dict] = []
+    for m in manifests:
+        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
+            entries, _sch = read_avro_bytes(f.read())
+        for e in entries:
+            if e.get("status", 1) != 2:
+                live.append(e)
+
+    sizes = [int(e["data_file"]["file_size_in_bytes"]) for e in live]
+    bins = plan_compaction_bins(sizes, target_file_bytes)
+    if not bins:
+        return None
+    replaced_idx = {i for b in bins for i in b}
+
+    snapshot_id = _uuid.uuid4().int >> 75
+    now_ms = int(time.time() * 1000)
+    new_entries: list[dict] = []
+    for b in bins:
+        paths = [
+            _norm_path(table_path, live[i]["data_file"]["file_path"]) for i in b
+        ]
+        df = spark.read.parquet(*paths)
+        if cluster_by:
+            df = df.repartitionByRange(1, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(1)
+        staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(ts_key, None)
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+        finally:
+            if prev_ts is None:
+                spark.conf.unset(ts_key)
+            else:
+                spark.conf.set(ts_key, prev_ts)
+        import shutil
+
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
+            os.rename(os.path.join(staging, name), dest)
+            n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
+            if n_records == 0:
+                os.remove(dest)
+                continue
+            new_entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_records,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "block_size_in_bytes": 67108864,
+                        "null_value_counts": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(nulls.items())
+                        ],
+                        "lower_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(lowers.items())
+                        ],
+                        "upper_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(uppers.items())
+                        ],
+                    },
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    carried = [
+        {
+            "status": 0,  # EXISTING — record carried verbatim
+            "snapshot_id": e.get("snapshot_id"),
+            "data_file": e["data_file"],
+        }
+        for i, e in enumerate(live)
+        if i not in replaced_idx
+    ]
+    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    manifest_bytes = write_avro_bytes(
+        carried + new_entries,
+        _MANIFEST_ENTRY_SCHEMA,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as f:
+        f.write(manifest_bytes)
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    )
+    with open(list_path, "wb") as f:
+        f.write(
+            write_avro_bytes(
+                [
+                    {
+                        "manifest_path": manifest_path,
+                        "manifest_length": len(manifest_bytes),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snapshot_id,
+                        "added_data_files_count": len(new_entries),
+                        "existing_data_files_count": len(carried),
+                        "deleted_data_files_count": len(replaced_idx),
+                        "added_rows_count": sum(
+                            e["data_file"]["record_count"] for e in new_entries
+                        ),
+                    }
+                ],
+                _MANIFEST_FILE_SCHEMA,
+                extra_meta={
+                    "format-version": "1",
+                    "snapshot-id": str(snapshot_id),
+                },
+            )
+        )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "parent-snapshot-id": cur_id,
+        "summary": {
+            "operation": "replace",
+            "added-data-files": str(len(new_entries)),
+            "deleted-data-files": str(len(replaced_idx)),
+        },
+    }
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as f:
+        prev_version = int(f.read().strip())
+    new_md = dict(md)
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
+    new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    md_path = os.path.join(meta_dir, f"v{prev_version + 1}.metadata.json")
+    with open(md_path, "x", encoding="utf-8") as f:
+        json.dump(new_md, f)
+    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(prev_version + 1))
+    os.replace(hint_tmp, hint)
     return snapshot_id

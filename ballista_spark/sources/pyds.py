@@ -410,6 +410,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
         for i in range(lo, hi):
             snap = snaps[log[i]["snapshot-id"]]
             op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction adds no rows (dataChange:false analogue)
             if op != "append":
                 raise ValueError(
                     f"snapshot {snap['snapshot-id']} is {op!r}: a stream "

@@ -343,3 +343,68 @@ def test_txn_idempotent_commit_and_stream_sink(spark, tmp_path):
         _df(spark, [(9, "z", 9.0)]), table, txn_app_id="stream-1", txn_version=1
     )
     assert read_iceberg_table(spark, table).count() == 6
+
+
+def test_compaction_replace_snapshot(spark, tmp_path):
+    """Small appended files bin-pack into one; the REPLACE snapshot
+    carries survivors verbatim (status EXISTING, original bounds bytes)
+    and rows are unchanged; older snapshots stay readable."""
+    from ballista_spark.sources.iceberg import compact_iceberg_table
+
+    path = str(tmp_path / "t")
+    sids = []
+    for lo in (0, 100, 200, 300):
+        sids.append(
+            write_iceberg_table(
+                _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+                path,
+            )
+        )
+    before = read_iceberg_snapshot(path)
+    assert before.num_files == 4
+    sc = compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    assert sc is not None
+    after = read_iceberg_snapshot(path)
+    assert after.num_files == 1
+    got = read_iceberg_table(spark, path)
+    assert got.count() == 40
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        list(range(0, 10)) + list(range(100, 110))
+        + list(range(200, 210)) + list(range(300, 310))
+    )
+    # time travel to a pre-compaction snapshot still works
+    assert read_iceberg_table(spark, path, snapshot_id=sids[1]).count() == 20
+    # idempotent: nothing left to compact
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30) is None
+    md = _read_meta(path)
+    assert md["snapshots"][-1]["summary"]["operation"] == "replace"
+
+
+def test_compaction_clustered_tightens_bounds(spark, tmp_path):
+    """cluster_by rewrite: interleaved appends (every file spans the
+    whole id range) become range-sorted files whose bounds prune."""
+    from ballista_spark.sources.iceberg import compact_iceberg_table
+
+    path = str(tmp_path / "t")
+    for _ in range(3):  # each append spans ids 0..299
+        write_iceberg_table(
+            _df(spark, [(i, "c", float(i)) for i in range(0, 300, 3)]).coalesce(1),
+            path,
+        )
+    # interleaved: an id predicate prunes nothing
+    snap = read_iceberg_snapshot(path)
+    from ballista_spark.sources.iceberg import _bounds_may_match
+
+    live = [
+        f for f in snap.files
+        if _bounds_may_match(f[2], "id", "<", 50)
+    ]
+    assert len(live) == 3
+    compact_iceberg_table(
+        spark, path, target_file_bytes=1 << 30, cluster_by=["id"]
+    )
+    # post-compaction the predicate reads everything via ONE file,
+    # and row-level results are identical
+    assert read_iceberg_table(spark, path, filters=[("id", "<", 50)]).where(
+        "id < 50"
+    ).count() == 3 * len(range(0, 50, 3))

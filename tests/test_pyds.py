@@ -283,3 +283,40 @@ def test_iceberg_streaming_starting_ordinal_zero(registered, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["id"] for r in spark.read.parquet(out_dir).collect()) == [1, 2]
+
+
+def test_iceberg_streaming_skips_compaction_snapshots(registered, tmp_path):
+    """A replace (compaction) snapshot adds no rows — the stream must
+    skip it silently, the Delta dataChange:false analogue."""
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        write_iceberg_table,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_iceberg")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_iceberg_table(_df(spark, [(0, "seed", 0.0)]), path)
+    run_trigger()  # consume nothing (default start = now)
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_iceberg_table(_df(spark, [(2, "b", 2.0)]), path)
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    write_iceberg_table(_df(spark, [(3, "c", 3.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]  # compaction invisible, no replays
