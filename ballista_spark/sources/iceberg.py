@@ -62,6 +62,7 @@ __all__ = [
     "read_iceberg_snapshot",
     "write_iceberg_table",
     "compact_iceberg_table",
+    "expire_iceberg_snapshots",
     "spark_to_iceberg_schema",
     "encode_bound",
     "decode_bound",
@@ -1089,3 +1090,104 @@ def compact_iceberg_table(
         f.write(str(prev_version + 1))
     os.replace(hint_tmp, hint)
     return snapshot_id
+
+
+def expire_iceberg_snapshots(
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    keep_last: int = 1,
+    now: int | None = None,
+) -> list[str]:
+    """Expire snapshots older than ``retention_ms`` (always keeping the
+    current one and the ``keep_last`` most recent), then physically
+    delete data files, manifests and manifest lists referenced ONLY by
+    expired snapshots.  Returns the deleted paths — the Iceberg twin of
+    ``deltalog.vacuum_delta_table`` (Iceberg's own expire_snapshots
+    maintenance action).
+
+    The retention window IS the time-travel window: after expiry,
+    snapshot ids older than the horizon are gone from metadata and no
+    longer reconstructable.  A new metadata version is committed by
+    exclusive create (the writer's concurrency device), so a racing
+    writer conflicts rather than resurrecting expired snapshots.
+    Driver-side metadata work is O(snapshots × manifests); nothing
+    row-sized is touched.
+    """
+    import time
+    import uuid as _uuid
+
+    now = int(time.time() * 1000) if now is None else int(now)
+    horizon = now - int(retention_ms)
+    md = _load_metadata(table_path)
+    snaps = list(md.get("snapshots") or [])
+    if not snaps:
+        return []
+    cur_id = md.get("current-snapshot-id")
+    ordered = sorted(snaps, key=lambda s: s["timestamp-ms"])
+    keep_ids = {s["snapshot-id"] for s in ordered[-max(1, keep_last):]}
+    keep_ids.add(cur_id)
+    kept = [
+        s
+        for s in ordered
+        if s["snapshot-id"] in keep_ids or s["timestamp-ms"] >= horizon
+    ]
+    expired = [s for s in ordered if s not in kept]
+    if not expired:
+        return []
+
+    def _refs(snapshot: dict):
+        """(manifest-list path, {manifest paths}, {data-file paths})."""
+        mlist = _norm_path(table_path, snapshot["manifest-list"])
+        mans, files = set(), set()
+        with open(mlist, "rb") as f:
+            manifests, _sch = read_avro_bytes(f.read())
+        for m in manifests:
+            mp = _norm_path(table_path, m["manifest_path"])
+            mans.add(mp)
+            with open(mp, "rb") as f:
+                entries, _sch = read_avro_bytes(f.read())
+            for e in entries:
+                if e.get("status", 1) != 2:
+                    files.add(_norm_path(table_path, e["data_file"]["file_path"]))
+        return mlist, mans, files
+
+    live_lists, live_mans, live_files = set(), set(), set()
+    for s in kept:
+        ml, mans, files = _refs(s)
+        live_lists.add(ml)
+        live_mans |= mans
+        live_files |= files
+    deleted: list[str] = []
+    for s in expired:
+        ml, mans, files = _refs(s)
+        for p in sorted((({ml} - live_lists) | (mans - live_mans)
+                         | (files - live_files))):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(os.path.relpath(p, table_path))
+
+    # commit the trimmed snapshot list as a new metadata version
+    hint = os.path.join(table_path, "metadata", "version-hint.text")
+    with open(hint) as f:
+        prev_version = int(f.read().strip())
+    expired_ids = {s["snapshot-id"] for s in expired}
+    new_md = dict(md)
+    new_md["last-updated-ms"] = now
+    new_md["snapshots"] = [s for s in snaps if s["snapshot-id"] not in expired_ids]
+    new_md["snapshot-log"] = [
+        e
+        for e in (md.get("snapshot-log") or [])
+        if e["snapshot-id"] not in expired_ids
+    ]
+    md_path = os.path.join(
+        table_path, "metadata", f"v{prev_version + 1}.metadata.json"
+    )
+    with open(md_path, "x", encoding="utf-8") as f:
+        json.dump(new_md, f)
+    hint_tmp = os.path.join(
+        table_path, "metadata", f".hint-{_uuid.uuid4().hex}"
+    )
+    with open(hint_tmp, "w") as f:
+        f.write(str(prev_version + 1))
+    os.replace(hint_tmp, hint)
+    return sorted(deleted)

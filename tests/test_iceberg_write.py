@@ -408,3 +408,54 @@ def test_compaction_clustered_tightens_bounds(spark, tmp_path):
     assert read_iceberg_table(spark, path, filters=[("id", "<", 50)]).where(
         "id < 50"
     ).count() == 3 * len(range(0, 50, 3))
+
+
+def test_expire_snapshots_reaps_only_unreferenced(spark, tmp_path):
+    """Expiry deletes files referenced ONLY by expired snapshots; files
+    still live in the current snapshot survive (appends share data
+    files across snapshots via carried manifests)."""
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        expire_iceberg_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    # within retention: nothing deleted, all snapshots intact
+    assert expire_iceberg_snapshots(path, retention_ms=10**12) == []
+    assert len(_read_meta(path)["snapshots"]) == 3
+
+    # zero retention, keep current only: old snapshots leave metadata,
+    # but their data files are STILL referenced by the current snapshot
+    # (append carries manifests forward) — nothing physical deleted
+    deleted = expire_iceberg_snapshots(path, retention_ms=-1)
+    md = _read_meta(path)
+    assert len(md["snapshots"]) == 1
+    assert all(not d.endswith(".parquet") or "data/" not in d for d in deleted)
+    assert read_iceberg_table(spark, path).count() == 30
+
+    # compaction replaces all three files; expiring the pre-compaction
+    # snapshot now reaps the replaced data files
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    deleted = expire_iceberg_snapshots(path, retention_ms=-1)
+    assert sum(1 for d in deleted if d.endswith(".parquet")) == 3
+    assert read_iceberg_table(spark, path).count() == 30
+    # expired snapshot ids are no longer reconstructable
+    assert len(_read_meta(path)["snapshots"]) == 1
+
+
+def test_expire_updates_metadata_by_exclusive_create(spark, tmp_path):
+    from ballista_spark.sources.iceberg import expire_iceberg_snapshots
+
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_iceberg_table(_df(spark, [(2, "b", 2.0)]), path)
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    with open(os.path.join(path, "metadata", "v3.metadata.json"), "x") as f:
+        f.write("{}")
+    with pytest.raises(FileExistsError):
+        expire_iceberg_snapshots(path, retention_ms=-1)
