@@ -81,6 +81,7 @@ from ballista_spark.operators.dataset import (
     hash_split,
     merge_upsert,
     pack_contiguous,
+    semantic_pack,
     pack_greedy,
     packed_sequences,
     write_packed_shards,
@@ -256,6 +257,7 @@ __all__ = [
     "connected_components",
     "resolve_duplicates",
     "pack_contiguous",
+    "semantic_pack",
     "pack_greedy",
     "packed_sequences",
     "write_packed_shards",

@@ -190,6 +190,7 @@ def pack_contiguous(
     seq_len: int,
     n_buckets: int = 64,
     seed: str = "pack",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: concatenate every document's tokens (in
     the deterministic total order ``(bucket, key)``) into one stream and
@@ -212,10 +213,22 @@ def pack_contiguous(
 
     Every step is integer arithmetic on md5-derived ordering, so any
     engine reproduces the identical layout bit-for-bit.
+
+    ``group_col`` (an integer column) prepends a grouping level to the
+    total order — ``(group, bucket, key)`` — so all of a group's tokens
+    are CONTIGUOUS in the stream: the in-context-pretraining layout
+    (:func:`semantic_pack` composes it with cluster assignment).  The
+    bucket-offset aggregate grows to (groups x n_buckets) rows — still
+    driver-tiny for any sane cluster count.  NULL groups order first.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     staged = df.withColumn("__b", pack_bucket(key_col, n_buckets, seed))
+    if group_col is not None:
+        staged = staged.withColumn(
+            "__b",
+            F.col(group_col).cast("long") * F.lit(int(n_buckets)) + F.col("__b"),
+        )
     w_local = Window.partitionBy("__b").orderBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -319,6 +332,7 @@ def packed_sequences(
     n_buckets: int = 64,
     seed: str = "pack",
     pad_id: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Materialize the fixed-length training sequences whose layout
     :func:`pack_contiguous` computes: (seq_id, tokens) with every
@@ -346,7 +360,9 @@ def packed_sequences(
         F.size(tokens_col)
     )
     staged = df.withColumn("__n", n)
-    packed = pack_contiguous(staged, "__n", key_col, L, n_buckets, seed)
+    packed = pack_contiguous(
+        staged, "__n", key_col, L, n_buckets, seed, group_col=group_col
+    )
     placed = packed.select(
         "pack_start", F.posexplode(tokens_col).alias("__p", "__tok")
     ).select(
@@ -375,6 +391,47 @@ def packed_sequences(
                 ),
             )
         ),
+    )
+
+
+def semantic_pack(
+    df: DataFrame,
+    centroids: list[list[float]],
+    count_col: str,
+    key_col: str,
+    seq_len: int,
+    vec_col: str = "embedding",
+    n_buckets: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """In-context packing (Shi et al. 2023, "In-Context Pretraining"):
+    documents that are semantically RELATED land in the same training
+    windows, so cross-document attention inside a window sees coherent
+    context instead of random concatenation.
+
+    Composition of two existing scale shapes: map-only cluster
+    assignment against broadcast ``centroids``
+    (`similarity.cluster_assign` — train them with ``kmeans_fit``), then
+    :func:`pack_contiguous` with ``group_col="cluster"`` so the token
+    stream is cluster-contiguous.  Adds ``cluster`` plus the usual
+    ``pack_*`` columns; total extra cost over plain packing is one
+    broadcast scan.  The full ICP method orders docs within a cluster
+    by a greedy nearest-neighbor path — at 100 TB that is a per-cluster
+    TSP and the paper's own ablation shows clustering does most of the
+    work, so within-cluster order stays the deterministic (bucket, key)
+    hash order.
+    """
+    from ballista_spark.operators.similarity import cluster_assign
+
+    assigned = cluster_assign(df, centroids, id_col=key_col, vec_col=vec_col)
+    return pack_contiguous(
+        assigned,
+        count_col,
+        key_col,
+        seq_len,
+        n_buckets=n_buckets,
+        seed=seed,
+        group_col="cluster",
     )
 
 

@@ -362,3 +362,98 @@ def test_packed_sequences_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 5
+
+
+# ---------------------------------------------------------------------------
+# group-contiguous / semantic packing (round 7)
+
+
+def test_pack_contiguous_group_col_makes_groups_contiguous(spark):
+    """With group_col, the token stream is ordered (group, bucket, key):
+    every group's [min pack_start, max pack_start+count) range is
+    disjoint from every other group's, and group order is numeric."""
+    from ballista_spark.operators.dataset import pack_contiguous
+
+    rows = [(i, 10 + (i % 3), i % 4) for i in range(40)]  # (key, count, grp)
+    df = spark.createDataFrame(rows, "k long, n long, grp int")
+    out = pack_contiguous(df, "n", "k", seq_len=16, group_col="grp").collect()
+    spans = {}
+    for r in out:
+        g = r["grp"]
+        lo, hi = spans.get(g, (1 << 62, -1))
+        spans[g] = (min(lo, r["pack_start"]), max(hi, r["pack_start"] + r["n"]))
+    ordered = sorted(spans.items())
+    for (g1, (_l1, h1)), (g2, (l2, _h2)) in zip(ordered, ordered[1:]):
+        assert h1 <= l2, f"groups {g1}/{g2} interleave"
+    # the stream is still gap-free: total span == total tokens
+    total = sum(r["n"] for r in out)
+    assert max(h for _l, h in spans.values()) == total
+    assert min(l for l, _h in spans.values()) == 0
+
+
+def test_pack_contiguous_group_col_python_mirror(spark):
+    """Exact layout vs a pandas mirror over the same (group, bucket,
+    key) order — buckets read back from pack_bucket itself so the
+    mirror shares only the ordering DEFINITION, not the prefix-sum
+    machinery."""
+    from ballista_spark.operators.dataset import pack_bucket, pack_contiguous
+
+    rows = [(i, 1 + (i * 7) % 5, (i * 3) % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, n long, grp int")
+    buckets = {
+        r["k"]: r["b"]
+        for r in df.select("k", pack_bucket("k", 8).alias("b")).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[2], buckets[r[0]], r[0]))
+    want, off = {}, 0
+    for k, n, _g in order:
+        want[k] = off
+        off += n
+    got = pack_contiguous(df, "n", "k", seq_len=16, n_buckets=8, group_col="grp")
+    assert {r["k"]: r["pack_start"] for r in got.collect()} == want
+
+
+def test_semantic_pack_clusters_window_locality(spark):
+    """Two well-separated embedding clusters: semantic_pack puts each
+    cluster's documents in disjoint window ranges, while plain
+    pack_contiguous interleaves them."""
+    from ballista_spark.operators.dataset import pack_contiguous, semantic_pack
+
+    rows = []
+    for i in range(40):
+        vec = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append((i, 8, vec))
+    df = spark.createDataFrame(rows, "k long, n long, embedding array<double>")
+    out = semantic_pack(
+        df, centroids=[[1.0, 0.0], [0.0, 1.0]], count_col="n",
+        key_col="k", seq_len=16,
+    )
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r["cluster"], []).append(r["pack_first"])
+    assert set(by_cluster) == {0, 1}
+    assert max(by_cluster[0]) < min(by_cluster[1])  # disjoint window ranges
+    # plain packing interleaves the two families
+    plain = pack_contiguous(df, "n", "k", seq_len=16).collect()
+    evens = {r["pack_first"] for r in plain if r["k"] % 2 == 0}
+    odds = {r["pack_first"] for r in plain if r["k"] % 2 == 1}
+    assert evens & odds  # shared windows without grouping
+
+
+def test_packed_sequences_group_col_passthrough(spark):
+    """Grouped window CONTENTS: every materialized window holds tokens
+    from one group only (counts divide seq_len exactly here)."""
+    from ballista_spark.operators.dataset import packed_sequences
+
+    rows = []
+    for i in range(24):
+        g = i % 2
+        rows.append((i, [g * 1000 + i] * 8, g))
+    df = spark.createDataFrame(rows, "k long, token_ids array<long>, grp int")
+    seqs = packed_sequences(
+        df, tokens_col="token_ids", key_col="k", seq_len=16, group_col="grp"
+    ).collect()
+    assert len(seqs) == 24 * 8 // 16
+    for r in seqs:
+        fams = {t // 1000 for t in r["tokens"]}
+        assert len(fams) == 1, f"window {r['seq_id']} mixes groups"
