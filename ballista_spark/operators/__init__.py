@@ -109,6 +109,8 @@ from ballista_spark.operators.text import (
     lang_id,
     quality_score,
     redact_pii,
+    filter_keyword_clean,
+    keyword_hits,
     remove_boilerplate,
     token_count,
 )
@@ -236,6 +238,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "lsh_neardup_pairs",
     "token_count",
+    "keyword_hits",
+    "filter_keyword_clean",
     "quality_score",
     "lang_id",
     "fingerprint",

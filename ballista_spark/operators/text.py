@@ -10,6 +10,7 @@ on another engine.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -518,3 +519,116 @@ def pii_hit_counts(text="text", patterns: dict[str, str] | None = None) -> F.Col
         for name, pat in (patterns or PII_PATTERNS).items()
     ]
     return F.struct(*fields)
+
+
+# ---------------------------------------------------------------------------
+# keyword / banned-term screening (round 7)
+
+#: word characters for keyword matching: Unicode letters/digits (the
+#: normalize_for_dedup discipline — "don't" matches "don t"? no: the
+#: apostrophe splits, and the TERM is normalized with the same rule, so
+#: both sides agree)
+_WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def _keyword_words(col) -> F.Column:
+    return F.filter(
+        F.split(F.lower(col), _WORD_SPLIT_RE, -1), lambda w: w != ""
+    )
+
+
+def keyword_hits(
+    df,
+    terms,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+):
+    """(key, term, n_occurrences) for every banned-term occurrence —
+    the blocklist screen every curation pipeline runs (toxic words,
+    boilerplate phrases, site-specific spam markers).
+
+    Matching is word-boundary exact and case/punctuation-insensitive:
+    both sides lowercase and split on non-letter/digit runs, so the
+    phrase term "Free  Money!!" matches "free money" and never matches
+    inside "freemoney".  Multi-word phrases are matched as word
+    n-grams of exactly the phrase length.
+
+    Spark-first scale shape — NOT a per-row regex alternation (which
+    re-compiles a 10k-term pattern into the hot path): documents
+    explode into word n-grams only for the phrase LENGTHS that occur in
+    the term list (1..L distinct lengths, known driver-side from one
+    tiny action), then ONE broadcast equi-join against the normalized
+    term table and ONE groupBy.  Term lists are dimension-sized
+    (thousands); documents never collect.
+
+    ``terms`` is a list[str] or a single-column DataFrame.
+    """
+    spark = df.sparkSession
+    if not isinstance(terms, DataFrame):
+        terms = spark.createDataFrame([(t,) for t in terms], "term string")
+    else:
+        terms = terms.select(F.col(terms.columns[0]).alias("term"))
+    norm_terms = (
+        terms.select(
+            F.concat_ws(" ", _keyword_words(F.col("term"))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    lengths = [
+        int(r["n"])
+        for r in norm_terms.select(
+            F.size(F.split(F.col("term"), " ")).alias("n")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not lengths:
+        return df.sparkSession.createDataFrame(
+            [], f"key {df.schema[key_col].dataType.simpleString()}, "
+                "term string, n_occurrences bigint"
+        )
+    words = df.select(
+        F.col(key_col).alias("key"), _keyword_words(F.col(text_col)).alias("__w")
+    )
+    def _grams_of(n: int) -> F.Column:
+        # NB: a factory, not a default-arg lambda — a TWO-parameter
+        # transform lambda flips Spark to the (element, index) calling
+        # convention and the second arg silently becomes the index
+        return F.when(
+            F.size("__w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, n)),
+            ),
+        ).otherwise(F.array())
+
+    gram_arrays = [_grams_of(n) for n in sorted(lengths)]
+    grams = words.select(
+        "key", F.explode(F.flatten(F.array(*gram_arrays))).alias("term")
+    )
+    return (
+        grams.join(F.broadcast(norm_terms), "term")
+        .groupBy("key", "term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def filter_keyword_clean(
+    df,
+    terms,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hits: int = 0,
+):
+    """Documents whose total banned-term occurrence count is <=
+    ``max_hits`` (default: zero tolerance) — :func:`keyword_hits`
+    + one aggregation + one anti/semi join back on the key."""
+    hits = (
+        keyword_hits(df, terms, text_col=text_col, key_col=key_col)
+        .groupBy("key")
+        .agg(F.sum("n_occurrences").alias("__h"))
+        .where(F.col("__h") > max_hits)
+        .select(F.col("key").alias(key_col))
+    )
+    return df.join(hits, key_col, "left_anti")
