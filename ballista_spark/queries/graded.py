@@ -1590,6 +1590,38 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # banned-term keyword screen (round 7, operators/text.py): fixed
+    # word + phrase terms over the real documents text through the REAL
+    # broadcast n-gram join; the oracle replays the identical word
+    # split + unigram/bigram join in SQL (the corpus alphabet is
+    # lowercase ASCII, so [^a-z0-9]+ == Spark's \\p{L}\\p{N} here).
+    from ballista_spark.operators.text import keyword_hits
+
+    kw = keyword_hits(docs, list(_KW_TERMS))
+    kw_g = (
+        kw.join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+        .groupBy("source", "term")
+        .agg(
+            F.sum("n_occurrences").alias("occ"),
+            F.countDistinct("key").alias("nd"),
+        )
+    )
+    kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
+    kw_rows = (
+        kw_g.select(
+            F.lit("kwscreen").alias("op"),
+            kw_k.alias("k"),
+            F.lit("occ").alias("metric"),
+            F.col("occ").cast("long").alias("v"),
+        )
+        .unionAll(
+            kw_g.select(
+                F.lit("kwscreen"), kw_k, F.lit("docs"), F.col("nd").cast("long")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
     # Bradley-Terry strengths (round 7, operators/preference.py): a
     # synthetic pairwise-comparison table derived from doc_id runs
     # through the REAL distributed MM fit at a pinned iteration count
@@ -1679,6 +1711,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(sent_rows)
         .unionAll(afp_rows)
         .unionAll(bt_rows)
+        .unionAll(kw_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -1740,6 +1773,11 @@ _SENT_KA_EXPECTED = [
     "See Fig. 2 for the vs. baseline plot.",
     "2024 confirmed it.",
 ]
+
+#: keyword-screen terms for the graded 'kwscreen' branch — real corpus
+#: vocabulary incl. one bigram phrase and one absent term (which must
+#: simply produce no rows, not zeros)
+_KW_TERMS = ("scan", "hash join", "zeppelin")
 
 _AFP_RATE = 16000
 #: the clip is cut exactly this many STFT hops into the track, so the
@@ -1906,6 +1944,7 @@ def _sketch_sampling_oracle() -> str:
     # (see the builder comment)
     btctes = _bt_oracle_ctes()
     bti = _BT_ITERS
+    kwvals = ", ".join(f"('{t}')" for t in _KW_TERMS)
     jpx = ", ".join(f"({j}, {v})" for j, v in enumerate(_JPEG_KA_ROW0))
     sentvals = ", ".join(
         f"({i}, '{s}')" for i, s in enumerate(_SENT_KA_EXPECTED)
@@ -2211,7 +2250,26 @@ WITH lot AS (
      OR ((doc_id % 4) IN (0, 2) AND (doc_id % 3) = 1)
 ),
 {prctes},
-{btctes}
+{btctes},
+kw_t AS (SELECT * FROM (VALUES {kwvals}) AS t(term)),
+kw_words AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+kw_grams AS (
+  -- unigrams + bigrams: exactly the phrase lengths in kw_t
+  SELECT doc_id, source, w[i] AS g
+  FROM kw_words, UNNEST(range(1, len(w) + 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, source, w[i] || ' ' || w[i + 1]
+  FROM kw_words, UNNEST(range(1, len(w))) AS u(i)
+),
+kw_hits AS (
+  SELECT source, term, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+  FROM kw_grams JOIN kw_t ON g = term GROUP BY source, term
+)
 SELECT 'hll' AS op, l_returnflag AS k, 'exact_parts' AS metric,
        CAST(ex AS BIGINT) AS v FROM hll
 UNION ALL SELECT 'hll', l_returnflag, 'within_10pct', CAST(1 AS BIGINT) FROM hll
@@ -2308,6 +2366,10 @@ UNION ALL SELECT 'sent', 'all', 'n', CAST({n_sent} AS BIGINT)
 UNION ALL SELECT 'audiofp', '1|2', 'offset', CAST({afp_off} AS BIGINT)
 UNION ALL SELECT 'btrank', CAST(item AS VARCHAR), 'strength_1e6',
   CAST(ROUND(pi * 1000000) AS BIGINT) FROM bt_p{bti}
+UNION ALL SELECT 'kwscreen', source || '|' || term, 'occ',
+  CAST(occ AS BIGINT) FROM kw_hits
+UNION ALL SELECT 'kwscreen', source || '|' || term, 'docs',
+  CAST(nd AS BIGINT) FROM kw_hits
 ORDER BY op, k, metric
 """
 
