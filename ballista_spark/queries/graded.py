@@ -2403,9 +2403,13 @@ _b(
     "text extraction (operators/pdf.py — mini-PDF literal, DuckDB hashes "
     "the expected Tj text itself), rule-based sentence segmentation "
     "(operators/text.py:split_sentences — abbreviation/initial/quote/"
-    "digit rules vs hand-derived sentences), and audio landmark "
+    "digit rules vs hand-derived sentences), audio landmark "
     "fingerprint matching (operators/audiofp.py — the offset vote must "
-    "recover the planted clip position) "
+    "recover the planted clip position), Bradley-Terry strengths "
+    "(operators/preference.py — pinned 3-round MM fit vs an unrolled "
+    "CTE ladder, the pagerank discipline), and the banned-term keyword "
+    "screen (operators/text.py — broadcast word/phrase n-gram join vs "
+    "the identical split+join replayed in SQL) "
     "— every selected set / token layout pinned exactly cross-engine "
     "(count + sum of ids per source; packing via window-id/offset sums; "
     "LM/quality/DSIR via integer totals + float sums at 1e-4).",
