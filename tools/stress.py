@@ -88,6 +88,7 @@ PIPELINE = [
     "delta_write_read",  # delta source round-trip: write+commit+stats-skipped read
     "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
     "iceberg_write_read",  # iceberg v1 round-trip: manifest commit + bound-pruned read
+    "bt_fit",        # Bradley-Terry MM: per-round edge joins + groupBy
 ]
 
 
@@ -704,6 +705,31 @@ def _iceberg_write_read(spark, sf_dir: str):
     )
 
 
+def _bt_fit(spark, sf_dir: str):
+    """Bradley-Terry MM fit over a lineitem-derived comparison graph:
+    10k items, one comparison per lineitem row (600k → 6M).  Per round
+    the cost is TWO edge-sized joins + one groupBy over the collapsed
+    per-pair totals — with 10k items the distinct-pair table tracks the
+    input at these scales, so expect ~linear; the driver sees only the
+    per-round scalar.  3 pinned rounds (tol=0)."""
+    from ballista_spark.operators.preference import bt_strengths
+    from ballista_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = li.select(
+        (F.col("l_orderkey") % 10_000).alias("key_a"),
+        (F.col("l_partkey") % 10_000).alias("key_b"),
+        (F.col("l_orderkey") % 2).cast("double").alias("wins_a"),
+    )
+    ranks = bt_strengths(pairs, max_iters=3, tol=0.0)
+    return ranks.agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("strength"), 3).alias("total"),
+    )
+
+
 def _delta_merge_touch(spark, sf_dir: str):
     """MERGE with a narrow-key CDC batch against the range-clustered
     lineitem table: the stats pre-prune + touch probe confine the
@@ -1180,6 +1206,7 @@ LOCAL_BUILDERS = {
     "jpeg_decode": _jpeg_decode,
     "delta_write_read": _delta_write_read,
     "iceberg_write_read": _iceberg_write_read,
+    "bt_fit": _bt_fit,
     "delta_merge_touch": _delta_merge_touch,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
