@@ -21,10 +21,14 @@ is the engine's standard pushdown/pruning parquet path.
 Supported subset (checked, not assumed): format-version ≤ 2,
 append/overwrite snapshots, identity partition transforms for summary
 pruning (non-identity transforms read correctly — they simply don't
-prune), primitive + list/map/struct types.  Merge-on-read DELETE files
-(v2 ``content != 0``) raise with the feature named — a table with row
--level deletes must be read through a compacting engine, and silently
-ignoring them would return deleted rows.
+prune), primitive + list/map/struct types.  v2 merge-on-read POSITION
+delete files are applied EXACTLY (round 7): one anti-join of the scan's
+``_metadata.(file_path, row_index)`` against the tombstone files — a
+(file, pos) tombstone can never hit a row written after it, so no
+sequence-number scoping is needed.  EQUALITY delete files still raise
+with the feature named: applying them correctly requires
+sequence-number scoping (a later re-insert of the same key must
+survive), and silent over-deletion is worse than refusal.
 
 The reference engine has no table-format layer (CSV/Parquet/Avro file
 scans only, `rust/core/proto/ballista.proto:244-258`); with
@@ -187,12 +191,16 @@ def _as_id_map(v) -> dict[int, bytes]:
 class IcebergSnapshot:
     """Resolved state: schema, live data files with decoded bounds."""
 
-    def __init__(self, table_path, snapshot_id, schema, spark_schema, files):
+    def __init__(
+        self, table_path, snapshot_id, schema, spark_schema, files,
+        delete_files=None,
+    ):
         self.table_path = table_path
         self.snapshot_id = snapshot_id
         self.schema_json = schema
         self.spark_schema = spark_schema
         self.files = files  # [(path, record_count, {id: (lo, hi)})]
+        self.delete_files = delete_files or []  # positional-delete paths
         self.files_pruned = 0
 
     @property
@@ -265,6 +273,7 @@ def read_iceberg_snapshot(
 
     ids = _field_ids(schema)
     files: list[tuple[str, int, dict]] = []
+    delete_files: list[str] = []
 
     def manifest_entries(manifest_path: str):
         with open(_norm_path(table_path, manifest_path), "rb") as f:
@@ -285,12 +294,25 @@ def read_iceberg_snapshot(
                 continue
             df_rec = entry["data_file"]
             content = df_rec.get("content", 0) or 0
-            if content != 0:
-                raise IcebergFeatureError(
-                    "v2 merge-on-read delete files present — reading would "
-                    "return deleted rows; compact the table first"
-                )
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            if content == 1:  # v2 POSITION deletes: exactly supported.
+                # A (file, pos) tombstone can never hit a row written
+                # after it (later rows live in new files), so applying
+                # every positional delete in the snapshot needs no
+                # sequence-number scoping — unlike equality deletes.
+                if fmt != "PARQUET":
+                    raise IcebergFeatureError(
+                        f"{fmt} delete files unsupported"
+                    )
+                delete_files.append(_norm_path(table_path, df_rec["file_path"]))
+                continue
+            if content == 2:
+                raise IcebergFeatureError(
+                    "v2 EQUALITY delete files present — applying them "
+                    "correctly requires sequence-number scoping (a later "
+                    "re-insert of the same key must survive), which this "
+                    "reader does not track; compact the table first"
+                )
             if fmt != "PARQUET":
                 raise IcebergFeatureError(f"{fmt} data files unsupported")
             lowers = _as_id_map(df_rec.get("lower_bounds"))
@@ -308,7 +330,9 @@ def read_iceberg_snapshot(
                     bounds,
                 )
             )
-    return IcebergSnapshot(table_path, snapshot_id, schema, spark_schema, files)
+    return IcebergSnapshot(
+        table_path, snapshot_id, schema, spark_schema, files, delete_files
+    )
 
 
 def _bounds_may_match(bounds: dict, col: str, op: str, value) -> bool:
@@ -357,8 +381,38 @@ def read_iceberg_table(
         snap.files = kept
     if not files:
         return spark.createDataFrame([], snap.spark_schema)
-    return spark.read.schema(snap.spark_schema).parquet(
-        *[f[0] for f in files]
+    df = spark.read.schema(snap.spark_schema).parquet(*[f[0] for f in files])
+    if not snap.delete_files:
+        return df
+    # v2 POSITION deletes: one anti-join on (file, row position).  The
+    # row side uses the parquet reader's _metadata columns (no extra
+    # scan); the delete side is delete-file-sized (tombstones, not
+    # rows).  Paths normalize to scheme-less absolute form on both
+    # sides — delete files store the path exactly as the data manifest
+    # did, _metadata.file_path yields a file: URI.
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumns(
+        {
+            "__dfp": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    tombstones = (
+        spark.read.parquet(*snap.delete_files)
+        .select(
+            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("__dfp"),
+            F.col("pos").cast("long").alias("__pos"),
+        )
+        .distinct()
+    )
+    # no broadcast hint: AQE broadcasts when the tombstone side is
+    # small (the usual case) but a billion-tombstone table must not be
+    # forced through the driver
+    return tagged.join(tombstones, ["__dfp", "__pos"], "left_anti").select(
+        *[f.name for f in snap.spark_schema.fields]
     )
 
 

@@ -248,14 +248,109 @@ def test_single_scan_plan_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "GreaterThan(id,5)" in plan
 
 
-def test_delete_files_raise(spark, tmp_path):
+def _write_pos_delete_file(table, name, tombstones):
+    """tombstones: list[(data_file_abs_path, pos)] → spec position-delete
+    parquet (columns file_path, pos) + its manifest entry (content=1)."""
+    path = os.path.join(table, "data", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pa.table(
+        {
+            "file_path": pa.array([p for p, _ in tombstones], pa.string()),
+            "pos": pa.array([p for _, p in tombstones], pa.int64()),
+        }
+    )
+    pq.write_table(t, path)
+    return {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": os.path.relpath(path, table),
+            "file_format": "PARQUET",
+            "record_count": len(tombstones),
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        },
+    }
+
+
+def _fixture_entries(table):
+    """The three data entries of _fixture_table, re-derived (same rows
+    → identical files) so a new snapshot's manifest can carry them."""
+    e1 = _write_data_file(
+        table, "f1.parquet", [(i, "a", float(i)) for i in range(10)]
+    )
+    e2 = _write_data_file(
+        table, "f2.parquet", [(100 + i, "b", float(100 + i)) for i in range(10)]
+    )
+    e3 = _write_data_file(
+        table, "f3.parquet", [(200 + i, "c", float(200 + i)) for i in range(5)]
+    )
+    return [e1, e2, e3]
+
+
+def test_positional_deletes_applied_exactly(spark, tmp_path):
+    """v2 merge-on-read POSITION deletes: the (file, pos) tombstones
+    drop exactly those rows via the _metadata anti-join; every other
+    row — including same-valued rows at other positions — survives."""
     table = _fixture_table(tmp_path)
-    # append a snapshot whose manifest carries a positional-delete file
+    snap0 = read_iceberg_snapshot(table)
+    f1 = next(p for p, _n, _b in snap0.files if p.endswith("f1.parquet"))
+    before = {
+        tuple(r) for r in read_iceberg_table(spark, table).collect()
+    }
+    rows_f1 = [tuple(r) for r in spark.read.parquet(f1).collect()]
+    e = _write_pos_delete_file(table, "d1.parquet", [(f1, 0), (f1, 2)])
+    _commit_snapshot(table, 1003, _fixture_entries(table) + [e], version=3)
+    snap = read_iceberg_snapshot(table)
+    assert len(snap.delete_files) == 1
+    got = {tuple(r) for r in read_iceberg_table(spark, table).collect()}
+    assert got == before - {rows_f1[0], rows_f1[2]}
+    # bound-based file skipping still composes with MOR reads
+    lo = min(r[0] for r in got)
+    assert read_iceberg_table(
+        spark, table, filters=[("id", "=", lo)]
+    ).where(f"id = {lo}").count() == sum(1 for r in got if r[0] == lo)
+
+
+def test_positional_delete_file_uri_normalization(spark, tmp_path):
+    """Delete files written with file:// URIs still match _metadata
+    paths (both sides normalize to scheme-less absolute form)."""
+    table = _fixture_table(tmp_path)
+    snap0 = read_iceberg_snapshot(table)
+    f1 = next(p for p, _n, _b in snap0.files if p.endswith("f1.parquet"))
+    n_before = read_iceberg_table(spark, table).count()
+    e = _write_pos_delete_file(table, "d2.parquet", [(f"file://{f1}", 1)])
+    _commit_snapshot(table, 1004, _fixture_entries(table) + [e], version=3)
+    assert read_iceberg_table(spark, table).count() == n_before - 1
+
+
+def test_equality_delete_files_still_raise(spark, tmp_path):
+    """Equality deletes need sequence-number scoping the reader does
+    not track — loud refusal, not silent over-deletion."""
+    table = _fixture_table(tmp_path)
     e = _write_data_file(table, "f4.parquet", [(900, "d", 9.0)])
-    e["data_file"]["content"] = 1  # POSITION_DELETES
+    e["data_file"]["content"] = 2  # EQUALITY_DELETES
     _commit_snapshot(table, 1003, [e], version=3)
-    with pytest.raises(IcebergFeatureError, match="delete"):
+    with pytest.raises(IcebergFeatureError, match="EQUALITY"):
         read_iceberg_snapshot(table)
+
+
+def test_pyds_face_refuses_mor_tables(spark, tmp_path):
+    """The per-file DataSource face cannot apply tombstones — it must
+    refuse rather than return deleted rows."""
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    table = _fixture_table(tmp_path)
+    snap0 = read_iceberg_snapshot(table)
+    f1 = next(p for p, _n, _b in snap0.files if p.endswith("f1.parquet"))
+    e = _write_pos_delete_file(table, "d1.parquet", [(f1, 0)])
+    _commit_snapshot(table, 1003, _fixture_entries(table) + [e], version=3)
+    src = spark.read.format("ballista_iceberg").option("path", table).load()
+    with pytest.raises(Exception, match="delete"):
+        src.count()
 
 
 def test_future_format_version_raises(tmp_path):
