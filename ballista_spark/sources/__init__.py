@@ -7,6 +7,7 @@ from ballista_spark.sources.hudi import (
 )
 from ballista_spark.sources.iceberg import (
     compact_iceberg_table,
+    delete_from_iceberg_table,
     expire_iceberg_snapshots,
     read_iceberg_snapshot,
     read_iceberg_table,
@@ -34,6 +35,7 @@ __all__ = [
     "read_iceberg_snapshot",
     "write_iceberg_table",
     "compact_iceberg_table",
+    "delete_from_iceberg_table",
     "expire_iceberg_snapshots",
     "read_hudi_table",
     "read_hudi_changes",

@@ -41,12 +41,14 @@ column bounds (the same bounds this reader prunes on), and optimistic
 concurrency through exclusive-create of ``vN.metadata.json`` (the same
 one-winner-per-version device as the Delta log).  v1 deliberately:
 sequence-number bookkeeping and manifest-merge policy only exist to
-serve v2 row-level deletes, which this engine neither writes nor reads
-(they raise above); an append-only v1 table is exactly what a batch
-analytics pipeline needs and is readable by every Iceberg
-implementation.  Unpartitioned layout: Iceberg data files always carry
-every column, and file skipping here rides the column bounds — the
-mechanism Iceberg itself uses within a partition.
+serve v2 merge-on-read delete FILES, which this engine does not write —
+row-level DELETE is provided copy-on-write instead
+(``delete_from_iceberg_table``: bounds-pruned touch-only rewrite, the
+``merge_delta_table`` discipline), alongside ``compact_iceberg_table``
+(replace snapshots) and ``expire_iceberg_snapshots`` (time-travel
+window maintenance).  Unpartitioned layout: Iceberg data files always
+carry every column, and file skipping here rides the column bounds —
+the mechanism Iceberg itself uses within a partition.
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ __all__ = [
     "read_iceberg_snapshot",
     "write_iceberg_table",
     "compact_iceberg_table",
+    "delete_from_iceberg_table",
     "expire_iceberg_snapshots",
     "spark_to_iceberg_schema",
     "encode_bound",
@@ -1245,3 +1248,231 @@ def expire_iceberg_snapshots(
         f.write(str(prev_version + 1))
     os.replace(hint_tmp, hint)
     return sorted(deleted)
+
+
+def _filters_to_column(filters: list[tuple[str, str, object]]):
+    """AND of advisory filter triples as a real row predicate — the
+    exact-match side of the same language the readers prune on."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == F.lit(val))
+        elif op == "<":
+            cond = cond & (c < F.lit(val))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(val))
+        elif op == ">":
+            cond = cond & (c > F.lit(val))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(val))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        else:
+            raise ValueError(f"unsupported delete operator {op!r}")
+    return cond
+
+
+def delete_from_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    filters: list[tuple[str, str, object]],
+) -> int | None:
+    """Copy-on-write DELETE: remove every row matching ALL ``filters``
+    (the same (col, op, value) triples the readers prune on), touching
+    ONLY the files whose manifest bounds may contain matches — the
+    ``merge_delta_table`` discipline.  Commits one snapshot (operation
+    ``delete``); returns its id, or None when the bounds prove no file
+    could match (zero I/O).
+
+    Untouched files' manifest records carry forward verbatim; touched
+    files are rewritten without the matching rows (a file left empty
+    disappears).  Rows where the predicate is NULL are KEPT — SQL
+    DELETE semantics.  Old snapshots stay readable until
+    ``expire_iceberg_snapshots``.  The ``ballista_iceberg`` streaming
+    face refuses delete snapshots (a stream cannot retract).
+    """
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    if not filters:
+        raise ValueError(
+            "refusing an unconditional DELETE — pass explicit filters "
+            "(use mode='overwrite' with an empty DataFrame to truncate)"
+        )
+    md = _load_metadata(table_path)
+    schema_json = _current_schema(md)
+    ids = _field_ids(schema_json)
+    meta_dir = os.path.join(table_path, "metadata")
+    data_dir = os.path.join(table_path, "data")
+    cur_id = md.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    if cur_id in (None, -1) or cur_id not in snaps:
+        return None
+    with open(_norm_path(table_path, snaps[cur_id]["manifest-list"]), "rb") as f:
+        manifests, _sch = read_avro_bytes(f.read())
+    live: list[dict] = []
+    for m in manifests:
+        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
+            entries, _sch = read_avro_bytes(f.read())
+        live.extend(e for e in entries if e.get("status", 1) != 2)
+
+    def _may_match(entry: dict) -> bool:
+        lowers = _as_id_map(entry["data_file"].get("lower_bounds"))
+        uppers = _as_id_map(entry["data_file"].get("upper_bounds"))
+        bounds = {}
+        for fid, (name, ftype) in ids.items():
+            lo = decode_bound(lowers.get(fid), ftype)
+            hi = decode_bound(uppers.get(fid), ftype)
+            if lo is not None or hi is not None:
+                bounds[name] = (lo, hi)
+        return all(_bounds_may_match(bounds, c, op, v) for c, op, v in filters)
+
+    touched = [e for e in live if _may_match(e)]
+    if not touched:
+        return None
+    snapshot_id = _uuid.uuid4().int >> 75
+    now_ms = int(time.time() * 1000)
+    spark_schema = iceberg_to_spark_type(schema_json)
+    paths = [
+        _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
+    ]
+    survivors = (
+        spark.read.schema(spark_schema)
+        .parquet(*paths)
+        .where(~F.coalesce(_filters_to_column(filters), F.lit(False)))
+    )
+    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        survivors.write.mode("overwrite").parquet(staging)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+    import shutil
+
+    new_entries: list[dict] = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
+        os.rename(os.path.join(staging, name), dest)
+        n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
+        if n_records == 0:
+            os.remove(dest)
+            continue
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_records,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "block_size_in_bytes": 67108864,
+                    "null_value_counts": [
+                        {"key": k, "value": v} for k, v in sorted(nulls.items())
+                    ],
+                    "lower_bounds": [
+                        {"key": k, "value": v} for k, v in sorted(lowers.items())
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v} for k, v in sorted(uppers.items())
+                    ],
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    touched_paths = {e["data_file"]["file_path"] for e in touched}
+    carried = [
+        {
+            "status": 0,
+            "snapshot_id": e.get("snapshot_id"),
+            "data_file": e["data_file"],
+        }
+        for e in live
+        if e["data_file"]["file_path"] not in touched_paths
+    ]
+    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    manifest_bytes = write_avro_bytes(
+        carried + new_entries,
+        _MANIFEST_ENTRY_SCHEMA,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as f:
+        f.write(manifest_bytes)
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    )
+    with open(list_path, "wb") as f:
+        f.write(
+            write_avro_bytes(
+                [
+                    {
+                        "manifest_path": manifest_path,
+                        "manifest_length": len(manifest_bytes),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snapshot_id,
+                        "added_data_files_count": len(new_entries),
+                        "existing_data_files_count": len(carried),
+                        "deleted_data_files_count": len(touched),
+                        "added_rows_count": sum(
+                            e["data_file"]["record_count"] for e in new_entries
+                        ),
+                    }
+                ],
+                _MANIFEST_FILE_SCHEMA,
+                extra_meta={
+                    "format-version": "1",
+                    "snapshot-id": str(snapshot_id),
+                },
+            )
+        )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "parent-snapshot-id": cur_id,
+        "summary": {
+            "operation": "delete",
+            "rewritten-data-files": str(len(touched)),
+            "added-data-files": str(len(new_entries)),
+        },
+    }
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as f:
+        prev_version = int(f.read().strip())
+    new_md = dict(md)
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
+    new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    md_path = os.path.join(meta_dir, f"v{prev_version + 1}.metadata.json")
+    with open(md_path, "x", encoding="utf-8") as f:
+        json.dump(new_md, f)
+    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(prev_version + 1))
+    os.replace(hint_tmp, hint)
+    return snapshot_id

@@ -459,3 +459,70 @@ def test_expire_updates_metadata_by_exclusive_create(spark, tmp_path):
         f.write("{}")
     with pytest.raises(FileExistsError):
         expire_iceberg_snapshots(path, retention_ms=-1)
+
+
+def test_delete_copy_on_write_touch_only(spark, tmp_path):
+    """DELETE rewrites ONLY the files whose bounds may match: untouched
+    files' manifest records carry forward verbatim, matched rows
+    vanish, NULL-predicate rows survive (SQL semantics), and a
+    no-possible-match predicate commits nothing."""
+    from ballista_spark.sources.iceberg import delete_from_iceberg_table
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        rows = [(lo + i, "c", float(i)) for i in range(10)]
+        if lo == 100:
+            rows.append((150, None, 5.0))  # NULL cat row in the 100-file
+        write_iceberg_table(_df(spark, rows).coalesce(1), path)
+    before = read_iceberg_snapshot(path)
+    assert before.num_files == 3
+    paths_before = {f[0] for f in before.files}
+
+    # bounds prove nothing matches: no snapshot at all
+    assert delete_from_iceberg_table(spark, path, [("id", ">=", 10_000)]) is None
+    assert read_iceberg_snapshot(path).snapshot_id == before.snapshot_id
+
+    # delete ids 100..104 where cat='c': only the middle file rewrites
+    sid = delete_from_iceberg_table(
+        spark, path, [("id", "<", 105), ("id", ">=", 100), ("cat", "=", "c")]
+    )
+    assert sid is not None
+    after = read_iceberg_snapshot(path)
+    kept_other = {f[0] for f in after.files} & paths_before
+    assert len(kept_other) == 2  # the 0- and 200-files carried verbatim
+    got = sorted(r["id"] for r in read_iceberg_table(spark, path).collect())
+    want = sorted(
+        [i for i in range(10)] + [i for i in range(105, 110)]
+        + [150] + [i for i in range(200, 210)]
+    )
+    assert got == want  # 100-104 gone; NULL-cat row 150 KEPT
+    # pre-delete snapshot still time-travels
+    assert read_iceberg_table(
+        spark, path, snapshot_id=before.snapshot_id
+    ).count() == 31
+    md = _read_meta(path)
+    assert md["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_delete_whole_file_disappears(spark, tmp_path):
+    from ballista_spark.sources.iceberg import delete_from_iceberg_table
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    delete_from_iceberg_table(spark, path, [("id", ">=", 100)])
+    snap = read_iceberg_snapshot(path)
+    assert snap.num_files == 1  # emptied file never re-added
+    assert read_iceberg_table(spark, path).count() == 10
+
+
+def test_unconditional_delete_refused(spark, tmp_path):
+    from ballista_spark.sources.iceberg import delete_from_iceberg_table
+
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    with pytest.raises(ValueError, match="unconditional"):
+        delete_from_iceberg_table(spark, path, [])
