@@ -50,7 +50,13 @@ What each face adds over the function APIs:
 - ``ballista_iceberg`` (stream): micro-batches over the snapshot log —
   offsets are snapshot-log ordinals, each batch is exactly the data
   files the new append snapshots added (manifest entries with
-  ``status=1`` and a matching ``snapshot_id``).
+  ``status=1`` and a matching ``snapshot_id``); replace (compaction)
+  snapshots are skipped (no new rows), overwrites refuse.
+- ``ballista_hudi`` (batch): the COW snapshot, one partition per
+  resolved file slice; ``version`` = as-of instant (time travel).
+- ``ballista_hudi`` (stream): offsets are completed-commit-timeline
+  ordinals; each batch is the files the new commits' write stats name
+  (replacecommit clustering skipped — no new rows).
 
 Registration: ``register_data_sources(spark)`` — then the formats are
 available by name for the session.
@@ -80,6 +86,7 @@ __all__ = [
     "DeltaDataSource",
     "AvroDataSource",
     "IcebergDataSource",
+    "HudiDataSource",
     "register_data_sources",
 ]
 
@@ -483,6 +490,131 @@ class IcebergDataSource(DataSource):
         return _IcebergStreamReader(self.options, schema)
 
 
+def _hudi_spark_schema(table_path: str) -> T.StructType:
+    """Schema of the first resolved base file minus the ``_hoodie_*``
+    meta columns — driver-side footer read only."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ballista_spark.sources.hudi import hudi_snapshot_files
+
+    files = hudi_snapshot_files(table_path)
+    if not files:
+        raise FileNotFoundError(
+            f"no committed base files in Hudi table {table_path!r}"
+        )
+    full = from_arrow_schema(pq.read_schema(files[0]))
+    return T.StructType(
+        [f for f in full.fields if not f.name.startswith("_hoodie_")]
+    )
+
+
+class _HudiReader(DataSourceReader):
+    """One partition per resolved COW file slice; ``version`` = as-of
+    instant."""
+
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+        self.as_of = options.get("version")
+
+    def partitions(self):
+        from ballista_spark.sources.hudi import hudi_snapshot_files
+
+        files = hudi_snapshot_files(self.table_path, self.as_of)
+        return [
+            _FilePartition(path=p, partition_values={}) for p in files
+        ] or [_FilePartition(path="", partition_values={})]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+
+class _HudiStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the completed timeline: offsets are
+    ordinals into the sorted instant list; batch (start, end] = the
+    files those commits' write stats name.  ``replacecommit``
+    (clustering) instants are skipped — they add no rows."""
+
+    def __init__(self, options, spark_schema: T.StructType):
+        self.options = options
+        self.spark_schema = spark_schema
+        self.table_path = options["path"]
+
+    def _timeline(self):
+        from ballista_spark.sources.hudi import _timeline
+
+        try:
+            return _timeline(self.table_path)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        start = self.options.get("startingOrdinal")
+        if start is not None:
+            return {"ordinal": int(start)}
+        return {"ordinal": len(self._timeline())}  # only NEW commits
+
+    def latestOffset(self) -> dict:
+        return {"ordinal": len(self._timeline())}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+
+        lo, hi = int(start["ordinal"]), int(end["ordinal"])
+        if hi <= lo:
+            return []
+        timeline = self._timeline()
+        out = []
+        for ts, action, cpath in timeline[lo:hi]:
+            if action != "commit":
+                continue  # clustering rewrites add no rows
+            with open(cpath, encoding="utf-8") as f:
+                doc = _json.load(f)
+            for _part, stats in (doc.get("partitionToWriteStats") or {}).items():
+                for s in stats:
+                    rel = s.get("path")
+                    if rel:
+                        out.append(
+                            _FilePartition(
+                                path=os.path.join(self.table_path, rel),
+                                partition_values={},
+                            )
+                        )
+        return out
+
+    def read(self, partition: _FilePartition):
+        yield from _read_parquet_with_partition_values(
+            partition, self.spark_schema
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the timeline is the source of truth
+
+
+class HudiDataSource(DataSource):
+    """``spark.read.format("ballista_hudi").option("path", p)`` /
+    ``spark.readStream.format("ballista_hudi")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ballista_hudi"
+
+    def schema(self):
+        return _hudi_spark_schema(self.options["path"])
+
+    def reader(self, schema):
+        return _HudiReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return _HudiStreamReader(self.options, schema)
+
+
 class _AvroReader(DataSourceReader):
     def __init__(self, options, spark_schema: T.StructType):
         self.options = options
@@ -557,3 +689,4 @@ def register_data_sources(spark) -> None:
     spark.dataSource.register(DeltaDataSource)
     spark.dataSource.register(AvroDataSource)
     spark.dataSource.register(IcebergDataSource)
+    spark.dataSource.register(HudiDataSource)

@@ -223,3 +223,68 @@ def test_connectors_read_hudi_falls_back_jar_free(spark, tmp_path):
     _base_file(path, "", _fid(), "20240101000000", [(1, "a")])
     _commit(path, "20240101000000")
     assert [tuple(r) for r in read_hudi(spark, path).collect()] == [(1, "a")]
+
+
+# ---------------------------------------------------------------------------
+# ballista_hudi DataSource face
+
+
+def test_hudi_format_batch_and_time_travel(spark, tmp_path):
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    path = str(tmp_path / "t")
+    _init_table(path)
+    f1 = _fid()
+    _base_file(path, "", f1, "20240101000000", [(1, "a"), (2, "b")])
+    _commit(path, "20240101000000")
+    _base_file(path, "", f1, "20240105000000", [(1, "a2"), (2, "b2")])
+    _commit(path, "20240105000000")
+    got = spark.read.format("ballista_hudi").option("path", path).load()
+    assert got.columns == ["id", "v"]  # _hoodie_* meta stripped
+    assert sorted(map(tuple, got.collect())) == [(1, "a2"), (2, "b2")]
+    old = (
+        spark.read.format("ballista_hudi")
+        .option("path", path)
+        .option("version", "20240103000000")
+        .load()
+    )
+    assert sorted(map(tuple, old.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_hudi_format_streaming_consumes_new_commits(spark, tmp_path):
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _init_table(path)
+
+    def commit_rows(instant, rows):
+        rel = _base_file(path, "", _fid(), instant, rows)
+        _commit(path, instant, {"": [{"path": rel}]})
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_hudi")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    commit_rows("20240101000000", [(0, "seed")])
+    run_trigger()  # default start: only NEW commits
+    assert spark.read.parquet(out_dir).count() == 0
+    commit_rows("20240102000000", [(1, "a"), (2, "b")])
+    # a clustering replacecommit mid-stream is invisible
+    _commit(path, "20240102120000", action="replacecommit", replace={"": []})
+    commit_rows("20240103000000", [(3, "c")])
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]
