@@ -225,9 +225,13 @@ def pack_contiguous(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     staged = df.withColumn("__b", pack_bucket(key_col, n_buckets, seed))
     if group_col is not None:
+        # null-SAFE grouping: a NULL composite bucket would silently
+        # drop rows at the broadcast offsets equi-join (NULL never
+        # equals NULL) while their counts still shifted every later
+        # bucket — coalesce NULL groups to a sentinel that orders first
+        g = F.coalesce(F.col(group_col).cast("long"), F.lit(-(1 << 40)))
         staged = staged.withColumn(
-            "__b",
-            F.col(group_col).cast("long") * F.lit(int(n_buckets)) + F.col("__b"),
+            "__b", g * F.lit(int(n_buckets)) + F.col("__b")
         )
     w_local = Window.partitionBy("__b").orderBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -118,6 +118,21 @@ def _replaced_file_ids(commit_path: str) -> dict[str, set[str]]:
     return out
 
 
+def _replace_is_clustering(commit_path: str) -> bool:
+    """True when a replacecommit is a pure clustering rewrite (adds no
+    rows).  Hudi records ``operationType`` in the commit JSON; absent
+    or unknown types are NOT assumed safe."""
+    try:
+        with open(commit_path, encoding="utf-8") as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return str(doc.get("operationType", "")).lower() in (
+        "cluster",
+        "clustering",
+    )
+
+
 def hudi_snapshot_files(
     table_path: str, as_of_instant: str | None = None
 ) -> list[str]:
@@ -135,10 +150,24 @@ def hudi_snapshot_files(
             "reading base files alone would return stale rows — compact "
             "the table or read through the Hudi runtime"
         )
-    instants = _timeline(table_path)
+    full_timeline = _timeline(table_path)
+    instants = full_timeline
     if as_of_instant is not None:
         instants = [t for t in instants if t[0] <= str(as_of_instant)]
     committed = {t[0] for t in instants}
+    all_active = {t[0] for t in full_timeline}
+    # Hudi ARCHIVES old completed instants out of the active timeline
+    # (default window ~30 commits, moved under .hoodie/archived in a
+    # packed format this reader does not parse).  A base file whose
+    # instant predates the earliest ACTIVE instant is therefore
+    # committed-by-archival, not inflight — treating it as uncommitted
+    # would silently drop old, fully-committed data.  (Failed writes
+    # that old would have been rolled back by Hudi's own cleaner —
+    # archival only proceeds past completed instants.)
+    # the archival boundary comes from the FULL active timeline — an
+    # as-of filter narrows which commits are visible, not which
+    # instants were archived
+    earliest_active = min(all_active) if all_active else None
     replaced: dict[str, set[str]] = {}
     for ts, action, path in instants:
         if action == "replacecommit":
@@ -158,7 +187,12 @@ def hudi_snapshot_files(
             if not m:
                 continue
             instant = m.group("instant")
-            if instant not in committed:
+            archived = (
+                earliest_active is not None
+                and instant < earliest_active
+                and (as_of_instant is None or instant <= str(as_of_instant))
+            )
+            if instant not in committed and not archived:
                 continue  # inflight/failed writer — invisible
             fid = m.group("file_id")
             if fid in replaced.get(part, ()):
@@ -208,13 +242,26 @@ def read_hudi_changes(
     ``_hoodie_commit_time``; pass ``drop_meta=False`` and filter on it
     for row-exact changes)."""
     instants = _timeline(table_path)
-    picked = [
+    window = [
         t
         for t in instants
         if t[0] > str(begin_instant)
         and (end_instant is None or t[0] <= str(end_instant))
-        and t[1] == "commit"
     ]
+    picked = []
+    for ts, action, cpath in window:
+        if action == "replacecommit":
+            # clustering rewrites add no rows — skip; anything else
+            # (insert_overwrite & co.) RETRACTS rows, which an
+            # incremental consumer cannot represent — refuse loudly
+            if _replace_is_clustering(cpath):
+                continue
+            raise HudiFeatureError(
+                f"replacecommit {ts} is not a clustering rewrite: it "
+                "retracts rows, which an incremental read cannot "
+                "represent — consume a snapshot read instead"
+            )
+        picked.append((ts, action, cpath))
     paths: list[str] = []
     for _ts, _action, cpath in picked:
         with open(cpath, encoding="utf-8") as f:

@@ -664,6 +664,7 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+
 def _schema_compatible(existing: T.StructType, new: T.StructType) -> bool:
     """Same names + types in order; nullability relaxed (the Delta
     source's append discipline)."""
@@ -673,6 +674,191 @@ def _schema_compatible(existing: T.StructType, new: T.StructType) -> bool:
         if a.name != b.name or a.dataType != b.dataType:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# shared commit machinery — ONE implementation of staging, manifest
+# writing and the exclusive-create metadata commit, used by write /
+# compact / delete / expire (they had begun to diverge; the
+# version-hint fallback below is the same one _load_metadata uses)
+
+
+def _current_metadata_version(meta_dir: str) -> int:
+    """The metadata version a writer builds on: the hint when present,
+    else the highest vN.metadata.json on disk (hint-less tables read
+    fine and must write fine too), else 0."""
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    versions = [
+        int(os.path.basename(p)[1:].split(".")[0])
+        for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+    ]
+    return max(versions) if versions else 0
+
+
+def _entry_for_file(dest: str, ids: dict, snapshot_id: int) -> dict | None:
+    """Manifest entry (status ADDED) for one staged parquet file, with
+    Appendix-D bounds from its footer; None for an empty task output."""
+    n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
+    if n_records == 0:
+        os.remove(dest)  # empty task output — never commit it
+        return None
+    return {
+        "status": 1,  # ADDED
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": dest,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_records,
+            "file_size_in_bytes": os.path.getsize(dest),
+            "block_size_in_bytes": 67108864,
+            "null_value_counts": [
+                {"key": k, "value": v} for k, v in sorted(nulls.items())
+            ],
+            "lower_bounds": [
+                {"key": k, "value": v} for k, v in sorted(lowers.items())
+            ],
+            "upper_bounds": [
+                {"key": k, "value": v} for k, v in sorted(uppers.items())
+            ],
+        },
+    }
+
+
+def _stage_entries(
+    df: DataFrame, table_path: str, ids: dict, snapshot_id: int
+) -> list[dict]:
+    """Distributed parquet staging → ``data/`` + manifest entries.
+
+    The spec REQUIRES int64-micros parquet timestamps (and Spark's
+    INT96 default also writes no statistics, killing bound pruning) —
+    TIMESTAMP_MICROS is forced for the staging write, then restored.
+    """
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
+        os.rename(os.path.join(staging, name), dest)
+        e = _entry_for_file(dest, ids, snapshot_id)
+        if e is not None:
+            entries.append(e)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def _write_manifest(
+    meta_dir: str, schema_json: dict, entries: list[dict]
+) -> tuple[str, int]:
+    """One manifest Avro file → (path, byte length)."""
+    import uuid as _uuid
+
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    manifest_bytes = write_avro_bytes(
+        entries,
+        _MANIFEST_ENTRY_SCHEMA,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as f:
+        f.write(manifest_bytes)
+    return manifest_path, len(manifest_bytes)
+
+
+def _write_manifest_list(
+    meta_dir: str, snapshot_id: int, manifest_records: list[dict]
+) -> str:
+    import uuid as _uuid
+
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    )
+    with open(list_path, "wb") as f:
+        f.write(
+            write_avro_bytes(
+                manifest_records,
+                _MANIFEST_FILE_SCHEMA,
+                extra_meta={
+                    "format-version": "1",
+                    "snapshot-id": str(snapshot_id),
+                },
+            )
+        )
+    return list_path
+
+
+def _commit_metadata(meta_dir: str, new_md: dict, base_version: int) -> None:
+    """Exclusive-create commit of ``v<base_version + 1>.metadata.json``
+    (one winner per version — a racer raises FileExistsError instead of
+    silently dropping the other's snapshot), then the hint pointer
+    moves atomically."""
+    import uuid as _uuid
+
+    md_path = os.path.join(meta_dir, f"v{base_version + 1}.metadata.json")
+    with open(md_path, "x", encoding="utf-8") as f:
+        json.dump(new_md, f)
+    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(base_version + 1))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+
+def _live_entries(table_path: str, snap_md: dict) -> list[dict]:
+    """All non-deleted manifest entries of a snapshot, records verbatim
+    (data files AND delete files — callers split on content)."""
+    with open(_norm_path(table_path, snap_md["manifest-list"]), "rb") as f:
+        manifests, _sch = read_avro_bytes(f.read())
+    live: list[dict] = []
+    for m in manifests:
+        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
+            entries, _sch = read_avro_bytes(f.read())
+        live.extend(e for e in entries if e.get("status", 1) != 2)
+    return live
+
+
+def _append_snapshot_md(
+    md: dict | None, snapshot: dict, extras: dict | None = None
+) -> dict:
+    now_ms = snapshot["timestamp-ms"]
+    base = dict(md) if md else {}
+    base.update(extras or {})
+    base["last-updated-ms"] = now_ms
+    base["current-snapshot-id"] = snapshot["snapshot-id"]
+    base["snapshots"] = ((md or {}).get("snapshots") or []) + [snapshot]
+    base["snapshot-log"] = ((md or {}).get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot["snapshot-id"], "timestamp-ms": now_ms}
+    ]
+    return base
 
 
 def write_iceberg_table(
@@ -727,9 +913,7 @@ def write_iceberg_table(
             ]
         )
     meta_dir = os.path.join(table_path, "metadata")
-    data_dir = os.path.join(table_path, "data")
     os.makedirs(meta_dir, exist_ok=True)
-    os.makedirs(data_dir, exist_ok=True)
 
     try:
         md = _load_metadata(table_path)
@@ -746,22 +930,13 @@ def write_iceberg_table(
             )
         last_column_id = int(md.get("last-column-id", 0))
         table_uuid = md["table-uuid"]
-        # new version = version READ + 1 (not highest-on-disk + 1): if a
-        # racer already claimed it, the exclusive create below raises
-        # instead of silently dropping that racer's snapshot
-        hint = os.path.join(meta_dir, "version-hint.text")
-        if os.path.exists(hint):
-            with open(hint) as f:
-                prev_version = int(f.read().strip())
-        else:
-            prev_version = max(
-                int(os.path.basename(p)[1:].split(".")[0])
-                for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
-            )
     else:
         schema_json, last_column_id = spark_to_iceberg_schema(df.schema)
         table_uuid = str(_uuid.uuid4())
-        prev_version = 0
+    # new version = version READ + 1 (not highest-on-disk + 1): if a
+    # racer already claimed it, the exclusive create below raises
+    # instead of silently dropping that racer's snapshot
+    prev_version = _current_metadata_version(meta_dir) if md is not None else 0
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be passed together")
@@ -782,80 +957,10 @@ def write_iceberg_table(
     snapshot_id = _uuid.uuid4().int >> 75  # unique positive 53-bit long
     now_ms = int(time.time() * 1000)
 
-    # --- data files: distributed parquet write, then move into data/.
-    # The spec REQUIRES int64-micros parquet timestamps (and Spark's
-    # INT96 default also writes no statistics, killing bound pruning) —
-    # force TIMESTAMP_MICROS for the staging write, then restore.
-    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
-    spark = df.sparkSession
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    prev_ts = spark.conf.get(ts_key, None)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
-        df.write.mode("overwrite").parquet(staging)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset(ts_key)
-        else:
-            spark.conf.set(ts_key, prev_ts)
-    entries = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
-        os.rename(os.path.join(staging, name), dest)
-        n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
-        if n_records == 0:
-            os.remove(dest)  # empty task output — never commit it
-            continue
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": dest,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_records,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                    "block_size_in_bytes": 67108864,
-                    "null_value_counts": [
-                        {"key": k, "value": v} for k, v in sorted(nulls.items())
-                    ],
-                    "lower_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(lowers.items())
-                    ],
-                    "upper_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(uppers.items())
-                    ],
-                },
-            }
-        )
-    import shutil
+    entries = _stage_entries(df, table_path, ids, snapshot_id)
+    manifest_path, manifest_len = _write_manifest(meta_dir, schema_json, entries)
 
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # --- one manifest for this commit
-    from ballista_spark.sources.avroio import write_avro_bytes
-
-    manifest_path = os.path.join(
-        meta_dir, f"{_uuid.uuid4().hex}-m0.avro"
-    )
-    manifest_bytes = write_avro_bytes(
-        entries,
-        _MANIFEST_ENTRY_SCHEMA,
-        extra_meta={
-            "schema": json.dumps(schema_json, separators=(",", ":")),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
-            "format-version": "1",
-            "content": "data",
-        },
-    )
-    with open(manifest_path, "wb") as f:
-        f.write(manifest_bytes)
-
-    # --- manifest list: carry previous manifests forward on append
+    # manifest list: carry previous manifests forward on append
     carried: list[dict] = []
     parent_snapshot_id = None
     if md is not None and md.get("current-snapshot-id") not in (None, -1):
@@ -875,7 +980,7 @@ def write_iceberg_table(
                 )
     new_manifest = {
         "manifest_path": manifest_path,
-        "manifest_length": len(manifest_bytes),
+        "manifest_length": manifest_len,
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
@@ -885,19 +990,10 @@ def write_iceberg_table(
             e["data_file"]["record_count"] for e in entries
         ),
     }
-    list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    list_path = _write_manifest_list(
+        meta_dir, snapshot_id, carried + [new_manifest]
     )
-    with open(list_path, "wb") as f:
-        f.write(
-            write_avro_bytes(
-                carried + [new_manifest],
-                _MANIFEST_FILE_SCHEMA,
-                extra_meta={"format-version": "1", "snapshot-id": str(snapshot_id)},
-            )
-        )
 
-    # --- new metadata version, committed by exclusive create
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
@@ -915,31 +1011,22 @@ def write_iceberg_table(
     }
     if parent_snapshot_id is not None:
         snapshot["parent-snapshot-id"] = parent_snapshot_id
-    new_md = {
-        "format-version": 1,
-        "table-uuid": table_uuid,
-        "location": table_path,
-        "last-updated-ms": now_ms,
-        "last-column-id": last_column_id,
-        "schema": schema_json,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
-        "properties": {},
-        "current-snapshot-id": snapshot_id,
-        "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
-        "snapshot-log": (md.get("snapshot-log", []) if md else [])
-        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
-    }
-    new_version = prev_version + 1
-    md_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
-    # exclusive create IS the commit: one winner per version
-    with open(md_path, "x", encoding="utf-8") as f:
-        json.dump(new_md, f)
-    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    new_md = _append_snapshot_md(
+        md,
+        snapshot,
+        extras={
+            "format-version": 1,
+            "table-uuid": table_uuid,
+            "location": table_path,
+            "last-column-id": last_column_id,
+            "schema": schema_json,
+            "partition-spec": [],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "properties": (md or {}).get("properties", {}),
+        },
+    )
+    _commit_metadata(meta_dir, new_md, prev_version)
     return snapshot_id
 
 
@@ -950,202 +1037,139 @@ def compact_iceberg_table(
     cluster_by: list[str] | None = None,
 ) -> int | None:
     """Transactional small-file compaction — the Iceberg twin of
-    ``deltalog.compact_delta_table``: bin-pack live data files under
-    ``target_file_bytes`` (first-fit-decreasing, shared planner) and
-    rewrite each bin as one file, committing a REPLACE snapshot whose
-    manifest carries every surviving file's original record (bounds
-    bytes untouched, status EXISTING) plus the rewritten outputs
-    (status ADDED).  Returns the new snapshot id, or None when nothing
-    needed compacting.
+    ``deltalog.compact_delta_table``.  Returns the new snapshot id, or
+    None when nothing needed compacting.
 
-    ``cluster_by`` range-partitions + sorts the rewrite on the given
-    columns so each output file covers a narrow value range and the
-    manifests' Appendix-D bounds become selective — the OPTIMIZE
-    analogue, same as the Delta source.
+    Three rewrite shapes, committed as one REPLACE snapshot:
+
+    - default: FFD bin-pack files under ``target_file_bytes`` (shared
+      planner) and rewrite each bin as one file; untouched files'
+      manifest records carry forward verbatim (status EXISTING, bounds
+      bytes untouched).
+    - ``cluster_by``: range-partition + sort ALL live rows into
+      ``ceil(total/target)`` outputs — the Delta twin's clustered mode.
+      FFD bins are size-based, not key-based, so composing them with a
+      per-bin sort would leave every output spanning the full key range
+      and bounds would prune nothing; clustering must be a full
+      rewrite to make the Appendix-D bounds selective.
+    - a table with v2 POSITION delete files also forces a full rewrite
+      through :func:`read_iceberg_table` (which applies the
+      tombstones): rewriting changes row positions, so tombstones
+      cannot survive any partial rewrite.  The replace snapshot carries
+      no delete files — compaction is how a MOR table becomes plain.
 
     Readers at older snapshots stay correct (old files are never
     deleted here); the ``ballista_iceberg`` STREAMING face skips
     replace snapshots entirely — a compaction adds no rows, the Delta
-    ``dataChange: false`` analogue.  Rows are unchanged by
-    construction: the rewrite is a read→repartition→write of exactly
-    the replaced files.
+    ``dataChange: false`` analogue.
     """
+    import math
     import time
     import uuid as _uuid
 
-    from ballista_spark.sources.avroio import write_avro_bytes
     from ballista_spark.sources.deltalog import plan_compaction_bins
 
     md = _load_metadata(table_path)
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
-    data_dir = os.path.join(table_path, "data")
+    prev_version = _current_metadata_version(meta_dir)  # fail fast, pre-IO
     cur_id = md.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
     if cur_id in (None, -1) or cur_id not in snaps:
         return None
-    cur = snaps[cur_id]
-
-    # all live entries, records carried verbatim from the manifests
-    with open(_norm_path(table_path, cur["manifest-list"]), "rb") as f:
-        manifests, _sch = read_avro_bytes(f.read())
-    live: list[dict] = []
-    for m in manifests:
-        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
-            entries, _sch = read_avro_bytes(f.read())
-        for e in entries:
-            if e.get("status", 1) != 2:
-                live.append(e)
-
-    sizes = [int(e["data_file"]["file_size_in_bytes"]) for e in live]
-    bins = plan_compaction_bins(sizes, target_file_bytes)
-    if not bins:
-        return None
-    replaced_idx = {i for b in bins for i in b}
+    live = _live_entries(table_path, snaps[cur_id])
+    data_live = [
+        e for e in live if (e["data_file"].get("content", 0) or 0) == 0
+    ]
+    has_deletes = len(data_live) != len(live)
 
     snapshot_id = _uuid.uuid4().int >> 75
-    now_ms = int(time.time() * 1000)
-    new_entries: list[dict] = []
-    for b in bins:
-        paths = [
-            _norm_path(table_path, live[i]["data_file"]["file_path"]) for i in b
-        ]
-        df = spark.read.parquet(*paths)
+    spark_schema = iceberg_to_spark_type(schema_json)
+    sizes = [int(e["data_file"]["file_size_in_bytes"]) for e in data_live]
+
+    if has_deletes or cluster_by:
+        # full rewrite (see docstring); MOR path reads through the
+        # tombstone-applying reader
+        if not data_live:
+            return None
+        total = sum(sizes)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        src = read_iceberg_table(spark, table_path)
         if cluster_by:
-            df = df.repartitionByRange(1, *cluster_by).sortWithinPartitions(
+            src = src.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
+        elif n_out != 1:
+            src = src.repartition(n_out)
         else:
-            df = df.coalesce(1)
-        staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
-        ts_key = "spark.sql.parquet.outputTimestampType"
-        prev_ts = spark.conf.get(ts_key, None)
-        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-        try:
-            df.write.mode("overwrite").parquet(staging)
-        finally:
-            if prev_ts is None:
-                spark.conf.unset(ts_key)
-            else:
-                spark.conf.set(ts_key, prev_ts)
-        import shutil
-
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
-            os.rename(os.path.join(staging, name), dest)
-            n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
-            if n_records == 0:
-                os.remove(dest)
-                continue
-            new_entries.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snapshot_id,
-                    "data_file": {
-                        "file_path": dest,
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": n_records,
-                        "file_size_in_bytes": os.path.getsize(dest),
-                        "block_size_in_bytes": 67108864,
-                        "null_value_counts": [
-                            {"key": k, "value": v}
-                            for k, v in sorted(nulls.items())
-                        ],
-                        "lower_bounds": [
-                            {"key": k, "value": v}
-                            for k, v in sorted(lowers.items())
-                        ],
-                        "upper_bounds": [
-                            {"key": k, "value": v}
-                            for k, v in sorted(uppers.items())
-                        ],
-                    },
-                }
+            src = src.coalesce(1)
+        new_entries = _stage_entries(src, table_path, ids, snapshot_id)
+        carried = []
+        replaced_count = len(live)
+    else:
+        bins = plan_compaction_bins(sizes, target_file_bytes)
+        if not bins:
+            return None
+        replaced_idx = {i for b in bins for i in b}
+        new_entries = []
+        for b in bins:
+            paths = [
+                _norm_path(table_path, data_live[i]["data_file"]["file_path"])
+                for i in b
+            ]
+            new_entries.extend(
+                _stage_entries(
+                    spark.read.schema(spark_schema).parquet(*paths).coalesce(1),
+                    table_path,
+                    ids,
+                    snapshot_id,
+                )
             )
-        shutil.rmtree(staging, ignore_errors=True)
+        carried = [
+            {
+                "status": 0,  # EXISTING — record carried verbatim
+                "snapshot_id": e.get("snapshot_id"),
+                "data_file": e["data_file"],
+            }
+            for i, e in enumerate(data_live)
+            if i not in replaced_idx
+        ]
+        replaced_count = len(replaced_idx)
 
-    carried = [
-        {
-            "status": 0,  # EXISTING — record carried verbatim
-            "snapshot_id": e.get("snapshot_id"),
-            "data_file": e["data_file"],
-        }
-        for i, e in enumerate(live)
-        if i not in replaced_idx
-    ]
-    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
-    manifest_bytes = write_avro_bytes(
-        carried + new_entries,
-        _MANIFEST_ENTRY_SCHEMA,
-        extra_meta={
-            "schema": json.dumps(schema_json, separators=(",", ":")),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
-            "format-version": "1",
-            "content": "data",
-        },
+    manifest_path, manifest_len = _write_manifest(
+        meta_dir, schema_json, carried + new_entries
     )
-    with open(manifest_path, "wb") as f:
-        f.write(manifest_bytes)
-    list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    list_path = _write_manifest_list(
+        meta_dir,
+        snapshot_id,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_entries),
+                "existing_data_files_count": len(carried),
+                "deleted_data_files_count": replaced_count,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+            }
+        ],
     )
-    with open(list_path, "wb") as f:
-        f.write(
-            write_avro_bytes(
-                [
-                    {
-                        "manifest_path": manifest_path,
-                        "manifest_length": len(manifest_bytes),
-                        "partition_spec_id": 0,
-                        "added_snapshot_id": snapshot_id,
-                        "added_data_files_count": len(new_entries),
-                        "existing_data_files_count": len(carried),
-                        "deleted_data_files_count": len(replaced_idx),
-                        "added_rows_count": sum(
-                            e["data_file"]["record_count"] for e in new_entries
-                        ),
-                    }
-                ],
-                _MANIFEST_FILE_SCHEMA,
-                extra_meta={
-                    "format-version": "1",
-                    "snapshot-id": str(snapshot_id),
-                },
-            )
-        )
     snapshot = {
         "snapshot-id": snapshot_id,
-        "timestamp-ms": now_ms,
+        "timestamp-ms": int(time.time() * 1000),
         "manifest-list": list_path,
         "parent-snapshot-id": cur_id,
         "summary": {
             "operation": "replace",
             "added-data-files": str(len(new_entries)),
-            "deleted-data-files": str(len(replaced_idx)),
+            "deleted-data-files": str(replaced_count),
         },
     }
-    hint = os.path.join(meta_dir, "version-hint.text")
-    with open(hint) as f:
-        prev_version = int(f.read().strip())
-    new_md = dict(md)
-    new_md["last-updated-ms"] = now_ms
-    new_md["current-snapshot-id"] = snapshot_id
-    new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
-    new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-    ]
-    md_path = os.path.join(meta_dir, f"v{prev_version + 1}.metadata.json")
-    with open(md_path, "x", encoding="utf-8") as f:
-        json.dump(new_md, f)
-    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(prev_version + 1))
-    os.replace(hint_tmp, hint)
+    _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)
     return snapshot_id
 
 
@@ -1162,20 +1186,23 @@ def expire_iceberg_snapshots(
     ``deltalog.vacuum_delta_table`` (Iceberg's own expire_snapshots
     maintenance action).
 
-    The retention window IS the time-travel window: after expiry,
-    snapshot ids older than the horizon are gone from metadata and no
-    longer reconstructable.  A new metadata version is committed by
-    exclusive create (the writer's concurrency device), so a racing
+    All expired snapshots' references are unioned BEFORE anything is
+    deleted — expired snapshots routinely share manifests (appends
+    carry them forward), and a per-snapshot reap would delete a
+    manifest another expired snapshot still needs to enumerate, wedging
+    expiry halfway.  The retention window IS the time-travel window;
+    the trimmed metadata commits by exclusive create, so a racing
     writer conflicts rather than resurrecting expired snapshots.
     Driver-side metadata work is O(snapshots × manifests); nothing
     row-sized is touched.
     """
     import time
-    import uuid as _uuid
 
     now = int(time.time() * 1000) if now is None else int(now)
     horizon = now - int(retention_ms)
     md = _load_metadata(table_path)
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_version = _current_metadata_version(meta_dir)
     snaps = list(md.get("snapshots") or [])
     if not snaps:
         return []
@@ -1214,19 +1241,22 @@ def expire_iceberg_snapshots(
         live_lists.add(ml)
         live_mans |= mans
         live_files |= files
-    deleted: list[str] = []
+    # union ALL expired refs first (see docstring), then delete once
+    dead_lists, dead_mans, dead_files = set(), set(), set()
     for s in expired:
         ml, mans, files = _refs(s)
-        for p in sorted((({ml} - live_lists) | (mans - live_mans)
-                         | (files - live_files))):
-            if os.path.exists(p):
-                os.remove(p)
-                deleted.append(os.path.relpath(p, table_path))
+        dead_lists.add(ml)
+        dead_mans |= mans
+        dead_files |= files
+    deleted: list[str] = []
+    for p in sorted(
+        (dead_lists - live_lists) | (dead_mans - live_mans)
+        | (dead_files - live_files)
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(os.path.relpath(p, table_path))
 
-    # commit the trimmed snapshot list as a new metadata version
-    hint = os.path.join(table_path, "metadata", "version-hint.text")
-    with open(hint) as f:
-        prev_version = int(f.read().strip())
     expired_ids = {s["snapshot-id"] for s in expired}
     new_md = dict(md)
     new_md["last-updated-ms"] = now
@@ -1236,17 +1266,7 @@ def expire_iceberg_snapshots(
         for e in (md.get("snapshot-log") or [])
         if e["snapshot-id"] not in expired_ids
     ]
-    md_path = os.path.join(
-        table_path, "metadata", f"v{prev_version + 1}.metadata.json"
-    )
-    with open(md_path, "x", encoding="utf-8") as f:
-        json.dump(new_md, f)
-    hint_tmp = os.path.join(
-        table_path, "metadata", f".hint-{_uuid.uuid4().hex}"
-    )
-    with open(hint_tmp, "w") as f:
-        f.write(str(prev_version + 1))
-    os.replace(hint_tmp, hint)
+    _commit_metadata(meta_dir, new_md, prev_version)
     return sorted(deleted)
 
 
@@ -1290,16 +1310,18 @@ def delete_from_iceberg_table(
     Untouched files' manifest records carry forward verbatim; touched
     files are rewritten without the matching rows (a file left empty
     disappears).  Rows where the predicate is NULL are KEPT — SQL
-    DELETE semantics.  Old snapshots stay readable until
-    ``expire_iceberg_snapshots``.  The ``ballista_iceberg`` streaming
-    face refuses delete snapshots (a stream cannot retract).
+    DELETE semantics.  Tables with v2 position-delete files refuse:
+    rewriting a file invalidates ITS tombstone positions while other
+    files' tombstones must survive, and the carry-forward manifest
+    cannot express delete entries — run ``compact_iceberg_table``
+    first (it applies the tombstones).  Old snapshots stay readable
+    until ``expire_iceberg_snapshots``; the ``ballista_iceberg``
+    streaming face refuses delete snapshots (a stream cannot retract).
     """
     import time
     import uuid as _uuid
 
     from pyspark.sql import functions as F
-
-    from ballista_spark.sources.avroio import write_avro_bytes
 
     if not filters:
         raise ValueError(
@@ -1310,18 +1332,18 @@ def delete_from_iceberg_table(
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
-    data_dir = os.path.join(table_path, "data")
+    prev_version = _current_metadata_version(meta_dir)  # fail fast, pre-IO
     cur_id = md.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
     if cur_id in (None, -1) or cur_id not in snaps:
         return None
-    with open(_norm_path(table_path, snaps[cur_id]["manifest-list"]), "rb") as f:
-        manifests, _sch = read_avro_bytes(f.read())
-    live: list[dict] = []
-    for m in manifests:
-        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
-            entries, _sch = read_avro_bytes(f.read())
-        live.extend(e for e in entries if e.get("status", 1) != 2)
+    live = _live_entries(table_path, snaps[cur_id])
+    if any((e["data_file"].get("content", 0) or 0) != 0 for e in live):
+        raise IcebergFeatureError(
+            "table has v2 delete files: copy-on-write DELETE cannot "
+            "carry tombstones across a rewrite — compact_iceberg_table "
+            "first (it applies them)"
+        )
 
     def _may_match(entry: dict) -> bool:
         lowers = _as_id_map(entry["data_file"].get("lower_bounds"))
@@ -1338,7 +1360,6 @@ def delete_from_iceberg_table(
     if not touched:
         return None
     snapshot_id = _uuid.uuid4().int >> 75
-    now_ms = int(time.time() * 1000)
     spark_schema = iceberg_to_spark_type(schema_json)
     paths = [
         _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
@@ -1348,53 +1369,7 @@ def delete_from_iceberg_table(
         .parquet(*paths)
         .where(~F.coalesce(_filters_to_column(filters), F.lit(False)))
     )
-    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    prev_ts = spark.conf.get(ts_key, None)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
-        survivors.write.mode("overwrite").parquet(staging)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset(ts_key)
-        else:
-            spark.conf.set(ts_key, prev_ts)
-    import shutil
-
-    new_entries: list[dict] = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
-        os.rename(os.path.join(staging, name), dest)
-        n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
-        if n_records == 0:
-            os.remove(dest)
-            continue
-        new_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": dest,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_records,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                    "block_size_in_bytes": 67108864,
-                    "null_value_counts": [
-                        {"key": k, "value": v} for k, v in sorted(nulls.items())
-                    ],
-                    "lower_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(lowers.items())
-                    ],
-                    "upper_bounds": [
-                        {"key": k, "value": v} for k, v in sorted(uppers.items())
-                    ],
-                },
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    new_entries = _stage_entries(survivors, table_path, ids, snapshot_id)
 
     touched_paths = {e["data_file"]["file_path"] for e in touched}
     carried = [
@@ -1406,50 +1381,30 @@ def delete_from_iceberg_table(
         for e in live
         if e["data_file"]["file_path"] not in touched_paths
     ]
-    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
-    manifest_bytes = write_avro_bytes(
-        carried + new_entries,
-        _MANIFEST_ENTRY_SCHEMA,
-        extra_meta={
-            "schema": json.dumps(schema_json, separators=(",", ":")),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
-            "format-version": "1",
-            "content": "data",
-        },
+    manifest_path, manifest_len = _write_manifest(
+        meta_dir, schema_json, carried + new_entries
     )
-    with open(manifest_path, "wb") as f:
-        f.write(manifest_bytes)
-    list_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
+    list_path = _write_manifest_list(
+        meta_dir,
+        snapshot_id,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_entries),
+                "existing_data_files_count": len(carried),
+                "deleted_data_files_count": len(touched),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+            }
+        ],
     )
-    with open(list_path, "wb") as f:
-        f.write(
-            write_avro_bytes(
-                [
-                    {
-                        "manifest_path": manifest_path,
-                        "manifest_length": len(manifest_bytes),
-                        "partition_spec_id": 0,
-                        "added_snapshot_id": snapshot_id,
-                        "added_data_files_count": len(new_entries),
-                        "existing_data_files_count": len(carried),
-                        "deleted_data_files_count": len(touched),
-                        "added_rows_count": sum(
-                            e["data_file"]["record_count"] for e in new_entries
-                        ),
-                    }
-                ],
-                _MANIFEST_FILE_SCHEMA,
-                extra_meta={
-                    "format-version": "1",
-                    "snapshot-id": str(snapshot_id),
-                },
-            )
-        )
     snapshot = {
         "snapshot-id": snapshot_id,
-        "timestamp-ms": now_ms,
+        "timestamp-ms": int(time.time() * 1000),
         "manifest-list": list_path,
         "parent-snapshot-id": cur_id,
         "summary": {
@@ -1458,21 +1413,5 @@ def delete_from_iceberg_table(
             "added-data-files": str(len(new_entries)),
         },
     }
-    hint = os.path.join(meta_dir, "version-hint.text")
-    with open(hint) as f:
-        prev_version = int(f.read().strip())
-    new_md = dict(md)
-    new_md["last-updated-ms"] = now_ms
-    new_md["current-snapshot-id"] = snapshot_id
-    new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
-    new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-    ]
-    md_path = os.path.join(meta_dir, f"v{prev_version + 1}.metadata.json")
-    with open(md_path, "x", encoding="utf-8") as f:
-        json.dump(new_md, f)
-    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(prev_version + 1))
-    os.replace(hint_tmp, hint)
+    _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)
     return snapshot_id

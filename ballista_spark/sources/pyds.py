@@ -276,6 +276,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
             for action in _iter_commit_actions(
                 _commit_path(self.table_path, v)
             ):
+                rm = action.get("remove")
+                if rm and rm.get("dataChange", True):
+                    # an overwrite/delete commit retracts rows; emitting
+                    # its adds as appends would duplicate everything the
+                    # stream already delivered (compaction rewrites set
+                    # dataChange:false and pass through untouched)
+                    raise ValueError(
+                        f"delta commit {v} removes data (overwrite/"
+                        "delete): a stream cannot represent retraction "
+                        "— restart from a later startingVersion past it"
+                    )
                 a = action.get("add")
                 if a and a.get("dataChange", True):
                     pv = dict(a.get("partitionValues") or {})
@@ -378,11 +389,22 @@ class _IcebergReader(DataSourceReader):
 
 
 class _IcebergStreamReader(DataSourceStreamReader):
-    """Micro-batch source over the snapshot log: offsets are ordinals
-    into ``snapshot-log``; batch (start, end] = the data files those
-    APPEND snapshots added (manifest entries with status=1 and the
-    snapshot's id).  Overwrite/replace snapshots raise — a stream
-    cannot represent retraction."""
+    """Micro-batch source over the snapshot log; batch (start, end] =
+    the data files the new APPEND snapshots added (manifest entries
+    with status=1 and the snapshot's id).  Replace (compaction)
+    snapshots are skipped — no new rows; overwrite snapshots raise — a
+    stream cannot represent retraction.
+
+    Offsets are the (timestamp-ms, snapshot-id) of the LAST CONSUMED
+    log entry, NOT a list position: ``expire_iceberg_snapshots`` trims
+    the snapshot-log, and a positional offset would silently skip or
+    replay snapshots after expiry.  If the last-consumed entry itself
+    has been expired, consumption resumes at the first entry newer than
+    its timestamp (older entries were either consumed or expired); an
+    entry that expired BEFORE consumption raises when its snapshot
+    cannot be resolved — data loss must be loud."""
+
+    _SENTINEL = {"ts": -1, "sid": -1}
 
     def __init__(self, options, spark_schema: T.StructType):
         self.options = options
@@ -398,31 +420,77 @@ class _IcebergStreamReader(DataSourceStreamReader):
             return []
         return list(md.get("snapshot-log") or [])
 
+    @staticmethod
+    def _off(entry: dict) -> dict:
+        return {"ts": int(entry["timestamp-ms"]), "sid": entry["snapshot-id"]}
+
     def initialOffset(self) -> dict:
-        # ordinals are COUNTS (next log index to process), unlike the
-        # delta face's last-processed version — startingOrdinal=N means
-        # "consume from log index N on", so the offset IS N
+        log = self._log()
         start = self.options.get("startingOrdinal")
         if start is not None:
-            return {"ordinal": int(start)}
-        return {"ordinal": len(self._log())}  # only NEW snapshots
+            n = int(start)
+            if n <= 0 or not log:
+                return dict(self._SENTINEL)
+            return self._off(log[min(n, len(log)) - 1])
+        return self._off(log[-1]) if log else dict(self._SENTINEL)
 
     def latestOffset(self) -> dict:
-        return {"ordinal": len(self._log())}
+        log = self._log()
+        return self._off(log[-1]) if log else dict(self._SENTINEL)
+
+    def _positions(self, log: list[dict], start: dict, end: dict):
+        if end.get("sid") == -1:
+            return range(0)
+        if start.get("sid") == -1:
+            i0 = 0
+        else:
+            j = next(
+                (i for i, e in enumerate(log) if e["snapshot-id"] == start["sid"]),
+                None,
+            )
+            if j is not None:
+                i0 = j + 1
+            else:  # start entry expired: resume past its timestamp
+                i0 = next(
+                    (
+                        i
+                        for i, e in enumerate(log)
+                        if int(e["timestamp-ms"]) > int(start["ts"])
+                    ),
+                    len(log),
+                )
+        k = next(
+            (i for i, e in enumerate(log) if e["snapshot-id"] == end["sid"]),
+            None,
+        )
+        if k is None:  # end expired mid-flight: bound by its timestamp
+            k = max(
+                (
+                    i
+                    for i, e in enumerate(log)
+                    if int(e["timestamp-ms"]) <= int(end["ts"])
+                ),
+                default=-1,
+            )
+        return range(i0, k + 1)
 
     def partitions(self, start: dict, end: dict):
         from ballista_spark.sources.avroio import read_avro_bytes
         from ballista_spark.sources.iceberg import _load_metadata, _norm_path
 
-        lo, hi = int(start["ordinal"]), int(end["ordinal"])
-        if hi <= lo:
-            return []
         md = _load_metadata(self.table_path)
         log = list(md.get("snapshot-log") or [])
         snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
         out = []
-        for i in range(lo, hi):
-            snap = snaps[log[i]["snapshot-id"]]
+        for i in self._positions(log, start, end):
+            sid = log[i]["snapshot-id"]
+            snap = snaps.get(sid)
+            if snap is None:
+                raise ValueError(
+                    f"snapshot {sid} expired before the stream consumed "
+                    "it — increase the expiry retention or restart the "
+                    "stream from a later startingOrdinal"
+                )
             op = (snap.get("summary") or {}).get("operation", "append")
             if op == "replace":
                 continue  # compaction adds no rows (dataChange:false analogue)
@@ -569,11 +637,22 @@ class _HudiStreamReader(DataSourceStreamReader):
         lo, hi = int(start["ordinal"]), int(end["ordinal"])
         if hi <= lo:
             return []
+        from ballista_spark.sources.hudi import _replace_is_clustering
+
         timeline = self._timeline()
         out = []
         for ts, action, cpath in timeline[lo:hi]:
+            if action == "replacecommit":
+                if _replace_is_clustering(cpath):
+                    continue  # clustering rewrites add no rows
+                raise ValueError(
+                    f"replacecommit {ts} is not a clustering rewrite "
+                    "(insert_overwrite retracts rows): a stream cannot "
+                    "represent retraction — restart from a later "
+                    "startingOrdinal past it"
+                )
             if action != "commit":
-                continue  # clustering rewrites add no rows
+                continue
             with open(cpath, encoding="utf-8") as f:
                 doc = _json.load(f)
             for _part, stats in (doc.get("partitionToWriteStats") or {}).items():

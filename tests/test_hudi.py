@@ -54,10 +54,16 @@ def _base_file(path, part, file_id, instant, rows, token="0-1-0"):
     return os.path.join(part, name) if part else name
 
 
-def _commit(path, instant, write_stats=None, action="commit", replace=None):
+def _commit(
+    path, instant, write_stats=None, action="commit", replace=None,
+    optype=None,
+):
     doc = {"partitionToWriteStats": write_stats or {}}
     if replace is not None:
         doc["partitionToReplaceFileIds"] = replace
+        doc["operationType"] = optype or "cluster"
+    if optype is not None:
+        doc["operationType"] = optype
     with open(os.path.join(path, ".hoodie", f"{instant}.{action}"), "w") as f:
         json.dump(doc, f)
 
@@ -288,3 +294,67 @@ def test_hudi_format_streaming_consumes_new_commits(spark, tmp_path):
     run_trigger()
     got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# round-7 review-pass regressions
+
+
+def test_archived_instants_stay_committed(spark, tmp_path):
+    """Hudi archives old completed instants out of the active timeline:
+    base files OLDER than the earliest active instant are
+    committed-by-archival and must stay visible — the uncommitted
+    screen only applies at or past the active window."""
+    path = str(tmp_path / "t")
+    _init_table(path)
+    # an old, archived commit: file present, instant NOT in .hoodie
+    _base_file(path, "", _fid(), "20230101000000", [(1, "old")])
+    # the active window
+    _base_file(path, "", _fid(), "20240101000000", [(2, "new")])
+    _commit(path, "20240101000000")
+    got = sorted(map(tuple, read_hudi_table(spark, path).collect()))
+    assert got == [(1, "old"), (2, "new")]
+    # but a file NEWER than the newest active instant is inflight
+    _base_file(path, "", _fid(), "20250101000000", [(9, "ghost")])
+    got = sorted(map(tuple, read_hudi_table(spark, path).collect()))
+    assert got == [(1, "old"), (2, "new")]
+    # as-of time travel still excludes archived files past the horizon
+    old = read_hudi_table(spark, path, as_of_instant="20230601000000")
+    assert [tuple(r) for r in old.collect()] == [(1, "old")]
+
+
+def test_insert_overwrite_refused_in_incremental_and_stream(spark, tmp_path):
+    """A non-clustering replacecommit (insert_overwrite) retracts rows:
+    incremental reads and the stream must refuse, not silently skip —
+    while pure clustering stays invisible."""
+    from ballista_spark.sources.hudi import HudiFeatureError
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    path = str(tmp_path / "t")
+    _init_table(path)
+    r1 = _base_file(path, "", _fid(), "20240101000000", [(1, "a")])
+    _commit(path, "20240101000000", {"": [{"path": r1}]})
+    f_new = _fid()
+    r2 = _base_file(path, "", f_new, "20240102000000", [(9, "ow")])
+    _commit(
+        path, "20240102000000", {"": [{"path": r2}]},
+        action="replacecommit", replace={"": []}, optype="insert_overwrite",
+    )
+    with pytest.raises(HudiFeatureError, match="retracts"):
+        read_hudi_changes(spark, path, begin_instant="20240101000000")
+    q = (
+        spark.readStream.format("ballista_hudi")
+        .option("path", path)
+        .option("startingOrdinal", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="retraction|STREAM_FAILED"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()

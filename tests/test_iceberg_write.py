@@ -526,3 +526,220 @@ def test_unconditional_delete_refused(spark, tmp_path):
     write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
     with pytest.raises(ValueError, match="unconditional"):
         delete_from_iceberg_table(spark, path, [])
+
+
+# ---------------------------------------------------------------------------
+# round-7 review-pass regressions
+
+
+def test_expire_after_compaction_unions_refs_first(spark, tmp_path):
+    """Expired append snapshots SHARE manifests (carried forward); the
+    reap must union all expired refs before deleting anything — the
+    per-snapshot variant crashed on the second snapshot and wedged
+    expiry permanently."""
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        expire_iceberg_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    deleted = expire_iceberg_snapshots(path, retention_ms=-1)
+    assert sum(1 for d in deleted if d.endswith(".parquet")) == 3
+    assert read_iceberg_table(spark, path).count() == 30
+    assert len(_read_meta(path)["snapshots"]) == 1
+    # expiry stays runnable afterwards (nothing left, no crash)
+    assert expire_iceberg_snapshots(path, retention_ms=-1) == []
+
+
+def test_compaction_applies_positional_deletes(spark, tmp_path):
+    """Compacting a MOR table rewrites EVERYTHING through the
+    tombstone-applying reader: deleted rows stay gone, the replace
+    snapshot carries no delete files, and the pyds face (which refuses
+    MOR) works again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_spark.sources.iceberg import (
+        _load_metadata,
+        compact_iceberg_table,
+        read_iceberg_snapshot,
+    )
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    path = str(tmp_path / "t")
+    write_iceberg_table(
+        _df(spark, [(i, "c", float(i)) for i in range(10)]).coalesce(1), path
+    )
+    snap0 = read_iceberg_snapshot(path)
+    f1 = snap0.files[0][0]
+    # hand-write a positional delete (rows 0 and 3 of f1) + commit it
+    ddir = os.path.join(path, "data")
+    dpath = os.path.join(ddir, "del1.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": pa.array([f1, f1]), "pos": pa.array([0, 3], pa.int64())}
+        ),
+        dpath,
+    )
+    md = _load_metadata(path)
+    from ballista_spark.sources.iceberg import _MANIFEST_FILE_SCHEMA
+
+    mdir = os.path.join(path, "metadata")
+    # the repo's v1 writer schema has no content field (it never writes
+    # delete files) — a v2-style entry schema carries it explicitly
+    del_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    del_entry = {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 1,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        },
+    }
+    mpath = os.path.join(mdir, "del-manifest.avro")
+    with open(mpath, "wb") as f:
+        f.write(write_avro_bytes([del_entry], del_entry_schema))
+    cur = md["snapshots"][-1]
+    with open(cur["manifest-list"], "rb") as f:
+        from ballista_spark.sources.avroio import read_avro_bytes
+
+        mans, _ = read_avro_bytes(f.read())
+    lpath = os.path.join(mdir, "snap-del.avro")
+    with open(lpath, "wb") as f:
+        f.write(
+            write_avro_bytes(
+                mans
+                + [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": 999,
+                        "added_data_files_count": 0,
+                        "existing_data_files_count": 0,
+                        "deleted_data_files_count": 0,
+                        "added_rows_count": 0,
+                    }
+                ],
+                _MANIFEST_FILE_SCHEMA,
+            )
+        )
+    snap = {
+        "snapshot-id": 999,
+        "timestamp-ms": cur["timestamp-ms"] + 1,
+        "manifest-list": lpath,
+        "summary": {"operation": "overwrite"},
+    }
+    md2 = dict(md)
+    md2["current-snapshot-id"] = 999
+    md2["snapshots"] = md["snapshots"] + [snap]
+    md2["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": 999, "timestamp-ms": snap["timestamp-ms"]}
+    ]
+    with open(os.path.join(mdir, "v3.metadata.json"), "x") as f:
+        json.dump(md2, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")
+
+    # MOR read sees 8 rows; delete_from refuses; compaction applies
+    assert read_iceberg_table(spark, path).count() == 8
+    from ballista_spark.sources.iceberg import (
+        IcebergFeatureError,
+        delete_from_iceberg_table,
+    )
+
+    with pytest.raises(IcebergFeatureError, match="compact"):
+        delete_from_iceberg_table(spark, path, [("id", "=", 5)])
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    post = read_iceberg_snapshot(path)
+    assert post.delete_files == []
+    got = sorted(r["id"] for r in read_iceberg_table(spark, path).collect())
+    assert got == [1, 2] + list(range(4, 10))
+
+
+def test_clustered_compaction_multiple_selective_files(spark, tmp_path):
+    """cluster_by range-partitions ALL live rows into ceil(total/target)
+    outputs — each covering a NARROW key range, so bounds prune even
+    when the table does not fit one file (the FFD-bin-per-sort variant
+    left every output spanning the full range)."""
+    from ballista_spark.sources.iceberg import compact_iceberg_table
+
+    path = str(tmp_path / "t")
+    for _ in range(4):  # interleaved appends: each spans ids 0..2999
+        write_iceberg_table(
+            _df(spark, [(i, "c", float(i)) for i in range(0, 3000, 3)]).coalesce(1),
+            path,
+        )
+    total = sum(
+        os.path.getsize(f[0]) for f in read_iceberg_snapshot(path).files
+    )
+    target = total // 3  # force >= 3 clustered outputs
+    compact_iceberg_table(spark, path, target_file_bytes=target, cluster_by=["id"])
+    snap = read_iceberg_snapshot(path)
+    assert snap.num_files >= 3
+    from ballista_spark.sources.iceberg import _bounds_may_match
+
+    matching = [
+        f for f in snap.files if _bounds_may_match(f[2], "id", "<", 100)
+    ]
+    assert len(matching) == 1  # a narrow predicate now touches ONE file
+    assert read_iceberg_table(spark, path).count() == 4000
+
+
+def test_hintless_table_writes_and_compacts(spark, tmp_path):
+    """version-hint.text is optional on read — it must be optional for
+    every writer too (the glob fallback), and never discovered AFTER
+    data has already been staged."""
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        delete_from_iceberg_table,
+        expire_iceberg_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    os.remove(os.path.join(path, "metadata", "version-hint.text"))
+    assert compact_iceberg_table(spark, path, target_file_bytes=1 << 30)
+    os.remove(os.path.join(path, "metadata", "version-hint.text"))
+    assert delete_from_iceberg_table(spark, path, [("id", ">=", 100)])
+    os.remove(os.path.join(path, "metadata", "version-hint.text"))
+    assert expire_iceberg_snapshots(path, retention_ms=-1) != []
+    os.remove(os.path.join(path, "metadata", "version-hint.text"))
+    write_iceberg_table(_df(spark, [(999, "z", 9.0)]), path)
+    assert sorted(r["id"] for r in read_iceberg_table(spark, path).collect()) == (
+        list(range(10)) + [999]
+    )

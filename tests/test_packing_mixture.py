@@ -457,3 +457,20 @@ def test_packed_sequences_group_col_passthrough(spark):
     for r in seqs:
         fams = {t // 1000 for t in r["tokens"]}
         assert len(fams) == 1, f"window {r['seq_id']} mixes groups"
+
+
+def test_pack_contiguous_null_group_rows_kept_and_order_first(spark):
+    """NULL-group rows must be packed (ordered first), never silently
+    dropped with their counts still shifting later buckets — the
+    round-7 review regression."""
+    from ballista_spark.operators.dataset import pack_contiguous
+
+    rows = [(i, 5, None if i % 4 == 0 else i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, n long, grp int")
+    out = pack_contiguous(df, "n", "k", seq_len=16, group_col="grp").collect()
+    assert len(out) == 20  # nothing dropped
+    total = sum(r["n"] for r in out)
+    assert max(r["pack_start"] + r["n"] for r in out) == total  # gap-free
+    null_max = max(r["pack_start"] for r in out if r["grp"] is None)
+    nonnull_min = min(r["pack_start"] for r in out if r["grp"] is not None)
+    assert null_max < nonnull_min  # NULL group orders first

@@ -320,3 +320,74 @@ def test_iceberg_streaming_skips_compaction_snapshots(registered, tmp_path):
     run_trigger()
     got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3]  # compaction invisible, no replays
+
+
+def test_delta_streaming_refuses_overwrite_commits(registered, tmp_path):
+    """An overwrite commit retracts rows — delivering its adds as
+    appends would duplicate everything already streamed; the source
+    must refuse, like Delta's own."""
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_delta")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_delta_table(_df(spark, [(0, "seed", 0.0)]), path)
+    run_trigger()
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), path)
+    write_delta_table(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    with pytest.raises(Exception, match="retraction"):
+        run_trigger()
+
+
+def test_iceberg_streaming_offsets_survive_expiry(registered, tmp_path):
+    """Offsets are (timestamp, snapshot-id), not log positions: expiring
+    already-consumed snapshots between triggers must not skip or replay
+    anything."""
+    from ballista_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        write_iceberg_table,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_iceberg")
+            .option("path", path)
+            .option("startingOrdinal", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in range(3):
+        write_iceberg_table(_df(spark, [(i, "a", float(i))]), path)
+    run_trigger()
+    assert sorted(r["id"] for r in spark.read.parquet(out_dir).collect()) == [0, 1, 2]
+    # expire everything but the newest CONSUMED snapshot, then append
+    expire_iceberg_snapshots(path, retention_ms=-1)
+    write_iceberg_table(_df(spark, [(3, "b", 3.0)]), path)
+    write_iceberg_table(_df(spark, [(4, "b", 4.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [0, 1, 2, 3, 4]  # nothing lost, nothing replayed
