@@ -151,10 +151,77 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("part_delta")
     delta_branch = spark.sql(_PART_PREDICATE.format(src="delta", table="part_delta"))
 
+    # fourth branch (round 7): the same round-trip through the Iceberg
+    # v1 WRITER — two appends building a real multi-snapshot table,
+    # clustered compaction (replace snapshot), then a bound-pruned
+    # snapshot read; oracle: identical select on the base parquet
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    it = os.path.join(root, f"part_ice_{_uuid.uuid4().hex}")
+    write_iceberg_table(part.where("p_partkey % 2 = 0").repartition(2), it)
+    write_iceberg_table(part.where("p_partkey % 2 = 1").repartition(2), it)
+    compact_iceberg_table(spark, it, cluster_by=["p_size"])
+    read_iceberg_table(
+        spark, it, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
+    ).createOrReplaceTempView("part_ice")
+    ice_branch = spark.sql(_PART_PREDICATE.format(src="ice", table="part_ice"))
+
+    # fifth branch (round 7): the Hudi COW reader over a layout-faithful
+    # table built from the same rows — two commits (even/odd file
+    # groups) plus an UNCOMMITTED ghost file whose rows must stay
+    # invisible; oracle: identical select on the base parquet
+    from pyspark.sql import functions as _F
+
+    from ballista_spark.sources.hudi import read_hudi_table
+
+    ht = os.path.join(root, f"part_hudi_{_uuid.uuid4().hex}")
+    os.makedirs(os.path.join(ht, ".hoodie"), exist_ok=True)
+    with open(os.path.join(ht, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=part\nhoodie.table.type=COPY_ON_WRITE\n")
+
+    def _hudi_commit(df_slice, instant):
+        stage = os.path.join(ht, f".stage-{instant}")
+        df_slice.repartition(1).write.mode("overwrite").parquet(stage)
+        for i, name in enumerate(sorted(os.listdir(stage))):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, name),
+                    os.path.join(
+                        ht, f"{_uuid.uuid4()}-{i}_0-1-0_{instant}.parquet"
+                    ),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(os.path.join(ht, ".hoodie", f"{instant}.commit"), "w") as f:
+            f.write('{"partitionToWriteStats": {}}')
+
+    _hudi_commit(part.where("p_partkey % 2 = 0"), "20240101000000")
+    _hudi_commit(part.where("p_partkey % 2 = 1"), "20240102000000")
+    # ghost: staged by a "crashed writer" at a NEWER instant, no commit
+    ghost = part.limit(5).withColumn(
+        "p_partkey", _F.col("p_partkey") + 10_000_000
+    )
+    stage = os.path.join(ht, ".stage-ghost")
+    ghost.repartition(1).write.mode("overwrite").parquet(stage)
+    for name in sorted(os.listdir(stage)):
+        if name.endswith(".parquet"):
+            os.rename(
+                os.path.join(stage, name),
+                os.path.join(ht, f"{_uuid.uuid4()}-0_0-1-0_20240103000000.parquet"),
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    read_hudi_table(spark, ht).createOrReplaceTempView("part_hudi")
+    hudi_branch = spark.sql(_PART_PREDICATE.format(src="hudi", table="part_hudi"))
+
     # neg_price asc == p_retailprice desc: same order as each branch's sort
     return (
         csv_branch.unionAll(ext_branch)
         .unionAll(delta_branch)
+        .unionAll(ice_branch)
+        .unionAll(hudi_branch)
         .orderBy("src", "neg_price", "p_partkey")
     )
 
@@ -168,8 +235,13 @@ _b(
     "same rows through BallistaContext.create_external_table DDL "
     "(ballista.proto:236-248), plus a third through the Delta-protocol "
     "table source (append x2 + clustered compaction + stats-skipped "
-    "snapshot read, sources/deltalog.py).  Oracle reads the same rows "
-    "from parquet three times, tagged.",
+    "snapshot read, sources/deltalog.py), plus round-7 fourth/fifth "
+    "branches: the Iceberg v1 WRITER round-trip (append x2 + clustered "
+    "replace-snapshot compaction + bound-pruned read, "
+    "sources/iceberg.py) and the Hudi COW reader over a layout-faithful "
+    "two-commit table with an uncommitted ghost file that must stay "
+    "invisible (sources/hudi.py).  Oracle reads the same rows from "
+    "parquet five times, tagged.",
     _csv_select_builder,
     oracle=f"""
 SELECT * FROM (
@@ -183,6 +255,14 @@ UNION ALL
 SELECT * FROM (
   {_PART_PREDICATE.format(src="delta", table="part")}
 ) c
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="ice", table="part")}
+) d
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="hudi", table="part")}
+) e
 ORDER BY src, neg_price, p_partkey
 """,
 )
