@@ -391,3 +391,37 @@ def test_iceberg_streaming_offsets_survive_expiry(registered, tmp_path):
     run_trigger()
     got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [0, 1, 2, 3, 4]  # nothing lost, nothing replayed
+
+
+def test_delta_streaming_skips_compaction_commits(registered, tmp_path):
+    """compact_delta_table writes dataChange:false adds+removes — the
+    stream must pass over them silently (no refusal, no replays)."""
+    from ballista_spark.sources.deltalog import compact_delta_table
+
+    spark = registered
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = (
+            spark.readStream.format("ballista_delta")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_delta_table(_df(spark, [(0, "seed", 0.0)]), path)
+    run_trigger()
+    write_delta_table(_df(spark, [(1, "a", 1.0)]).coalesce(1), path)
+    write_delta_table(_df(spark, [(2, "b", 2.0)]).coalesce(1), path)
+    assert compact_delta_table(spark, path, target_file_bytes=1 << 30)
+    write_delta_table(_df(spark, [(3, "c", 3.0)]), path)
+    run_trigger()
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]
