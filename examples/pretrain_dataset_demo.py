@@ -50,6 +50,15 @@ def main() -> None:
         print(f"  curate/{stage}: {n} docs survive")
     kept = rep.docs
 
+    # 1a. banned-term screen (round 7): zero-tolerance blocklist pass —
+    # word/phrase terms through the broadcast n-gram join
+    from ballista_spark.operators.text import filter_keyword_clean
+
+    before = kept.count()
+    kept = filter_keyword_clean(kept, ["casino bonus", "xxx"])
+    print(f"  curate/keyword_screen: {kept.count()} docs survive "
+          f"({before - kept.count()} screened)")
+
     # 1b. leakage-safe held-out split: the split key is the DEDUP
     # CLUSTER (exact-dup content hash here), so near-identical documents
     # can never straddle train/val — then a quality curriculum orders
