@@ -9,6 +9,7 @@ from ballista_spark.sources.iceberg import (
     compact_iceberg_table,
     delete_from_iceberg_table,
     expire_iceberg_snapshots,
+    merge_iceberg_table,
     read_iceberg_snapshot,
     read_iceberg_table,
     write_iceberg_table,
@@ -37,6 +38,7 @@ __all__ = [
     "compact_iceberg_table",
     "delete_from_iceberg_table",
     "expire_iceberg_snapshots",
+    "merge_iceberg_table",
     "read_hudi_table",
     "read_hudi_changes",
     "hudi_snapshot_files",

@@ -69,6 +69,7 @@ __all__ = [
     "write_iceberg_table",
     "compact_iceberg_table",
     "delete_from_iceberg_table",
+    "merge_iceberg_table",
     "expire_iceberg_snapshots",
     "spark_to_iceberg_schema",
     "encode_bound",
@@ -1409,6 +1410,199 @@ def delete_from_iceberg_table(
         "parent-snapshot-id": cur_id,
         "summary": {
             "operation": "delete",
+            "rewritten-data-files": str(len(touched)),
+            "added-data-files": str(len(new_entries)),
+        },
+    }
+    _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)
+    return snapshot_id
+
+
+def merge_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> int | None:
+    """``MERGE INTO`` the Iceberg table — the transactional twin of
+    ``deltalog.merge_delta_table`` with identical semantics: matched
+    rows (on the ``on`` keys) are replaced by the source row (SCD-1) or
+    deleted; unmatched source rows insert when ``insert_not_matched``.
+    One atomic snapshot (operation ``overwrite`` — a merge changes
+    rows, so the streaming face refuses it); returns its id, or None
+    for a no-op merge.
+
+    Same three-step touch-only shape: (1) manifest-bounds pre-prune of
+    candidate files for single-key merges, (2) a map-only
+    ``input_file_name`` probe semi-joined against the broadcast source
+    keys, (3) rewrite of ONLY the touched files — untouched files'
+    manifest records carry forward verbatim.  A 1M-row CDC batch
+    against a clustered 100 TB table rewrites a few files, not the
+    table.  Tables with v2 delete files refuse (compact first — it
+    applies the tombstones).
+    """
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be update|delete")
+    on = list(on)
+    md = _load_metadata(table_path)
+    schema_json = _current_schema(md)
+    ids = _field_ids(schema_json)
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_version = _current_metadata_version(meta_dir)  # fail fast, pre-IO
+    cur_id = md.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    if cur_id in (None, -1) or cur_id not in snaps:
+        return None
+    live = _live_entries(table_path, snaps[cur_id])
+    if any((e["data_file"].get("content", 0) or 0) != 0 for e in live):
+        raise IcebergFeatureError(
+            "table has v2 delete files: MERGE cannot carry tombstones "
+            "across a rewrite — compact_iceberg_table first"
+        )
+    spark_schema = iceberg_to_spark_type(schema_json)
+    if when_matched == "update" or insert_not_matched:
+        shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
+        if shape(source.schema) != shape(spark_schema):
+            raise ValueError(
+                "merge source schema must equal the table schema "
+                f"(table {spark_schema.simpleString()}, "
+                f"source {source.schema.simpleString()})"
+            )
+    source = source.cache()
+
+    def _bounds_of(entry: dict) -> dict:
+        lowers = _as_id_map(entry["data_file"].get("lower_bounds"))
+        uppers = _as_id_map(entry["data_file"].get("upper_bounds"))
+        bounds = {}
+        for fid, (name, ftype) in ids.items():
+            lo = decode_bound(lowers.get(fid), ftype)
+            hi = decode_bound(uppers.get(fid), ftype)
+            if lo is not None or hi is not None:
+                bounds[name] = (lo, hi)
+        return bounds
+
+    # 1. stats pre-prune (proof-based superset of the true touch set)
+    candidates = live
+    if len(on) == 1:
+        key = on[0]
+        kb = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        if kb["lo"] is not None:
+            lo, hi = kb["lo"], kb["hi"]
+            candidates = [
+                e
+                for e in live
+                if _bounds_may_match(_bounds_of(e), key, ">=", lo)
+                and _bounds_may_match(_bounds_of(e), key, "<=", hi)
+            ]
+
+    def _paths(entries):
+        return [
+            _norm_path(table_path, e["data_file"]["file_path"]) for e in entries
+        ]
+
+    # 2. touch probe over the candidates only (map-only broadcast semi)
+    touched_paths: set[str] = set()
+    if candidates:
+        probe = (
+            spark.read.schema(spark_schema)
+            .parquet(*_paths(candidates))
+            .withColumn("__file", F.input_file_name())
+            .join(F.broadcast(source.select(*on).distinct()), on=on, how="semi")
+            .select("__file")
+            .distinct()
+        )
+        for r in probe.collect():
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            touched_paths.add(p)
+    touched = [
+        e
+        for e in live
+        if _norm_path(table_path, e["data_file"]["file_path"]) in touched_paths
+    ]
+
+    # 3. rewrite touched files + stage inserts
+    snapshot_id = _uuid.uuid4().int >> 75
+    new_entries: list[dict] = []
+    matched_keys = None
+    if touched:
+        touched_df = spark.read.schema(spark_schema).parquet(*_paths(touched))
+        kept = touched_df.join(
+            F.broadcast(source.select(*on).distinct()), on=on, how="left_anti"
+        )
+        matched_keys = (
+            touched_df.select(*on)
+            .join(F.broadcast(source.select(*on).distinct()), on=on, how="semi")
+            .distinct()
+        )
+        new_rows = kept
+        if when_matched == "update":
+            updates = source.join(matched_keys, on=on, how="semi")
+            new_rows = kept.unionByName(updates)
+        new_entries.extend(
+            _stage_entries(new_rows, table_path, ids, snapshot_id)
+        )
+    if insert_not_matched:
+        inserts = source
+        if matched_keys is not None:
+            inserts = source.join(matched_keys, on=on, how="left_anti")
+        new_entries.extend(
+            _stage_entries(inserts, table_path, ids, snapshot_id)
+        )
+    source.unpersist()
+    if not new_entries and not touched:
+        return None
+
+    carried = [
+        {
+            "status": 0,
+            "snapshot_id": e.get("snapshot_id"),
+            "data_file": e["data_file"],
+        }
+        for e in live
+        if _norm_path(table_path, e["data_file"]["file_path"])
+        not in touched_paths
+    ]
+    manifest_path, manifest_len = _write_manifest(
+        meta_dir, schema_json, carried + new_entries
+    )
+    list_path = _write_manifest_list(
+        meta_dir,
+        snapshot_id,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_entries),
+                "existing_data_files_count": len(carried),
+                "deleted_data_files_count": len(touched),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": list_path,
+        "parent-snapshot-id": cur_id,
+        "summary": {
+            "operation": "overwrite",  # a merge changes rows
+            "merge-keys": ",".join(on),
+            "matched-action": when_matched,
             "rewritten-data-files": str(len(touched)),
             "added-data-files": str(len(new_entries)),
         },

@@ -743,3 +743,97 @@ def test_hintless_table_writes_and_compacts(spark, tmp_path):
     assert sorted(r["id"] for r in read_iceberg_table(spark, path).collect()) == (
         list(range(10)) + [999]
     )
+
+
+def test_merge_touch_only_update_and_insert(spark, tmp_path):
+    """MERGE rewrites only the files the source keys touch; matched
+    rows take the source values (SCD-1), unmatched source rows insert,
+    untouched files carry forward verbatim."""
+    from ballista_spark.sources.iceberg import merge_iceberg_table
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg_table(
+            _df(spark, [(lo + i, "c", float(i)) for i in range(10)]).coalesce(1),
+            path,
+        )
+    before = read_iceberg_snapshot(path)
+    paths_before = {f[0] for f in before.files}
+    src = _df(spark, [(100, "UPD", -1.0), (101, "UPD", -2.0), (999, "NEW", 9.0)])
+    sid = merge_iceberg_table(spark, path, src, on=["id"])
+    assert sid is not None
+    after = read_iceberg_snapshot(path)
+    assert len({f[0] for f in after.files} & paths_before) == 2  # 0/200 carried
+    got = {r["id"]: (r["cat"], r["v"]) for r in
+           read_iceberg_table(spark, path).collect()}
+    assert len(got) == 31
+    assert got[100] == ("UPD", -1.0) and got[101] == ("UPD", -2.0)
+    assert got[999] == ("NEW", 9.0)
+    assert got[105] == ("c", 5.0)  # same-file unmatched rows kept
+    # time travel to the pre-merge snapshot
+    assert read_iceberg_table(
+        spark, path, snapshot_id=before.snapshot_id
+    ).count() == 30
+    assert _read_meta(path)["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+
+def test_merge_delete_mode_and_noop(spark, tmp_path):
+    from ballista_spark.sources.iceberg import merge_iceberg_table
+
+    path = str(tmp_path / "t")
+    write_iceberg_table(
+        _df(spark, [(i, "c", float(i)) for i in range(10)]).coalesce(1), path
+    )
+    src = _df(spark, [(3, "x", 0.0), (7, "x", 0.0)])
+    merge_iceberg_table(
+        spark, path, src, on=["id"], when_matched="delete",
+        insert_not_matched=False,
+    )
+    got = sorted(r["id"] for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    # no-op: keys that bounds prove absent, inserts disabled
+    assert (
+        merge_iceberg_table(
+            spark, path,
+            _df(spark, [(10_000, "x", 0.0)]),
+            on=["id"], insert_not_matched=False,
+        )
+        is None
+    )
+
+
+def test_merge_stream_refuses_merge_snapshot(spark, tmp_path):
+    """A merge changes rows — the streaming face must refuse its
+    overwrite snapshot rather than deliver partial adds."""
+    from ballista_spark.sources.iceberg import merge_iceberg_table
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    path = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), path)
+    q = (
+        spark.readStream.format("ballista_iceberg")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merge_iceberg_table(spark, path, _df(spark, [(1, "b", 2.0)]), on=["id"])
+    q2 = (
+        spark.readStream.format("ballista_iceberg")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="retraction|STREAM"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
