@@ -89,6 +89,7 @@ PIPELINE = [
     "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
     "iceberg_write_read",  # iceberg v1 round-trip: manifest commit + bound-pruned read
     "bt_fit",        # Bradley-Terry MM: per-round edge joins + groupBy
+    "keyword_screen",  # banned-term n-gram explode + broadcast join
 ]
 
 
@@ -730,6 +731,22 @@ def _bt_fit(spark, sf_dir: str):
     )
 
 
+def _keyword_screen(spark, sf_dir: str):
+    """Banned-term screen over the documents corpus: word+phrase terms
+    through the unigram/bigram explode + ONE broadcast equi-join + ONE
+    groupBy.  The explode is corpus-token-sized map work and the join
+    side is dimension-sized — expect ~linear, executor-scaled."""
+    from ballista_spark.operators.text import keyword_hits
+    from ballista_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["scan", "hash join", "slow merge", "vector", "zeppelin"]
+    hits = keyword_hits(docs, terms)
+    return hits.groupBy("term").agg(
+        F.sum("n_occurrences").alias("occ"), F.count("*").alias("docs")
+    )
+
+
 def _delta_merge_touch(spark, sf_dir: str):
     """MERGE with a narrow-key CDC batch against the range-clustered
     lineitem table: the stats pre-prune + touch probe confine the
@@ -1207,6 +1224,7 @@ LOCAL_BUILDERS = {
     "delta_write_read": _delta_write_read,
     "iceberg_write_read": _iceberg_write_read,
     "bt_fit": _bt_fit,
+    "keyword_screen": _keyword_screen,
     "delta_merge_touch": _delta_merge_touch,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
