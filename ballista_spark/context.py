@@ -137,6 +137,15 @@ class BallistaContext:
 
             return BallistaDataFrame(_read_avro(self.spark, path))
 
+    def read_arrow(self, path: str, path_glob: str = "*.arrow*") -> BallistaDataFrame:
+        """Arrow IPC / Feather-v2 scan — the reference's own data-plane
+        format (shuffle partitions and results are IPC files,
+        rust/core/src/utils.rs:49-84), served here as a first-class
+        jar-free source (sources/arrowipc.py)."""
+        from ballista_spark.sources.arrowipc import read_arrow_ipc
+
+        return BallistaDataFrame(read_arrow_ipc(self.spark, path, path_glob=path_glob))
+
     # -- registry (rust/client/src/context.rs:112-128) ------------------------
 
     def register_table(self, name: str, df: BallistaDataFrame | DataFrame) -> None:
@@ -230,6 +239,17 @@ class BallistaContext:
             self.register_orc(name, path)
         elif ft == "avro":
             self.register_table(name, self.read_avro(path))
+        elif ft in ("arrow", "ipc", "feather"):
+            self.register_table(
+                name,
+                self.read_arrow(
+                    path,
+                    path_glob=options.get(
+                        "path_glob",
+                        "*.feather" if ft == "feather" else "*.arrow*",
+                    ),
+                ),
+            )
         elif ft == "delta":
             from ballista_spark.sources.deltalog import read_delta_table
 
