@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1275,6 +1276,236 @@ def merge_delta_table(
                     "new snapshot"
                 ) from None
     raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+def _filters_to_column(filters: list[tuple[str, str, object]]):
+    """AND of (col, op, value) triples as a real row predicate — the
+    exact-match twin of the proof language `_file_may_match` prunes on."""
+    cond = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == F.lit(val))
+        elif op == "!=":
+            cond = cond & (c != F.lit(val))
+        elif op == "<":
+            cond = cond & (c < F.lit(val))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(val))
+        elif op == ">":
+            cond = cond & (c > F.lit(val))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(val))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        else:
+            raise ValueError(f"unsupported filter operator {op!r}")
+    return cond
+
+
+def _touched_files(
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    filters: list[tuple[str, str, object]],
+) -> list[_AddFile]:
+    """The files that PROVABLY contain predicate matches: stats prune
+    first (driver, free), then one scan of the surviving candidates with
+    ``input_file_name()`` — so a file inside the stats superset whose
+    rows all miss the predicate is never rewritten."""
+    candidates = [
+        f
+        for f in snap.files
+        if all(_file_may_match(f, c, op, v) for (c, op, v) in filters)
+    ]
+    if not candidates:
+        return []
+    probe_snap = DeltaSnapshot(
+        table_path=snap.table_path,
+        version=snap.version,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        files=list(candidates),
+    )
+    probe = (
+        _scan_snapshot(spark, probe_snap)
+        .where(F.coalesce(_filters_to_column(filters), F.lit(False)))
+        .select(F.input_file_name().alias("__file"))
+        .distinct()
+    )
+    root = os.path.abspath(snap.table_path)
+    touched_rel: set[str] = set()
+    for r in probe.collect():
+        p = r["__file"]
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        touched_rel.add(os.path.relpath(p, root).replace(os.sep, "/"))
+    return [f for f in snap.files if f.path in touched_rel]
+
+
+def _commit_rewrite(
+    table_path: str,
+    touched: list[_AddFile],
+    adds: list[dict],
+    operation: str,
+    parameters: dict,
+) -> int:
+    """remove(touched)+add(new) as ONE exclusive-create commit, with the
+    merge-path race handling: a concurrent commit that removed one of
+    our touched files aborts (rerun on the new snapshot)."""
+    ts = _now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": operation,
+                "operationParameters": parameters,
+            }
+        }
+    ]
+    for old in touched:
+        actions.append(
+            {
+                "remove": {
+                    "path": old.path,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(adds)
+    for _attempt in range(10):
+        versions = _list_log_versions(table_path)
+        next_version = versions[-1] + 1
+        try:
+            _attempt_commit(table_path, next_version, actions)
+            return next_version
+        except FileExistsError:
+            live = {f.path for f in read_delta_snapshot(table_path).files}
+            if not all(old.path in live for old in touched):
+                raise DeltaConcurrentCommitError(
+                    f"{operation.lower()} inputs were removed concurrently; "
+                    "rerun on the new snapshot"
+                ) from None
+    raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+def delete_from_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    filters: list[tuple[str, str, object]],
+) -> int | None:
+    """Copy-on-write ``DELETE FROM``: remove every row matching ALL
+    ``filters`` ((col, op, value) triples — the same proof language the
+    reader prunes on), touching ONLY files that provably contain
+    matches.  Returns the commit version, or None when nothing matched
+    (zero writes).  Rows where the predicate is NULL are KEPT — SQL
+    DELETE semantics.  The transactional twin of
+    ``delete_from_iceberg_table`` (sources/iceberg.py), same discipline:
+    stats pre-prune → exact ``input_file_name`` touch probe → rewrite of
+    only the touched files, untouched files never read twice; a file
+    left empty disappears (no add staged for it).
+    """
+    if not filters:
+        raise ValueError(
+            "refusing an unconditional DELETE — pass explicit filters "
+            "(use write_delta_table(mode='overwrite') with an empty "
+            "DataFrame to truncate)"
+        )
+    snap = read_delta_snapshot(table_path)
+    touched = _touched_files(spark, snap, filters)
+    if not touched:
+        return None
+    tsnap = DeltaSnapshot(
+        table_path=snap.table_path,
+        version=snap.version,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        files=list(touched),
+    )
+    survivors = _scan_snapshot(spark, tsnap).where(
+        ~F.coalesce(_filters_to_column(filters), F.lit(False))
+    )
+    adds = _stage_data_files(
+        survivors, table_path, snap.partition_columns, data_change=True
+    )
+    return _commit_rewrite(
+        table_path,
+        touched,
+        adds,
+        "DELETE",
+        {"predicate": json.dumps([list(map(str, f)) for f in filters])},
+    )
+
+
+def update_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    set_exprs: Mapping[str, object],
+    filters: list[tuple[str, str, object]] | None = None,
+) -> int | None:
+    """Copy-on-write ``UPDATE ... SET ... WHERE``: rows matching ALL
+    ``filters`` get each ``set_exprs`` column replaced by its expression
+    (SQL string or Column), cast back to the column's declared type so
+    the table schema never drifts.  ``filters=None`` is the
+    unconditional full-table UPDATE (SQL allows it; every file is
+    rewritten).  Returns the commit version, or None when no row
+    matched.  Same touch-only shape as :func:`delete_from_delta_table`;
+    non-matching rows inside a touched file are carried byte-identical
+    through the rewrite (``CASE WHEN`` keeps them).
+    """
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET column")
+    snap = read_delta_snapshot(table_path)
+    by_name = {f.name: f for f in snap.schema.fields}
+    for name in set_exprs:
+        if name not in by_name:
+            raise ValueError(f"SET column {name!r} is not in the table schema")
+        if name in snap.partition_columns:
+            raise ValueError(
+                f"SET column {name!r} is a partition column — rewrite "
+                "paths would change; use merge_delta_table (delete+insert)"
+            )
+    if filters:
+        touched = _touched_files(spark, snap, list(filters))
+        pred = F.coalesce(_filters_to_column(list(filters)), F.lit(False))
+    else:
+        touched = list(snap.files)
+        pred = F.lit(True)
+    if not touched:
+        return None
+    tsnap = DeltaSnapshot(
+        table_path=snap.table_path,
+        version=snap.version,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        files=list(touched),
+    )
+    updated = _scan_snapshot(spark, tsnap)
+    for name, expr in set_exprs.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        updated = updated.withColumn(
+            name,
+            F.when(pred, col.cast(by_name[name].dataType)).otherwise(
+                F.col(name)
+            ),
+        )
+    adds = _stage_data_files(
+        updated, table_path, snap.partition_columns, data_change=True
+    )
+    return _commit_rewrite(
+        table_path,
+        touched,
+        adds,
+        "UPDATE",
+        {
+            "predicate": json.dumps(
+                [list(map(str, f)) for f in (filters or [])]
+            ),
+            "set": json.dumps({k: str(v) for k, v in set_exprs.items()}),
+        },
+    )
 
 
 # ---------------------------------------------------------------------------

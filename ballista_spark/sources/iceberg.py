@@ -1418,6 +1418,135 @@ def delete_from_iceberg_table(
     return snapshot_id
 
 
+def update_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    set_exprs,
+    filters: list[tuple[str, str, object]] | None = None,
+) -> int | None:
+    """Copy-on-write ``UPDATE ... SET ... WHERE``: rows matching ALL
+    ``filters`` get each ``set_exprs`` column (SQL string or Column)
+    applied, cast back to the column's declared type so the table schema
+    never drifts; non-matching rows in a touched file carry through the
+    rewrite unchanged (``CASE WHEN``).  ``filters=None`` = unconditional
+    full-table UPDATE.  Returns the new snapshot id, or None when the
+    bounds prove no file could match (zero I/O).  Same discipline and
+    restrictions as :func:`delete_from_iceberg_table`: untouched files'
+    manifest records carry forward verbatim; v2 delete-file tables
+    refuse (compact first); the streaming face refuses the resulting
+    overwrite snapshot (an update changes rows).
+    """
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET column")
+    md = _load_metadata(table_path)
+    schema_json = _current_schema(md)
+    ids = _field_ids(schema_json)
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_version = _current_metadata_version(meta_dir)  # fail fast, pre-IO
+    cur_id = md.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+    if cur_id in (None, -1) or cur_id not in snaps:
+        return None
+    live = _live_entries(table_path, snaps[cur_id])
+    if any((e["data_file"].get("content", 0) or 0) != 0 for e in live):
+        raise IcebergFeatureError(
+            "table has v2 delete files: copy-on-write UPDATE cannot "
+            "carry tombstones across a rewrite — compact_iceberg_table "
+            "first (it applies them)"
+        )
+    spark_schema = iceberg_to_spark_type(schema_json)
+    by_name = {f.name: f for f in spark_schema.fields}
+    for name in set_exprs:
+        if name not in by_name:
+            raise ValueError(f"SET column {name!r} is not in the table schema")
+
+    if filters:
+        def _may_match(entry: dict) -> bool:
+            lowers = _as_id_map(entry["data_file"].get("lower_bounds"))
+            uppers = _as_id_map(entry["data_file"].get("upper_bounds"))
+            bounds = {}
+            for fid, (fname, ftype) in ids.items():
+                lo = decode_bound(lowers.get(fid), ftype)
+                hi = decode_bound(uppers.get(fid), ftype)
+                if lo is not None or hi is not None:
+                    bounds[fname] = (lo, hi)
+            return all(
+                _bounds_may_match(bounds, c, op, v) for c, op, v in filters
+            )
+
+        touched = [e for e in live if _may_match(e)]
+        pred = F.coalesce(_filters_to_column(list(filters)), F.lit(False))
+    else:
+        touched = list(live)
+        pred = F.lit(True)
+    if not touched:
+        return None
+    snapshot_id = _uuid.uuid4().int >> 75
+    paths = [
+        _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
+    ]
+    updated = spark.read.schema(spark_schema).parquet(*paths)
+    for name, expr in set_exprs.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        updated = updated.withColumn(
+            name,
+            F.when(pred, col.cast(by_name[name].dataType)).otherwise(
+                F.col(name)
+            ),
+        )
+    new_entries = _stage_entries(updated, table_path, ids, snapshot_id)
+
+    touched_paths = {e["data_file"]["file_path"] for e in touched}
+    carried = [
+        {
+            "status": 0,
+            "snapshot_id": e.get("snapshot_id"),
+            "data_file": e["data_file"],
+        }
+        for e in live
+        if e["data_file"]["file_path"] not in touched_paths
+    ]
+    manifest_path, manifest_len = _write_manifest(
+        meta_dir, schema_json, carried + new_entries
+    )
+    list_path = _write_manifest_list(
+        meta_dir,
+        snapshot_id,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_entries),
+                "existing_data_files_count": len(carried),
+                "deleted_data_files_count": len(touched),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": list_path,
+        "parent-snapshot-id": cur_id,
+        "summary": {
+            "operation": "overwrite",
+            "rewritten-data-files": str(len(touched)),
+            "added-data-files": str(len(new_entries)),
+        },
+    }
+    _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)
+    return snapshot_id
+
+
 def merge_iceberg_table(
     spark: SparkSession,
     table_path: str,
