@@ -38,6 +38,9 @@ class BallistaContext:
         else:
             self.spark = get_spark(master=master, extra_conf=dict(settings) or None)
         self._tables: dict[str, DataFrame] = {}
+        #: name -> (format, path) for the MUTABLE lakehouse tables the
+        #: SQL DML router (ballista_spark.dml) may target
+        self._lakehouse: dict[str, tuple[str, str]] = {}
 
     # -- readers (python/src/context.rs:48-83) --------------------------------
 
@@ -165,6 +168,43 @@ class BallistaContext:
     def register_orc(self, name: str, path: str) -> None:
         self.register_table(name, self.read_orc(path))
 
+    def register_delta(
+        self, name: str, path: str, version: int | None = None
+    ) -> None:
+        """Register a Delta table as BOTH a readable view and a DML
+        target — ``ctx.sql("DELETE FROM name ...")`` etc. route to the
+        transactional ops (ballista_spark.dml)."""
+        from ballista_spark.sources.deltalog import read_delta_table
+
+        self.register_table(name, read_delta_table(self.spark, path, version=version))
+        self._lakehouse[name] = ("delta", path)
+
+    def register_iceberg(
+        self, name: str, path: str, snapshot_id: int | None = None
+    ) -> None:
+        """Register an Iceberg table as BOTH a readable view and a DML
+        target (see :meth:`register_delta`)."""
+        from ballista_spark.sources.iceberg import read_iceberg_table
+
+        self.register_table(
+            name, read_iceberg_table(self.spark, path, snapshot_id=snapshot_id)
+        )
+        self._lakehouse[name] = ("iceberg", path)
+
+    def _refresh_lakehouse_view(self, name: str) -> None:
+        """Re-point the registered view at the table's NEW snapshot after
+        a mutation (the registered DataFrame pins file lists at
+        registration time)."""
+        fmt, path = self._lakehouse[name]
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import read_delta_table
+
+            self.register_table(name, read_delta_table(self.spark, path))
+        else:
+            from ballista_spark.sources.iceberg import read_iceberg_table
+
+            self.register_table(name, read_iceberg_table(self.spark, path))
+
     def tables(self) -> list[str]:
         return sorted(self._tables)
 
@@ -177,7 +217,15 @@ class BallistaContext:
         """Run SQL over the registered tables. The reference parsed with
         DataFusion's frontend; Spark SQL parses the same TPC-H dialect
         (date literals, intervals, EXISTS/IN subqueries, substring FROM/FOR —
-        SURVEY.md §7.3.4)."""
+        SURVEY.md §7.3.4).  DELETE/UPDATE/MERGE/VACUUM/OPTIMIZE against a
+        registered Delta/Iceberg table route to the transactional storage
+        ops (ballista_spark.dml) — stock Spark SQL refuses them without
+        catalog jars."""
+        from ballista_spark.dml import execute_dml, parse_dml
+
+        stmt = parse_dml(query)
+        if stmt is not None:
+            return BallistaDataFrame(execute_dml(self, stmt))
         return BallistaDataFrame(self.spark.sql(query))
 
     # -- UDF registration (beyond parity: the reference declares
@@ -251,22 +299,10 @@ class BallistaContext:
                 ),
             )
         elif ft == "delta":
-            from ballista_spark.sources.deltalog import read_delta_table
-
-            self.register_table(
-                name,
-                read_delta_table(
-                    self.spark, path, version=options.get("version")
-                ),
-            )
+            self.register_delta(name, path, version=options.get("version"))
         elif ft == "iceberg":
-            from ballista_spark.sources.iceberg import read_iceberg_table
-
-            self.register_table(
-                name,
-                read_iceberg_table(
-                    self.spark, path, snapshot_id=options.get("snapshot_id")
-                ),
+            self.register_iceberg(
+                name, path, snapshot_id=options.get("snapshot_id")
             )
         elif ft == "hudi":
             from ballista_spark.sources.hudi import read_hudi_table

@@ -1,0 +1,362 @@
+"""SQL faces for the lakehouse mutation layer: DELETE / UPDATE / MERGE /
+VACUUM / OPTIMIZE statements routed to the Delta and Iceberg table
+operations.
+
+Spark SQL itself refuses these statements without a catalog plugin (the
+v2 `DeltaCatalog`/`SparkCatalog` jars this repo deliberately does not
+require), so `BallistaContext.sql` recognizes them and dispatches to the
+pure-Python transactional ops (`sources/deltalog.py`,
+`sources/iceberg.py`) — one engine surface for queries AND mutations,
+the way the reference funnels everything through `ctx.sql`
+(`rust/client/src/context.rs:131-143`; its engine was read-only — this
+is beyond-parity).
+
+Grammar (case-insensitive keywords; `<conj>` is the proof-language
+subset the storage layer can prune on — conjunctions of
+``col op literal`` and ``col IS NULL``):
+
+- ``DELETE FROM t WHERE <conj>``
+- ``UPDATE t SET c = <expr> [, ...] [WHERE <conj>]``
+- ``MERGE INTO t USING s|(subquery) ON t.k = s.k [AND ...]
+  WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
+  [WHEN NOT MATCHED THEN INSERT *]``
+- ``VACUUM t [RETAIN n HOURS]``
+- ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
+
+A WHERE predicate outside the conjunction language raises with the
+grammar named — refusing loudly beats silently rewriting the whole
+table.  SET expressions are arbitrary Spark SQL.  After a mutation the
+table's registered view refreshes to the new snapshot.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["parse_dml", "execute_dml", "parse_where_triples", "DmlError"]
+
+
+class DmlError(ValueError):
+    pass
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+_WHERE_GRAMMAR = (
+    "supported WHERE grammar: conjunctions of `col op literal` "
+    "(op: = != <> < <= > >=; literal: number, 'string', TRUE/FALSE, "
+    "DATE 'yyyy-mm-dd') and `col IS NULL`"
+)
+
+
+def _split_top_level(s: str, sep_pattern: str) -> list[str]:
+    """Split on a regex separator at paren/quote depth zero."""
+    parts, depth, last, i = [], 0, 0, 0
+    sep = re.compile(sep_pattern, re.IGNORECASE)
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and j + 1 < len(s) and s[j + 1] == "'":
+                    j += 2
+                elif s[j] == "'":
+                    break
+                else:
+                    j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = sep.match(s, i)
+            if m:
+                parts.append(s[last:i])
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    m = re.fullmatch(r"(?i)DATE\s*'(\d{4}-\d{2}-\d{2})'", t)
+    if m:
+        return datetime.date.fromisoformat(m.group(1))
+    if re.fullmatch(r"(?i)TRUE", t):
+        return True
+    if re.fullmatch(r"(?i)FALSE", t):
+        return False
+    m = re.fullmatch(r"'((?:[^']|'')*)'", t, re.DOTALL)
+    if m:
+        return m.group(1).replace("''", "'")
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    try:
+        return float(t)
+    except ValueError:
+        raise DmlError(f"unsupported literal {tok!r} — {_WHERE_GRAMMAR}")
+
+
+def parse_where_triples(where: str) -> list[tuple[str, str, object]]:
+    """A WHERE string as the storage layer's (col, op, value) triples —
+    the same proof language file pruning runs on.  Raises
+    :class:`DmlError` for anything outside the conjunction grammar."""
+    triples: list[tuple[str, str, object]] = []
+    for term in _split_top_level(where, r"\bAND\b"):
+        t = term.strip()
+        if not t:
+            raise DmlError(f"empty conjunct in WHERE — {_WHERE_GRAMMAR}")
+        m = re.fullmatch(rf"({_IDENT})\s+IS\s+NULL", t, re.IGNORECASE)
+        if m:
+            triples.append((m.group(1), "is_null", None))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*(.+)", t, re.DOTALL
+        )
+        if not m:
+            raise DmlError(f"cannot parse conjunct {t!r} — {_WHERE_GRAMMAR}")
+        col, op, lit = m.group(1), m.group(2), _parse_literal(m.group(3))
+        triples.append((col, "!=" if op == "<>" else op, lit))
+    return triples
+
+
+@dataclass
+class DmlStatement:
+    op: str  # delete | update | merge | vacuum | optimize
+    table: str
+    where: list[tuple[str, str, object]] | None = None
+    set_exprs: dict[str, str] = field(default_factory=dict)
+    source_sql: str | None = None  # merge: table name or (subquery)
+    on: list[str] = field(default_factory=list)
+    when_matched: str = "update"
+    insert_not_matched: bool = False
+    retain_hours: float | None = None
+    zorder_by: list[str] = field(default_factory=list)
+
+
+_DELETE_RE = re.compile(
+    rf"(?is)^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)\s*;?\s*$"
+)
+_UPDATE_RE = re.compile(
+    rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$"
+)
+_MERGE_RE = re.compile(
+    # the subquery match is GREEDY: nested parens inside it are fine
+    # because nothing after USING in this grammar contains ')' (ON is
+    # ident-equality conjunctions, WHEN actions are SET */DELETE/INSERT *)
+    rf"(?is)^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+    rf"\s+USING\s+(\((?:.|\n)*\)|{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+    rf"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$"
+)
+_VACUUM_RE = re.compile(
+    rf"(?is)^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$"
+)
+_OPTIMIZE_RE = re.compile(
+    rf"(?is)^\s*OPTIMIZE\s+({_IDENT})"
+    rf"(?:\s+ZORDER\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?\s*;?\s*$"
+)
+_DML_HEAD = re.compile(r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE)\b")
+
+
+def parse_dml(query: str) -> DmlStatement | None:
+    """Parse ``query`` as a DML/maintenance statement, or None when it
+    isn't one (SELECT/CTE/DDL pass through to Spark SQL untouched)."""
+    if not _DML_HEAD.match(query):
+        return None
+    m = _DELETE_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="delete", table=m.group(1),
+            where=parse_where_triples(m.group(2)),
+        )
+    m = _UPDATE_RE.match(query)
+    if m:
+        sets: dict[str, str] = {}
+        for a in _split_top_level(m.group(2), r","):
+            am = re.fullmatch(
+                rf"\s*({_IDENT})\s*=\s*(.+?)\s*", a, re.DOTALL
+            )
+            if not am:
+                raise DmlError(f"cannot parse SET assignment {a!r}")
+            sets[am.group(1)] = am.group(2)
+        return DmlStatement(
+            op="update", table=m.group(1), set_exprs=sets,
+            where=parse_where_triples(m.group(3)) if m.group(3) else None,
+        )
+    m = _MERGE_RE.match(query)
+    if m:
+        target, t_alias, source, s_alias, on_sql, clauses = m.groups()
+        aliases = {a for a in (t_alias, s_alias, target, source) if a}
+        on_cols: list[str] = []
+        for term in _split_top_level(on_sql, r"\bAND\b"):
+            em = re.fullmatch(
+                rf"\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*(?:({_IDENT})\.)?({_IDENT})\s*",
+                term,
+            )
+            if not em:
+                raise DmlError(
+                    f"MERGE ON must be equi-conjunctions (got {term.strip()!r})"
+                )
+            q1, c1, q2, c2 = em.groups()
+            if c1 != c2:
+                raise DmlError(
+                    "MERGE ON columns must share one name on both sides "
+                    f"(got {c1!r} = {c2!r}) — the storage MERGE is keyed "
+                    "by column name"
+                )
+            for q in (q1, q2):
+                if q and q not in aliases:
+                    raise DmlError(f"unknown qualifier {q!r} in MERGE ON")
+            on_cols.append(c1)
+        when_matched, insert = None, False
+        for cm in re.finditer(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+            clauses,
+        ):
+            neg, action = cm.group(1), cm.group(2).upper()
+            if neg:
+                if not action.startswith("INSERT"):
+                    raise DmlError("WHEN NOT MATCHED supports only INSERT *")
+                insert = True
+            elif action == "DELETE":
+                when_matched = "delete"
+            elif action.startswith("UPDATE"):
+                when_matched = "update"
+            else:
+                raise DmlError("WHEN MATCHED supports UPDATE SET * or DELETE")
+        leftover = re.sub(
+            r"(?is)WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+"
+            r"(?:UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+            "",
+            clauses,
+        ).strip()
+        if leftover:
+            raise DmlError(
+                f"unsupported MERGE clause {leftover!r} — supported: "
+                "WHEN MATCHED THEN UPDATE SET * | DELETE, "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        if when_matched is None and not insert:
+            raise DmlError("MERGE needs at least one WHEN clause")
+        return DmlStatement(
+            op="merge", table=target, source_sql=source, on=on_cols,
+            when_matched=when_matched or "update",
+            insert_not_matched=insert,
+        )
+    m = _VACUUM_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="vacuum", table=m.group(1),
+            retain_hours=float(m.group(2)) if m.group(2) else None,
+        )
+    m = _OPTIMIZE_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="optimize", table=m.group(1),
+            zorder_by=(
+                [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
+            ),
+        )
+    head = _DML_HEAD.match(query).group(1).upper()
+    raise DmlError(f"cannot parse {head} statement — see ballista_spark.dml grammar")
+
+
+def execute_dml(ctx, stmt: DmlStatement):
+    """Run a parsed statement against the context's lakehouse registry;
+    returns a one-row metrics DataFrame (operation, table, version) and
+    refreshes the table's registered view to the new snapshot."""
+    spark = ctx.spark
+    entry = ctx._lakehouse.get(stmt.table)  # noqa: SLF001 — friend module
+    if entry is None:
+        known = sorted(ctx._lakehouse)  # noqa: SLF001
+        raise DmlError(
+            f"{stmt.table!r} is not a registered Delta/Iceberg table "
+            f"(mutable tables: {known}); register via CREATE EXTERNAL "
+            "TABLE ... STORED AS DELTA|ICEBERG or register_delta/"
+            "register_iceberg"
+        )
+    fmt, path = entry
+    version: int | None = None
+    if stmt.op == "delete":
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import delete_from_delta_table
+
+            version = delete_from_delta_table(spark, path, stmt.where)
+        else:
+            from ballista_spark.sources.iceberg import delete_from_iceberg_table
+
+            version = delete_from_iceberg_table(spark, path, stmt.where)
+    elif stmt.op == "update":
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import update_delta_table
+
+            version = update_delta_table(
+                spark, path, stmt.set_exprs, stmt.where
+            )
+        else:
+            from ballista_spark.sources.iceberg import update_iceberg_table
+
+            version = update_iceberg_table(
+                spark, path, stmt.set_exprs, stmt.where
+            )
+    elif stmt.op == "merge":
+        src = stmt.source_sql
+        source = (
+            spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+        )
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import merge_delta_table
+
+            version = merge_delta_table(
+                spark, path, source, on=stmt.on,
+                when_matched=stmt.when_matched,
+                insert_not_matched=stmt.insert_not_matched,
+            )
+        else:
+            from ballista_spark.sources.iceberg import merge_iceberg_table
+
+            version = merge_iceberg_table(
+                spark, path, source, on=stmt.on,
+                when_matched=stmt.when_matched,
+                insert_not_matched=stmt.insert_not_matched,
+            )
+    elif stmt.op == "vacuum":
+        ms = int((stmt.retain_hours or 7 * 24) * 3600 * 1000)
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import vacuum_delta_table
+
+            version = len(vacuum_delta_table(path, retention_ms=ms))
+        else:
+            from ballista_spark.sources.iceberg import expire_iceberg_snapshots
+
+            version = len(expire_iceberg_snapshots(path, retention_ms=ms))
+    elif stmt.op == "optimize":
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import compact_delta_table
+
+            version = compact_delta_table(
+                spark, path, cluster_by=stmt.zorder_by or None
+            )
+        else:
+            from ballista_spark.sources.iceberg import compact_iceberg_table
+
+            version = compact_iceberg_table(
+                spark, path, cluster_by=stmt.zorder_by or None
+            )
+    else:  # pragma: no cover — parse_dml only emits the five ops
+        raise DmlError(f"unknown op {stmt.op!r}")
+
+    if stmt.op in ("delete", "update", "merge", "optimize"):
+        ctx._refresh_lakehouse_view(stmt.table)  # noqa: SLF001
+    return spark.createDataFrame(
+        [(stmt.op, stmt.table, version)],
+        "operation string, table string, version long",
+    )

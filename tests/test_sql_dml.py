@@ -1,0 +1,169 @@
+"""SQL DML router (ballista_spark.dml): grammar parsing and end-to-end
+DELETE/UPDATE/MERGE/VACUUM/OPTIMIZE through ``ctx.sql`` against Delta
+and Iceberg tables registered in the context — one SQL surface for
+queries and mutations.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from ballista_spark.dml import (
+    DmlError,
+    parse_dml,
+    parse_where_triples,
+)
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_where_triples_grammar():
+    assert parse_where_triples("id >= 100 AND cat = 'x''y' AND v <> 2.5") == [
+        ("id", ">=", 100),
+        ("cat", "=", "x'y"),
+        ("v", "!=", 2.5),
+    ]
+    assert parse_where_triples("d = DATE '2024-01-31'") == [
+        ("d", "=", datetime.date(2024, 1, 31))
+    ]
+    assert parse_where_triples("b = TRUE AND x IS NULL") == [
+        ("b", "=", True),
+        ("x", "is_null", None),
+    ]
+    for bad in ("a = b", "a LIKE 'x%'", "a = 1 OR b = 2", "NOT a = 1"):
+        with pytest.raises(DmlError):
+            parse_where_triples(bad)
+
+
+def test_parse_dml_non_dml_passthrough():
+    for q in (
+        "SELECT * FROM t",
+        "WITH x AS (SELECT 1) SELECT * FROM x",
+        "  select delete_col from t",
+        "EXPLAIN SELECT 1",
+    ):
+        assert parse_dml(q) is None
+
+
+def test_parse_delete_update():
+    s = parse_dml("DELETE FROM t WHERE id < 5;")
+    assert s.op == "delete" and s.table == "t" and s.where == [("id", "<", 5)]
+    s = parse_dml(
+        "UPDATE t SET v = v * 2, cat = concat(cat, ',x') WHERE id = 1"
+    )
+    assert s.op == "update"
+    # the comma inside concat(...) must not split the SET list
+    assert s.set_exprs == {"v": "v * 2", "cat": "concat(cat, ',x')"}
+    assert s.where == [("id", "=", 1)]
+    s = parse_dml("UPDATE t SET v = 0")
+    assert s.where is None
+    with pytest.raises(DmlError):
+        parse_dml("DELETE FROM t WHERE id IN (1,2)")
+
+
+def test_parse_merge_variants():
+    s = parse_dml(
+        "MERGE INTO t AS d USING src AS s ON d.id = s.id AND d.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert (s.op, s.table, s.source_sql) == ("merge", "t", "src")
+    assert s.on == ["id", "k"]
+    assert s.when_matched == "update" and s.insert_not_matched
+    s = parse_dml(
+        "MERGE INTO t USING (SELECT * FROM s WHERE v > 0) ON t.id = id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert s.source_sql.startswith("(") and s.when_matched == "delete"
+    assert not s.insert_not_matched
+    # nested parens inside the subquery survive the greedy match
+    s = parse_dml(
+        "MERGE INTO t USING (SELECT id, coalesce(v, 0.0) v FROM s "
+        "WHERE abs(v) > 0) ON t.id = id WHEN MATCHED THEN DELETE"
+    )
+    assert s.source_sql.endswith("abs(v) > 0)") and s.on == ["id"]
+    with pytest.raises(DmlError, match="share one name"):
+        parse_dml(
+            "MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(DmlError, match="unsupported MERGE clause"):
+        parse_dml(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1"
+        )
+
+
+def test_parse_maintenance():
+    s = parse_dml("VACUUM t RETAIN 0 HOURS")
+    assert (s.op, s.retain_hours) == ("vacuum", 0.0)
+    assert parse_dml("VACUUM t").retain_hours is None
+    s = parse_dml("OPTIMIZE t ZORDER BY (a, b)")
+    assert (s.op, s.zorder_by) == ("optimize", ["a", "b"])
+    assert parse_dml("OPTIMIZE t").zorder_by == []
+
+
+# -------------------------------------------------------------- end-to-end
+
+
+def _ctx(spark):
+    from ballista_spark.context import BallistaContext
+
+    return BallistaContext(spark=spark)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_sql_dml_end_to_end(spark, tmp_path, fmt):
+    ctx = _ctx(spark)
+    path = str(tmp_path / fmt)
+    df = spark.createDataFrame(
+        [(i, "c", float(i)) for i in range(20)], "id long, cat string, v double"
+    )
+    if fmt == "delta":
+        from ballista_spark.sources.deltalog import write_delta_table
+
+        write_delta_table(df, path)
+        ctx.register_delta("t", path)
+    else:
+        from ballista_spark.sources.iceberg import write_iceberg_table
+
+        write_iceberg_table(df, path)
+        ctx.register_iceberg("t", path)
+
+    # UPDATE, then read through the SAME sql surface (view refreshed)
+    out = ctx.sql("UPDATE t SET v = v + 100 WHERE id < 3").df.collect()[0]
+    assert out["operation"] == "update" and out["version"] is not None
+    got = {r["id"]: r["v"] for r in ctx.sql("SELECT id, v FROM t").df.collect()}
+    assert got[0] == 100.0 and got[2] == 102.0 and got[3] == 3.0
+
+    # DELETE
+    ctx.sql("DELETE FROM t WHERE id >= 15")
+    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 15
+
+    # MERGE from a subquery source
+    src = spark.createDataFrame(
+        [(1, "m", -1.0), (99, "new", 99.0)], "id long, cat string, v double"
+    )
+    src.createOrReplaceTempView("src")
+    ctx.sql(
+        "MERGE INTO t USING src ON t.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["id"]: (r["cat"], r["v"]) for r in ctx.sql("SELECT * FROM t").df.collect()}
+    assert got[1] == ("m", -1.0) and got[99] == ("new", 99.0)
+    assert len(got) == 16
+
+    # OPTIMIZE compacts without changing rows
+    ctx.sql("OPTIMIZE t")
+    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 16
+
+    # VACUUM runs (age-gated: nothing young enough to reap is an OK 0)
+    out = ctx.sql("VACUUM t RETAIN 168 HOURS").df.collect()[0]
+    assert out["operation"] == "vacuum" and out["version"] >= 0
+
+
+def test_sql_dml_unregistered_table(spark):
+    ctx = _ctx(spark)
+    with pytest.raises(DmlError, match="not a registered"):
+        ctx.sql("DELETE FROM nowhere WHERE id = 1")
