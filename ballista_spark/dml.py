@@ -22,6 +22,8 @@ subset the storage layer can prune on — conjunctions of
   [WHEN NOT MATCHED THEN INSERT *]``
 - ``VACUUM t [RETAIN n HOURS]``
 - ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
+- ``ALTER TABLE t ADD COLUMNS (c type [, ...])`` /
+  ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)``
 
 A WHERE predicate outside the conjunction language raises with the
 grammar named — refusing loudly beats silently rewriting the whole
@@ -139,6 +141,8 @@ class DmlStatement:
     insert_not_matched: bool = False
     retain_hours: float | None = None
     zorder_by: list[str] = field(default_factory=list)
+    add_columns: dict[str, str] = field(default_factory=dict)
+    drop_columns: list[str] = field(default_factory=list)
 
 
 _DELETE_RE = re.compile(
@@ -162,7 +166,16 @@ _OPTIMIZE_RE = re.compile(
     rf"(?is)^\s*OPTIMIZE\s+({_IDENT})"
     rf"(?:\s+ZORDER\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?\s*;?\s*$"
 )
-_DML_HEAD = re.compile(r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE)\b")
+_ALTER_ADD_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$"
+)
+_ALTER_DROP_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
+    rf"\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s*;?\s*$"
+)
+_DML_HEAD = re.compile(
+    r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE|ALTER)\b"
+)
 
 
 def parse_dml(query: str) -> DmlStatement | None:
@@ -265,6 +278,21 @@ def parse_dml(query: str) -> DmlStatement | None:
                 [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
             ),
         )
+    m = _ALTER_ADD_RE.match(query)
+    if m:
+        adds: dict[str, str] = {}
+        for part in _split_top_level(m.group(2), r","):
+            am = re.fullmatch(rf"\s*({_IDENT})\s+(.+?)\s*", part, re.DOTALL)
+            if not am:
+                raise DmlError(f"cannot parse column definition {part!r}")
+            adds[am.group(1)] = am.group(2)
+        return DmlStatement(op="alter", table=m.group(1), add_columns=adds)
+    m = _ALTER_DROP_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="alter", table=m.group(1),
+            drop_columns=[c.strip() for c in m.group(2).split(",")],
+        )
     head = _DML_HEAD.match(query).group(1).upper()
     raise DmlError(f"cannot parse {head} statement — see ballista_spark.dml grammar")
 
@@ -351,10 +379,25 @@ def execute_dml(ctx, stmt: DmlStatement):
             version = compact_iceberg_table(
                 spark, path, cluster_by=stmt.zorder_by or None
             )
+    elif stmt.op == "alter":
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import alter_delta_table
+
+            version = alter_delta_table(
+                path, add_columns=stmt.add_columns or None,
+                drop_columns=stmt.drop_columns or None,
+            )
+        else:
+            from ballista_spark.sources.iceberg import alter_iceberg_table
+
+            version = alter_iceberg_table(
+                path, add_columns=stmt.add_columns or None,
+                drop_columns=stmt.drop_columns or None,
+            )
     else:  # pragma: no cover — parse_dml only emits the five ops
         raise DmlError(f"unknown op {stmt.op!r}")
 
-    if stmt.op in ("delete", "update", "merge", "optimize"):
+    if stmt.op in ("delete", "update", "merge", "optimize", "alter"):
         ctx._refresh_lakehouse_view(stmt.table)  # noqa: SLF001
     return spark.createDataFrame(
         [(stmt.op, stmt.table, version)],

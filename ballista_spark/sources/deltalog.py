@@ -70,6 +70,9 @@ __all__ = [
     "write_delta_table",
     "compact_delta_table",
     "merge_delta_table",
+    "delete_from_delta_table",
+    "update_delta_table",
+    "alter_delta_table",
     "vacuum_delta_table",
     "plan_compaction_bins",
     "DeltaProtocolError",
@@ -189,6 +192,8 @@ class DeltaSnapshot:
     #: streaming idempotence: appId → highest committed txn version
     #: (the Delta `txn` action — the exactly-once handshake)
     app_versions: dict[str, int] = field(default_factory=dict)
+    #: latest metaData `configuration` map (table properties)
+    configuration: dict = field(default_factory=dict)
     #: remove tombstones seen in the replayed log tail: rel path →
     #: deletionTimestamp ms (vacuum's retention input)
     tombstones: dict[str, int] = field(default_factory=dict)
@@ -255,6 +260,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     adds: dict[str, _AddFile] = {}
     schema: T.StructType | None = None
     part_cols: list[str] = []
+    configuration: dict = {}
     app_versions: dict[str, int] = {}
     tombstones: dict[str, int] = {}
     for stream in action_streams:
@@ -290,6 +296,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 md = action["metaData"]
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                 part_cols = list(md.get("partitionColumns") or [])
+                configuration = dict(md.get("configuration") or {})
             elif "protocol" in action:
                 pr = action["protocol"]
                 if int(pr.get("minReaderVersion", 1)) > MAX_READER_VERSION:
@@ -309,6 +316,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         files=sorted(adds.values(), key=lambda f: f.path),
         app_versions=app_versions,
         tombstones=tombstones,
+        configuration=configuration,
     )
 
 
@@ -765,6 +773,109 @@ def write_delta_table(
     )
 
 
+def alter_delta_table(
+    table_path: str,
+    add_columns: Mapping[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """Schema evolution as a METADATA-ONLY commit (zero data I/O):
+    ``add_columns`` maps new column name → Spark type string (added
+    nullable — old files read them as NULL, the Delta contract);
+    ``drop_columns`` removes columns from the schema (old files' extra
+    physical columns are simply not projected).  Renames are
+    deliberately NOT offered: without per-column id metadata in the
+    parquet files a rename cannot re-bind old data, and
+    add-then-backfill-then-drop expresses the safe version of it.
+    Returns the commit version; time travel before it sees the old
+    schema (the snapshot replays the metaData action history)."""
+    add_columns = dict(add_columns or {})
+    drop_columns = list(drop_columns or [])
+    if not add_columns and not drop_columns:
+        raise ValueError("ALTER needs add_columns and/or drop_columns")
+    for _attempt in range(10):
+        result = _alter_once(table_path, add_columns, drop_columns)
+        if result is not None:
+            return result
+    raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+def _alter_once(
+    table_path: str, add_columns: dict, drop_columns: list[str]
+) -> int | None:
+    """One ALTER attempt built against the LIVE snapshot (so a raced
+    concurrent ALTER's schema is never clobbered); None = lost the
+    commit race, recompute and retry."""
+    snap = read_delta_snapshot(table_path)
+    names = {f.name for f in snap.schema.fields}
+    dropped = set(json.loads(
+        snap.configuration.get("ballista.droppedColumns", "[]")
+    ))
+    for c in add_columns:
+        if c in names:
+            raise ValueError(f"column {c!r} already exists")
+        if c in dropped:
+            # the reader projects parquet by NAME: re-adding a dropped
+            # name would RESURRECT the old physical data in pre-drop
+            # files (the reason delta-spark gates DROP behind column
+            # mapping).  Rewrite the files first, then the name frees up.
+            raise ValueError(
+                f"column {c!r} was previously dropped and its name is "
+                "retired; re-adding it would resurrect old file data. "
+                "Use a new name (the Iceberg field-id discipline, "
+                "spelled in names)"
+            )
+    for c in drop_columns:
+        if c not in names:
+            raise ValueError(f"column {c!r} does not exist")
+        if c in snap.partition_columns:
+            raise ValueError(f"cannot drop partition column {c!r}")
+        if c in add_columns:
+            raise ValueError(f"column {c!r} both added and dropped")
+    fields = [
+        f for f in snap.schema.fields if f.name not in set(drop_columns)
+    ]
+    fields += [
+        T.StructField(c, T._parse_datatype_string(t), True)  # noqa: SLF001
+        for c, t in add_columns.items()
+    ]
+    if not fields:
+        raise ValueError("cannot drop every column")
+    new_schema = T.StructType(fields)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "ALTER TABLE",
+                "operationParameters": {
+                    "added": json.dumps(add_columns),
+                    "dropped": json.dumps(drop_columns),
+                },
+            }
+        },
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": {
+                    **snap.configuration,
+                    "ballista.droppedColumns": json.dumps(
+                        sorted(dropped | set(drop_columns))
+                    ),
+                },
+                "createdTime": _now_ms(),
+            }
+        },
+    ]
+    versions = _list_log_versions(table_path)
+    try:
+        _attempt_commit(table_path, versions[-1] + 1, actions)
+        return versions[-1] + 1
+    except FileExistsError:
+        return None
+
+
 def _write_checkpoint(table_path: str, version: int) -> None:
     """Compact the log state at ``version`` into one checkpoint parquet
     (+ ``_last_checkpoint``): snapshot reads then start there instead of
@@ -1104,6 +1215,8 @@ def merge_delta_table(
     on: list[str],
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int | None:
     """``MERGE INTO`` the Delta table: for rows whose ``on`` keys match a
     source row, ``when_matched`` = ``update`` replaces them with the
@@ -1135,8 +1248,17 @@ def merge_delta_table(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError("when_matched must be update|delete")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     on = list(on)
     snap = read_delta_snapshot(table_path)
+    if txn_app_id is not None:
+        # streaming-upsert idempotence (the Delta `txn` action): a
+        # replayed epoch is detected in the log and skipped before any
+        # file is staged
+        committed = snap.app_versions.get(txn_app_id)
+        if committed is not None and committed >= int(txn_version):
+            return None
     if when_matched == "update" or insert_not_matched:
         # names + types must match; nullability may differ (literals are
         # non-nullable, table columns usually nullable — irrelevant here)
@@ -1251,6 +1373,16 @@ def merge_delta_table(
             }
         }
     ]
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": ts,
+                }
+            }
+        )
     for old in touched:
         actions.append(
             {
@@ -1269,7 +1401,12 @@ def merge_delta_table(
             _attempt_commit(table_path, next_version, actions)
             return next_version
         except FileExistsError:
-            live = {f.path for f in read_delta_snapshot(table_path).files}
+            new_snap = read_delta_snapshot(table_path)
+            if txn_app_id is not None:
+                committed = new_snap.app_versions.get(txn_app_id)
+                if committed is not None and committed >= int(txn_version):
+                    return None  # the race loser WAS our replayed epoch
+            live = {f.path for f in new_snap.files}
             if not all(old.path in live for old in touched):
                 raise DeltaConcurrentCommitError(
                     "merge inputs were removed concurrently; rerun on the "

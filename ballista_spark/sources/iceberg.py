@@ -69,6 +69,8 @@ __all__ = [
     "write_iceberg_table",
     "compact_iceberg_table",
     "delete_from_iceberg_table",
+    "update_iceberg_table",
+    "alter_iceberg_table",
     "merge_iceberg_table",
     "expire_iceberg_snapshots",
     "spark_to_iceberg_schema",
@@ -197,7 +199,7 @@ class IcebergSnapshot:
 
     def __init__(
         self, table_path, snapshot_id, schema, spark_schema, files,
-        delete_files=None,
+        delete_files=None, eq_deletes=None, file_seqs=None,
     ):
         self.table_path = table_path
         self.snapshot_id = snapshot_id
@@ -205,6 +207,10 @@ class IcebergSnapshot:
         self.spark_schema = spark_schema
         self.files = files  # [(path, record_count, {id: (lo, hi)})]
         self.delete_files = delete_files or []  # positional-delete paths
+        #: equality-delete files: [(path, data_sequence_number, (col, ...))]
+        self.eq_deletes = eq_deletes or []
+        #: data-file path -> data sequence number (equality-delete scoping)
+        self.file_seqs = file_seqs or {}
         self.files_pruned = 0
 
     @property
@@ -278,6 +284,8 @@ def read_iceberg_snapshot(
     ids = _field_ids(schema)
     files: list[tuple[str, int, dict]] = []
     delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple]] = []
+    file_seqs: dict[str, int] = {}
 
     def manifest_entries(manifest_path: str):
         with open(_norm_path(table_path, manifest_path), "rb") as f:
@@ -288,10 +296,17 @@ def read_iceberg_snapshot(
         with open(_norm_path(table_path, snap["manifest-list"]), "rb") as f:
             manifests, _sch = read_avro_bytes(f.read())
         manifest_paths = [m["manifest_path"] for m in manifests]
+        manifest_seqs = {
+            m["manifest_path"]: int(m.get("sequence_number") or 0)
+            for m in manifests
+        }
     else:  # v1 inline manifests array
         manifest_paths = list(snap.get("manifests") or [])
+        manifest_seqs = {}
 
+    snap_seq = int(snap.get("sequence-number") or 0)
     for mp in manifest_paths:
+        inherited_seq = manifest_seqs.get(mp, snap_seq)
         for entry in manifest_entries(mp):
             status = entry.get("status", 1)
             if status == 2:  # DELETED
@@ -299,6 +314,10 @@ def read_iceberg_snapshot(
             df_rec = entry["data_file"]
             content = df_rec.get("content", 0) or 0
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            # spec inheritance: a null sequence_number on an ADDED entry
+            # takes the manifest's (which took the commit's)
+            seq = entry.get("sequence_number")
+            seq = inherited_seq if seq is None else int(seq)
             if content == 1:  # v2 POSITION deletes: exactly supported.
                 # A (file, pos) tombstone can never hit a row written
                 # after it (later rows live in new files), so applying
@@ -311,12 +330,33 @@ def read_iceberg_snapshot(
                 delete_files.append(_norm_path(table_path, df_rec["file_path"]))
                 continue
             if content == 2:
-                raise IcebergFeatureError(
-                    "v2 EQUALITY delete files present — applying them "
-                    "correctly requires sequence-number scoping (a later "
-                    "re-insert of the same key must survive), which this "
-                    "reader does not track; compact the table first"
+                # v2 EQUALITY deletes, sequence-scoped (spec: the delete
+                # applies to data files whose data sequence number is
+                # STRICTLY LESS than the delete file's — so a later
+                # re-insert of the same key survives)
+                if fmt != "PARQUET":
+                    raise IcebergFeatureError(
+                        f"{fmt} delete files unsupported"
+                    )
+                eq_ids = [int(i) for i in (df_rec.get("equality_ids") or [])]
+                if not eq_ids:
+                    raise IcebergFeatureError(
+                        "equality delete file lists no equality_ids"
+                    )
+                missing = [i for i in eq_ids if i not in ids]
+                if missing:
+                    raise IcebergFeatureError(
+                        f"equality delete references dropped/unknown field "
+                        f"ids {missing} — cannot apply by name"
+                    )
+                eq_deletes.append(
+                    (
+                        _norm_path(table_path, df_rec["file_path"]),
+                        seq,
+                        tuple(ids[i][0] for i in eq_ids),
+                    )
                 )
+                continue
             if fmt != "PARQUET":
                 raise IcebergFeatureError(f"{fmt} data files unsupported")
             lowers = _as_id_map(df_rec.get("lower_bounds"))
@@ -327,15 +367,18 @@ def read_iceberg_snapshot(
                 hi = decode_bound(uppers.get(fid), ftype)
                 if lo is not None or hi is not None:
                     bounds[name] = (lo, hi)
+            fp = _norm_path(table_path, df_rec["file_path"])
+            file_seqs[fp] = seq
             files.append(
                 (
-                    _norm_path(table_path, df_rec["file_path"]),
+                    fp,
                     int(df_rec.get("record_count") or 0),
                     bounds,
                 )
             )
     return IcebergSnapshot(
-        table_path, snapshot_id, schema, spark_schema, files, delete_files
+        table_path, snapshot_id, schema, spark_schema, files, delete_files,
+        eq_deletes=eq_deletes, file_seqs=file_seqs,
     )
 
 
@@ -386,16 +429,11 @@ def read_iceberg_table(
     if not files:
         return spark.createDataFrame([], snap.spark_schema)
     df = spark.read.schema(snap.spark_schema).parquet(*[f[0] for f in files])
-    if not snap.delete_files:
+    if not snap.delete_files and not snap.eq_deletes:
         return df
-    # v2 POSITION deletes: one anti-join on (file, row position).  The
-    # row side uses the parquet reader's _metadata columns (no extra
-    # scan); the delete side is delete-file-sized (tombstones, not
-    # rows).  Paths normalize to scheme-less absolute form on both
-    # sides — delete files store the path exactly as the data manifest
-    # did, _metadata.file_path yields a file: URI.
     from pyspark.sql import functions as F
 
+    out_cols = [f.name for f in snap.spark_schema.fields]
     tagged = df.withColumns(
         {
             "__dfp": F.regexp_replace(
@@ -404,20 +442,60 @@ def read_iceberg_table(
             "__pos": F.col("_metadata.row_index"),
         }
     )
-    tombstones = (
-        spark.read.parquet(*snap.delete_files)
-        .select(
-            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("__dfp"),
-            F.col("pos").cast("long").alias("__pos"),
+    if snap.delete_files:
+        # v2 POSITION deletes: one anti-join on (file, row position).
+        # The row side uses the parquet reader's _metadata columns (no
+        # extra scan); the delete side is delete-file-sized (tombstones,
+        # not rows).  Paths normalize to scheme-less absolute form on
+        # both sides — delete files store the path exactly as the data
+        # manifest did, _metadata.file_path yields a file: URI.
+        tombstones = (
+            spark.read.parquet(*snap.delete_files)
+            .select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:/*", "/"
+                ).alias("__dfp"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    # no broadcast hint: AQE broadcasts when the tombstone side is
-    # small (the usual case) but a billion-tombstone table must not be
-    # forced through the driver
-    return tagged.join(tombstones, ["__dfp", "__pos"], "left_anti").select(
-        *[f.name for f in snap.spark_schema.fields]
-    )
+        # no broadcast hint: AQE broadcasts when the tombstone side is
+        # small (the usual case) but a billion-tombstone table must not
+        # be forced through the driver
+        tagged = tagged.join(tombstones, ["__dfp", "__pos"], "left_anti")
+    if snap.eq_deletes:
+        # v2 EQUALITY deletes, sequence-scoped: a delete row kills a
+        # data row iff all equality columns match (NULL = NULL, the
+        # spec's null-safe compare) AND the data file's sequence number
+        # is STRICTLY below the delete file's.  Each row learns its
+        # file's sequence number through one broadcast join against the
+        # file-count-sized manifest map; deletes with the same column
+        # set union into ONE anti-join regardless of how many checkpoint
+        # epochs produced them.
+        seq_rows = [(p, s) for p, s in snap.file_seqs.items()]
+        seq_df = spark.createDataFrame(
+            seq_rows, "__dfp string, __dseq long"
+        )
+        tagged = tagged.join(F.broadcast(seq_df), ["__dfp"], "left")
+        by_cols: dict[tuple, list[tuple[str, int]]] = {}
+        for p, seq, cols in snap.eq_deletes:
+            by_cols.setdefault(tuple(cols), []).append((p, seq))
+        for cols, group in by_cols.items():
+            dels = None
+            for p, seq in group:
+                one = (
+                    spark.read.parquet(p)
+                    .select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                        F.lit(int(seq)).alias("__eseq"),
+                    )
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("__dseq") < F.col("__eseq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            tagged = tagged.join(dels, cond, "left_anti")
+    return tagged.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1031,6 +1109,98 @@ def write_iceberg_table(
     return snapshot_id
 
 
+def _shift_ids(node, offset: int):
+    """Bump every field-id key in an Iceberg schema fragment by
+    ``offset`` — used to graft freshly-converted fields into an existing
+    schema without colliding with its ids."""
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k in ("id", "element-id", "key-id", "value-id"):
+                out[k] = v + offset
+            else:
+                out[k] = _shift_ids(v, offset)
+        return out
+    if isinstance(node, list):
+        return [_shift_ids(v, offset) for v in node]
+    return node
+
+
+def alter_iceberg_table(
+    table_path: str,
+    add_columns=None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """Schema evolution as a METADATA-ONLY commit (zero data I/O) — the
+    Iceberg twin of ``deltalog.alter_delta_table``.  ``add_columns``
+    maps new column name → Spark type string; new fields get FRESH field
+    ids above ``last-column-id`` (the spec rule that makes adds safe:
+    an id is never reused, so old files simply lack the column and read
+    NULL).  ``drop_columns`` removes fields from the schema; their data
+    stays in the files, unprojected, and their ids are retired forever.
+    The previous schema is retained in the ``schemas`` list (spec v2
+    bookkeeping).  Renames are deliberately NOT offered: our staged
+    parquet carries no field-id metadata, so a rename could not re-bind
+    old data — add-then-backfill-then-drop is the safe spelling.
+    Returns the new metadata version."""
+    add_columns = dict(add_columns or {})
+    drop_columns = list(drop_columns or [])
+    if not add_columns and not drop_columns:
+        raise ValueError("ALTER needs add_columns and/or drop_columns")
+    md = _load_metadata(table_path)
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_version = _current_metadata_version(meta_dir)
+    schema_json = _current_schema(md)
+    names = {f["name"] for f in schema_json["fields"]}
+    props = dict(md.get("properties") or {})
+    retired = set(json.loads(props.get("ballista.dropped-columns", "[]")))
+    for c in add_columns:
+        if c in names:
+            raise ValueError(f"column {c!r} already exists")
+        if c in retired:
+            # this reader projects parquet by NAME (our staged files
+            # carry no field-id metadata), so a re-added name would
+            # resurrect pre-drop physical data; the name stays retired
+            # the way the spec retires field ids
+            raise ValueError(
+                f"column {c!r} was previously dropped and its name is "
+                "retired; use a new name"
+            )
+    for c in drop_columns:
+        if c not in names:
+            raise ValueError(f"column {c!r} does not exist")
+        if c in add_columns:
+            raise ValueError(f"column {c!r} both added and dropped")
+    keep = [
+        dict(f) for f in schema_json["fields"] if f["name"] not in set(drop_columns)
+    ]
+    if not keep and not add_columns:
+        raise ValueError("cannot drop every column")
+    last_id = int(md.get("last-column-id", 0))
+    for c, t in add_columns.items():
+        spark_t = T._parse_datatype_string(t)  # noqa: SLF001
+        frag, used = spark_to_iceberg_schema(T.StructType([
+            T.StructField(c, spark_t, True)
+        ]))
+        keep.append(_shift_ids(frag["fields"][0], last_id))
+        last_id += used
+    old_sid = int(schema_json.get("schema-id", 0))
+    new_schema = {"type": "struct", "schema-id": old_sid + 1, "fields": keep}
+    prior = [dict(s) for s in md.get("schemas") or [schema_json]]
+    new_md = dict(md)
+    new_md["last-column-id"] = last_id
+    new_md["schema"] = new_schema  # v1 single-schema face
+    new_md["schemas"] = prior + [new_schema]
+    new_md["current-schema-id"] = new_schema["schema-id"]
+    if drop_columns:
+        props["ballista.dropped-columns"] = json.dumps(
+            sorted(retired | set(drop_columns))
+        )
+        new_md["properties"] = props
+    _commit_metadata(meta_dir, new_md, prev_version)
+    return prev_version + 1
+
+
 def compact_iceberg_table(
     spark: SparkSession,
     table_path: str,
@@ -1554,6 +1724,8 @@ def merge_iceberg_table(
     on: list[str],
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int | None:
     """``MERGE INTO`` the Iceberg table — the transactional twin of
     ``deltalog.merge_delta_table`` with identical semantics: matched
@@ -1579,8 +1751,22 @@ def merge_iceberg_table(
 
     if when_matched not in ("update", "delete"):
         raise ValueError("when_matched must be update|delete")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
     on = list(on)
     md = _load_metadata(table_path)
+    if txn_app_id is not None:
+        # streaming-upsert idempotence: a replayed epoch is detected in
+        # the snapshot history and skipped BEFORE any file is staged
+        last = None
+        for s in md.get("snapshots") or []:
+            summ = s.get("summary") or {}
+            if summ.get("txn-app-id") == txn_app_id:
+                v = int(summ.get("txn-version", -1))
+                if last is None or v > last:
+                    last = v
+        if last is not None and int(txn_version) <= last:
+            return None
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
@@ -1588,8 +1774,15 @@ def merge_iceberg_table(
     cur_id = md.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
     if cur_id in (None, -1) or cur_id not in snaps:
-        return None
-    live = _live_entries(table_path, snaps[cur_id])
+        # empty table: nothing can match, but unmatched source rows
+        # still INSERT (the CDC-bootstrap case — dropping them here
+        # would silently lose the stream's first epoch)
+        if not insert_not_matched:
+            return None
+        live = []
+        cur_id = None
+    else:
+        live = _live_entries(table_path, snaps[cur_id])
     if any((e["data_file"].get("content", 0) or 0) != 0 for e in live):
         raise IcebergFeatureError(
             "table has v2 delete files: MERGE cannot carry tombstones "
@@ -1734,6 +1927,11 @@ def merge_iceberg_table(
             "matched-action": when_matched,
             "rewritten-data-files": str(len(touched)),
             "added-data-files": str(len(new_entries)),
+            **(
+                {"txn-app-id": txn_app_id, "txn-version": str(int(txn_version))}
+                if txn_app_id is not None
+                else {}
+            ),
         },
     }
     _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)

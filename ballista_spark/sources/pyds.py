@@ -361,12 +361,12 @@ class _IcebergReader(DataSourceReader):
         )
 
         snap = read_iceberg_snapshot(self.table_path, self.snapshot_id)
-        if snap.delete_files:
+        if snap.delete_files or snap.eq_deletes:
             raise ValueError(
-                "table has v2 positional delete files: the per-file "
-                "DataSource face would return deleted rows — read it "
-                "through read_iceberg_table (which anti-joins the "
-                "tombstones) or compact first"
+                "table has v2 delete files: the per-file DataSource "
+                "face would return deleted rows — read it through "
+                "read_iceberg_table (which applies position AND "
+                "equality tombstones) or compact first"
             )
         pruned, self._pruned = self._pruned, []
         files = snap.files

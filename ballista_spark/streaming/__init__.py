@@ -16,7 +16,9 @@ from ballista_spark.streaming.events import streaming_dedup  # noqa: E402
 __all__.append("streaming_dedup")
 from ballista_spark.streaming.sinks import (  # noqa: E402
     write_stream_delta_exactly_once,
+    write_stream_delta_upsert,
     write_stream_iceberg_exactly_once,
+    write_stream_iceberg_upsert,
     write_stream_parquet_exactly_once,
 )
 
@@ -24,6 +26,8 @@ __all__ += [
     "write_stream_parquet_exactly_once",
     "write_stream_delta_exactly_once",
     "write_stream_iceberg_exactly_once",
+    "write_stream_delta_upsert",
+    "write_stream_iceberg_upsert",
 ]
 from ballista_spark.streaming.curate import (  # noqa: E402
     curate_documents_stream,

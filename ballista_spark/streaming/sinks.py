@@ -83,6 +83,179 @@ def write_stream_delta_exactly_once(
     return writer.start()
 
 
+def _cdc_terminal(
+    batch: DataFrame,
+    on: list[str],
+    op_col: str | None,
+    order_col: str | None,
+):
+    """Collapse a CDC micro-batch to ONE terminal state per key and
+    split it into (upserts, delete_keys).
+
+    ``order_col`` (e.g. the source LSN / updated_at) picks the LAST
+    event per key — without it ties break arbitrarily, so CDC feeds
+    should always carry one.  ``op_col`` holds I/U/D markers (Debezium
+    convention, case-insensitive; anything not 'd' is an upsert); both
+    columns are dropped before the merge, so they need not exist in the
+    table schema."""
+    from pyspark.sql import Window
+
+    keyed = batch
+    if order_col is not None:
+        w = Window.partitionBy(*on).orderBy(F.col(order_col).desc())
+        keyed = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        keyed = keyed.dropDuplicates(on)
+    drop = [c for c in (op_col, order_col) if c is not None]
+    if op_col is not None:
+        is_del = F.lower(F.col(op_col)) == F.lit("d")
+        deletes = keyed.where(is_del).select(*on).distinct()
+        upserts = keyed.where(~is_del).drop(*drop)
+        return upserts, deletes
+    return (keyed.drop(*drop) if drop else keyed), None
+
+
+def write_stream_delta_upsert(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str,
+    on: list[str],
+    op_col: str | None = None,
+    order_col: str | None = None,
+    partition_by: list[str] | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Stream a CDC feed INTO a Delta table with exactly-once MERGE
+    semantics — the upsert face of
+    :func:`write_stream_delta_exactly_once`.
+
+    Each micro-batch collapses to one terminal state per ``on`` key
+    (latest by ``order_col``), then applies as a touch-only MERGE:
+    upserts update-or-insert, ``op_col`` = 'd' rows delete.  Replayed
+    epochs are detected through the Delta ``txn`` action and skipped
+    before any file is staged; the upsert and delete legs carry
+    separate app ids (``app_id#ups`` / ``app_id#del``) so each is
+    idempotent on its own.  A first epoch against a not-yet-existing
+    table bootstraps it.
+    """
+    import os as _os
+
+    from ballista_spark.sources.deltalog import (
+        merge_delta_table,
+        write_delta_table,
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        upserts, deletes = _cdc_terminal(batch, list(on), op_col, order_col)
+        exists = _os.path.isdir(_os.path.join(table_path, "_delta_log"))
+        if not exists:
+            write_delta_table(
+                upserts,
+                table_path,
+                mode="append",
+                partition_by=partition_by,
+                txn_app_id=f"{app_id}#ups",
+                txn_version=int(epoch_id),
+            )
+        else:
+            merge_delta_table(
+                batch.sparkSession,
+                table_path,
+                upserts,
+                on=list(on),
+                when_matched="update",
+                insert_not_matched=True,
+                txn_app_id=f"{app_id}#ups",
+                txn_version=int(epoch_id),
+            )
+        if deletes is not None and exists:
+            merge_delta_table(
+                batch.sparkSession,
+                table_path,
+                deletes,
+                on=list(on),
+                when_matched="delete",
+                insert_not_matched=False,
+                txn_app_id=f"{app_id}#del",
+                txn_version=int(epoch_id),
+            )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_iceberg_upsert(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str,
+    on: list[str],
+    op_col: str | None = None,
+    order_col: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """CDC upsert stream into an Iceberg table — the Iceberg twin of
+    :func:`write_stream_delta_upsert` (replay detection through the
+    snapshot summary txn keys; the empty-table first epoch inserts
+    through the MERGE's CDC-bootstrap path)."""
+    import os as _os
+
+    from ballista_spark.sources.iceberg import (
+        merge_iceberg_table,
+        write_iceberg_table,
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        upserts, deletes = _cdc_terminal(batch, list(on), op_col, order_col)
+        exists = _os.path.isdir(_os.path.join(table_path, "metadata"))
+        if not exists:
+            write_iceberg_table(
+                upserts,
+                table_path,
+                mode="append",
+                txn_app_id=f"{app_id}#ups",
+                txn_version=int(epoch_id),
+            )
+            return  # deletes against a just-born table are no-ops
+        merge_iceberg_table(
+            batch.sparkSession,
+            table_path,
+            upserts,
+            on=list(on),
+            when_matched="update",
+            insert_not_matched=True,
+            txn_app_id=f"{app_id}#ups",
+            txn_version=int(epoch_id),
+        )
+        if deletes is not None:
+            merge_iceberg_table(
+                batch.sparkSession,
+                table_path,
+                deletes,
+                on=list(on),
+                when_matched="delete",
+                insert_not_matched=False,
+                txn_app_id=f"{app_id}#del",
+                txn_version=int(epoch_id),
+            )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_iceberg_exactly_once(
     stream: DataFrame,
     table_path: str,

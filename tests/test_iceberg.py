@@ -132,12 +132,14 @@ def _write_data_file(table, name, rows):
     }
 
 
-def _commit_snapshot(table, snapshot_id, entries, version, prev_snapshots=()):
+def _commit_snapshot(
+    table, snapshot_id, entries, version, prev_snapshots=(), entry_schema=None
+):
     meta_dir = os.path.join(table, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     manifest_rel = f"metadata/manifest-{snapshot_id}.avro"
     with open(os.path.join(table, manifest_rel), "wb") as f:
-        f.write(write_avro_bytes(entries, MANIFEST_ENTRY))
+        f.write(write_avro_bytes(entries, entry_schema or MANIFEST_ENTRY))
     mlist_rel = f"metadata/snap-{snapshot_id}.avro"
     with open(os.path.join(table, mlist_rel), "wb") as f:
         f.write(
@@ -326,14 +328,200 @@ def test_positional_delete_file_uri_normalization(spark, tmp_path):
     assert read_iceberg_table(spark, table).count() == n_before - 1
 
 
-def test_equality_delete_files_still_raise(spark, tmp_path):
-    """Equality deletes need sequence-number scoping the reader does
-    not track — loud refusal, not silent over-deletion."""
+def test_equality_delete_without_ids_raises(spark, tmp_path):
+    """An equality-delete entry naming no equality_ids is malformed —
+    loud refusal, not silent over-deletion."""
     table = _fixture_table(tmp_path)
     e = _write_data_file(table, "f4.parquet", [(900, "d", 9.0)])
     e["data_file"]["content"] = 2  # EQUALITY_DELETES
     _commit_snapshot(table, 1003, [e], version=3)
-    with pytest.raises(IcebergFeatureError, match="EQUALITY"):
+    with pytest.raises(IcebergFeatureError, match="equality_ids"):
+        read_iceberg_snapshot(table)
+
+
+# -- v2 EQUALITY deletes (sequence-scoped) ----------------------------------
+
+_SEQ_DATA_FILE = {
+    **_DATA_FILE,
+    "name": "r2seq",
+    "fields": _DATA_FILE["fields"]
+    + [
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+        }
+    ],
+}
+SEQ_MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry_seq",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": _SEQ_DATA_FILE},
+    ],
+}
+
+
+def _seq_entry(entry, seq, equality_ids=None):
+    """Wrap a plain fixture entry into the sequence-numbered v2 shape."""
+    return {
+        "status": entry["status"],
+        "snapshot_id": entry.get("snapshot_id"),
+        "sequence_number": seq,
+        "data_file": {**entry["data_file"], "equality_ids": equality_ids},
+    }
+
+
+def _write_eq_delete_file(table, name, cols: dict, equality_ids, seq):
+    """cols: {colname: [values]} → spec equality-delete parquet + its
+    sequence-numbered manifest entry (content=2)."""
+    path = os.path.join(table, "data", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    typ = {"id": pa.int64(), "cat": pa.string(), "v": pa.float64()}
+    t = pa.table({c: pa.array(v, typ[c]) for c, v in cols.items()})
+    pq.write_table(t, path)
+    n = len(next(iter(cols.values())))
+    return _seq_entry(
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "data_file": {
+                "content": 2,
+                "file_path": os.path.relpath(path, table),
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        },
+        seq,
+        equality_ids=equality_ids,
+    )
+
+
+def _commit_seq_snapshot(table, snapshot_id, entries, version):
+    """Like _commit_snapshot but with the sequence-numbered entry
+    schema (format-version 2 with real data sequence numbers)."""
+    return _commit_snapshot(
+        table, snapshot_id, entries, version, entry_schema=SEQ_MANIFEST_ENTRY
+    )
+
+
+def test_equality_deletes_applied_with_sequence_scoping(spark, tmp_path):
+    """The spec contract end-to-end: an equality delete at sequence s
+    kills matching rows only in data files with sequence < s — a later
+    re-insert of the same key SURVIVES."""
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet", [(i, "a", float(i)) for i in range(5)])
+    # delete ids 0 and 3 at sequence 2 (data was written at sequence 1)
+    d = _write_eq_delete_file(
+        table, "eq1.parquet", {"id": [0, 3]}, equality_ids=[1], seq=2
+    )
+    # re-insert id 0 at sequence 3 — AFTER the delete: must survive
+    e2 = _write_data_file(table, "f2.parquet", [(0, "reborn", 99.0)])
+    _commit_seq_snapshot(
+        table,
+        2001,
+        [_seq_entry(e1, 1, None), d, _seq_entry(e2, 3, None)],
+        version=1,
+    )
+    snap = read_iceberg_snapshot(table)
+    assert snap.eq_deletes == [
+        (os.path.join(table, "data/eq1.parquet"), 2, ("id",))
+    ]
+    got = sorted(map(tuple, read_iceberg_table(spark, table).collect()))
+    assert got == [
+        (0, "reborn", 99.0),  # re-insert survives (seq 3 > delete seq 2)
+        (1, "a", 1.0),
+        (2, "a", 2.0),
+        (4, "a", 4.0),
+    ]
+
+
+def test_equality_deletes_multicol_and_null_safe(spark, tmp_path):
+    """Multi-column equality_ids match with NULL-safe compares: a
+    delete row with cat=NULL kills exactly the NULL-cat data row."""
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet", [(1, "a", 1.0), (2, "a", 2.0)])
+    # write a NULL-cat row manually (the helper's bounds math needs non-null)
+    path = os.path.join(table, "data", "f2.parquet")
+    t = pa.table(
+        {
+            "id": pa.array([3, 1], pa.int64()),
+            "cat": pa.array([None, "b"], pa.string()),
+            "v": pa.array([3.0, 9.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, path)
+    e2 = {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 0,
+            "file_path": "data/f2.parquet",
+            "file_format": "PARQUET",
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        },
+    }
+    d = _write_eq_delete_file(
+        table,
+        "eq1.parquet",
+        {"id": [3, 1], "cat": [None, "a"]},
+        equality_ids=[1, 2],
+        seq=5,
+    )
+    _commit_seq_snapshot(
+        table, 2002, [_seq_entry(e1, 1, None), _seq_entry(e2, 2, None), d],
+        version=1,
+    )
+    got = sorted(
+        map(tuple, read_iceberg_table(spark, table).collect())
+    )
+    # (1,'a') killed; (3,NULL) killed null-safely; (2,'a') and (1,'b') live
+    assert got == [(1, "b", 9.0), (2, "a", 2.0)]
+
+
+def test_equality_deletes_compose_with_positional_and_compact(spark, tmp_path):
+    """Equality + positional tombstones in one snapshot apply together,
+    and compaction materializes them away (plain table afterwards)."""
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet", [(i, "a", float(i)) for i in range(6)])
+    f1_abs = os.path.join(table, "data", "f1.parquet")
+    pos = _write_pos_delete_file(table, "pos1.parquet", [(f1_abs, 5)])
+    eq = _write_eq_delete_file(
+        table, "eq1.parquet", {"id": [0]}, equality_ids=[1], seq=2
+    )
+    _commit_seq_snapshot(
+        table,
+        2003,
+        [_seq_entry(e1, 1, None), _seq_entry(pos, 2, None), eq],
+        version=1,
+    )
+    got = sorted(r["id"] for r in read_iceberg_table(spark, table).collect())
+    assert got == [1, 2, 3, 4]  # id 0 (equality) and id 5 (position) gone
+    from ballista_spark.sources.iceberg import compact_iceberg_table
+
+    assert compact_iceberg_table(spark, table) is not None
+    snap = read_iceberg_snapshot(table)
+    assert snap.delete_files == [] and snap.eq_deletes == []
+    got2 = sorted(r["id"] for r in read_iceberg_table(spark, table).collect())
+    assert got2 == got
+
+
+def test_equality_delete_on_dropped_field_refuses(spark, tmp_path):
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet", [(1, "a", 1.0)])
+    d = _write_eq_delete_file(
+        table, "eq1.parquet", {"id": [1]}, equality_ids=[99], seq=2
+    )
+    _commit_seq_snapshot(table, 2004, [_seq_entry(e1, 1, None), d], version=1)
+    with pytest.raises(IcebergFeatureError, match="field ids \\[99\\]"):
         read_iceberg_snapshot(table)
 
 
