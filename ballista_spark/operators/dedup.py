@@ -348,6 +348,42 @@ BUCKET_CAP = 64
 _MINHASH_CACHE: dict = {}
 _MINHASH_CACHE_MAX = 4
 _PERSISTED_LOCK = threading.Lock()
+#: cache keys currently being BUILT: key -> threading.Event set on
+#: publish/abandon.  A second concurrent call for the same key waits for
+#: the builder instead of duplicating the build and orphaning the
+#: losing side's persisted frames (round-5 review item).
+_MINHASH_INFLIGHT: dict = {}
+
+
+def _minhash_cache_get_or_claim(cache_key):
+    """Cache hit (LRU-refreshed) or a CLAIM to build: returns the cached
+    entry, or None after registering this thread as the key's builder.
+    Other threads asking for the same key block until the builder
+    publishes (then hit) or abandons (then claim in turn)."""
+    if cache_key is None:
+        return None
+    while True:
+        with _PERSISTED_LOCK:
+            hit = _MINHASH_CACHE.pop(cache_key, None)
+            if hit is not None:
+                _MINHASH_CACHE[cache_key] = hit  # LRU tail
+                return hit
+            ev = _MINHASH_INFLIGHT.get(cache_key)
+            if ev is None:
+                _MINHASH_INFLIGHT[cache_key] = threading.Event()
+                return None
+        # builder in flight: wait outside the lock, then re-check (the
+        # timeout only guards a crashed builder whose finally was lost)
+        ev.wait(timeout=600)
+
+
+def _minhash_cache_unclaim(cache_key) -> None:
+    if cache_key is None:
+        return
+    with _PERSISTED_LOCK:
+        ev = _MINHASH_INFLIGHT.pop(cache_key, None)
+    if ev is not None:
+        ev.set()
 
 
 def clear_minhash_cache() -> None:
@@ -471,13 +507,11 @@ def minhash_lsh_pairs(
     # threshold sweep over the same corpus.  A miss (or an uncacheable
     # plan) builds and inserts; LRU eviction unpersists what falls out.
     cache_key = _minhash_cache_key(df, (text_col, key_col, n, n_hashes, n_bands))
-    with _PERSISTED_LOCK:
-        hit = _MINHASH_CACHE.pop(cache_key, None) if cache_key is not None else None
-        if hit is not None:  # re-insert at LRU tail
-            _MINHASH_CACHE[cache_key] = hit
+    hit = _minhash_cache_get_or_claim(cache_key)
     if hit is not None:
         members, sh, groups = hit
     else:
+      try:
         toks_ok = F.size(_tokens("__t")) >= n  # mirror shingle_sets' gate
         docs = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("__t"))
         marked = (
@@ -546,6 +580,10 @@ def minhash_lsh_pairs(
                 f.unpersist()
             except Exception:  # pragma: no cover - session already stopped
                 pass
+      finally:
+        # publish-or-abandon: waiting threads wake either way (on abandon
+        # they claim the build themselves instead of deadlocking)
+        _minhash_cache_unclaim(cache_key)
     rep_pairs = (
         _exact_jaccard(_bucket_pairs(groups, bucket_cap), sh)
         .where(F.col("jaccard") >= threshold)

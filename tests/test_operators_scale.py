@@ -112,6 +112,51 @@ def test_minhash_cross_call_cache_hits_and_stays_correct(spark):
     assert len(D._MINHASH_CACHE) == 0
 
 
+def test_minhash_cache_concurrent_callers_single_build(spark):
+    """Two threads asking for the same key must produce ONE cache entry
+    (the second waits for the builder and hits), identical results, and
+    no leftover in-flight markers — the round-5 concurrency review item
+    (a lost duplicate build orphans its persisted frames)."""
+    import threading
+
+    from ballista_spark.operators import dedup as D
+
+    df = _boilerplate_corpus(spark, n_identical=20, n_near=10)
+    D.clear_minhash_cache()
+    results, errors = {}, []
+    build_calls = []
+    orig = D._minhash_signatures
+
+    def counting(sh, n_hashes=D.N_HASHES):
+        build_calls.append(1)  # only a cache MISS reaches signature work
+        return orig(sh, n_hashes)
+
+    D._minhash_signatures = counting
+    try:
+        def run(tag):
+            try:
+                results[tag] = {
+                    (r.key_a, r.key_b)
+                    for r in D.minhash_lsh_pairs(df, threshold=0.8).collect()
+                }
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errors.append(exc)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        D._minhash_signatures = orig
+    assert not errors
+    assert results[0] == results[1] and results[0]
+    assert len(build_calls) == 1  # second caller waited, then hit
+    assert len(D._MINHASH_CACHE) == 1
+    assert D._MINHASH_INFLIGHT == {}
+    D.clear_minhash_cache()
+
+
 def _events_interval_frames(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     points = ev.select("user_id", "ts", "event_id")
