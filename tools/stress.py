@@ -87,6 +87,7 @@ PIPELINE = [
     "jpeg_decode",   # pure-numpy JPEG encode+decode+dHash, map-only
     "delta_write_read",  # delta source round-trip: write+commit+stats-skipped read
     "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
+    "dml_touch",     # narrow-band UPDATE: probe-confined rewrite
     "iceberg_write_read",  # iceberg v1 round-trip: manifest commit + bound-pruned read
     "bt_fit",        # Bradley-Terry MM: per-round edge joins + groupBy
     "keyword_screen",  # banned-term n-gram explode + broadcast join
@@ -787,6 +788,38 @@ def _delta_merge_touch(spark, sf_dir: str):
     )
 
 
+def _dml_touch(spark, sf_dir: str):
+    """Copy-on-write UPDATE with a narrow key predicate on the
+    range-clustered lineitem table: stats prune the candidates
+    driver-side, the exact input_file_name probe confines the rewrite
+    to files that PROVABLY contain matches, so cost tracks the touched
+    band, not the table.  The update (+1) re-touches the SAME files
+    every run — stable per-run cost, min-of-runs is the steady state.
+    DELETE shares this entire machinery (same prune, same probe, the
+    rewrite filters instead of projecting) so one shape certifies both.
+    Expect clearly sub-linear: the table grows 10x, the band does not."""
+    from ballista_spark.sources.deltalog import (
+        read_delta_snapshot,
+        update_delta_table,
+        write_delta_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "dml")
+    try:
+        read_delta_snapshot(path)
+    except FileNotFoundError:
+        write_delta_table(li.repartitionByRange(16, "l_orderkey"), path)
+    update_delta_table(
+        spark, path, {"l_quantity": "l_quantity + 1"},
+        [("l_orderkey", "<", 40)],
+    )
+    snap = read_delta_snapshot(path)
+    return spark.createDataFrame(
+        [(snap.version, snap.num_files)], "version long, n_files long"
+    )
+
+
 def _langid_predict_local(spark, sf_dir: str):
     """The map-only serving twin of langid_predict: weights ride the
     Arrow-UDF closure, no feature explode, no join, no shuffle — the
@@ -1226,6 +1259,7 @@ LOCAL_BUILDERS = {
     "bt_fit": _bt_fit,
     "keyword_screen": _keyword_screen,
     "delta_merge_touch": _delta_merge_touch,
+    "dml_touch": _dml_touch,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
     # SPARK_GRAFT_STRESS_QUERIES=skew_join,skew_join_salted,skew_join_preagg
