@@ -403,4 +403,17 @@ __all__ = [
     "span_corrupt",
     "exact_dedup_weighted",
     "weighted_sample_k",
+    "detect_code_language",
+    "code_quality_stats",
+    "filter_code_quality",
+    "license_screen",
+    "comment_line_fraction",
 ]
+
+from ballista_spark.operators.code import (  # noqa: E402
+    code_quality_stats,
+    comment_line_fraction,
+    detect_code_language,
+    filter_code_quality,
+    license_screen,
+)

@@ -88,6 +88,7 @@ PIPELINE = [
     "delta_write_read",  # delta source round-trip: write+commit+stats-skipped read
     "delta_merge_touch",  # narrow-key MERGE: rewrite tracks the batch, not table
     "dml_touch",     # narrow-band UPDATE: probe-confined rewrite
+    "code_screen",   # code-curation chain: map-only JVM expressions
     "iceberg_write_read",  # iceberg v1 round-trip: manifest commit + bound-pruned read
     "bt_fit",        # Bradley-Terry MM: per-round edge joins + groupBy
     "keyword_screen",  # banned-term n-gram explode + broadcast join
@@ -788,6 +789,44 @@ def _delta_merge_touch(spark, sf_dir: str):
     )
 
 
+def _code_screen(spark, sf_dir: str):
+    """Code-curation chain over the documents corpus with synthetic
+    paths: language routing (literal-map lookup + shebang regex) →
+    line-geometry quality stats → license screen → comment density —
+    ALL map-only JVM expressions, zero shuffles, so expect
+    executor-scaled like url_canon/keyword_screen."""
+    from ballista_spark.operators.code import (
+        code_quality_stats,
+        comment_line_fraction,
+        detect_code_language,
+        license_screen,
+    )
+    from ballista_spark.sources.registry import load_table
+
+    exts = ["py", "js", "c", "rs", "md", "sh"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("repo/src/f"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(e) for e in exts]),
+                (F.col("doc_id") % len(exts) + 1).cast("int"),
+            ),
+        ).alias("path"),
+        "text",
+    )
+    chain = comment_line_fraction(
+        license_screen(code_quality_stats(detect_code_language(docs)))
+    )
+    return chain.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("language").alias("n_langs"),
+        F.round(F.avg("frac_alnum"), 4).alias("alnum"),
+        F.sum(F.when(F.col("license").isNotNull(), 1).otherwise(0)).alias("licensed"),
+    )
+
+
 def _dml_touch(spark, sf_dir: str):
     """Copy-on-write UPDATE with a narrow key predicate on the
     range-clustered lineitem table: stats prune the candidates
@@ -1260,6 +1299,7 @@ LOCAL_BUILDERS = {
     "keyword_screen": _keyword_screen,
     "delta_merge_touch": _delta_merge_touch,
     "dml_touch": _dml_touch,
+    "code_screen": _code_screen,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
     # SPARK_GRAFT_STRESS_QUERIES=skew_join,skew_join_salted,skew_join_preagg
