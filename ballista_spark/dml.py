@@ -149,7 +149,9 @@ _DELETE_RE = re.compile(
     rf"(?is)^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)\s*;?\s*$"
 )
 _UPDATE_RE = re.compile(
-    rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$"
+    # SET/WHERE are split quote-aware below (a quoted ' WHERE ' inside a
+    # SET expression must not split), so this just captures the rest
+    rf"(?is)^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s*;?\s*$"
 )
 _MERGE_RE = re.compile(
     # the subquery match is GREEDY: nested parens inside it are fine
@@ -191,8 +193,12 @@ def parse_dml(query: str) -> DmlStatement | None:
         )
     m = _UPDATE_RE.match(query)
     if m:
+        parts = _split_top_level(m.group(2), r"\bWHERE\b")
+        if len(parts) > 2:
+            raise DmlError("multiple top-level WHERE keywords in UPDATE")
+        set_part, where_part = parts[0], (parts[1] if len(parts) == 2 else None)
         sets: dict[str, str] = {}
-        for a in _split_top_level(m.group(2), r","):
+        for a in _split_top_level(set_part, r","):
             am = re.fullmatch(
                 rf"\s*({_IDENT})\s*=\s*(.+?)\s*", a, re.DOTALL
             )
@@ -201,7 +207,7 @@ def parse_dml(query: str) -> DmlStatement | None:
             sets[am.group(1)] = am.group(2)
         return DmlStatement(
             op="update", table=m.group(1), set_exprs=sets,
-            where=parse_where_triples(m.group(3)) if m.group(3) else None,
+            where=parse_where_triples(where_part) if where_part else None,
         )
     m = _MERGE_RE.match(query)
     if m:

@@ -67,6 +67,7 @@ __all__ = [
     "read_delta_table",
     "read_delta_snapshot",
     "read_delta_changes",
+    "read_delta_cdf",
     "write_delta_table",
     "compact_delta_table",
     "merge_delta_table",
@@ -1711,4 +1712,142 @@ def read_delta_changes(
             + [T.StructField("_commit_version", T.LongType())]
         )
         return spark.createDataFrame([], empty_schema)
+    return out
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """EXACT row-level change feed for commits ``(from_version,
+    to_version]``: each changed row appears once with ``_change_type``
+    (``insert`` | ``delete``; an update is its delete+insert pair) and
+    ``_commit_version`` — the CDC-consumer face the plain
+    :func:`read_delta_changes` can't provide (it resurfaces a rewritten
+    file's CARRIED rows).
+
+    Per commit: pure appends emit their rows as inserts (no diff work);
+    rewrite commits (UPDATE/DELETE/MERGE/overwrite) diff the removed
+    files' rows against the added files' rows as multisets
+    (``exceptAll`` both ways), so carried rows cancel exactly and only
+    real changes surface.  ``dataChange: false`` rewrites (compaction/
+    clustering) and metadata-only commits emit nothing.  Cost tracks
+    the TOUCHED files per commit — for touch-only mutations that is the
+    mutation size, not the table.
+
+    Needs the removed files still on disk (they are, until
+    ``vacuum_delta_table`` passes their tombstones' retention); a
+    vacuumed gap raises rather than under-reporting deletes.  Pre-ALTER
+    commits surface under the final window schema with NULL for
+    columns that didn't exist yet.
+    """
+    versions = [
+        v
+        for v in _list_log_versions(table_path)
+        if from_version < v <= (to_version if to_version is not None else 1 << 60)
+    ]
+    final = read_delta_snapshot(
+        table_path, versions[-1] if versions else None
+    )
+    parts: list[DataFrame] = []
+    for v in versions:
+        added_rel: set[str] = set()
+        removed_rel: set[str] = set()
+        for action in _iter_commit_actions(_commit_path(table_path, v)):
+            a = action.get("add")
+            if a and a.get("dataChange", True):
+                added_rel.add(_normalize_rel(table_path, a["path"]))
+            r = action.get("remove")
+            if r and r.get("dataChange", True):
+                removed_rel.add(_normalize_rel(table_path, r["path"]))
+        if not added_rel and not removed_rel:
+            continue  # metadata-only / dataChange:false commit
+
+        def _side(rel_paths: set[str], snap_at: DeltaSnapshot) -> DataFrame:
+            files = [f for f in snap_at.files if f.path in rel_paths]
+            missing = rel_paths - {f.path for f in files}
+            if missing:
+                raise DeltaProtocolError(
+                    f"commit {v} references files absent from the "
+                    f"version-{snap_at.version} snapshot: {sorted(missing)[:3]}"
+                )
+            for f in files:
+                full = os.path.join(table_path, f.path)
+                if not os.path.exists(full):
+                    raise DeltaProtocolError(
+                        f"data file {f.path!r} was vacuumed — the CDF for "
+                        f"commit {v} can no longer be reconstructed"
+                    )
+            side_snap = DeltaSnapshot(
+                table_path=snap_at.table_path,
+                version=snap_at.version,
+                schema=snap_at.schema,
+                partition_columns=snap_at.partition_columns,
+                files=files,
+            )
+            return _scan_snapshot(spark, side_snap)
+
+        new_df = (
+            _side(added_rel, read_delta_snapshot(table_path, v))
+            if added_rel
+            else None
+        )
+        old_df = (
+            _side(removed_rel, read_delta_snapshot(table_path, v - 1))
+            if removed_rel
+            else None
+        )
+        if old_df is None:
+            changes = new_df.withColumn("_change_type", F.lit("insert"))
+        elif new_df is None:
+            changes = old_df.withColumn("_change_type", F.lit("delete"))
+        else:
+            # align pre/post schemas (ALTER between them) before diffing
+            cols = [f.name for f in new_df.schema.fields]
+            old_aligned = old_df.select(
+                *[
+                    F.col(c) if c in old_df.columns
+                    else F.lit(None).cast(
+                        dict((f.name, f.dataType) for f in new_df.schema.fields)[c]
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+            changes = (
+                new_df.exceptAll(old_aligned)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    old_aligned.exceptAll(new_df).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            )
+        # align to the FINAL window schema (an ALTER inside the window
+        # must not make early commits un-unionable / un-selectable)
+        final_types = {f.name: f.dataType for f in final.schema.fields}
+        changes = changes.select(
+            *[
+                F.col(c) if c in changes.columns
+                else F.lit(None).cast(final_types[c]).alias(c)
+                for c in final_types
+            ],
+            "_change_type",
+        )
+        parts.append(
+            changes.withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+    if not parts:
+        empty_schema = T.StructType(
+            list(final.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
     return out

@@ -66,6 +66,7 @@ from ballista_spark.sources.avroio import read_avro_bytes
 __all__ = [
     "read_iceberg_table",
     "read_iceberg_snapshot",
+    "read_iceberg_changelog",
     "write_iceberg_table",
     "compact_iceberg_table",
     "delete_from_iceberg_table",
@@ -496,6 +497,152 @@ def read_iceberg_table(
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             tagged = tagged.join(dels, cond, "left_anti")
     return tagged.select(*out_cols)
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table_path: str,
+    from_ordinal: int,
+    to_ordinal: int | None = None,
+) -> DataFrame:
+    """EXACT row-level change feed over snapshot-log ordinals
+    ``(from_ordinal, to_ordinal]`` — the Iceberg twin of
+    ``deltalog.read_delta_cdf`` and the batch complement of the
+    ``ballista_iceberg`` streaming source (which refuses non-append
+    snapshots; this reads them).  Each changed row appears once with
+    ``_change_type`` (``insert`` | ``delete``; updates are their
+    delete+insert pair), ``_snapshot_ordinal`` and ``_snapshot_id``.
+
+    Fast path: snapshots without delete files diff ONLY the file-set
+    symmetric difference (added rows vs removed rows, multiset
+    ``exceptAll`` — carried rows never scan twice), so touch-only
+    commits cost the mutation, not the table.  Snapshots carrying v2
+    delete files fall back to a full applied-table diff (a new
+    tombstone changes visible rows without changing data files — the
+    file-set shortcut would miss it).  Expired (cleaned-up) snapshots
+    raise rather than under-reporting.
+    """
+    from pyspark.sql import functions as F
+
+    md = _load_metadata(table_path)
+    log = md.get("snapshot-log") or []
+    hi = len(log) - 1 if to_ordinal is None else int(to_ordinal)
+    ordinals = [i for i in range(len(log)) if from_ordinal < i <= hi]
+    snaps_by_id = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+
+    def _applied(snapshot_id):
+        if snapshot_id not in snaps_by_id:
+            raise IcebergFeatureError(
+                f"snapshot {snapshot_id} was expired — the changelog can "
+                "no longer be reconstructed for this window"
+            )
+        return read_iceberg_snapshot(table_path, snapshot_id)
+
+    final_schema = (
+        _applied(log[ordinals[-1]]["snapshot-id"]).spark_schema
+        if ordinals
+        else iceberg_to_spark_type(_current_schema(md))
+    )
+    final_types = {f.name: f.dataType for f in final_schema.fields}
+
+    def _align(df):
+        return df.select(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(final_types[c]).alias(c)
+                for c in final_types
+            ],
+            "_change_type",
+        )
+
+    parts = []
+    for i in ordinals:
+        child_id = log[i]["snapshot-id"]
+        child = _applied(child_id)
+        parent = _applied(log[i - 1]["snapshot-id"]) if i > 0 else None
+        mor = bool(child.delete_files or child.eq_deletes) or (
+            parent is not None
+            and bool(parent.delete_files or parent.eq_deletes)
+        )
+        if mor:
+            # tombstones change visibility without changing data files:
+            # diff the APPLIED tables (correct, table-sized)
+            new_df = read_iceberg_table(spark, table_path, snapshot_id=child_id)
+            old_df = (
+                read_iceberg_table(
+                    spark, table_path, snapshot_id=log[i - 1]["snapshot-id"]
+                )
+                if parent is not None
+                else None
+            )
+        else:
+            child_paths = {f[0] for f in child.files}
+            parent_paths = {f[0] for f in parent.files} if parent else set()
+            added = sorted(child_paths - parent_paths)
+            removed = sorted(parent_paths - child_paths)
+            for p in added + removed:
+                if not os.path.exists(p):
+                    raise IcebergFeatureError(
+                        f"data file {p!r} was removed from disk — the "
+                        f"changelog for ordinal {i} cannot be reconstructed"
+                    )
+            new_df = (
+                spark.read.schema(child.spark_schema).parquet(*added)
+                if added
+                else None
+            )
+            old_df = (
+                spark.read.schema(parent.spark_schema).parquet(*removed)
+                if removed
+                else None
+            )
+        if new_df is None and old_df is None:
+            continue  # no data change (e.g. metadata-only)
+        if old_df is None:
+            changes = new_df.withColumn("_change_type", F.lit("insert"))
+        elif new_df is None:
+            changes = old_df.withColumn("_change_type", F.lit("delete"))
+        else:
+            cols = [f.name for f in new_df.schema.fields]
+            old_named = old_df.select(
+                *[
+                    F.col(c) if c in old_df.columns
+                    else F.lit(None).cast(
+                        dict(
+                            (f.name, f.dataType) for f in new_df.schema.fields
+                        )[c]
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+            changes = (
+                new_df.exceptAll(old_named)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    old_named.exceptAll(new_df).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            )
+        parts.append(
+            _align(changes)
+            .withColumn("_snapshot_ordinal", F.lit(i).cast("long"))
+            .withColumn("_snapshot_id", F.lit(child_id).cast("long"))
+        )
+    if not parts:
+        empty = T.StructType(
+            list(final_schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_snapshot_ordinal", T.LongType()),
+                T.StructField("_snapshot_id", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,10 @@ def test_parse_delete_update():
     assert s.where == [("id", "=", 1)]
     s = parse_dml("UPDATE t SET v = 0")
     assert s.where is None
+    # a quoted ' WHERE ' inside a SET expression must not split
+    s = parse_dml("UPDATE t SET cat = concat(cat, ' WHERE x') WHERE id = 1")
+    assert s.set_exprs == {"cat": "concat(cat, ' WHERE x')"}
+    assert s.where == [("id", "=", 1)]
     with pytest.raises(DmlError):
         parse_dml("DELETE FROM t WHERE id IN (1,2)")
 
