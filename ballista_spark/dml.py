@@ -24,6 +24,10 @@ subset the storage layer can prune on — conjunctions of
 - ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
 - ``ALTER TABLE t ADD COLUMNS (c type [, ...])`` /
   ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)``
+- ``INSERT INTO t <query>`` / ``INSERT OVERWRITE t <query>`` where
+  ``<query>`` is any Spark SQL query (``SELECT ...``, ``VALUES ...``) —
+  aligned to the table schema BY POSITION (SQL INSERT semantics), cast
+  to the declared column types
 
 A WHERE predicate outside the conjunction language raises with the
 grammar named — refusing loudly beats silently rewriting the whole
@@ -175,8 +179,11 @@ _ALTER_DROP_RE = re.compile(
     rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
     rf"\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s*;?\s*$"
 )
+_INSERT_RE = re.compile(
+    rf"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+(.+?)\s*;?\s*$"
+)
 _DML_HEAD = re.compile(
-    r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE|ALTER)\b"
+    r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE|ALTER|INSERT)\b"
 )
 
 
@@ -284,6 +291,13 @@ def parse_dml(query: str) -> DmlStatement | None:
                 [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
             ),
         )
+    m = _INSERT_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="insert" if m.group(1).upper() == "INTO" else "insert_overwrite",
+            table=m.group(2),
+            source_sql=m.group(3),
+        )
     m = _ALTER_ADD_RE.match(query)
     if m:
         adds: dict[str, str] = {}
@@ -385,6 +399,46 @@ def execute_dml(ctx, stmt: DmlStatement):
             version = compact_iceberg_table(
                 spark, path, cluster_by=stmt.zorder_by or None
             )
+    elif stmt.op in ("insert", "insert_overwrite"):
+        from pyspark.sql import functions as F
+
+        src_df = spark.sql(stmt.source_sql)
+        # SQL INSERT aligns BY POSITION, then casts to the declared types
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import (
+                read_delta_snapshot,
+                write_delta_table,
+            )
+
+            target_schema = read_delta_snapshot(path).schema
+        else:
+            from ballista_spark.sources.iceberg import (
+                _current_schema,
+                _load_metadata,
+                iceberg_to_spark_type,
+            )
+
+            target_schema = iceberg_to_spark_type(
+                _current_schema(_load_metadata(path))
+            )
+        if len(src_df.columns) != len(target_schema.fields):
+            raise DmlError(
+                f"INSERT column count {len(src_df.columns)} != table "
+                f"column count {len(target_schema.fields)}"
+            )
+        aligned = src_df.select(
+            *[
+                F.col(src_df.columns[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(target_schema.fields)
+            ]
+        )
+        mode = "append" if stmt.op == "insert" else "overwrite"
+        if fmt == "delta":
+            version = write_delta_table(aligned, path, mode=mode)
+        else:
+            from ballista_spark.sources.iceberg import write_iceberg_table
+
+            version = write_iceberg_table(aligned, path, mode=mode)
     elif stmt.op == "alter":
         if fmt == "delta":
             from ballista_spark.sources.deltalog import alter_delta_table
@@ -403,7 +457,10 @@ def execute_dml(ctx, stmt: DmlStatement):
     else:  # pragma: no cover — parse_dml only emits the five ops
         raise DmlError(f"unknown op {stmt.op!r}")
 
-    if stmt.op in ("delete", "update", "merge", "optimize", "alter"):
+    if stmt.op in (
+        "delete", "update", "merge", "optimize", "alter",
+        "insert", "insert_overwrite",
+    ):
         ctx._refresh_lakehouse_view(stmt.table)  # noqa: SLF001
     return spark.createDataFrame(
         [(stmt.op, stmt.table, version)],

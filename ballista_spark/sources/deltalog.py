@@ -39,10 +39,14 @@ Scale design:
   protocol).  Object stores without atomic create need a coordination
   layer (the spec's LogStore) — out of scope, documented.
 
-Supported protocol subset (checked, not assumed): reader version ≤ 2,
-writer version ≤ 2 — no deletion vectors, no column mapping, no
-generated columns.  A table demanding more raises with the feature
-named rather than silently misreading.
+Supported protocol subset (checked, not assumed): reader version ≤ 2
+plus the columnMapping table feature (reader version 3 tables whose
+readerFeatures are exactly that) — column-mapped tables (modes name/id)
+READ correctly (physical parquet names resolved to the logical schema,
+physically-keyed stats/partitionValues normalized for pruning); writes
+to them refuse (this writer stages logical-named files).  No deletion
+vectors, no generated columns.  A table demanding more raises with the
+feature named rather than silently misreading.
 
 The reference engine's source surface is CSV/Parquet/Avro file scans
 (`rust/core/proto/ballista.proto:244-258`) with no table-format layer;
@@ -195,6 +199,9 @@ class DeltaSnapshot:
     app_versions: dict[str, int] = field(default_factory=dict)
     #: latest metaData `configuration` map (table properties)
     configuration: dict = field(default_factory=dict)
+    #: column mapping (mode name/id): LOGICAL field name -> physical
+    #: parquet column name; empty = no mapping (plain table)
+    column_mapping: dict = field(default_factory=dict)
     #: remove tombstones seen in the replayed log tail: rel path →
     #: deletionTimestamp ms (vacuum's retention input)
     tombstones: dict[str, int] = field(default_factory=dict)
@@ -262,6 +269,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     schema: T.StructType | None = None
     part_cols: list[str] = []
     configuration: dict = {}
+    column_mapping: dict = {}
     app_versions: dict[str, int] = {}
     tombstones: dict[str, int] = {}
     for stream in action_streams:
@@ -298,17 +306,54 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                 part_cols = list(md.get("partitionColumns") or [])
                 configuration = dict(md.get("configuration") or {})
+                column_mapping = {}
+                if configuration.get("delta.columnMapping.mode") in (
+                    "name", "id"
+                ):
+                    # id mode also records physicalName; parquet files
+                    # written by delta-spark carry BOTH, and matching by
+                    # physical name reads either mode correctly here
+                    for fld in schema.fields:
+                        phys = (fld.metadata or {}).get(
+                            "delta.columnMapping.physicalName"
+                        )
+                        if phys:
+                            column_mapping[fld.name] = phys
             elif "protocol" in action:
                 pr = action["protocol"]
-                if int(pr.get("minReaderVersion", 1)) > MAX_READER_VERSION:
+                rv = int(pr.get("minReaderVersion", 1))
+                feats = set(pr.get("readerFeatures") or [])
+                if rv > MAX_READER_VERSION and not (
+                    rv == 3 and feats <= {"columnMapping"}
+                ):
                     raise DeltaProtocolError(
-                        f"table requires minReaderVersion="
-                        f"{pr['minReaderVersion']} (this reader implements "
-                        f"≤ {MAX_READER_VERSION}: no deletion vectors / "
-                        "column mapping)"
+                        f"table requires minReaderVersion={rv} with "
+                        f"readerFeatures={sorted(feats)} (this reader "
+                        f"implements ≤ {MAX_READER_VERSION} plus the "
+                        "columnMapping table feature: no deletion vectors)"
                     )
     if schema is None:
         raise DeltaProtocolError("log has no metaData action (corrupt table?)")
+    if column_mapping:
+        # stats and partitionValues are keyed by PHYSICAL names on a
+        # column-mapped table — normalize to logical once, so pruning
+        # and every downstream consumer stay in logical terms
+        to_logical = {p: l for l, p in column_mapping.items()}
+
+        def _remap(d: dict | None) -> dict | None:
+            if not isinstance(d, dict):
+                return d
+            return {to_logical.get(k, k): v for k, v in d.items()}
+
+        for f in adds.values():
+            f.partition_values = _remap(f.partition_values) or {}
+            if f.stats:
+                f.stats = {
+                    k: (_remap(v) if k in (
+                        "minValues", "maxValues", "nullCount"
+                    ) else v)
+                    for k, v in f.stats.items()
+                }
     return DeltaSnapshot(
         table_path=table_path,
         version=target,
@@ -318,6 +363,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         app_versions=app_versions,
         tombstones=tombstones,
         configuration=configuration,
+        column_mapping=column_mapping,
     )
 
 
@@ -404,19 +450,35 @@ def _prune_files(
 # reading
 
 
+def _refuse_column_mapped(snap: DeltaSnapshot, op: str) -> None:
+    """Writes to column-mapped tables are refused: this writer stages
+    files under LOGICAL column names, which a mapped table's readers
+    would not resolve (and the mapping mode, once enabled, cannot be
+    disabled per the protocol).  Read support is full; mutate such
+    tables with a mapping-aware writer."""
+    if snap.column_mapping:
+        raise DeltaProtocolError(
+            f"{op} on a column-mapped Delta table is not supported by "
+            "this writer (reads are); the staged files would carry "
+            "logical column names the table's mapping cannot resolve"
+        )
+
+
 def _is_hive_layout(snap: DeltaSnapshot) -> bool:
     if not snap.partition_columns:
         return True
     for f in snap.files:
         parts = f.path.split("/")
         for col in snap.partition_columns:
+            # column-mapped tables name partition DIRECTORIES physically
+            dcol = snap.column_mapping.get(col, col)
             want = (
-                f"{col}=__HIVE_DEFAULT_PARTITION__"
+                f"{dcol}=__HIVE_DEFAULT_PARTITION__"
                 if f.partition_values.get(col) in (None, "")
                 else None
             )
             if not any(
-                p.startswith(f"{col}=") and (want is None or p == want)
+                p.startswith(f"{dcol}=") and (want is None or p == want)
                 for p in parts[:-1]
             ):
                 return False
@@ -453,13 +515,35 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
         fld.name: fld for fld in snap.schema.fields
         if fld.name in snap.partition_columns
     }
+    cm = snap.column_mapping
+
+    def _phys_struct(fields):
+        # column-mapped tables store PHYSICAL names in the parquet files;
+        # read under those, then alias back to logical below
+        return T.StructType(
+            [
+                T.StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+                for f in fields
+            ]
+        )
+
+    def _to_logical(df):
+        if not cm:
+            return df
+        for logical, phys in cm.items():
+            if phys in df.columns and phys != logical:
+                df = df.withColumnRenamed(phys, logical)
+        return df
+
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     if _is_hive_layout(snap):
         reader = spark.read
         if snap.partition_columns:
             reader = reader.option("basePath", snap.table_path)
-        df = reader.schema(T.StructType(data_fields)).parquet(*snap.file_paths())
+        df = _to_logical(
+            reader.schema(_phys_struct(data_fields)).parquet(*snap.file_paths())
+        )
         for col in snap.partition_columns:
             df = df.withColumn(
                 col, F.col(col).cast(part_fields[col].dataType)
@@ -482,7 +566,9 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
         )
     out = None
     for key, paths in groups.items():
-        part = spark.read.schema(T.StructType(data_fields)).parquet(*paths)
+        part = _to_logical(
+            spark.read.schema(_phys_struct(data_fields)).parquet(*paths)
+        )
         for col, val in zip(snap.partition_columns, key):
             lit = (
                 F.lit(None) if val in (None, "")
@@ -714,6 +800,7 @@ def write_delta_table(
             )
         else:
             prev = read_delta_snapshot(table_path)
+            _refuse_column_mapped(prev, "WRITE")
             # compare names + types; nullability differences (literal
             # columns are non-nullable) don't constitute schema change
             shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
@@ -807,6 +894,7 @@ def _alter_once(
     concurrent ALTER's schema is never clobbered); None = lost the
     commit race, recompute and retry."""
     snap = read_delta_snapshot(table_path)
+    _refuse_column_mapped(snap, "ALTER")
     names = {f.name for f in snap.schema.fields}
     dropped = set(json.loads(
         snap.configuration.get("ballista.droppedColumns", "[]")
@@ -1030,6 +1118,7 @@ def compact_delta_table(
     commit) or readers (old files stay until vacuum).
     """
     snap = read_delta_snapshot(table_path)
+    _refuse_column_mapped(snap, "OPTIMIZE")
     by_part: dict[tuple, list[_AddFile]] = {}
     for f in snap.files:
         key = tuple(
@@ -1253,6 +1342,7 @@ def merge_delta_table(
         raise ValueError("txn_app_id and txn_version go together")
     on = list(on)
     snap = read_delta_snapshot(table_path)
+    _refuse_column_mapped(snap, "MERGE")
     if txn_app_id is not None:
         # streaming-upsert idempotence (the Delta `txn` action): a
         # replayed epoch is detected in the log and skipped before any
@@ -1552,6 +1642,7 @@ def delete_from_delta_table(
             "DataFrame to truncate)"
         )
     snap = read_delta_snapshot(table_path)
+    _refuse_column_mapped(snap, "DELETE")
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
@@ -1596,6 +1687,7 @@ def update_delta_table(
     if not set_exprs:
         raise ValueError("UPDATE needs at least one SET column")
     snap = read_delta_snapshot(table_path)
+    _refuse_column_mapped(snap, "UPDATE")
     by_name = {f.name: f for f in snap.schema.fields}
     for name in set_exprs:
         if name not in by_name:

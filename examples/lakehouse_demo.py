@@ -165,6 +165,24 @@ def main() -> None:
     print(f"[9] hudi read: {read_hudi_table(spark, hudi).count()} rows "
           "(all three open lakehouse formats, zero jars)")
 
+    # 10. SQL DML surface + exact CDC out: mutate through ctx.sql, then
+    # hand downstream consumers the precise row-level deltas
+    from ballista_spark.context import BallistaContext
+    from ballista_spark.sources.deltalog import read_delta_cdf
+
+    ctx = BallistaContext(spark=spark)
+    ctx.register_delta("docs_tbl", table)
+    pre = read_delta_snapshot(table).version
+    ctx.sql("UPDATE docs_tbl SET n_chars = 0 WHERE n_chars = -1")
+    ctx.sql(f"DELETE FROM docs_tbl WHERE doc_id > {int(hi)}")
+    cdf = read_delta_cdf(spark, table, from_version=pre)
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"[10] SQL UPDATE+DELETE -> exact CDF since v{pre}: {kinds} "
+          "(carried rows cancelled; only real changes surface)")
+
     shutil.rmtree(root, ignore_errors=True)
     print("lakehouse demo complete")
 

@@ -158,9 +158,18 @@ def test_sql_dml_end_to_end(spark, tmp_path, fmt):
     assert got[1] == ("m", -1.0) and got[99] == ("new", 99.0)
     assert len(got) == 16
 
+    # INSERT INTO with a VALUES query — positional alignment + casts
+    ctx.sql("INSERT INTO t VALUES (500, 'ins', 5), (501, 'ins', 6)")
+    got = {r["id"]: r["v"] for r in ctx.sql(
+        "SELECT id, v FROM t WHERE cat = 'ins'"
+    ).df.collect()}
+    assert got == {500: 5.0, 501: 6.0}  # ints cast to the double column
+    with pytest.raises(DmlError, match="column count"):
+        ctx.sql("INSERT INTO t VALUES (1, 'x')")
+
     # OPTIMIZE compacts without changing rows
     ctx.sql("OPTIMIZE t")
-    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 16
+    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 18
 
     # VACUUM runs (age-gated: nothing young enough to reap is an OK 0)
     out = ctx.sql("VACUUM t RETAIN 168 HOURS").df.collect()[0]
