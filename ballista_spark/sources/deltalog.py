@@ -323,8 +323,10 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 pr = action["protocol"]
                 rv = int(pr.get("minReaderVersion", 1))
                 feats = set(pr.get("readerFeatures") or [])
+                # v3 REQUIRES a readerFeatures list; absent/empty means
+                # the requirement is unknown -> refuse, don't guess
                 if rv > MAX_READER_VERSION and not (
-                    rv == 3 and feats <= {"columnMapping"}
+                    rv == 3 and feats and feats <= {"columnMapping"}
                 ):
                     raise DeltaProtocolError(
                         f"table requires minReaderVersion={rv} with "
