@@ -347,6 +347,13 @@ BUCKET_CAP = 64
 #: cliff, never a wrong answer.
 _MINHASH_CACHE: dict = {}
 _MINHASH_CACHE_MAX = 4
+#: second-level cache: (base key, threshold, bucket_cap) -> the PERSISTED
+#: final member-pair frame.  The base cache skips shingle/signature work;
+#: this skips the banding-downstream pair verify too, so a steady-state
+#: serving loop pays only the consumer's aggregation.  No in-flight claim
+#: at this level (worst case under concurrency: one duplicate verify).
+_MINHASH_FINAL: dict = {}
+_MINHASH_FINAL_MAX = 8
 _PERSISTED_LOCK = threading.Lock()
 #: cache keys currently being BUILT: key -> threading.Event set on
 #: publish/abandon.  A second concurrent call for the same key waits for
@@ -391,7 +398,9 @@ def clear_minhash_cache() -> None:
     mutating source files in place under a path a prior call read)."""
     with _PERSISTED_LOCK:
         stale = [f for entry in _MINHASH_CACHE.values() for f in entry]
+        stale += list(_MINHASH_FINAL.values())
         _MINHASH_CACHE.clear()
+        _MINHASH_FINAL.clear()
     for f in stale:
         try:
             f.unpersist()
@@ -507,6 +516,18 @@ def minhash_lsh_pairs(
     # threshold sweep over the same corpus.  A miss (or an uncacheable
     # plan) builds and inserts; LRU eviction unpersists what falls out.
     cache_key = _minhash_cache_key(df, (text_col, key_col, n, n_hashes, n_bands))
+    full_key = (
+        (cache_key, float(threshold), int(bucket_cap))
+        if cache_key is not None
+        else None
+    )
+    if full_key is not None:
+        with _PERSISTED_LOCK:
+            fin = _MINHASH_FINAL.pop(full_key, None)
+            if fin is not None:
+                _MINHASH_FINAL[full_key] = fin  # LRU tail
+        if fin is not None:
+            return fin
     hit = _minhash_cache_get_or_claim(cache_key)
     if hit is not None:
         members, sh, groups = hit
@@ -616,7 +637,25 @@ def minhash_lsh_pairs(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionAll(within)
+    result = cross.unionAll(within)
+    if full_key is None:
+        return result
+    result = result.persist()
+    if eager:
+        result.count()
+    evicted_fin: list[DataFrame] = []
+    with _PERSISTED_LOCK:
+        _MINHASH_FINAL[full_key] = result
+        while len(_MINHASH_FINAL) > _MINHASH_FINAL_MAX:
+            evicted_fin.append(
+                _MINHASH_FINAL.pop(next(iter(_MINHASH_FINAL)))
+            )
+    for f in evicted_fin:
+        try:
+            f.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return result
 
 
 def banding_for_threshold(
