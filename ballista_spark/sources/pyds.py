@@ -118,6 +118,9 @@ def _py_partition_value(raw: str | None, dt: T.DataType):
 class _FilePartition(InputPartition):
     path: str
     partition_values: dict
+    #: logical -> physical parquet column names (Delta column mapping);
+    #: empty for plain tables and the iceberg/hudi/avro faces
+    column_renames: dict = None
 
 
 class _DeltaReader(DataSourceReader):
@@ -188,6 +191,7 @@ class _DeltaReader(DataSourceReader):
                     c: f.partition_values.get(c)
                     for c in snap.partition_columns
                 },
+                column_renames=snap.column_mapping or None,
             )
             for f in snap.files
         ] or [_FilePartition(path="", partition_values={})]
@@ -210,7 +214,12 @@ def _read_parquet_with_partition_values(
 
     target = _arrow_schema_for(spark_schema)
     part_cols = set(partition.partition_values)
-    data_cols = [f.name for f in spark_schema.fields if f.name not in part_cols]
+    phys = partition.column_renames or {}
+    data_cols = [
+        phys.get(f.name, f.name)
+        for f in spark_schema.fields
+        if f.name not in part_cols
+    ]
     for batch in pq.ParquetFile(partition.path).iter_batches(
         columns=data_cols
     ):
@@ -225,7 +234,7 @@ def _read_parquet_with_partition_values(
                 arrays.append(pa.array([v] * n, type=tf.type))
             else:
                 arrays.append(
-                    batch.column(field.name).cast(tf.type)
+                    batch.column(phys.get(field.name, field.name)).cast(tf.type)
                 )
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 

@@ -187,6 +187,20 @@ def test_reader_v3_feature_gate(spark, tmp_path):
         read_delta_snapshot(bad)
 
 
+def test_mapped_pyds_face_reads_logical(spark, tmp_path):
+    """The ballista_delta DataSource face resolves physical parquet
+    names through the mapping too (it reads files directly, bypassing
+    _scan_snapshot)."""
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    table = _mapped_table(tmp_path)
+    df = spark.read.format("ballista_delta").option("path", table).load()
+    assert df.columns == ["id", "cat"]
+    got = {r["id"]: r["cat"] for r in df.collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 100: "x", 200: "y"}
+
+
 def test_mapped_writes_refused(spark, tmp_path):
     from ballista_spark.sources.deltalog import (
         alter_delta_table,
