@@ -410,6 +410,15 @@ __all__ = [
     "comment_line_fraction",
 ]
 
+from ballista_spark.operators.validate import (  # noqa: E402
+    Check,
+    ContractViolation,
+    enforce,
+    validate,
+)
+
+__all__ += ["Check", "ContractViolation", "enforce", "validate"]
+
 from ballista_spark.operators.code import (  # noqa: E402
     code_quality_stats,
     comment_line_fraction,
