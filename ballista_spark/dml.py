@@ -28,6 +28,12 @@ subset the storage layer can prune on — conjunctions of
   ``<query>`` is any Spark SQL query (``SELECT ...``, ``VALUES ...``) —
   aligned to the table schema BY POSITION (SQL INSERT semantics), cast
   to the declared column types
+- ``CREATE EXTERNAL TABLE name [(col type, ...)] STORED AS fmt
+  [WITH HEADER ROW] [DELIMITER 'c'] LOCATION 'path'`` — the reference's
+  exact DDL text (`ballista.proto:236-248`, DataFusion dialect), routed
+  to ``BallistaContext.create_external_table``; fmt covers the
+  reference enum (CSV/PARQUET/NDJSON) plus this engine's extensions
+  (JSON/ORC/AVRO/ARROW/IPC/FEATHER/DELTA/ICEBERG/HUDI)
 
 A WHERE predicate outside the conjunction language raises with the
 grammar named — refusing loudly beats silently rewriting the whole
@@ -147,6 +153,12 @@ class DmlStatement:
     zorder_by: list[str] = field(default_factory=list)
     add_columns: dict[str, str] = field(default_factory=dict)
     drop_columns: list[str] = field(default_factory=list)
+    # CREATE EXTERNAL TABLE fields
+    file_type: str | None = None
+    location: str | None = None
+    columns: dict[str, str] = field(default_factory=dict)
+    has_header: bool = False
+    delimiter: str = ","
 
 
 _DELETE_RE = re.compile(
@@ -182,8 +194,17 @@ _ALTER_DROP_RE = re.compile(
 _INSERT_RE = re.compile(
     rf"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+(.+?)\s*;?\s*$"
 )
+_CREATE_EXT_RE = re.compile(
+    rf"(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"({_IDENT})\s*(\((?:.|\n)*?\))?\s*"
+    rf"STORED\s+AS\s+([A-Za-z]+)"
+    rf"(\s+WITH\s+HEADER\s+ROW)?"
+    rf"(?:\s+DELIMITER\s+'((?:[^']|'')+)')?"
+    rf"\s+LOCATION\s+'((?:[^']|'')+)'\s*;?\s*$"
+)
 _DML_HEAD = re.compile(
-    r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE|ALTER|INSERT)\b"
+    r"(?is)^\s*(DELETE|UPDATE|MERGE|VACUUM|OPTIMIZE|ALTER|INSERT"
+    r"|CREATE\s+EXTERNAL)\b"
 )
 
 
@@ -291,6 +312,28 @@ def parse_dml(query: str) -> DmlStatement | None:
                 [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
             ),
         )
+    m = _CREATE_EXT_RE.match(query)
+    if m:
+        name, cols, fmt, header, delim, loc = m.groups()
+        schema = None
+        if cols:
+            schema = {}
+            for part in _split_top_level(cols[1:-1], r","):
+                cm = re.fullmatch(
+                    rf"\s*({_IDENT})\s+(.+?)\s*", part, re.DOTALL
+                )
+                if not cm:
+                    raise DmlError(f"cannot parse column definition {part!r}")
+                schema[cm.group(1)] = cm.group(2)
+        return DmlStatement(
+            op="create_external",
+            table=name,
+            file_type=fmt.lower(),
+            location=loc.replace("''", "'"),
+            columns=schema or {},
+            has_header=bool(header),
+            delimiter=(delim or ",").replace("''", "'"),
+        )
     m = _INSERT_RE.match(query)
     if m:
         return DmlStatement(
@@ -322,6 +365,22 @@ def execute_dml(ctx, stmt: DmlStatement):
     returns a one-row metrics DataFrame (operation, table, version) and
     refreshes the table's registered view to the new snapshot."""
     spark = ctx.spark
+    if stmt.op == "create_external":
+        kwargs = {}
+        if stmt.file_type in ("csv", "tbl"):
+            kwargs = {
+                "has_header": stmt.has_header,
+                "delimiter": stmt.delimiter,
+            }
+        if stmt.columns and stmt.file_type in ("csv", "tbl", "json", "ndjson"):
+            kwargs["schema"] = stmt.columns
+        ctx.create_external_table(
+            stmt.table, stmt.location, file_type=stmt.file_type, **kwargs
+        )
+        return spark.createDataFrame(
+            [("create_external", stmt.table, None)],
+            "operation string, table string, version long",
+        )
     entry = ctx._lakehouse.get(stmt.table)  # noqa: SLF001 — friend module
     if entry is None:
         known = sorted(ctx._lakehouse)  # noqa: SLF001

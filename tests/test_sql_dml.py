@@ -176,6 +176,50 @@ def test_sql_dml_end_to_end(spark, tmp_path, fmt):
     assert out["operation"] == "vacuum" and out["version"] >= 0
 
 
+def test_create_external_table_sql(spark, tmp_path):
+    """The reference's exact DDL text (ballista.proto:236-248) through
+    ctx.sql: CSV with schema/header/delimiter, parquet, and a DELTA
+    table that immediately becomes a DML target."""
+    import os
+
+    from ballista_spark.dml import parse_dml
+
+    s = parse_dml(
+        "CREATE EXTERNAL TABLE t (a INT, b STRING) STORED AS CSV "
+        "WITH HEADER ROW DELIMITER '|' LOCATION '/x/y'"
+    )
+    assert (s.op, s.table, s.file_type) == ("create_external", "t", "csv")
+    assert s.columns == {"a": "INT", "b": "STRING"}
+    assert s.has_header and s.delimiter == "|" and s.location == "/x/y"
+    assert parse_dml("SELECT 1") is None
+
+    ctx = _ctx(spark)
+    # CSV leg with the reference options
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("a|b\n1|x\n2|y\n")
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE ext_csv (a INT, b STRING) STORED AS CSV "
+        f"WITH HEADER ROW DELIMITER '|' LOCATION '{p}'"
+    )
+    assert ctx.sql("SELECT sum(a) s FROM ext_csv").df.collect()[0]["s"] == 3
+    # DELTA leg registers as a mutable DML target in one statement
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    dpath = str(tmp_path / "d")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), dpath
+    )
+    ctx.sql(f"CREATE EXTERNAL TABLE ext_d STORED AS DELTA LOCATION '{dpath}'")
+    ctx.sql("UPDATE ext_d SET cat = 'z' WHERE id = 1")
+    assert ctx.sql("SELECT cat FROM ext_d").df.collect()[0]["cat"] == "z"
+    # parquet leg
+    pq = str(tmp_path / "p")
+    spark.range(5).write.parquet(pq)
+    ctx.sql(f"CREATE EXTERNAL TABLE ext_p STORED AS PARQUET LOCATION '{pq}'")
+    assert ctx.sql("SELECT count(*) c FROM ext_p").df.collect()[0]["c"] == 5
+
+
 def test_sql_dml_unregistered_table(spark):
     ctx = _ctx(spark)
     with pytest.raises(DmlError, match="not a registered"):
