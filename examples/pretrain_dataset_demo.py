@@ -77,6 +77,21 @@ def main() -> None:
     ).drop("q")
     kept = train
 
+    # 1c. data contract: the curated corpus must hold its invariants
+    # BEFORE any training artifact derives from it (one aggregation
+    # pass for the row-level checks; enforce raises naming failures)
+    from ballista_spark.operators.validate import (
+        enforce,
+        not_null,
+        row_count,
+        unique,
+    )
+
+    kept = enforce(
+        kept, [row_count(1), not_null("text"), unique("doc_id")]
+    )
+    print("contract: row_count/not_null(text)/unique(doc_id) all hold")
+
     # 2. tokenizer trained on the CURATED corpus (never the raw one)
     model = bpe_fit(kept, num_merges=300, min_count=2)
     print(f"tokenizer: {model.merges.count()} merges, "
