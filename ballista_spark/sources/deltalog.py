@@ -990,6 +990,9 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                 "id": str(uuid.uuid4()),
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
+                # configuration must survive checkpointing: the ALTER
+                # layer's retired-name guard lives here
+                "configuration": list(snap.configuration.items()),
             },
         },
     ]
@@ -1028,6 +1031,7 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                         ("id", pa.string()),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),

@@ -80,6 +80,33 @@ def test_delta_drop_column(spark, tmp_path):
     assert read_delta_table(spark, path).collect()[0]["v2"] is None
 
 
+def test_retired_names_survive_checkpointing(spark, tmp_path):
+    """The dropped-column guard lives in metaData.configuration — a log
+    checkpoint must carry it, or a post-checkpoint re-add would
+    silently resurrect old data (found in review: the checkpoint writer
+    omitted configuration)."""
+    from ballista_spark.sources.deltalog import (
+        _read_last_checkpoint,
+        read_delta_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_table(
+        _df(spark, [(1, "a", 1.0)], "id long, cat string, v double"), path
+    )
+    alter_delta_table(path, drop_columns=["v"])
+    # force a checkpoint at the next commit
+    write_delta_table(
+        _df(spark, [(2, "b")], "id long, cat string"), path,
+        checkpoint_interval=2,
+    )
+    assert _read_last_checkpoint(path) is not None
+    snap = read_delta_snapshot(path)  # reconstructed FROM the checkpoint
+    assert "ballista.droppedColumns" in snap.configuration
+    with pytest.raises(ValueError, match="retired"):
+        alter_delta_table(path, add_columns={"v": "double"})
+
+
 def test_delta_alter_validation(spark, tmp_path):
     path = str(tmp_path / "t")
     write_delta_table(
