@@ -1598,6 +1598,8 @@ def _filters_to_column(filters: list[tuple[str, str, object]]):
         c = F.col(col)
         if op == "=":
             cond = cond & (c == F.lit(val))
+        elif op == "!=":
+            cond = cond & (c != F.lit(val))
         elif op == "<":
             cond = cond & (c < F.lit(val))
         elif op == "<=":
