@@ -153,6 +153,10 @@ class BallistaContext:
 
     def register_table(self, name: str, df: BallistaDataFrame | DataFrame) -> None:
         sdf = df.df if isinstance(df, BallistaDataFrame) else df
+        # re-registering a name revokes any lakehouse DML binding it had
+        # (register_delta/register_iceberg re-add theirs after) — a stale
+        # entry would let DML mutate the OLD table behind the new view
+        self._lakehouse.pop(name, None)
         self._tables[name] = sdf
         sdf.createOrReplaceTempView(name)
 
@@ -177,7 +181,10 @@ class BallistaContext:
         from ballista_spark.sources.deltalog import read_delta_table
 
         self.register_table(name, read_delta_table(self.spark, path, version=version))
-        self._lakehouse[name] = ("delta", path)
+        if version is None:
+            # a PINNED historical version is a read-only view: DML would
+            # mutate latest and silently re-point the view, losing the pin
+            self._lakehouse[name] = ("delta", path)
 
     def register_iceberg(
         self, name: str, path: str, snapshot_id: int | None = None
@@ -189,7 +196,8 @@ class BallistaContext:
         self.register_table(
             name, read_iceberg_table(self.spark, path, snapshot_id=snapshot_id)
         )
-        self._lakehouse[name] = ("iceberg", path)
+        if snapshot_id is None:
+            self._lakehouse[name] = ("iceberg", path)
 
     def _refresh_lakehouse_view(self, name: str) -> None:
         """Re-point the registered view at the table's NEW snapshot after
@@ -197,13 +205,9 @@ class BallistaContext:
         registration time)."""
         fmt, path = self._lakehouse[name]
         if fmt == "delta":
-            from ballista_spark.sources.deltalog import read_delta_table
-
-            self.register_table(name, read_delta_table(self.spark, path))
+            self.register_delta(name, path)
         else:
-            from ballista_spark.sources.iceberg import read_iceberg_table
-
-            self.register_table(name, read_iceberg_table(self.spark, path))
+            self.register_iceberg(name, path)
 
     def tables(self) -> list[str]:
         return sorted(self._tables)

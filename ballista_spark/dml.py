@@ -262,7 +262,7 @@ def parse_dml(query: str) -> DmlStatement | None:
                 if q and q not in aliases:
                     raise DmlError(f"unknown qualifier {q!r} in MERGE ON")
             on_cols.append(c1)
-        when_matched, insert = None, False
+        when_matched, insert = None, False  # None = insert-only merge
         for cm in re.finditer(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
             r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
@@ -295,7 +295,8 @@ def parse_dml(query: str) -> DmlStatement | None:
             raise DmlError("MERGE needs at least one WHEN clause")
         return DmlStatement(
             op="merge", table=target, source_sql=source, on=on_cols,
-            when_matched=when_matched or "update",
+            # "skip" = insert-only: matched target rows stay untouched
+            when_matched=when_matched or "skip",
             insert_not_matched=insert,
         )
     m = _VACUUM_RE.match(query)
@@ -336,10 +337,22 @@ def parse_dml(query: str) -> DmlStatement | None:
         )
     m = _INSERT_RE.match(query)
     if m:
+        rest = m.group(3)
+        lead = re.match(
+            rf"\(\s*({_IDENT})(?:\s*,\s*{_IDENT})*\s*\)\s*\S", rest
+        )
+        if lead and lead.group(1).upper() not in (
+            "SELECT", "VALUES", "WITH", "TABLE", "FROM"
+        ):
+            raise DmlError(
+                "column-list INSERT is not supported — this INSERT aligns "
+                "BY POSITION to the full table schema; project/reorder in "
+                "the SELECT instead"
+            )
         return DmlStatement(
             op="insert" if m.group(1).upper() == "INTO" else "insert_overwrite",
             table=m.group(2),
-            source_sql=m.group(3),
+            source_sql=rest,
         )
     m = _ALTER_ADD_RE.match(query)
     if m:
@@ -356,7 +369,12 @@ def parse_dml(query: str) -> DmlStatement | None:
             op="alter", table=m.group(1),
             drop_columns=[c.strip() for c in m.group(2).split(",")],
         )
-    head = _DML_HEAD.match(query).group(1).upper()
+    head = re.sub(r"\s+", " ", _DML_HEAD.match(query).group(1).upper())
+    if head in ("ALTER", "INSERT", "CREATE EXTERNAL"):
+        # Spark SQL legitimately parses other statements under these
+        # heads (ALTER VIEW, INSERT INTO a catalog table, ...) — pass
+        # through instead of hijacking them
+        return None
     raise DmlError(f"cannot parse {head} statement — see ballista_spark.dml grammar")
 
 
@@ -419,7 +437,43 @@ def execute_dml(ctx, stmt: DmlStatement):
         source = (
             spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
         )
-        if fmt == "delta":
+        if stmt.when_matched == "skip":
+            # insert-only MERGE: matched rows untouched — new keys
+            # anti-join against the target, then a plain append (no
+            # file ever rewrites)
+            from pyspark.sql import functions as F
+
+            if fmt == "delta":
+                from ballista_spark.sources.deltalog import (
+                    read_delta_table,
+                    write_delta_table,
+                )
+
+                target_df = read_delta_table(spark, path)
+                new_rows = source.join(
+                    target_df.select(*stmt.on).distinct(), stmt.on, "left_anti"
+                )
+                version = (
+                    write_delta_table(new_rows, path, mode="append")
+                    if new_rows.limit(1).count()
+                    else None
+                )
+            else:
+                from ballista_spark.sources.iceberg import (
+                    read_iceberg_table,
+                    write_iceberg_table,
+                )
+
+                target_df = read_iceberg_table(spark, path)
+                new_rows = source.join(
+                    target_df.select(*stmt.on).distinct(), stmt.on, "left_anti"
+                )
+                version = (
+                    write_iceberg_table(new_rows, path, mode="append")
+                    if new_rows.limit(1).count()
+                    else None
+                )
+        elif fmt == "delta":
             from ballista_spark.sources.deltalog import merge_delta_table
 
             version = merge_delta_table(

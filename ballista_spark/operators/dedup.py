@@ -645,11 +645,19 @@ def minhash_lsh_pairs(
         result.count()
     evicted_fin: list[DataFrame] = []
     with _PERSISTED_LOCK:
-        _MINHASH_FINAL[full_key] = result
-        while len(_MINHASH_FINAL) > _MINHASH_FINAL_MAX:
-            evicted_fin.append(
-                _MINHASH_FINAL.pop(next(iter(_MINHASH_FINAL)))
-            )
+        existing = _MINHASH_FINAL.get(full_key)
+        if existing is not None:
+            # a concurrent builder won the race: keep theirs, release
+            # ours (otherwise the loser's persisted frame leaks until
+            # session end)
+            evicted_fin.append(result)
+            result = existing
+        else:
+            _MINHASH_FINAL[full_key] = result
+            while len(_MINHASH_FINAL) > _MINHASH_FINAL_MAX:
+                evicted_fin.append(
+                    _MINHASH_FINAL.pop(next(iter(_MINHASH_FINAL)))
+                )
     for f in evicted_fin:
         try:
             f.unpersist()

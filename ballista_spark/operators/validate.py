@@ -125,16 +125,19 @@ def _observed_exprs(checks: list[Check]) -> list:
             e = F.sum(
                 F.when(col.isNotNull() & ~col.between(c.lo, c.hi), 1).otherwise(0)
             )
+            exprs.append(F.count(col).alias(f"__nn{i}"))
         elif c.kind == "accepted_values":
             e = F.sum(
                 F.when(
                     col.isNotNull() & ~col.isin(*c.values), 1
                 ).otherwise(0)
             )
+            exprs.append(F.count(col).alias(f"__nn{i}"))
         elif c.kind == "matches_regex":
             e = F.sum(
                 F.when(col.isNotNull() & ~col.rlike(c.pattern), 1).otherwise(0)
             )
+            exprs.append(F.count(col).alias(f"__nn{i}"))
         elif c.kind == "mean_between":
             e = F.avg(col)
         elif c.kind == "row_count":
@@ -172,11 +175,12 @@ def validate(
             )
         elif c.kind in ("in_range", "accepted_values", "matches_regex"):
             bad = agg_row[f"__c{i}"] or 0
-            nonnull_ok_needed = c.min_frac
-            # violations measured over ALL rows; NULLs neither pass nor
-            # fail these checks (SQL semantics)
-            frac_bad = (bad / n) if n else 0.0
-            ok = (1.0 - frac_bad) >= nonnull_ok_needed
+            nn = agg_row[f"__nn{i}"] or 0
+            # NULLs neither pass nor fail: fractions are over the
+            # NON-NULL values (vacuously ok on an all-NULL column —
+            # pair with not_null to bound the NULL budget)
+            frac_bad = (bad / nn) if nn else 0.0
+            ok = (1.0 - frac_bad) >= c.min_frac
             rows.append(
                 (c.name, c.column, f"{bad} violations ({frac_bad:.6f})",
                  f"ok_frac>={c.min_frac}", ok)

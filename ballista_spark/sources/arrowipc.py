@@ -142,21 +142,36 @@ def write_arrow_ipc(
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
+        # stage under a non-matching suffix and rename ONLY on success:
+        # a failed/retried task must not leave a structurally-valid
+        # partial file that a later read would pick up (review finding —
+        # the close() in an except path writes a valid IPC footer)
         writer = None
-        out = os.path.join(path, f"part-{_uuid.uuid4().hex}.arrow")
+        uid = _uuid.uuid4().hex
+        out = os.path.join(path, f"part-{uid}.arrow")
+        # the staging name must NOT contain ".arrow": the default read
+        # glob (*.arrow*) would pick up a hard-killed task's leftover
+        tmp = os.path.join(path, f".part-{uid}.inprogress")
         try:
             for batch in batches:
                 batch = batch.cast(target)
                 if writer is None:
                     writer = ipc.new_file(
-                        out, target, options=ipc.IpcWriteOptions(**opts_kw)
+                        tmp, target, options=ipc.IpcWriteOptions(**opts_kw)
                     )
                 writer.write_batch(batch)
-        finally:
+        except BaseException:
             if writer is not None:
                 writer.close()
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         if writer is None:
             return  # empty partition — no file (suppression, like iceberg)
+        writer.close()
+        os.replace(tmp, out)
         yield pa.record_batch([pa.array([out])], names=["file"])
 
     files = sorted(

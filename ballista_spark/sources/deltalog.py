@@ -1849,6 +1849,16 @@ def read_delta_cdf(
     final = read_delta_snapshot(
         table_path, versions[-1] if versions else None
     )
+    # window-sized snapshot memo: commit v's post-snapshot IS commit
+    # v+1's pre-snapshot — without it the loop replays the log
+    # O(window²) times (review finding)
+    _snap_memo: dict[int, DeltaSnapshot] = {final.version: final}
+
+    def _snap_at(ver: int) -> DeltaSnapshot:
+        if ver not in _snap_memo:
+            _snap_memo[ver] = read_delta_snapshot(table_path, ver)
+        return _snap_memo[ver]
+
     parts: list[DataFrame] = []
     for v in versions:
         added_rel: set[str] = set()
@@ -1887,16 +1897,8 @@ def read_delta_cdf(
             )
             return _scan_snapshot(spark, side_snap)
 
-        new_df = (
-            _side(added_rel, read_delta_snapshot(table_path, v))
-            if added_rel
-            else None
-        )
-        old_df = (
-            _side(removed_rel, read_delta_snapshot(table_path, v - 1))
-            if removed_rel
-            else None
-        )
+        new_df = _side(added_rel, _snap_at(v)) if added_rel else None
+        old_df = _side(removed_rel, _snap_at(v - 1)) if removed_rel else None
         if old_df is None:
             changes = new_df.withColumn("_change_type", F.lit("insert"))
         elif new_df is None:

@@ -473,7 +473,12 @@ def read_iceberg_table(
         # file-count-sized manifest map; deletes with the same column
         # set union into ONE anti-join regardless of how many checkpoint
         # epochs produced them.
-        seq_rows = [(p, s) for p, s in snap.file_seqs.items()]
+        # abspath both sides: _metadata.file_path is absolute, while a
+        # RELATIVE table_path leaves file_seqs keys relative — a silent
+        # join miss here would resurrect deleted rows (review finding)
+        seq_rows = [
+            (os.path.abspath(p), s) for p, s in snap.file_seqs.items()
+        ]
         seq_df = spark.createDataFrame(
             seq_rows, "__dfp string, __dseq long"
         )
@@ -530,13 +535,19 @@ def read_iceberg_changelog(
     ordinals = [i for i in range(len(log)) if from_ordinal < i <= hi]
     snaps_by_id = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
 
+    _snap_memo: dict = {}
+
     def _applied(snapshot_id):
         if snapshot_id not in snaps_by_id:
             raise IcebergFeatureError(
                 f"snapshot {snapshot_id} was expired — the changelog can "
                 "no longer be reconstructed for this window"
             )
-        return read_iceberg_snapshot(table_path, snapshot_id)
+        if snapshot_id not in _snap_memo:  # consecutive ordinals share one
+            _snap_memo[snapshot_id] = read_iceberg_snapshot(
+                table_path, snapshot_id
+            )
+        return _snap_memo[snapshot_id]
 
     final_schema = (
         _applied(log[ordinals[-1]]["snapshot-id"]).spark_schema

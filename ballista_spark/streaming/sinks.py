@@ -112,7 +112,11 @@ def _cdc_terminal(
         keyed = keyed.dropDuplicates(on)
     drop = [c for c in (op_col, order_col) if c is not None]
     if op_col is not None:
-        is_del = F.lower(F.col(op_col)) == F.lit("d")
+        # NULL op is an UPSERT (the docstring contract: anything not
+        # 'd'); a bare equality would leave NULL-op rows in NEITHER leg
+        is_del = F.coalesce(
+            F.lower(F.col(op_col)) == F.lit("d"), F.lit(False)
+        )
         deletes = keyed.where(is_del).select(*on).distinct()
         upserts = keyed.where(~is_del).drop(*drop)
         return upserts, deletes

@@ -38,6 +38,15 @@ def test_cdc_terminal_latest_wins_and_split(spark):
     assert sorted(r["id"] for r in dels.collect()) == [2]
 
 
+def test_cdc_terminal_null_op_is_upsert(spark):
+    """A NULL op marker is an upsert (review finding: NULL landed in
+    NEITHER leg and the event vanished)."""
+    batch = _cdc(spark, [(1, "a", 1.0, None, 1), (2, "b", 2.0, "d", 1)])
+    ups, dels = _cdc_terminal(batch, ["id"], "op", "seq")
+    assert [r["id"] for r in ups.collect()] == [1]
+    assert [r["id"] for r in dels.collect()] == [2]
+
+
 def test_cdc_terminal_no_opcol(spark):
     batch = _cdc(spark, [(1, "a", 1.0, "i", 1), (1, "a", 9.0, "i", 2)])
     ups, dels = _cdc_terminal(batch, ["id"], None, "seq")

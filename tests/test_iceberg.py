@@ -514,6 +514,25 @@ def test_equality_deletes_compose_with_positional_and_compact(spark, tmp_path):
     assert got2 == got
 
 
+def test_equality_deletes_apply_on_relative_table_path(spark, tmp_path):
+    """A RELATIVE table_path must not silently disable equality deletes
+    (review finding: the sequence join keys stayed relative while
+    _metadata paths are absolute, so the join missed and deleted rows
+    resurfaced)."""
+    import os as _os
+
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(table, "f1.parquet", [(1, "a", 1.0), (2, "a", 2.0)])
+    d = _write_eq_delete_file(
+        table, "eq1.parquet", {"id": [1]}, equality_ids=[1], seq=2
+    )
+    _commit_seq_snapshot(table, 2005, [_seq_entry(e1, 1, None), d], version=1)
+    rel = _os.path.relpath(table)
+    assert not _os.path.isabs(rel)
+    got = sorted(r["id"] for r in read_iceberg_table(spark, rel).collect())
+    assert got == [2]
+
+
 def test_equality_delete_on_dropped_field_refuses(spark, tmp_path):
     table = str(tmp_path / "ice")
     e1 = _write_data_file(table, "f1.parquet", [(1, "a", 1.0)])

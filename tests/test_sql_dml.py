@@ -224,3 +224,86 @@ def test_sql_dml_unregistered_table(spark):
     ctx = _ctx(spark)
     with pytest.raises(DmlError, match="not a registered"):
         ctx.sql("DELETE FROM nowhere WHERE id = 1")
+
+
+def test_insert_only_merge_leaves_matched_rows_alone(spark, tmp_path):
+    """WHEN NOT MATCHED THEN INSERT * with no matched clause must NOT
+    touch matched target rows (review finding: it silently updated)."""
+    from ballista_spark.dml import parse_dml
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    s = parse_dml(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert s.when_matched == "skip" and s.insert_not_matched
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(1, "keep")], "id long, cat string"), path
+    )
+    ctx.register_delta("t_io", path)
+    spark.createDataFrame(
+        [(1, "CLOBBER"), (2, "new")], "id long, cat string"
+    ).createOrReplaceTempView("src_io")
+    ctx.sql(
+        "MERGE INTO t_io USING src_io ON t_io.id = src_io.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["id"]: r["cat"] for r in ctx.sql("SELECT * FROM t_io").df.collect()}
+    assert got == {1: "keep", 2: "new"}  # matched row untouched
+
+
+def test_non_lakehouse_alter_and_insert_pass_through(spark):
+    """Statements under ALTER/INSERT heads that the mini-grammar can't
+    parse fall through to Spark SQL instead of raising (review
+    finding: ALTER VIEW regressed); column-list INSERT raises with
+    guidance; unparseable DELETE still raises (Spark can never run it
+    on a temp view anyway)."""
+    from ballista_spark.dml import parse_dml
+
+    assert parse_dml("ALTER VIEW v AS SELECT 1") is None
+    with pytest.raises(DmlError, match="column-list INSERT"):
+        parse_dml("INSERT INTO t (c1, c2) SELECT 1, 2")
+    with pytest.raises(DmlError, match="cannot parse DELETE"):
+        parse_dml("DELETE FROM t")  # no WHERE: outside the grammar
+
+
+def test_reregistering_name_revokes_dml_binding(spark, tmp_path):
+    """Re-registering a lakehouse name as a plain view must revoke the
+    DML binding (review finding: stale entries mutated the OLD table
+    behind the new view)."""
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), path
+    )
+    ctx.register_delta("t_rv", path)
+    ctx.register_table("t_rv", spark.range(3))
+    with pytest.raises(DmlError, match="not a registered"):
+        ctx.sql("DELETE FROM t_rv WHERE id = 1")
+    # consecutive DMLs keep the binding (the refresh re-adds it)
+    ctx.register_delta("t_rv", path)
+    ctx.sql("UPDATE t_rv SET cat = 'x' WHERE id = 1")
+    ctx.sql("UPDATE t_rv SET cat = 'y' WHERE id = 1")
+    assert ctx.sql("SELECT cat FROM t_rv").df.collect()[0]["cat"] == "y"
+
+
+def test_pinned_version_registration_is_read_only(spark, tmp_path):
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), path
+    )
+    write_delta_table(
+        spark.createDataFrame([(2, "b")], "id long, cat string"), path
+    )
+    ctx.register_delta("t_pin", path, version=0)
+    assert ctx.sql("SELECT count(*) c FROM t_pin").df.collect()[0]["c"] == 1
+    with pytest.raises(DmlError, match="not a registered"):
+        ctx.sql("DELETE FROM t_pin WHERE id = 1")

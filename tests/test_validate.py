@@ -80,6 +80,23 @@ def test_unique_and_referential(spark):
     assert ok is False
 
 
+def test_frac_checks_measure_non_null_values(spark):
+    """min_frac is over NON-NULL values (review finding: the original
+    code divided by all rows, so NULL-heavy columns passed gates the
+    docstring said they should fail)."""
+    rows = [(i, None if i < 50 else ("ok" if i < 90 else "BAD"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    # 50 non-NULL, 10 bad -> ok fraction 40/50 = 0.80 < 0.85: FAIL
+    report, ok = validate(df, [accepted_values("cat", ["ok"], min_frac=0.85)])
+    assert ok is False
+    assert "0.2" in report.collect()[0]["observed"]
+    # all-NULL column: vacuously ok (pair with not_null for the budget)
+    allnull = spark.createDataFrame([(1, None)], "id long, cat string")
+    _, ok2 = validate(allnull, [matches_regex("cat", "x")])
+    assert ok2 is True
+
+
 def test_enforce_gate(spark):
     df = _df(spark)
     # passing contract returns the frame untouched
