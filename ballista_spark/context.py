@@ -229,6 +229,17 @@ class BallistaContext:
 
         stmt = parse_dml(query)
         if stmt is not None:
+            # INSERT/ALTER on a table that is NOT a registered lakehouse
+            # table is legitimate Spark SQL (catalog tables, views) —
+            # pass through rather than hijacking it.  DELETE/UPDATE/
+            # MERGE/VACUUM/OPTIMIZE keep the loud DmlError: stock Spark
+            # refuses those without catalog jars anyway, and the error
+            # names the registered mutable tables.
+            if (
+                stmt.op in ("insert", "insert_overwrite", "alter")
+                and stmt.table not in self._lakehouse
+            ):
+                return BallistaDataFrame(self.spark.sql(query))
             return BallistaDataFrame(execute_dml(self, stmt))
         return BallistaDataFrame(self.spark.sql(query))
 

@@ -56,6 +56,7 @@ mandate (SURVEY §2).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import uuid
@@ -212,6 +213,13 @@ class DeltaSnapshot:
 
     def file_paths(self) -> list[str]:
         return [os.path.join(self.table_path, f.path) for f in self.files]
+
+    def with_files(self, files: list["_AddFile"]) -> "DeltaSnapshot":
+        """A snapshot restricted to ``files`` that keeps EVERY other
+        field — crucially ``column_mapping`` (an ad-hoc reconstruction
+        that drops it makes ``_scan_snapshot`` read a column-mapped
+        table's parquet under logical names and return all-NULL data)."""
+        return dataclasses.replace(self, files=list(files))
 
 
 def _normalize_rel(table_path: str, p: str) -> str:
@@ -1389,13 +1397,7 @@ def merge_delta_table(
     # 2. touch probe over the candidates only
     touched_rel: set[str] = set()
     if candidates:
-        probe_snap = DeltaSnapshot(
-            table_path=snap.table_path,
-            version=snap.version,
-            schema=snap.schema,
-            partition_columns=snap.partition_columns,
-            files=list(candidates),
-        )
+        probe_snap = snap.with_files(candidates)
         probe = (
             _scan_snapshot(spark, probe_snap)
             .withColumn("__file", F.input_file_name())
@@ -1417,13 +1419,7 @@ def merge_delta_table(
     adds: list[dict] = []
     matched_keys = None
     if touched:
-        tsnap = DeltaSnapshot(
-            table_path=snap.table_path,
-            version=snap.version,
-            schema=snap.schema,
-            partition_columns=snap.partition_columns,
-            files=list(touched),
-        )
+        tsnap = snap.with_files(touched)
         touched_df = _scan_snapshot(spark, tsnap)
         kept = touched_df.join(
             F.broadcast(source.select(*on).distinct()), on=on, how="left_anti"
@@ -1553,13 +1549,7 @@ def _touched_files(
     ]
     if not candidates:
         return []
-    probe_snap = DeltaSnapshot(
-        table_path=snap.table_path,
-        version=snap.version,
-        schema=snap.schema,
-        partition_columns=snap.partition_columns,
-        files=list(candidates),
-    )
+    probe_snap = snap.with_files(candidates)
     probe = (
         _scan_snapshot(spark, probe_snap)
         .where(F.coalesce(_filters_to_column(filters), F.lit(False)))
@@ -1652,13 +1642,7 @@ def delete_from_delta_table(
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
-    tsnap = DeltaSnapshot(
-        table_path=snap.table_path,
-        version=snap.version,
-        schema=snap.schema,
-        partition_columns=snap.partition_columns,
-        files=list(touched),
-    )
+    tsnap = snap.with_files(touched)
     survivors = _scan_snapshot(spark, tsnap).where(
         ~F.coalesce(_filters_to_column(filters), F.lit(False))
     )
@@ -1711,22 +1695,27 @@ def update_delta_table(
         pred = F.lit(True)
     if not touched:
         return None
-    tsnap = DeltaSnapshot(
-        table_path=snap.table_path,
-        version=snap.version,
-        schema=snap.schema,
-        partition_columns=snap.partition_columns,
-        files=list(touched),
-    )
-    updated = _scan_snapshot(spark, tsnap)
-    for name, expr in set_exprs.items():
-        col = F.expr(expr) if isinstance(expr, str) else expr
-        updated = updated.withColumn(
-            name,
-            F.when(pred, col.cast(by_name[name].dataType)).otherwise(
-                F.col(name)
+    tsnap = snap.with_files(touched)
+    base = _scan_snapshot(spark, tsnap)
+    # SQL UPDATE semantics: every SET right-hand side evaluates against
+    # the PRE-update row, so `SET a = b, b = a` swaps.  One select
+    # projection over the original row — never chained withColumn (a
+    # later assignment would see already-updated columns).
+    replacements = {
+        name: F.when(
+            pred,
+            (F.expr(expr) if isinstance(expr, str) else expr).cast(
+                by_name[name].dataType
             ),
-        )
+        ).otherwise(F.col(name))
+        for name, expr in set_exprs.items()
+    }
+    updated = base.select(
+        *[
+            replacements[c].alias(c) if c in replacements else F.col(c)
+            for c in base.columns
+        ]
+    )
     adds = _stage_data_files(
         updated, table_path, snap.partition_columns, data_change=True
     )
@@ -1777,6 +1766,9 @@ def read_delta_changes(
         fld for fld in snap.schema.fields
         if fld.name not in snap.partition_columns
     ]
+    # raw commit JSON keys partitionValues by PHYSICAL names on a
+    # column-mapped table; remap to logical like read_delta_snapshot
+    to_logical = {p: l for l, p in snap.column_mapping.items()}
     out = None
     for v in versions:
         adds = []
@@ -1786,20 +1778,19 @@ def read_delta_changes(
                 adds.append(
                     _AddFile(
                         path=_normalize_rel(table_path, a["path"]),
-                        partition_values=dict(a.get("partitionValues") or {}),
+                        partition_values={
+                            to_logical.get(k, k): val
+                            for k, val in (
+                                a.get("partitionValues") or {}
+                            ).items()
+                        },
                         size=int(a.get("size") or 0),
                         stats=None,
                     )
                 )
         if not adds:
             continue
-        vsnap = DeltaSnapshot(
-            table_path=table_path,
-            version=v,
-            schema=snap.schema,
-            partition_columns=snap.partition_columns,
-            files=adds,
-        )
+        vsnap = snap.with_files(adds)
         part = _scan_snapshot(spark, vsnap).withColumn(
             "_commit_version", F.lit(v).cast("long")
         )
@@ -1888,14 +1879,7 @@ def read_delta_cdf(
                         f"data file {f.path!r} was vacuumed — the CDF for "
                         f"commit {v} can no longer be reconstructed"
                     )
-            side_snap = DeltaSnapshot(
-                table_path=snap_at.table_path,
-                version=snap_at.version,
-                schema=snap_at.schema,
-                partition_columns=snap_at.partition_columns,
-                files=files,
-            )
-            return _scan_snapshot(spark, side_snap)
+            return _scan_snapshot(spark, snap_at.with_files(files))
 
         new_df = _side(added_rel, _snap_at(v)) if added_rel else None
         old_df = _side(removed_rel, _snap_at(v - 1)) if removed_rel else None

@@ -25,10 +25,15 @@ prune), primitive + list/map/struct types.  v2 merge-on-read POSITION
 delete files are applied EXACTLY (round 7): one anti-join of the scan's
 ``_metadata.(file_path, row_index)`` against the tombstone files — a
 (file, pos) tombstone can never hit a row written after it, so no
-sequence-number scoping is needed.  EQUALITY delete files still raise
-with the feature named: applying them correctly requires
-sequence-number scoping (a later re-insert of the same key must
-survive), and silent over-deletion is worse than refusal.
+sequence-number scoping is needed.  EQUALITY delete files are applied
+with sequence-number scoping (round 7): a delete at sequence S removes
+matching rows only from data files with sequence < S, so a later
+re-insert of the same key survives — each row learns its file's
+sequence via one broadcast join against the manifest map, then deletes
+sharing a column set union into one null-safe anti-join with the
+``data_seq < delete_seq`` condition.  Still refused loudly:
+non-parquet delete files and equality deletes missing
+``equality_ids``.
 
 The reference engine has no table-format layer (CSV/Parquet/Avro file
 scans only, `rust/core/proto/ballista.proto:244-258`); with
@@ -1820,15 +1825,25 @@ def update_iceberg_table(
     paths = [
         _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
     ]
-    updated = spark.read.schema(spark_schema).parquet(*paths)
-    for name, expr in set_exprs.items():
-        col = F.expr(expr) if isinstance(expr, str) else expr
-        updated = updated.withColumn(
-            name,
-            F.when(pred, col.cast(by_name[name].dataType)).otherwise(
-                F.col(name)
+    base = spark.read.schema(spark_schema).parquet(*paths)
+    # SQL UPDATE: all SET right-hand sides see the PRE-update row
+    # (`SET a = b, b = a` swaps) — one select projection, not chained
+    # withColumn
+    replacements = {
+        name: F.when(
+            pred,
+            (F.expr(expr) if isinstance(expr, str) else expr).cast(
+                by_name[name].dataType
             ),
-        )
+        ).otherwise(F.col(name))
+        for name, expr in set_exprs.items()
+    }
+    updated = base.select(
+        *[
+            replacements[c].alias(c) if c in replacements else F.col(c)
+            for c in base.columns
+        ]
+    )
     new_entries = _stage_entries(updated, table_path, ids, snapshot_id)
 
     touched_paths = {e["data_file"]["file_path"] for e in touched}

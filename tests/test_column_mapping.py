@@ -222,3 +222,59 @@ def test_mapped_writes_refused(spark, tmp_path):
     }.items():
         with pytest.raises(DeltaProtocolError, match="column-mapped"):
             call()
+
+
+def _append_commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_mapped_change_feeds_read_real_values(spark, tmp_path):
+    """read_delta_changes / read_delta_cdf on a column-mapped table must
+    scan under PHYSICAL parquet names (review finding: ad-hoc snapshots
+    dropped column_mapping → every data column came back NULL)."""
+    from ballista_spark.sources.deltalog import (
+        read_delta_cdf,
+        read_delta_changes,
+    )
+
+    table = _mapped_table(tmp_path)
+    a = _write_phys_file(table, "f3.parquet", [300], ["zz"])
+    _append_commit(table, 1, [{"add": a}])
+
+    inc = read_delta_changes(spark, table, from_version=0).collect()
+    assert [(r["id"], r["cat"], r["_commit_version"]) for r in inc] == [
+        (300, "zz", 1)
+    ]
+
+    cdf = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["cat"])
+        for r in read_delta_cdf(spark, table, from_version=-1).collect()
+    )
+    assert cdf == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (0, "insert", 3, "c"),
+        (0, "insert", 100, "x"),
+        (0, "insert", 200, "y"),
+        (1, "insert", 300, "zz"),
+    ]
+    # no silently-NULL data columns anywhere in the window
+    assert all(r[3] is not None for r in cdf)
+
+
+def test_mapped_changes_partition_values_remap_to_logical(spark, tmp_path):
+    """Commit-JSON partitionValues are PHYSICALLY keyed on a mapped
+    table; read_delta_changes must remap them before scanning."""
+    from ballista_spark.sources.deltalog import read_delta_changes
+
+    table = _mapped_table(tmp_path, with_part=True)
+    rel = f"{PHYS['part']}=z/f_z.parquet"
+    a = _write_phys_file(table, rel, [300], ["q"])
+    a["partitionValues"] = {PHYS["part"]: "z"}
+    _append_commit(table, 1, [{"add": a}])
+
+    inc = read_delta_changes(spark, table, from_version=0).collect()
+    assert [(r["id"], r["cat"], r["part"]) for r in inc] == [(300, "q", "z")]

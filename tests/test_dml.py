@@ -232,3 +232,31 @@ def test_iceberg_update_validation(spark, tmp_path):
     sid = update_iceberg_table(spark, path, {"cat": "'z'"})
     assert sid is not None
     assert {r["cat"] for r in read_iceberg_table(spark, path).collect()} == {"z"}
+
+
+# ------------------------------------------------- SET sees pre-update row
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_update_set_evaluates_against_pre_update_row(spark, tmp_path, fmt):
+    """SQL UPDATE: every SET right-hand side sees the PRE-update row —
+    `SET v = id, id = v` swaps (review finding: chained withColumn made
+    the second assignment read the first's output)."""
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 10.0), (2, "b", 20.0)])
+    if fmt == "delta":
+        write_delta_table(df, path)
+        update_delta_table(
+            spark, path, {"v": "cast(id as double)", "id": "cast(v as long)"}
+        )
+        out = read_delta_table(spark, path)
+    else:
+        write_iceberg_table(df, path)
+        update_iceberg_table(
+            spark, path, {"v": "cast(id as double)", "id": "cast(v as long)"}
+        )
+        out = read_iceberg_table(spark, path)
+    got = sorted((r["id"], r["cat"], r["v"]) for r in out.collect())
+    assert got == [(10, "a", 1.0), (20, "b", 2.0)]
+    # column ORDER must not drift through the projection rewrite
+    assert out.columns == ["id", "cat", "v"]

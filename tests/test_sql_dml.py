@@ -307,3 +307,20 @@ def test_pinned_version_registration_is_read_only(spark, tmp_path):
     assert ctx.sql("SELECT count(*) c FROM t_pin").df.collect()[0]["c"] == 1
     with pytest.raises(DmlError, match="not a registered"):
         ctx.sql("DELETE FROM t_pin WHERE id = 1")
+
+
+def test_insert_and_alter_on_catalog_table_pass_through(spark):
+    """A parseable INSERT/ALTER naming a table that is NOT a registered
+    lakehouse table is genuine Spark SQL (catalog tables) — ctx.sql must
+    pass it through rather than raising DmlError (review finding: the
+    router hijacked every unqualified INSERT/ALTER it could parse)."""
+    ctx = _ctx(spark)
+    spark.sql("DROP TABLE IF EXISTS ins_passthrough")
+    spark.sql("CREATE TABLE ins_passthrough (id bigint) USING parquet")
+    try:
+        ctx.sql("INSERT INTO ins_passthrough SELECT 5")
+        ctx.sql("ALTER TABLE ins_passthrough ADD COLUMNS (x bigint)")
+        got = ctx.sql("SELECT * FROM ins_passthrough").df.collect()
+        assert [(r["id"], r["x"]) for r in got] == [(5, None)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_passthrough")
