@@ -36,8 +36,16 @@ Scale design:
 - **Commits are put-if-absent.**  ``{version:020d}.json`` is created
   with an exclusive-create open; a losing racer re-reads the snapshot
   and retries on top (optimistic concurrency, the Delta commit
-  protocol).  Object stores without atomic create need a coordination
-  layer (the spec's LogStore) — out of scope, documented.
+  protocol).
+- **Filesystem-agnostic metadata plane** (round 8): every log/staging
+  IO site routes through ``sources/fsio.py`` — plain paths keep the
+  local ``os`` fast-path, URIs (s3://, hdfs://, + Hadoop spellings
+  s3a://…) go through ``pyarrow.fs``.  Exclusive-create degrades to
+  check-then-write on object stores (fsio warns; multi-writer S3
+  deployments need the spec's LogStore coordination layer — documented,
+  loud).  Footer-stat collection for large commits distributes as one
+  ``mapInPandas`` pass instead of a serial driver loop
+  (``_collect_file_stats``).
 
 Supported protocol subset (checked, not assumed): reader version ≤ 2
 plus the columnMapping table feature (reader version 3 tables whose
@@ -62,10 +70,13 @@ import os
 import uuid
 from collections.abc import Mapping
 from dataclasses import dataclass, field
+from urllib.parse import unquote as _unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ballista_spark.sources import fsio
 
 __all__ = [
     "DeltaSnapshot",
@@ -117,11 +128,8 @@ def _commit_path(table_path: str, version: int) -> str:
 
 def _list_log_versions(table_path: str) -> list[int]:
     """Versions with a JSON commit present, ascending."""
-    d = _log_dir(table_path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in os.listdir(d):
+    for name in fsio.listdir(_log_dir(table_path)):
         if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
             out.append(int(name[:20]))
     return sorted(out)
@@ -129,10 +137,9 @@ def _list_log_versions(table_path: str) -> list[int]:
 
 def _read_last_checkpoint(table_path: str) -> dict | None:
     p = os.path.join(_log_dir(table_path), "_last_checkpoint")
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return None
-    with open(p, "r", encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 def _checkpoint_paths(table_path: str, version: int, parts: int | None) -> list[str]:
@@ -148,27 +155,83 @@ def _checkpoint_paths(table_path: str, version: int, parts: int | None) -> list[
 
 
 def _iter_commit_actions(path: str):
-    with open(path, "r", encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                yield json.loads(line)
+    for line in fsio.read_text(path).splitlines():
+        line = line.strip()
+        if line:
+            yield json.loads(line)
+
+
+def _map_column_to_dicts(arr) -> list[dict]:
+    """MapArray -> list of python dicts via the flat keys/items arrays
+    and offsets — ``to_pylist`` on a map column walks scalar-at-a-time
+    in Python (~10 µs/row, the 100k-file reconstruction hot spot); the
+    flat arrays convert at C speed."""
+    if arr.null_count == len(arr):
+        return [{} for _ in range(len(arr))]
+    offs = arr.offsets.to_pylist()
+    keys = arr.keys.to_pylist()
+    vals = arr.items.to_pylist()
+    out = []
+    for i in range(len(arr)):
+        lo, hi = offs[i], offs[i + 1]
+        out.append(dict(zip(keys[lo:hi], vals[lo:hi])) if hi > lo else {})
+    return out
 
 
 def _iter_checkpoint_actions(paths: list[str]):
     """Checkpoint rows are one action per row in struct columns — yield
-    them in the same {kind: body} shape as JSON commit lines."""
+    them in the same {kind: body} shape as JSON commit lines.
+
+    The ``add`` column (the 100k+-row one) converts COLUMNAR — per-field
+    ``struct_field(...).to_pylist()`` plus the offsets-based map decode
+    — instead of row-wise ``to_pylist`` (which walks map scalars in
+    Python).  Ordering by kind is safe: a checkpoint is a snapshot, so
+    inter-kind order carries no semantics (a path is either live or
+    tombstoned, never both).  Profiled round 8: 100k-file
+    reconstruction 6.2 s -> ~1.5 s."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     for p in paths:
-        tbl = pq.read_table(p)
-        cols = [c for c in ("protocol", "metaData", "add", "remove", "txn")
-                if c in tbl.column_names]
-        for row in tbl.select(cols).to_pylist():
-            for kind in cols:
-                body = row.get(kind)
-                if body is not None:
-                    yield {kind: body}
+        with fsio.open_input(p) as src:
+            tbl = pq.read_table(src)
+        for kind in ("protocol", "metaData", "remove", "txn"):
+            if kind not in tbl.column_names:
+                continue
+            nn = pc.drop_null(tbl.column(kind).combine_chunks())
+            for body in nn.to_pylist():
+                yield {kind: body}
+        if "add" not in tbl.column_names:
+            continue
+        col = tbl.column("add").combine_chunks()
+        adds = col.filter(pc.is_valid(col))
+        if not len(adds):
+            continue
+        names = {f.name for f in adds.type}
+
+        def _field(name, default=None):
+            if name not in names:
+                return [default] * len(adds)
+            return pc.struct_field(adds, name).to_pylist()
+
+        a_paths = _field("path")
+        a_sizes = _field("size", 0)
+        a_stats = _field("stats")
+        a_dchg = _field("dataChange", True)
+        if "partitionValues" in names:
+            a_pvals = _map_column_to_dicts(pc.struct_field(adds, "partitionValues"))
+        else:
+            a_pvals = [{} for _ in range(len(adds))]
+        for i in range(len(adds)):
+            yield {
+                "add": {
+                    "path": a_paths[i],
+                    "partitionValues": a_pvals[i],
+                    "size": a_sizes[i],
+                    "dataChange": a_dchg[i],
+                    "stats": a_stats[i],
+                }
+            }
 
 
 # ---------------------------------------------------------------------------
@@ -224,17 +287,23 @@ class DeltaSnapshot:
 
 def _normalize_rel(table_path: str, p: str) -> str:
     """Spec says add/remove paths are table-root-relative (URL-encoded);
-    tolerate absolute paths some writers emit."""
-    from urllib.parse import unquote
-
-    p = unquote(p)
-    root = os.path.abspath(table_path)
+    tolerate absolute paths/URIs some writers emit."""
+    if "%" in p:
+        p = _unquote(p)
     if p.startswith("file:"):
         p = p[5:]
         while p.startswith("//"):
             p = p[1:]
-    if os.path.isabs(p):
-        return os.path.relpath(p, root)
+    if "://" in p:
+        # absolute URI under the table root (scheme spellings may
+        # differ: s3a vs s3) — strip to the path after the root's tail
+        tail = table_path.partition("://")[2]
+        rest = p.partition("://")[2]
+        if tail and rest.startswith(tail.rstrip("/") + "/"):
+            return rest[len(tail.rstrip("/")) + 1:]
+        return p.rsplit("/", 1)[-1]
+    if os.path.isabs(p) and fsio.is_local(table_path):
+        return os.path.relpath(p, os.path.abspath(table_path))
     return p
 
 
@@ -596,10 +665,13 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
 
 def _file_stats_json(path: str, stat_cols: list[str]) -> tuple[str, int]:
     """(stats JSON, numRecords) from a parquet footer — row-group min/max
-    aggregated per column.  Footer-only: no data pages are read."""
+    aggregated per column.  Footer-only: no data pages are read.
+    Worker-safe (fsio-routed): the distributed stats pass calls this on
+    executors."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    with fsio.open_input(path) as src:
+        md = pq.ParquetFile(src).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
@@ -638,18 +710,73 @@ def _file_stats_json(path: str, stat_cols: list[str]) -> tuple[str, int]:
 
 
 def _attempt_commit(table_path: str, version: int, actions: list[dict]) -> None:
-    os.makedirs(_log_dir(table_path), exist_ok=True)
-    tmp = _commit_path(table_path, version)
-    # exclusive create IS the commit: one winner per version
-    with open(tmp, "x", encoding="utf-8") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # exclusive create IS the commit: one winner per version (atomic on
+    # local FS; check-then-write + documented LogStore caveat on object
+    # stores — see fsio.create_exclusive)
+    body = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n" for a in actions
+    )
+    fsio.create_exclusive(
+        _commit_path(table_path, version), body.encode("utf-8")
+    )
 
 
 def _now_ms() -> int:
     import time
 
     return int(time.time() * 1000)
+
+
+#: NON-LOCAL commits staging at least this many files collect footer
+#: stats executor-side (one mapInPandas job).  Local paths always use
+#: the driver loop: measured on this box, 1,000 local footer reads take
+#: 0.15 s serially vs 4.5 s of Spark job overhead — the distributed
+#: pass only wins where each footer read is a ~10-100 ms object-store
+#: GET (10k files = minutes serial, seconds distributed).
+EXECUTOR_STATS_MIN_FILES = 64
+#: test hook: force the executor path on local paths too
+EXECUTOR_STATS_FORCE = False
+
+
+def _collect_file_stats(
+    spark: SparkSession | None,
+    base: str,
+    rels: list[str],
+    stat_cols: list[str],
+) -> dict[str, tuple[str, int]]:
+    """rel path -> (stats JSON, numRecords) for every staged file.
+
+    Local/small commits loop on the driver; large object-store commits
+    distribute the footer reads as ONE Arrow-batched ``mapInPandas``
+    pass over the path list (a 10k-file initial load reads 10k footers
+    across the cluster, not serially on the driver — the round-7
+    scale-killer)."""
+    if (
+        spark is None
+        or len(rels) < EXECUTOR_STATS_MIN_FILES
+        or (fsio.is_local(base) and not EXECUTOR_STATS_FORCE)
+    ):
+        return {r: _file_stats_json(f"{base}/{r}", stat_cols) for r in rels}
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [
+                (r, *_file_stats_json(f"{base}/{r}", stat_cols))
+                for r in pdf["rel"]
+            ]
+            yield pd.DataFrame(
+                recs, columns=["rel", "stats", "num_records"]
+            )
+
+    paths_df = spark.createDataFrame(
+        [(r,) for r in rels], "rel string"
+    ).repartition(min(len(rels), spark.sparkContext.defaultParallelism))
+    rows = paths_df.mapInPandas(
+        _gen, "rel string, stats string, num_records long"
+    ).collect()
+    return {r["rel"]: (r["stats"], int(r["num_records"])) for r in rows}
 
 
 def _stage_data_files(
@@ -661,8 +788,12 @@ def _stage_data_files(
     """Write ``df`` via Spark into a staging dir, move the parquet files
     into the table root (keeping hive partition subdirs), and return the
     ready-to-commit ``add`` actions with footer-derived stats.  Zero-row
-    task outputs are dropped, never added."""
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    task outputs are dropped, never added.  IO is fsio-routed (works on
+    object storage) and stats collection distributes for large commits
+    (``_collect_file_stats``)."""
+    from urllib.parse import unquote
+
+    staging = f"{table_path.rstrip('/')}/.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -671,52 +802,42 @@ def _stage_data_files(
     stat_cols = [
         f.name for f in df.schema.fields if f.name not in set(partition_by)
     ]
+    staged = [
+        (rel, size)
+        for rel, size in fsio.walk_files(staging)
+        if rel.endswith(".parquet")
+    ]
+    stats_by_rel = _collect_file_stats(
+        df.sparkSession, staging, [r for r, _ in staged], stat_cols
+    )
     adds: list[dict] = []
-    for dirpath, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(dirpath, name)
-            rel_dir = os.path.relpath(dirpath, staging)
-            dest_dir = (
-                table_path if rel_dir == "." else os.path.join(table_path, rel_dir)
+    for rel, size in staged:
+        stats, n_records = stats_by_rel[rel]
+        if n_records == 0:
+            continue  # empty task output — never added, swept with staging
+        part_values = {}
+        for seg in rel.split("/")[:-1]:
+            k, _, v = seg.partition("=")
+            part_values[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
             )
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, name)
-            os.rename(src, dest)
-            part_values = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    from urllib.parse import unquote
-
-                    part_values[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                    )
-            stats, n_records = _file_stats_json(dest, stat_cols)
-            if n_records == 0:
-                os.remove(dest)  # empty task output — never add it
-                continue
-            adds.append(
-                {
-                    "add": {
-                        "path": os.path.relpath(dest, table_path).replace(
-                            os.sep, "/"
-                        ),
-                        "partitionValues": {
-                            k: ("" if v is None else v)
-                            for k, v in part_values.items()
-                        },
-                        "size": os.path.getsize(dest),
-                        "modificationTime": _now_ms(),
-                        "dataChange": data_change,
-                        "stats": stats,
-                    }
+        fsio.move(f"{staging}/{rel}", f"{table_path.rstrip('/')}/{rel}")
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {
+                        k: ("" if v is None else v)
+                        for k, v in part_values.items()
+                    },
+                    "size": size,
+                    "modificationTime": _now_ms(),
+                    "dataChange": data_change,
+                    "stats": stats,
                 }
-            )
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+            }
+        )
+    fsio.remove_dir(staging)
     return adds
 
 
@@ -759,7 +880,7 @@ def write_delta_table(
         # append case — a caller shouldn't have to restate it)
         partition_by = read_delta_snapshot(table_path).partition_columns
     partition_by = list(partition_by or [])
-    os.makedirs(table_path, exist_ok=True)
+    fsio.mkdirs(table_path)
     if txn_app_id is not None and _list_log_versions(table_path):
         committed = read_delta_snapshot(table_path).app_versions.get(txn_app_id)
         if committed is not None and committed >= int(txn_version):
@@ -1067,13 +1188,12 @@ def _write_checkpoint(table_path: str, version: int) -> None:
             r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
     table = pa.Table.from_pylist(rows, schema=schema)
     cp_path = _checkpoint_paths(table_path, version, None)[0]
-    pq.write_table(table, cp_path)
-    with open(
+    with fsio.open_output(cp_path) as sink:
+        pq.write_table(table, sink)
+    fsio.write_text(
         os.path.join(_log_dir(table_path), "_last_checkpoint"),
-        "w",
-        encoding="utf-8",
-    ) as f:
-        json.dump({"version": version, "size": len(rows)}, f)
+        json.dumps({"version": version, "size": len(rows)}),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1155,41 +1275,41 @@ def compact_delta_table(
             f"{c}={'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
             for c, v in key
         )
-        out_dir = os.path.join(table_path, f".compact-{uuid.uuid4().hex}")
+        out_dir = f"{table_path.rstrip('/')}/.compact-{uuid.uuid4().hex}"
         shaped.write.mode("overwrite").parquet(out_dir)
         written = sorted(
-            n for n in os.listdir(out_dir) if n.endswith(".parquet")
+            (rel, size)
+            for rel, size in fsio.walk_files(out_dir)
+            if rel.endswith(".parquet")
         )
-        dest_dir = (
-            os.path.join(table_path, part_dir) if part_dir else table_path
+        stats_by_rel = _collect_file_stats(
+            spark, out_dir, [r for r, _ in written], stat_cols
         )
-        os.makedirs(dest_dir, exist_ok=True)
-        import shutil
-
-        for name in written:
-            dest = os.path.join(
-                dest_dir, f"part-compact-{uuid.uuid4().hex}.parquet"
-            )
-            os.rename(os.path.join(out_dir, name), dest)
-            stats, n = _file_stats_json(dest, stat_cols)
+        for name, size in written:
+            stats, n = stats_by_rel[name]
             if n == 0:
-                os.remove(dest)  # empty range split — drop it
-                continue
+                continue  # empty range split — swept with out_dir
+            rel = (
+                f"{part_dir}/part-compact-{uuid.uuid4().hex}.parquet"
+                if part_dir
+                else f"part-compact-{uuid.uuid4().hex}.parquet"
+            )
+            fsio.move(
+                f"{out_dir}/{name}", f"{table_path.rstrip('/')}/{rel}"
+            )
             adds.append(
                 {
                     "add": {
-                        "path": os.path.relpath(dest, table_path).replace(
-                            os.sep, "/"
-                        ),
+                        "path": rel,
                         "partitionValues": {c: (v or "") for c, v in key},
-                        "size": os.path.getsize(dest),
+                        "size": size,
                         "modificationTime": _now_ms(),
                         "dataChange": False,
                         "stats": stats,
                     }
                 }
             )
-        shutil.rmtree(out_dir, ignore_errors=True)
+        fsio.remove_dir(out_dir)
         removes.extend(group)
 
     for key, files in by_part.items():
@@ -1285,26 +1405,20 @@ def vacuum_delta_table(
     snap = read_delta_snapshot(table_path)
     live = {f.path for f in snap.files}
     deleted: list[str] = []
-    root = os.path.abspath(table_path)
-    for dirpath, dirs, names in os.walk(root):
+    for rel, _size in fsio.walk_files(table_path):
         # never touch the log or in-flight staging dirs
-        dirs[:] = [
-            d for d in dirs
-            if d != "_delta_log" and not d.startswith((".staging-", ".compact-"))
-        ]
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            full = os.path.join(dirpath, name)
-            rel = os.path.relpath(full, root).replace(os.sep, "/")
-            if rel in live:
-                continue
-            ts = snap.tombstones.get(rel)
-            if ts is None:  # orphan from a crashed/skipped writer
-                ts = int(os.path.getmtime(full) * 1000)
-            if ts < horizon:
-                os.remove(full)
-                deleted.append(rel)
+        top = rel.split("/", 1)[0]
+        if top == "_delta_log" or top.startswith((".staging-", ".compact-")):
+            continue
+        if not rel.endswith(".parquet") or rel in live:
+            continue
+        full = f"{table_path.rstrip('/')}/{rel}"
+        ts = snap.tombstones.get(rel)
+        if ts is None:  # orphan from a crashed/skipped writer
+            ts = fsio.mtime_ms(full)
+        if ts < horizon:
+            fsio.remove(full)
+            deleted.append(rel)
     return sorted(deleted)
 
 
@@ -1405,14 +1519,10 @@ def merge_delta_table(
             .select("__file")
             .distinct()
         )
-        root = os.path.abspath(table_path)
         for r in probe.collect():
-            p = r["__file"]
-            if p.startswith("file:"):
-                p = p[5:]
-                while p.startswith("//"):
-                    p = p[1:]
-            touched_rel.add(os.path.relpath(p, root).replace(os.sep, "/"))
+            # input_file_name yields a URI (file:/… locally, s3a://… on
+            # a cluster) — _normalize_rel handles both spellings
+            touched_rel.add(_normalize_rel(table_path, r["__file"]))
     touched = [f for f in snap.files if f.path in touched_rel]
 
     # 3. rewrite touched files + build the single commit
@@ -1556,15 +1666,9 @@ def _touched_files(
         .select(F.input_file_name().alias("__file"))
         .distinct()
     )
-    root = os.path.abspath(snap.table_path)
     touched_rel: set[str] = set()
     for r in probe.collect():
-        p = r["__file"]
-        if p.startswith("file:"):
-            p = p[5:]
-            while p.startswith("//"):
-                p = p[1:]
-        touched_rel.add(os.path.relpath(p, root).replace(os.sep, "/"))
+        touched_rel.add(_normalize_rel(snap.table_path, r["__file"]))
     return [f for f in snap.files if f.path in touched_rel]
 
 
@@ -1736,6 +1840,10 @@ def update_delta_table(
 # ---------------------------------------------------------------------------
 # incremental change reads
 
+#: union/exceptAll chains in change-feed reads localCheckpoint every
+#: this many commits, bounding logical-plan depth on long windows
+CDF_CHECKPOINT_EVERY = 32
+
 
 def read_delta_changes(
     spark: SparkSession,
@@ -1770,6 +1878,7 @@ def read_delta_changes(
     # column-mapped table; remap to logical like read_delta_snapshot
     to_logical = {p: l for l, p in snap.column_mapping.items()}
     out = None
+    n_parts = 0
     for v in versions:
         adds = []
         for action in _iter_commit_actions(_commit_path(table_path, v)):
@@ -1795,6 +1904,9 @@ def read_delta_changes(
             "_commit_version", F.lit(v).cast("long")
         )
         out = part if out is None else out.unionByName(part)
+        n_parts += 1
+        if n_parts % CDF_CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)  # bound plan depth
     if out is None:
         empty_schema = T.StructType(
             list(snap.schema.fields)
@@ -1874,7 +1986,7 @@ def read_delta_cdf(
                 )
             for f in files:
                 full = os.path.join(table_path, f.path)
-                if not os.path.exists(full):
+                if not fsio.exists(full):
                     raise DeltaProtocolError(
                         f"data file {f.path!r} was vacuumed — the CDF for "
                         f"commit {v} can no longer be reconstructed"
@@ -1932,6 +2044,12 @@ def read_delta_cdf(
         )
         return spark.createDataFrame([], empty_schema)
     out = parts[0]
-    for p in parts[1:]:
+    for i, p in enumerate(parts[1:], start=1):
         out = out.unionByName(p, allowMissingColumns=True)
+        if i % CDF_CHECKPOINT_EVERY == 0:
+            # truncate the logical plan every K commits (the
+            # curate_corpus pattern): a 500-commit window would
+            # otherwise build a 1000+-node exceptAll/union chain whose
+            # analysis cost alone dwarfs the data
+            out = out.localCheckpoint(eager=True)
     return out

@@ -1,0 +1,329 @@
+"""Filesystem shim for the lakehouse metadata plane — one tiny URI-aware
+IO surface (`read/write/list/move/exclusive-create`) with a local
+fast-path, so `deltalog.py` / `iceberg.py` / `hudi.py` run their
+transaction-log, manifest and staging IO on object storage, not just
+the local disk.
+
+Why this exists: the engine's design point is a 1000-executor cluster
+whose tables live on s3://-class storage.  Data bytes always move
+through Spark's own Hadoop connectors (``spark.read.parquet`` /
+``df.write.parquet`` — pushdown, codegen, task parallelism intact), but
+the METADATA plane (the Delta ``_delta_log`` JSON, Iceberg
+``metadata/``+Avro manifests, Hudi ``.hoodie/``, parquet footer stats)
+is pure-Python and was previously ``open()``/``os.*`` throughout —
+local-only.  This module routes those sites through ``pyarrow.fs``
+(same scheme aliasing as ``warc.py``: s3a→s3, gcs→gs, wasb→abfs, …)
+while bare paths and ``file:`` URIs keep the plain-``os`` fast path,
+byte-for-byte the previous behavior and cost.
+
+The two-plane split is the delta-rs / delta-spark architecture: in
+production BOTH planes must see the store (Spark via hadoop-aws etc.,
+this module via pyarrow's builtin s3/gcs/azure/hdfs clients or a
+registered custom filesystem).
+
+Atomicity caveat (documented, loud): Delta's commit protocol needs
+put-if-absent.  Local filesystems get true ``open(..., "x")``
+exclusive-create.  Object stores have no portable primitive — pyarrow
+exposes none — so :func:`create_exclusive` degrades to
+check-then-write and emits a single warning naming the gap; production
+multi-writer deployments on S3-class stores need a coordination layer
+(the Delta spec's LogStore) exactly as the delta-io docs require.
+Single-writer pipelines (the overwhelmingly common scheduled-job shape)
+are correct as-is.
+
+Worker-safe: every function takes a full path/URI and resolves its
+filesystem per call (cached per scheme+authority), so executor-side
+code (the distributed footer-stats pass) uses the same entry points.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import warnings
+
+__all__ = [
+    "is_local",
+    "register_filesystem",
+    "read_bytes",
+    "read_text",
+    "write_bytes",
+    "write_text",
+    "create_exclusive",
+    "open_input",
+    "open_output",
+    "listdir",
+    "walk_files",
+    "exists",
+    "isdir",
+    "mkdirs",
+    "move",
+    "remove",
+    "remove_dir",
+    "file_size",
+    "mtime_ms",
+]
+
+# Hadoop-connector scheme -> pyarrow scheme (warc.py's table, shared
+# spelling so both data and metadata planes accept the same URIs)
+_SCHEME_ALIASES = {
+    "s3a": "s3",
+    "s3n": "s3",
+    "gcs": "gs",
+    "wasb": "abfs",
+    "wasbs": "abfss",
+    "viewfs": "hdfs",
+}
+
+#: test / deployment hook: scheme -> pyarrow FileSystem instance
+_REGISTERED: dict[str, object] = {}
+_FS_CACHE: dict[str, object] = {}
+_LOCK = threading.Lock()
+_warned_non_atomic = False
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    """Route ``scheme://…`` through a caller-provided pyarrow
+    FileSystem (tests use ``pyarrow.fs._MockFileSystem``; deployments
+    can hand in a configured S3FileSystem).  The path passed to the
+    filesystem is everything after ``scheme://``."""
+    _REGISTERED[scheme.lower()] = fs
+
+
+def is_local(path: str) -> bool:
+    if path.startswith("file:"):
+        return True
+    scheme, sep, _ = path.partition("://")
+    return not sep or len(scheme) <= 1  # c:\... on windows counts local
+
+
+def _strip_file(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def _resolve(path: str):
+    """(fs_or_None, path-for-that-fs); None = local os fast-path."""
+    if is_local(path):
+        return None, _strip_file(path)
+    scheme, _, rest = path.partition("://")
+    scheme = scheme.lower()
+    reg = _REGISTERED.get(scheme)
+    if reg is not None:
+        return reg, rest
+    from pyarrow import fs as pafs
+
+    alias = _SCHEME_ALIASES.get(scheme, scheme)
+    authority = rest.split("/", 1)[0]
+    key = f"{alias}://{authority}"
+    with _LOCK:
+        fsys = _FS_CACHE.get(key)
+        if fsys is None:
+            fsys, _ = pafs.FileSystem.from_uri(f"{alias}://{rest}")
+            _FS_CACHE[key] = fsys
+    # pyarrow paths for bucketed stores are "bucket/key"
+    return fsys, rest
+
+
+def read_bytes(path: str) -> bytes:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        with open(p, "rb") as f:
+            return f.read()
+    with fsys.open_input_stream(p) as f:
+        return f.read()
+
+
+def read_text(path: str, encoding: str = "utf-8") -> str:
+    return read_bytes(path).decode(encoding)
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+        return
+    _arrow_mkdirs(fsys, os.path.dirname(p))
+    with fsys.open_output_stream(p) as f:
+        f.write(data)
+
+
+def write_text(path: str, text: str, encoding: str = "utf-8") -> None:
+    write_bytes(path, text.encode(encoding))
+
+
+def create_exclusive(path: str, data: bytes) -> None:
+    """Put-if-absent: raises FileExistsError when ``path`` exists.
+    Atomic on local filesystems (``open(..., "x")``); check-then-write
+    on object stores (see module docstring — LogStore caveat)."""
+    fsys, p = _resolve(path)
+    if fsys is None:
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "xb") as f:
+            f.write(data)
+        return
+    global _warned_non_atomic
+    if not _warned_non_atomic:
+        _warned_non_atomic = True
+        warnings.warn(
+            "exclusive-create on a non-local filesystem is "
+            "check-then-write, not atomic — concurrent writers on an "
+            "object store need a LogStore coordination layer",
+            stacklevel=2,
+        )
+    if exists(path):
+        raise FileExistsError(path)
+    write_bytes(path, data)
+
+
+def open_input(path: str):
+    """Random-access binary reader (what ``pyarrow.parquet.ParquetFile``
+    and the Avro codec need)."""
+    fsys, p = _resolve(path)
+    if fsys is None:
+        return open(p, "rb")
+    return fsys.open_input_file(p)
+
+
+def open_output(path: str):
+    fsys, p = _resolve(path)
+    if fsys is None:
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        return open(p, "wb")
+    _arrow_mkdirs(fsys, os.path.dirname(p))
+    return fsys.open_output_stream(p)
+
+
+def _arrow_mkdirs(fsys, p: str) -> None:
+    if p:
+        fsys.create_dir(p, recursive=True)
+
+
+def _info(fsys, p: str):
+    from pyarrow import fs as pafs
+
+    return fsys.get_file_info([p])[0] if not isinstance(p, pafs.FileSelector) else None
+
+
+def listdir(path: str, missing_ok: bool = True) -> list[str]:
+    """Immediate child NAMES of a directory (files and dirs), like
+    ``os.listdir``; missing directory -> [] when ``missing_ok``."""
+    fsys, p = _resolve(path)
+    if fsys is None:
+        if missing_ok and not os.path.isdir(p):
+            return []
+        return os.listdir(p)
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(p.rstrip("/"), recursive=False,
+                            allow_not_found=missing_ok)
+    return [i.path.rsplit("/", 1)[-1] for i in fsys.get_file_info(sel)]
+
+
+def walk_files(path: str) -> list[tuple[str, int]]:
+    """All FILES below ``path`` recursively as ``(relative_path,
+    size_bytes)`` with "/" separators — one listing call on object
+    stores (vs an os.walk per directory)."""
+    fsys, p = _resolve(path)
+    out: list[tuple[str, int]] = []
+    if fsys is None:
+        for dirpath, _dirs, names in os.walk(p):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, p).replace(os.sep, "/")
+                out.append((rel, os.path.getsize(full)))
+        return sorted(out)
+    from pyarrow import fs as pafs
+
+    base = p.rstrip("/")
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
+    for i in fsys.get_file_info(sel):
+        if i.type == pafs.FileType.File:
+            out.append((i.path[len(base) + 1:], int(i.size or 0)))
+    return sorted(out)
+
+
+def exists(path: str) -> bool:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        return os.path.exists(p)
+    from pyarrow import fs as pafs
+
+    return fsys.get_file_info([p])[0].type != pafs.FileType.NotFound
+
+
+def isdir(path: str) -> bool:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        return os.path.isdir(p)
+    from pyarrow import fs as pafs
+
+    return fsys.get_file_info([p])[0].type == pafs.FileType.Directory
+
+
+def mkdirs(path: str) -> None:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        os.makedirs(p, exist_ok=True)
+        return
+    fsys.create_dir(p, recursive=True)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename/move a single file, creating the destination's parents.
+    Same-filesystem only (staging dirs live next to the table)."""
+    sfs, sp = _resolve(src)
+    dfs, dp = _resolve(dst)
+    if sfs is None and dfs is None:
+        os.makedirs(os.path.dirname(dp) or ".", exist_ok=True)
+        os.rename(sp, dp)
+        return
+    if sfs is not dfs:
+        raise ValueError(f"cross-filesystem move {src!r} -> {dst!r}")
+    _arrow_mkdirs(sfs, os.path.dirname(dp))
+    sfs.move(sp, dp)
+
+
+def remove(path: str, missing_ok: bool = False) -> None:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        if missing_ok and not os.path.exists(p):
+            return
+        os.remove(p)
+        return
+    if missing_ok and not exists(path):
+        return
+    fsys.delete_file(p)
+
+
+def remove_dir(path: str) -> None:
+    """Recursive delete, ignore-errors (staging cleanup)."""
+    fsys, p = _resolve(path)
+    if fsys is None:
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    try:
+        fsys.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def file_size(path: str) -> int:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        return os.path.getsize(p)
+    return int(_info(fsys, p).size or 0)
+
+
+def mtime_ms(path: str) -> int:
+    fsys, p = _resolve(path)
+    if fsys is None:
+        return int(os.path.getmtime(p) * 1000)
+    mt = _info(fsys, p).mtime
+    return int(mt.timestamp() * 1000) if mt is not None else 0

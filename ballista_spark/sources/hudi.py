@@ -41,6 +41,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ballista_spark.sources import fsio
+
 __all__ = [
     "read_hudi_table",
     "read_hudi_changes",
@@ -71,16 +73,15 @@ _INSTANT_RE = re.compile(
 
 def _table_props(table_path: str) -> dict:
     p = os.path.join(table_path, ".hoodie", "hoodie.properties")
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         raise FileNotFoundError(f"no Hudi table at {table_path!r} (.hoodie missing)")
     props = {}
-    with open(p, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            k, _, v = line.partition("=")
-            props[k.strip()] = v.strip()
+    for line in fsio.read_text(p).splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        k, _, v = line.partition("=")
+        props[k.strip()] = v.strip()
     return props
 
 
@@ -92,9 +93,7 @@ def _timeline(table_path: str) -> list[tuple[str, str, str]]:
     dirs = [hoodie, os.path.join(hoodie, "timeline")]  # 0.x and 1.x homes
     out = []
     for d in dirs:
-        if not os.path.isdir(d):
-            continue
-        for name in os.listdir(d):
+        for name in fsio.listdir(d):
             m = _INSTANT_RE.match(name)
             if m:
                 out.append(
@@ -108,8 +107,7 @@ def _replaced_file_ids(commit_path: str) -> dict[str, set[str]]:
     """partition → file ids retired by a replacecommit (clustering /
     insert-overwrite)."""
     try:
-        with open(commit_path, encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(fsio.read_text(commit_path))
     except (OSError, ValueError):
         return {}
     out: dict[str, set[str]] = {}
@@ -123,8 +121,7 @@ def _replace_is_clustering(commit_path: str) -> bool:
     rows).  Hudi records ``operationType`` in the commit JSON; absent
     or unknown types are NOT assumed safe."""
     try:
-        with open(commit_path, encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(fsio.read_text(commit_path))
     except (OSError, ValueError):
         return False
     return str(doc.get("operationType", "")).lower() in (
@@ -176,30 +173,29 @@ def hudi_snapshot_files(
 
     # latest committed slice per (partition, file_id)
     best: dict[tuple[str, str], tuple[str, str]] = {}
-    for dirpath, dirs, names in os.walk(table_path):
-        dirs[:] = [
-            d for d in dirs if d not in (".hoodie",) and not d.startswith(".")
-        ]
-        part = os.path.relpath(dirpath, table_path)
-        part = "" if part == "." else part.replace(os.sep, "/")
-        for name in names:
-            m = _BASE_FILE_RE.match(name)
-            if not m:
-                continue
-            instant = m.group("instant")
-            archived = (
-                earliest_active is not None
-                and instant < earliest_active
-                and (as_of_instant is None or instant <= str(as_of_instant))
-            )
-            if instant not in committed and not archived:
-                continue  # inflight/failed writer — invisible
-            fid = m.group("file_id")
-            if fid in replaced.get(part, ()):
-                continue
-            key = (part, fid)
-            if key not in best or instant > best[key][0]:
-                best[key] = (instant, os.path.join(dirpath, name))
+    root = table_path.rstrip("/")
+    for rel, _size in fsio.walk_files(table_path):
+        # skip hidden dirs at ANY depth (.hoodie, staging temps)
+        if any(seg.startswith(".") for seg in rel.split("/")[:-1]):
+            continue
+        part, _, name = rel.rpartition("/")
+        m = _BASE_FILE_RE.match(name)
+        if not m:
+            continue
+        instant = m.group("instant")
+        archived = (
+            earliest_active is not None
+            and instant < earliest_active
+            and (as_of_instant is None or instant <= str(as_of_instant))
+        )
+        if instant not in committed and not archived:
+            continue  # inflight/failed writer — invisible
+        fid = m.group("file_id")
+        if fid in replaced.get(part, ()):
+            continue
+        key = (part, fid)
+        if key not in best or instant > best[key][0]:
+            best[key] = (instant, f"{root}/{rel}")
     return sorted(p for _ts, p in best.values())
 
 
@@ -264,8 +260,7 @@ def read_hudi_changes(
         picked.append((ts, action, cpath))
     paths: list[str] = []
     for _ts, _action, cpath in picked:
-        with open(cpath, encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(fsio.read_text(cpath))
         for _part, stats in (doc.get("partitionToWriteStats") or {}).items():
             for s in stats:
                 rel = s.get("path")

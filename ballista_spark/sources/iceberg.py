@@ -58,7 +58,6 @@ the mechanism Iceberg itself uses within a partition.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import struct
@@ -66,6 +65,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ballista_spark.sources import fsio
 from ballista_spark.sources.avroio import read_avro_bytes
 
 __all__ = [
@@ -229,28 +229,34 @@ def _norm_path(table_path: str, p: str) -> str:
         p = p[5:]
         while p.startswith("//"):
             p = p[1:]
+    if "://" in p:
+        return p  # absolute URI (manifests usually store these)
     if not os.path.isabs(p):
         p = os.path.join(table_path, p)
     return p
 
 
+def _metadata_versions(meta_dir: str) -> list[int]:
+    return sorted(
+        int(n[1:].split(".")[0])
+        for n in fsio.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+        and n[1:].split(".")[0].isdigit()
+    )
+
+
 def _load_metadata(table_path: str) -> dict:
     meta_dir = os.path.join(table_path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            v = int(f.read().strip())
+    if fsio.exists(hint):
+        v = int(fsio.read_text(hint).strip())
         cand = os.path.join(meta_dir, f"v{v}.metadata.json")
     else:
-        versions = sorted(
-            glob.glob(os.path.join(meta_dir, "v*.metadata.json")),
-            key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
-        )
+        versions = _metadata_versions(meta_dir)
         if not versions:
             raise FileNotFoundError(f"no Iceberg metadata under {table_path!r}")
-        cand = versions[-1]
-    with open(cand, "r", encoding="utf-8") as f:
-        md = json.load(f)
+        cand = os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+    md = json.loads(fsio.read_text(cand))
     if int(md.get("format-version", 1)) > 2:
         raise IcebergFeatureError(
             f"format-version {md['format-version']} > 2 unsupported"
@@ -294,13 +300,15 @@ def read_iceberg_snapshot(
     file_seqs: dict[str, int] = {}
 
     def manifest_entries(manifest_path: str):
-        with open(_norm_path(table_path, manifest_path), "rb") as f:
-            records, _sch = read_avro_bytes(f.read())
+        records, _sch = read_avro_bytes(
+            fsio.read_bytes(_norm_path(table_path, manifest_path))
+        )
         return records
 
     if "manifest-list" in snap:  # v2 (and v1 with list)
-        with open(_norm_path(table_path, snap["manifest-list"]), "rb") as f:
-            manifests, _sch = read_avro_bytes(f.read())
+        manifests, _sch = read_avro_bytes(
+            fsio.read_bytes(_norm_path(table_path, snap["manifest-list"]))
+        )
         manifest_paths = [m["manifest_path"] for m in manifests]
         manifest_seqs = {
             m["manifest_path"]: int(m.get("sequence_number") or 0)
@@ -509,6 +517,11 @@ def read_iceberg_table(
     return tagged.select(*out_cols)
 
 
+#: changelog union chains localCheckpoint every this many snapshots,
+#: bounding logical-plan depth on long windows
+CDF_CHECKPOINT_EVERY = 32
+
+
 def read_iceberg_changelog(
     spark: SparkSession,
     table_path: str,
@@ -597,7 +610,7 @@ def read_iceberg_changelog(
             added = sorted(child_paths - parent_paths)
             removed = sorted(parent_paths - child_paths)
             for p in added + removed:
-                if not os.path.exists(p):
+                if not fsio.exists(p):
                     raise IcebergFeatureError(
                         f"data file {p!r} was removed from disk — the "
                         f"changelog for ordinal {i} cannot be reconstructed"
@@ -656,8 +669,12 @@ def read_iceberg_changelog(
         )
         return spark.createDataFrame([], empty)
     out = parts[0]
-    for p in parts[1:]:
+    for i, p in enumerate(parts[1:], start=1):
         out = out.unionByName(p)
+        if i % CDF_CHECKPOINT_EVERY == 0:
+            # bound logical-plan depth on long windows (the
+            # deltalog.read_delta_cdf / curate_corpus pattern)
+            out = out.localCheckpoint(eager=True)
     return out
 
 
@@ -788,10 +805,13 @@ def _to_iceberg_scalar(v, iceberg_type: str):
 def _footer_bounds(path: str, ids: dict[int, tuple[str, str]]):
     """(record_count, lower, upper, null_counts) from ONE parquet footer
     — same footer-only discipline as deltalog._file_stats_json, but
-    keyed by Iceberg field id with Appendix-D encoded values."""
+    keyed by Iceberg field id with Appendix-D encoded values.
+    Worker-safe (fsio-routed): ``_bounds_for_files`` runs it on
+    executors for large commits."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    with fsio.open_input(path) as src:
+        md = pq.ParquetFile(src).metadata
     by_name = {name: (fid, ftype) for fid, (name, ftype) in ids.items()}
     mins: dict[int, bytes] = {}
     maxs: dict[int, bytes] = {}
@@ -930,22 +950,49 @@ def _current_metadata_version(meta_dir: str) -> int:
     else the highest vN.metadata.json on disk (hint-less tables read
     fine and must write fine too), else 0."""
     hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            return int(f.read().strip())
-    versions = [
-        int(os.path.basename(p)[1:].split(".")[0])
-        for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
-    ]
+    if fsio.exists(hint):
+        return int(fsio.read_text(hint).strip())
+    versions = _metadata_versions(meta_dir)
     return max(versions) if versions else 0
 
 
-def _entry_for_file(dest: str, ids: dict, snapshot_id: int) -> dict | None:
-    """Manifest entry (status ADDED) for one staged parquet file, with
-    Appendix-D bounds from its footer; None for an empty task output."""
-    n_records, lowers, uppers, nulls = _footer_bounds(dest, ids)
+#: same policy as deltalog._collect_file_stats: NON-LOCAL commits with
+#: at least this many files read their footers executor-side (local
+#: footer reads are ~0.15 ms each — a Spark job never pays for itself)
+EXECUTOR_STATS_MIN_FILES = 64
+#: test hook: force the executor path on local paths too
+EXECUTOR_STATS_FORCE = False
+
+
+def _bounds_for_files(
+    spark: SparkSession | None, paths: list[str], ids: dict
+) -> dict[str, tuple]:
+    """path -> ``_footer_bounds`` result for every staged file; large
+    object-store commits distribute the footer reads (one tiny Spark
+    job over the path list — the Appendix-D byte bounds pickle back
+    losslessly) instead of a serial driver loop."""
+    if (
+        spark is None
+        or len(paths) < EXECUTOR_STATS_MIN_FILES
+        or (not paths)
+        or (fsio.is_local(paths[0]) and not EXECUTOR_STATS_FORCE)
+    ):
+        return {p: _footer_bounds(p, ids) for p in paths}
+    sc = spark.sparkContext
+    rdd = sc.parallelize(paths, min(len(paths), sc.defaultParallelism))
+    return dict(rdd.map(lambda p: (p, _footer_bounds(p, ids))).collect())
+
+
+def _entry_for_file(
+    dest: str,
+    snapshot_id: int,
+    size: int,
+    bounds: tuple,
+) -> dict | None:
+    """Manifest entry (status ADDED) for one staged parquet file with
+    its Appendix-D footer bounds; None for an empty task output."""
+    n_records, lowers, uppers, nulls = bounds
     if n_records == 0:
-        os.remove(dest)  # empty task output — never commit it
         return None
     return {
         "status": 1,  # ADDED
@@ -955,7 +1002,7 @@ def _entry_for_file(dest: str, ids: dict, snapshot_id: int) -> dict | None:
             "file_format": "PARQUET",
             "partition": {},
             "record_count": n_records,
-            "file_size_in_bytes": os.path.getsize(dest),
+            "file_size_in_bytes": size,
             "block_size_in_bytes": 67108864,
             "null_value_counts": [
                 {"key": k, "value": v} for k, v in sorted(nulls.items())
@@ -978,13 +1025,15 @@ def _stage_entries(
     The spec REQUIRES int64-micros parquet timestamps (and Spark's
     INT96 default also writes no statistics, killing bound pruning) —
     TIMESTAMP_MICROS is forced for the staging write, then restored.
+    IO is fsio-routed; footer bounds for large commits are collected
+    executor-side (``_bounds_for_files``), not in a driver loop.
     """
     import uuid as _uuid
 
     spark = df.sparkSession
-    data_dir = os.path.join(table_path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex}")
+    data_dir = f"{table_path.rstrip('/')}/data"
+    fsio.mkdirs(data_dir)
+    staging = f"{table_path.rstrip('/')}/.staging-{_uuid.uuid4().hex}"
     ts_key = "spark.sql.parquet.outputTimestampType"
     prev_ts = spark.conf.get(ts_key, None)
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
@@ -995,18 +1044,25 @@ def _stage_entries(
             spark.conf.unset(ts_key)
         else:
             spark.conf.set(ts_key, prev_ts)
+    staged = sorted(
+        (rel, size)
+        for rel, size in fsio.walk_files(staging)
+        if rel.endswith(".parquet")
+    )
+    bounds = _bounds_for_files(
+        spark, [f"{staging}/{rel}" for rel, _ in staged], ids
+    )
     entries = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-{name}")
-        os.rename(os.path.join(staging, name), dest)
-        e = _entry_for_file(dest, ids, snapshot_id)
+    for rel, size in staged:
+        b = bounds[f"{staging}/{rel}"]
+        if b[0] == 0:
+            continue  # empty task output — swept with staging
+        dest = f"{data_dir}/{_uuid.uuid4().hex}-{rel.rsplit('/', 1)[-1]}"
+        fsio.move(f"{staging}/{rel}", dest)
+        e = _entry_for_file(dest, snapshot_id, size, b)
         if e is not None:
             entries.append(e)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    fsio.remove_dir(staging)
     return entries
 
 
@@ -1030,8 +1086,7 @@ def _write_manifest(
             "content": "data",
         },
     )
-    with open(manifest_path, "wb") as f:
-        f.write(manifest_bytes)
+    fsio.write_bytes(manifest_path, manifest_bytes)
     return manifest_path, len(manifest_bytes)
 
 
@@ -1045,17 +1100,17 @@ def _write_manifest_list(
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro"
     )
-    with open(list_path, "wb") as f:
-        f.write(
-            write_avro_bytes(
-                manifest_records,
-                _MANIFEST_FILE_SCHEMA,
-                extra_meta={
-                    "format-version": "1",
-                    "snapshot-id": str(snapshot_id),
-                },
-            )
-        )
+    fsio.write_bytes(
+        list_path,
+        write_avro_bytes(
+            manifest_records,
+            _MANIFEST_FILE_SCHEMA,
+            extra_meta={
+                "format-version": "1",
+                "snapshot-id": str(snapshot_id),
+            },
+        ),
+    )
     return list_path
 
 
@@ -1067,23 +1122,28 @@ def _commit_metadata(meta_dir: str, new_md: dict, base_version: int) -> None:
     import uuid as _uuid
 
     md_path = os.path.join(meta_dir, f"v{base_version + 1}.metadata.json")
-    with open(md_path, "x", encoding="utf-8") as f:
-        json.dump(new_md, f)
-    hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(base_version + 1))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    fsio.create_exclusive(md_path, json.dumps(new_md).encode("utf-8"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if fsio.is_local(meta_dir):
+        # atomic pointer move on local filesystems
+        hint_tmp = os.path.join(meta_dir, f".hint-{_uuid.uuid4().hex}")
+        fsio.write_text(hint_tmp, str(base_version + 1))
+        os.replace(hint_tmp, hint)
+    else:
+        fsio.write_text(hint, str(base_version + 1))
 
 
 def _live_entries(table_path: str, snap_md: dict) -> list[dict]:
     """All non-deleted manifest entries of a snapshot, records verbatim
     (data files AND delete files — callers split on content)."""
-    with open(_norm_path(table_path, snap_md["manifest-list"]), "rb") as f:
-        manifests, _sch = read_avro_bytes(f.read())
+    manifests, _sch = read_avro_bytes(
+        fsio.read_bytes(_norm_path(table_path, snap_md["manifest-list"]))
+    )
     live: list[dict] = []
     for m in manifests:
-        with open(_norm_path(table_path, m["manifest_path"]), "rb") as f:
-            entries, _sch = read_avro_bytes(f.read())
+        entries, _sch = read_avro_bytes(
+            fsio.read_bytes(_norm_path(table_path, m["manifest_path"]))
+        )
         live.extend(e for e in entries if e.get("status", 1) != 2)
     return live
 
@@ -1155,7 +1215,7 @@ def write_iceberg_table(
             ]
         )
     meta_dir = os.path.join(table_path, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+    fsio.mkdirs(meta_dir)
 
     try:
         md = _load_metadata(table_path)
@@ -1213,8 +1273,9 @@ def write_iceberg_table(
                 for s in md.get("snapshots", [])
                 if s["snapshot-id"] == parent_snapshot_id
             )
-            with open(_norm_path(table_path, cur["manifest-list"]), "rb") as f:
-                prev_manifests, _sch = read_avro_bytes(f.read())
+            prev_manifests, _sch = read_avro_bytes(
+                fsio.read_bytes(_norm_path(table_path, cur["manifest-list"]))
+            )
             for m in prev_manifests:
                 carried.append(
                     {k: m.get(k) for k in
@@ -1557,13 +1618,11 @@ def expire_iceberg_snapshots(
         """(manifest-list path, {manifest paths}, {data-file paths})."""
         mlist = _norm_path(table_path, snapshot["manifest-list"])
         mans, files = set(), set()
-        with open(mlist, "rb") as f:
-            manifests, _sch = read_avro_bytes(f.read())
+        manifests, _sch = read_avro_bytes(fsio.read_bytes(mlist))
         for m in manifests:
             mp = _norm_path(table_path, m["manifest_path"])
             mans.add(mp)
-            with open(mp, "rb") as f:
-                entries, _sch = read_avro_bytes(f.read())
+            entries, _sch = read_avro_bytes(fsio.read_bytes(mp))
             for e in entries:
                 if e.get("status", 1) != 2:
                     files.add(_norm_path(table_path, e["data_file"]["file_path"]))
@@ -1587,9 +1646,10 @@ def expire_iceberg_snapshots(
         (dead_lists - live_lists) | (dead_mans - live_mans)
         | (dead_files - live_files)
     ):
-        if os.path.exists(p):
-            os.remove(p)
-            deleted.append(os.path.relpath(p, table_path))
+        if fsio.exists(p):
+            fsio.remove(p)
+            deleted.append(os.path.relpath(p, table_path)
+                           if fsio.is_local(p) else p)
 
     expired_ids = {s["snapshot-id"] for s in expired}
     new_md = dict(md)

@@ -145,3 +145,60 @@ def test_cdf_empty_window_schema(spark, tmp_path):
     out = read_delta_cdf(spark, path, 0)  # nothing after v0
     assert out.count() == 0
     assert out.columns == ["id", "cat", "v", "_change_type", "_commit_version"]
+
+
+def test_cdf_long_window_bounded_plan(spark, tmp_path, monkeypatch):
+    """A 100-commit window must (a) return the same rows as the naive
+    un-truncated chain and (b) actually truncate its logical plan via
+    localCheckpoint every K commits (round-8 scale fix: a 500-commit
+    window otherwise builds a 1000+-node exceptAll/union plan)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_spark.sources import deltalog
+
+    table = str(tmp_path / "t")
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    deltalog._attempt_commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+    ])
+    n_commits = 100
+    for v in range(1, n_commits + 1):
+        rel = f"f{v}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([v * 10, v * 10 + 1], pa.int64())}),
+            f"{table}/{rel}",
+        )
+        deltalog._attempt_commit(table, v, [
+            {"add": {"path": rel, "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        ])
+
+    monkeypatch.setattr(deltalog, "CDF_CHECKPOINT_EVERY", 8)
+    trunc = deltalog.read_delta_cdf(spark, table, from_version=0)
+    plan = trunc._jdf.queryExecution().logical().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # truncated
+    # the surviving chain is at most K commits deep, not 100
+    assert plan.count("Union") < 3 * 8
+    got = sorted(
+        (r["_commit_version"], r["id"]) for r in trunc.collect()
+    )
+    monkeypatch.setattr(deltalog, "CDF_CHECKPOINT_EVERY", 10_000)
+    naive = sorted(
+        (r["_commit_version"], r["id"])
+        for r in deltalog.read_delta_cdf(spark, table, from_version=0).collect()
+    )
+    assert got == naive
+    assert len(got) == 2 * n_commits
+    assert got[0] == (1, 10) and got[-1] == (100, 1001)

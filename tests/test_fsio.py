@@ -1,0 +1,337 @@
+"""The filesystem shim (sources/fsio.py) and the lakehouse metadata
+plane running on a NON-LOCAL filesystem: every log/manifest/commit IO
+site goes through fsio, so the same code that passes the local suites
+must round-trip on a registered pyarrow filesystem (the mock in-memory
+FS stands in for s3/gcs/hdfs — same FileSystem interface, no network).
+
+The DATA plane (spark.read/write.parquet) stays on Spark's own Hadoop
+connectors and cannot see mock:// — these tests therefore exercise the
+metadata layer end-to-end (snapshot reconstruction, pruning, footer
+stats, exclusive-create commits) and the local data plane separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ballista_spark.sources import fsio
+
+
+@pytest.fixture()
+def mockfs():
+    from pyarrow.fs import _MockFileSystem
+
+    fs = _MockFileSystem()
+    fsio.register_filesystem("mock", fs)
+    yield fs
+    fsio._REGISTERED.pop("mock", None)
+
+
+# ------------------------------------------------------------- fsio unit
+
+
+def test_local_fast_path(tmp_path):
+    p = str(tmp_path / "a" / "b.txt")
+    assert fsio.is_local(p) and fsio.is_local("file:///x") and not fsio.is_local("s3://b/k")
+    fsio.write_text(p, "hi")
+    assert fsio.read_text(p) == "hi"
+    assert fsio.exists(p) and not fsio.exists(p + ".nope")
+    assert fsio.listdir(str(tmp_path)) == ["a"]
+    assert fsio.listdir(str(tmp_path / "missing")) == []
+    assert fsio.walk_files(str(tmp_path)) == [("a/b.txt", 2)]
+    assert fsio.file_size(p) == 2
+    with pytest.raises(FileExistsError):
+        fsio.create_exclusive(p, b"x")
+    fsio.move(p, str(tmp_path / "c.txt"))
+    assert fsio.read_text(str(tmp_path / "c.txt")) == "hi"
+    fsio.remove(str(tmp_path / "c.txt"))
+    assert not fsio.exists(str(tmp_path / "c.txt"))
+    fsio.remove_dir(str(tmp_path / "a"))
+    assert not fsio.exists(str(tmp_path / "a"))
+
+
+def test_mock_fs_ops(mockfs):
+    fsio.write_bytes("mock://t/dir/f1.bin", b"abc")
+    assert fsio.read_bytes("mock://t/dir/f1.bin") == b"abc"
+    assert fsio.exists("mock://t/dir/f1.bin")
+    assert fsio.isdir("mock://t/dir")
+    assert fsio.listdir("mock://t/dir") == ["f1.bin"]
+    assert fsio.listdir("mock://t/nope") == []
+    fsio.write_bytes("mock://t/dir/sub/f2.bin", b"defg")
+    assert fsio.walk_files("mock://t") == [
+        ("dir/f1.bin", 3), ("dir/sub/f2.bin", 4)
+    ]
+    with pytest.warns(UserWarning, match="not atomic"):
+        with pytest.raises(FileExistsError):
+            fsio.create_exclusive("mock://t/dir/f1.bin", b"x")
+    fsio.create_exclusive("mock://t/dir/f3.bin", b"x")
+    assert fsio.read_bytes("mock://t/dir/f3.bin") == b"x"
+    fsio.move("mock://t/dir/f3.bin", "mock://t/moved/f3.bin")
+    assert fsio.read_bytes("mock://t/moved/f3.bin") == b"x"
+    fsio.remove("mock://t/moved/f3.bin")
+    assert not fsio.exists("mock://t/moved/f3.bin")
+    fsio.remove_dir("mock://t/dir/sub")
+    assert fsio.walk_files("mock://t") == [("dir/f1.bin", 3)]
+    fsio.remove_dir("mock://t/ghost")  # ignore-errors semantics
+
+
+def test_scheme_alias_rewrite():
+    # hadoop spellings route to pyarrow schemes before from_uri
+    assert fsio._SCHEME_ALIASES["s3a"] == "s3"
+    assert not fsio.is_local("s3a://bucket/k")
+
+
+# -------------------------------------------- Delta metadata plane on mock
+
+
+def _mock_delta_table(n_files=3):
+    """Hand-build a Delta table on mock://: parquet data files written
+    through fsio + a v0 commit with footer-derived stats."""
+    table = "mock://wh/t"
+    adds = []
+    for i in range(n_files):
+        rel = f"f{i}.parquet"
+        with fsio.open_output(f"{table}/{rel}") as sink:
+            pq.write_table(
+                pa.table({
+                    "id": pa.array([i * 10 + j for j in range(5)], pa.int64()),
+                    "cat": pa.array(["x"] * 5, pa.string()),
+                }),
+                sink,
+            )
+        from ballista_spark.sources.deltalog import _file_stats_json
+
+        stats, n = _file_stats_json(f"{table}/{rel}", ["id", "cat"])
+        assert n == 5
+        adds.append({
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": fsio.file_size(f"{table}/{rel}"),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": stats,
+            }
+        })
+    meta = {
+        "metaData": {
+            "id": "m",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "cat", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ],
+            }),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    from ballista_spark.sources.deltalog import _attempt_commit
+
+    _attempt_commit(table, 0, [proto, meta] + adds)
+    return table
+
+
+def test_delta_metadata_plane_on_mock_fs(mockfs):
+    from ballista_spark.sources.deltalog import (
+        _attempt_commit,
+        _prune_files,
+        read_delta_snapshot,
+    )
+
+    table = _mock_delta_table()
+    snap = read_delta_snapshot(table)
+    assert snap.version == 0 and snap.num_files == 3
+    assert [f.path for f in snap.files] == ["f0.parquet", "f1.parquet", "f2.parquet"]
+    # footer stats made it into the log and drive pruning on mock://
+    pruned = _prune_files(snap, [("id", ">=", 20)])
+    assert pruned.files_pruned == 2
+    # a second commit (remove f0) through the exclusive-create path
+    _attempt_commit(table, 1, [
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}}
+    ])
+    assert read_delta_snapshot(table).num_files == 2
+    assert read_delta_snapshot(table, 0).num_files == 3  # time travel
+    # commit race: version 1 already exists
+    with pytest.raises(FileExistsError):
+        _attempt_commit(table, 1, [])
+
+
+# ------------------------------------------ Iceberg metadata plane on mock
+
+
+def test_iceberg_metadata_plane_on_mock_fs(mockfs):
+    from ballista_spark.sources.iceberg import (
+        _commit_metadata,
+        _current_metadata_version,
+        _live_entries,
+        _load_metadata,
+        _write_manifest,
+        _write_manifest_list,
+    )
+
+    table = "mock://wh/ice"
+    meta_dir = f"{table}/metadata"
+    fsio.mkdirs(meta_dir)
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+        ],
+    }
+    entries = [{
+        "status": 1,
+        "snapshot_id": 77,
+        "data_file": {
+            "file_path": f"{table}/data/d0.parquet",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 4,
+            "file_size_in_bytes": 123,
+            "block_size_in_bytes": 1,
+            "null_value_counts": [],
+            "lower_bounds": [],
+            "upper_bounds": [],
+        },
+    }]
+    mpath, mlen = _write_manifest(meta_dir, schema_json, entries)
+    lpath = _write_manifest_list(meta_dir, 77, [{
+        "manifest_path": mpath,
+        "manifest_length": mlen,
+        "partition_spec_id": 0,
+        "added_snapshot_id": 77,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+    }])
+    md = {
+        "format-version": 1,
+        "table-uuid": "u",
+        "location": table,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schema": schema_json,
+        "partition-spec": [],
+        "current-snapshot-id": 77,
+        "snapshots": [{
+            "snapshot-id": 77,
+            "timestamp-ms": 0,
+            "sequence-number": 1,
+            "manifest-list": lpath,
+            "summary": {"operation": "append"},
+        }],
+        "snapshot-log": [{"snapshot-id": 77, "timestamp-ms": 0}],
+    }
+    _commit_metadata(meta_dir, md, 0)
+    assert _current_metadata_version(meta_dir) == 1
+    back = _load_metadata(table)
+    assert back["current-snapshot-id"] == 77
+    live = _live_entries(table, back["snapshots"][0])
+    assert len(live) == 1
+    assert live[0]["data_file"]["file_path"] == f"{table}/data/d0.parquet"
+    # exclusive create: a racer on v2 loses
+    _commit_metadata(meta_dir, md, 1)
+    with pytest.raises(FileExistsError):
+        _commit_metadata(meta_dir, md, 1)
+
+
+# --------------------------------------------- Hudi timeline plane on mock
+
+
+def test_hudi_timeline_on_mock_fs(mockfs):
+    from ballista_spark.sources.hudi import hudi_snapshot_files
+
+    table = "mock://wh/hudi"
+    fsio.write_text(
+        f"{table}/.hoodie/hoodie.properties",
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n",
+    )
+    inst1, inst2 = "20240101000000000", "20240102000000000"
+    for inst in (inst1, inst2):
+        fsio.write_text(f"{table}/.hoodie/{inst}.commit", "{}")
+    # one file group, two slices: the later instant wins
+    for inst in (inst1, inst2):
+        with fsio.open_output(f"{table}/fg1_0-1-1_{inst}.parquet") as sink:
+            pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), sink)
+    # an inflight instant's file stays invisible
+    with fsio.open_output(
+        f"{table}/fg2_0-1-1_20240103000000000.parquet"
+    ) as sink:
+        pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), sink)
+    files = hudi_snapshot_files(table)
+    assert files == [f"{table}/fg1_0-1-1_{inst2}.parquet"]
+    assert hudi_snapshot_files(table, as_of_instant=inst1) == [
+        f"{table}/fg1_0-1-1_{inst1}.parquet"
+    ]
+
+
+# ----------------------------------- executor-side footer stats (local)
+
+
+def test_distributed_stats_path_matches_driver_loop(spark, tmp_path, monkeypatch):
+    """Forcing the executor-side mapInPandas stats pass (threshold=1)
+    must produce byte-identical add actions to the driver loop."""
+    from ballista_spark.sources import deltalog
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(40)],
+        "id long, cat string, v double",
+    ).repartition(4)
+
+    p1 = str(tmp_path / "driver")
+    deltalog.write_delta_table(df, p1)
+    monkeypatch.setattr(deltalog, "EXECUTOR_STATS_MIN_FILES", 1)
+    monkeypatch.setattr(deltalog, "EXECUTOR_STATS_FORCE", True)
+    p2 = str(tmp_path / "exec")
+    deltalog.write_delta_table(df, p2)
+
+    def _adds(path):
+        snap = deltalog.read_delta_snapshot(path)
+        return sorted(
+            (f.stats["numRecords"],
+             json.dumps(f.stats, sort_keys=True))
+            for f in snap.files
+        )
+
+    assert _adds(p1) == _adds(p2)
+    got = {r["id"] for r in deltalog.read_delta_table(spark, p2).collect()}
+    assert got == set(range(40))
+
+
+def test_distributed_bounds_path_matches_driver_loop(spark, tmp_path, monkeypatch):
+    from ballista_spark.sources import iceberg
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    ).repartition(4)
+    p1 = str(tmp_path / "driver")
+    iceberg.write_iceberg_table(df, p1)
+    monkeypatch.setattr(iceberg, "EXECUTOR_STATS_MIN_FILES", 1)
+    monkeypatch.setattr(iceberg, "EXECUTOR_STATS_FORCE", True)
+    p2 = str(tmp_path / "exec")
+    iceberg.write_iceberg_table(df, p2)
+
+    def _bounds(path):
+        snap = iceberg.read_iceberg_snapshot(path)
+        return sorted(
+            (f[1], json.dumps({k: str(v) for k, v in (f[2] or {}).items()},
+                              sort_keys=True))
+            for f in snap.files
+        )
+
+    assert _bounds(p1) == _bounds(p2)
+    got = {r["id"] for r in iceberg.read_iceberg_table(spark, p2).collect()}
+    assert got == set(range(40))

@@ -859,6 +859,43 @@ def _dml_touch(spark, sf_dir: str):
     )
 
 
+def _dml_touch_filesgrow(spark, sf_dir: str):
+    """The PRODUCTION-layout twin of dml_touch: per-file size held
+    ~constant (~37.5k rows ≈ the 128 MB-discipline scaled to this data)
+    so file COUNT grows with the data — 16 files at sf0.1, ~160 at 10×.
+    The fixed-16-file harness makes dml_touch's rewrite grow with file
+    SIZE at later decades (an artifact, annotated in BASELINE.md); here
+    the narrow-band UPDATE touches ~the same one file at every scale
+    while the PRUNED file count grows 10×/decade — the shape production
+    actually has, where touch-only rewrite cost is flat.  Expect ~1×."""
+    from ballista_spark.sources.deltalog import (
+        _prune_files,
+        read_delta_snapshot,
+        update_delta_table,
+        write_delta_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "dmlfg")
+    try:
+        read_delta_snapshot(path)
+    except FileNotFoundError:
+        n_files = max(4, int(li.count() / 37_500))
+        write_delta_table(
+            li.repartitionByRange(n_files, "l_orderkey"), path
+        )
+    update_delta_table(
+        spark, path, {"l_quantity": "l_quantity + 1"},
+        [("l_orderkey", "<", 40)],
+    )
+    snap = read_delta_snapshot(path)
+    pruned = _prune_files(snap, [("l_orderkey", "<", 40)])
+    return spark.createDataFrame(
+        [(snap.version, snap.num_files, pruned.files_pruned)],
+        "version long, n_files long, files_pruned long",
+    )
+
+
 def _langid_predict_local(spark, sf_dir: str):
     """The map-only serving twin of langid_predict: weights ride the
     Arrow-UDF closure, no feature explode, no join, no shuffle — the
@@ -1299,6 +1336,7 @@ LOCAL_BUILDERS = {
     "keyword_screen": _keyword_screen,
     "delta_merge_touch": _delta_merge_touch,
     "dml_touch": _dml_touch,
+    "dml_touch_filesgrow": _dml_touch_filesgrow,
     "code_screen": _code_screen,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
