@@ -218,6 +218,9 @@ def _iter_checkpoint_actions(paths: list[str]):
         a_sizes = _field("size", 0)
         a_stats = _field("stats")
         a_dchg = _field("dataChange", True)
+        # DV descriptors (external delta-spark checkpoints): small
+        # all-scalar struct — row-wise to_pylist is fine here
+        a_dvs = _field("deletionVector")
         if "partitionValues" in names:
             a_pvals = _map_column_to_dicts(pc.struct_field(adds, "partitionValues"))
         else:
@@ -230,6 +233,7 @@ def _iter_checkpoint_actions(paths: list[str]):
                     "size": a_sizes[i],
                     "dataChange": a_dchg[i],
                     "stats": a_stats[i],
+                    "deletionVector": a_dvs[i],
                 }
             }
 
@@ -244,6 +248,10 @@ class _AddFile:
     partition_values: dict[str, str]
     size: int
     stats: dict | None  # parsed stats JSON (numRecords/minValues/maxValues/nullCount)
+    #: deletion-vector descriptor (storageType/pathOrInlineDv/offset/
+    #: sizeInBytes/cardinality) or None — the add action's
+    #: `deletionVector` field, applied at scan time
+    deletion_vector: dict | None = None
 
 
 @dataclass
@@ -269,6 +277,9 @@ class DeltaSnapshot:
     #: remove tombstones seen in the replayed log tail: rel path →
     #: deletionTimestamp ms (vacuum's retention input)
     tombstones: dict[str, int] = field(default_factory=dict)
+    #: protocol readerFeatures (v3 tables) — drives the write refusal
+    #: matrix (deletionVectors tables are read-only here)
+    reader_features: set = field(default_factory=set)
 
     @property
     def num_files(self) -> int:
@@ -349,6 +360,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     column_mapping: dict = {}
     app_versions: dict[str, int] = {}
     tombstones: dict[str, int] = {}
+    reader_features: set = set()
     for stream in action_streams:
         for action in stream:
             if "add" in action:
@@ -360,11 +372,13 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                         stats = json.loads(stats)
                     except ValueError:
                         stats = None
+                dv = a.get("deletionVector")
                 adds[rel] = _AddFile(
                     path=rel,
                     partition_values=dict(a.get("partitionValues") or {}),
                     size=int(a.get("size") or 0),
                     stats=stats if isinstance(stats, dict) else None,
+                    deletion_vector=dict(dv) if isinstance(dv, dict) else None,
                 )
             elif "remove" in action:
                 r = action["remove"]
@@ -400,16 +414,20 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 pr = action["protocol"]
                 rv = int(pr.get("minReaderVersion", 1))
                 feats = set(pr.get("readerFeatures") or [])
+                reader_features = feats
                 # v3 REQUIRES a readerFeatures list; absent/empty means
                 # the requirement is unknown -> refuse, don't guess
                 if rv > MAX_READER_VERSION and not (
-                    rv == 3 and feats and feats <= {"columnMapping"}
+                    rv == 3
+                    and feats
+                    and feats <= {"columnMapping", "deletionVectors"}
                 ):
                     raise DeltaProtocolError(
                         f"table requires minReaderVersion={rv} with "
                         f"readerFeatures={sorted(feats)} (this reader "
                         f"implements ≤ {MAX_READER_VERSION} plus the "
-                        "columnMapping table feature: no deletion vectors)"
+                        "columnMapping and deletionVectors table "
+                        "features)"
                     )
     if schema is None:
         raise DeltaProtocolError("log has no metaData action (corrupt table?)")
@@ -443,6 +461,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         tombstones=tombstones,
         configuration=configuration,
         column_mapping=column_mapping,
+        reader_features=reader_features,
     )
 
 
@@ -543,6 +562,105 @@ def _refuse_column_mapped(snap: DeltaSnapshot, op: str) -> None:
         )
 
 
+def _refuse_deletion_vectors(snap: DeltaSnapshot, op: str) -> None:
+    """Writes to deletion-vector tables are refused: a touch-only
+    rewrite would have to reconcile each touched file's DV (else it
+    resurrects deleted rows), and this writer's checkpoints don't carry
+    DV descriptors.  READ support is full (`_dv_tombstones`); mutate
+    such tables with a DV-aware writer or purge the DVs there first
+    (delta-spark: REORG TABLE ... APPLY (PURGE))."""
+    if "deletionVectors" in snap.reader_features or any(
+        f.deletion_vector for f in snap.files
+    ):
+        raise DeltaProtocolError(
+            f"{op} on a Delta table with deletion vectors is not "
+            "supported by this writer (reads are) — rewrites must "
+            "reconcile per-file DVs; purge them with a DV-aware writer "
+            "first"
+        )
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Resolve one add action's deletionVector descriptor to its sorted
+    deleted-row positions (delta.io PROTOCOL.md "Deletion Vectors"):
+    storageType `i` = inline z85 bitmap, `u` = UUID-named file under the
+    table root (optional random prefix), `p` = absolute path."""
+    import uuid as _u
+
+    from ballista_spark.sources.dvbitmap import (
+        decode_rbm_array,
+        unpack_dv_blob,
+        z85_decode,
+    )
+
+    st = dv.get("storageType")
+    size = int(dv.get("sizeInBytes") or 0)
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        positions = decode_rbm_array(data[:size] if size else data)
+    elif st in ("u", "p"):
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, enc_uuid = enc[:-20], enc[-20:]
+            name = f"deletion_vector_{_u.UUID(bytes=z85_decode(enc_uuid))}.bin"
+            parts = [table_path.rstrip("/")]
+            if prefix.strip("/"):
+                parts.append(prefix.strip("/"))
+            path = "/".join(parts + [name])
+        else:
+            path = dv["pathOrInlineDv"]
+            if path.startswith("file:"):
+                path = path[5:]
+                while path.startswith("//"):
+                    path = path[1:]
+        blob = fsio.read_bytes(path)
+        if blob[:1] != b"\x01":
+            raise DeltaProtocolError(
+                f"DV file {path!r} has format version {blob[:1]!r} "
+                "(this reader implements version 1)"
+            )
+        positions = unpack_dv_blob(blob, int(dv["offset"]), size)
+    else:
+        raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise DeltaProtocolError(
+            f"DV cardinality mismatch: descriptor {card}, "
+            f"bitmap {len(positions)}"
+        )
+    return positions
+
+
+def _dv_tombstones(spark: SparkSession, snap: DeltaSnapshot):
+    """(file path, row position) tombstone DataFrame for every live
+    file carrying a deletion vector, or None.  Decoded driver-side
+    (bounded by rows-per-file), shipped as ONE Arrow batch; the scan
+    applies it as a single anti-join — the Iceberg position-delete
+    pattern, never a per-row Python filter."""
+    dv_files = [f for f in snap.files if f.deletion_vector]
+    if not dv_files:
+        return None
+    import pandas as pd
+
+    root = (
+        os.path.abspath(snap.table_path)
+        if fsio.is_local(snap.table_path)
+        else snap.table_path.rstrip("/")
+    )
+    frames = []
+    for f in dv_files:
+        pos = _dv_positions(snap.table_path, f.deletion_vector)
+        frames.append(
+            pd.DataFrame(
+                {"__dfp": f"{root}/{f.path}", "__pos": pd.Series(pos, dtype="int64")}
+            )
+        )
+    return spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema="__dfp string, __pos long",
+    )
+
+
 def _is_hive_layout(snap: DeltaSnapshot) -> bool:
     if not snap.partition_columns:
         return True
@@ -616,12 +734,36 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
 
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
+
+    tomb = _dv_tombstones(spark, snap)
+
+    def _strip_deleted(scan_df):
+        """Anti-join DV tombstones on (file, row position) — applied on
+        the scan stage while `_metadata` is still resolvable."""
+        if tomb is None:
+            return scan_df
+        tagged = scan_df.withColumns(
+            {
+                "__dfp": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(tomb, ["__dfp", "__pos"], "left_anti").drop(
+            "__dfp", "__pos"
+        )
+
     if _is_hive_layout(snap):
         reader = spark.read
         if snap.partition_columns:
             reader = reader.option("basePath", snap.table_path)
-        df = _to_logical(
-            reader.schema(_phys_struct(data_fields)).parquet(*snap.file_paths())
+        df = _strip_deleted(
+            _to_logical(
+                reader.schema(_phys_struct(data_fields)).parquet(
+                    *snap.file_paths()
+                )
+            )
         )
         for col in snap.partition_columns:
             df = df.withColumn(
@@ -645,8 +787,10 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
         )
     out = None
     for key, paths in groups.items():
-        part = _to_logical(
-            spark.read.schema(_phys_struct(data_fields)).parquet(*paths)
+        part = _strip_deleted(
+            _to_logical(
+                spark.read.schema(_phys_struct(data_fields)).parquet(*paths)
+            )
         )
         for col, val in zip(snap.partition_columns, key):
             lit = (
@@ -932,6 +1076,7 @@ def write_delta_table(
         else:
             prev = read_delta_snapshot(table_path)
             _refuse_column_mapped(prev, "WRITE")
+            _refuse_deletion_vectors(prev, "WRITE")
             # compare names + types; nullability differences (literal
             # columns are non-nullable) don't constitute schema change
             shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
@@ -1026,6 +1171,7 @@ def _alter_once(
     commit race, recompute and retry."""
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "ALTER")
+    _refuse_deletion_vectors(snap, "ALTER")
     names = {f.name for f in snap.schema.fields}
     dropped = set(json.loads(
         snap.configuration.get("ballista.droppedColumns", "[]")
@@ -1253,6 +1399,7 @@ def compact_delta_table(
     """
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "OPTIMIZE")
+    _refuse_deletion_vectors(snap, "OPTIMIZE")
     by_part: dict[tuple, list[_AddFile]] = {}
     for f in snap.files:
         key = tuple(
@@ -1471,6 +1618,7 @@ def merge_delta_table(
     on = list(on)
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "MERGE")
+    _refuse_deletion_vectors(snap, "MERGE")
     if txn_app_id is not None:
         # streaming-upsert idempotence (the Delta `txn` action): a
         # replayed epoch is detected in the log and skipped before any
@@ -1743,6 +1891,7 @@ def delete_from_delta_table(
         )
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "DELETE")
+    _refuse_deletion_vectors(snap, "DELETE")
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
@@ -1782,6 +1931,7 @@ def update_delta_table(
         raise ValueError("UPDATE needs at least one SET column")
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "UPDATE")
+    _refuse_deletion_vectors(snap, "UPDATE")
     by_name = {f.name: f for f in snap.schema.fields}
     for name in set_exprs:
         if name not in by_name:
@@ -1884,6 +2034,7 @@ def read_delta_changes(
         for action in _iter_commit_actions(_commit_path(table_path, v)):
             a = action.get("add")
             if a and a.get("dataChange", True):
+                dv = a.get("deletionVector")
                 adds.append(
                     _AddFile(
                         path=_normalize_rel(table_path, a["path"]),
@@ -1895,6 +2046,9 @@ def read_delta_changes(
                         },
                         size=int(a.get("size") or 0),
                         stats=None,
+                        deletion_vector=(
+                            dict(dv) if isinstance(dv, dict) else None
+                        ),
                     )
                 )
         if not adds:

@@ -1,0 +1,238 @@
+"""Delta deletion-vector bitmap codec — pure Python, public formats.
+
+Implements the two public specs a Delta DV reader needs (delta.io
+PROTOCOL.md "Deletion Vectors" + the RoaringFormatSpec at
+github.com/RoaringBitmap/RoaringFormatSpec), with no native library:
+
+- **Z85** (the ZeroMQ base-85 alphabet): Delta encodes the DV file's
+  random UUID (16 bytes -> 20 chars) and inline bitmaps with it.
+- **RoaringBitmapArray** ("portable" 64-bit format, the delta-kernel /
+  delta-rs on-disk layout): ``magic 1681511377 (u32 LE) | number of
+  32-bit bitmaps (u64 LE) | bitmap_0 | bitmap_1 | ...`` where bitmap_i
+  holds the low 32 bits of every member whose high 32 bits equal i,
+  serialized in the standard 32-bit roaring portable format (cookie
+  12346/12347, array / bitmap / run containers).
+- The **DV file layout**: version byte ``1`` at offset 0; each vector
+  at its descriptor ``offset`` as ``[dataSize u32 BE][bitmap bytes]
+  [CRC-32 of the bitmap bytes, u32 BE]``.
+
+The encoder exists for fixtures and tests (round-trip + known-answer
+pins); production writes still refuse DV tables — this engine deletes
+copy-on-write.  Cardinalities are bounded by rows-per-file (~1M at the
+128 MB discipline), so driver-side decode of a file's positions is a
+few MB at worst; the scan applies them as a (file, position) anti-join,
+never a per-row Python filter.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+MAGIC = 1681511377  # RoaringBitmapArray portable-format magic
+
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+class DeletionVectorError(ValueError):
+    """Malformed or unsupported deletion-vector bytes."""
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise DeletionVectorError(
+            f"z85 length {len(text)} is not a multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for ch in text[i : i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise DeletionVectorError(
+                    f"invalid z85 character {ch!r}"
+                ) from None
+        if acc > 0xFFFFFFFF:
+            raise DeletionVectorError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise DeletionVectorError(
+            f"z85 input length {len(data)} is not a multiple of 4"
+        )
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        group = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            group.append(_Z85_CHARS[rem])
+        out.extend(reversed(group))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# 32-bit roaring (RoaringFormatSpec portable serialization)
+
+
+def _decode_rbm32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Decode one 32-bit roaring bitmap starting at ``pos``; returns
+    (sorted values, next position)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        run_bits = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUNCONTAINER:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        run_bits = b""
+        has_offsets = True
+    else:
+        raise DeletionVectorError(f"bad roaring cookie {cookie}")
+
+    keys_cards = []
+    for _ in range(n):
+        key, card_minus_1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys_cards.append((key, card_minus_1 + 1))
+    if has_offsets:
+        pos += 4 * n  # container offsets — sequential decode ignores them
+
+    values: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        is_run = bool(run_bits and (run_bits[i // 8] >> (i % 8)) & 1)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base + v for v in range(start, start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    values.append(base + (wi << 6) + low.bit_length() - 1)
+                    w ^= low
+    return values, pos
+
+
+def _encode_rbm32(values: list[int]) -> bytes:
+    """Serialize sorted 32-bit values (SERIAL_COOKIE_NO_RUNCONTAINER,
+    array/bitmap containers — the encoder delta-kernel itself emits for
+    freshly-built DVs)."""
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUNCONTAINER, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    # container offsets
+    off = len(out) + 4 * len(keys)
+    bodies = []
+    for k in keys:
+        vals = sorted(by_key[k])
+        if len(vals) <= 4096:
+            body = struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            body = struct.pack("<1024Q", *words)
+        bodies.append(body)
+    for body in bodies:
+        out += struct.pack("<I", off)
+        off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit RoaringBitmapArray (the Delta DV payload)
+
+
+def decode_rbm_array(buf: bytes) -> list[int]:
+    """Portable RoaringBitmapArray bytes -> sorted member list."""
+    if len(buf) < 12:
+        raise DeletionVectorError("bitmap too short for magic + count")
+    magic, n_bitmaps = struct.unpack_from("<Iq", buf, 0)
+    if magic != MAGIC:
+        raise DeletionVectorError(
+            f"bad RoaringBitmapArray magic {magic} (want {MAGIC})"
+        )
+    pos = 12
+    out: list[int] = []
+    for hi in range(n_bitmaps):
+        vals, pos = _decode_rbm32(buf, pos)
+        base = hi << 32
+        out.extend(base + v for v in vals)
+    return out
+
+
+def encode_rbm_array(values: list[int]) -> bytes:
+    vals = sorted(set(values))
+    n_bitmaps = (vals[-1] >> 32) + 1 if vals else 0
+    out = bytearray(struct.pack("<Iq", MAGIC, n_bitmaps))
+    for hi in range(n_bitmaps):
+        out += _encode_rbm32(
+            [v & 0xFFFFFFFF for v in vals if (v >> 32) == hi]
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DV file framing
+
+
+def unpack_dv_blob(blob: bytes, offset: int, size_in_bytes: int) -> list[int]:
+    """Extract one deletion vector from DV-file bytes: ``[dataSize u32
+    BE][bitmap][crc32 u32 BE]`` at ``offset``; verifies both the
+    descriptor's sizeInBytes and the stored checksum."""
+    (data_size,) = struct.unpack_from(">I", blob, offset)
+    if data_size != size_in_bytes:
+        raise DeletionVectorError(
+            f"DV sizeInBytes mismatch: descriptor {size_in_bytes}, "
+            f"file {data_size}"
+        )
+    data = blob[offset + 4 : offset + 4 + data_size]
+    if len(data) != data_size:
+        raise DeletionVectorError("DV file truncated")
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + data_size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeletionVectorError("DV checksum mismatch")
+    return decode_rbm_array(data)
+
+
+def pack_dv_blob(values: list[int]) -> tuple[bytes, int, int, int]:
+    """Fixture helper: one-vector DV file bytes -> (blob, offset,
+    sizeInBytes, cardinality)."""
+    data = encode_rbm_array(values)
+    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
+    )
+    return blob, 1, len(data), len(set(values))

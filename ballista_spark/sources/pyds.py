@@ -121,6 +121,12 @@ class _FilePartition(InputPartition):
     #: logical -> physical parquet column names (Delta column mapping);
     #: empty for plain tables and the iceberg/hudi/avro faces
     column_renames: dict = None
+    #: Delta deletion-vector descriptor for THIS file (or None) — the
+    #: small descriptor ships to the task; the bitmap decodes
+    #: executor-side and masks rows by position
+    deletion_vector: dict = None
+    #: table root, needed to resolve a "u"-storage DV file
+    table_path: str = None
 
 
 class _DeltaReader(DataSourceReader):
@@ -192,6 +198,8 @@ class _DeltaReader(DataSourceReader):
                     for c in snap.partition_columns
                 },
                 column_renames=snap.column_mapping or None,
+                deletion_vector=f.deletion_vector,
+                table_path=self.table_path,
             )
             for f in snap.files
         ] or [_FilePartition(path="", partition_values={})]
@@ -208,9 +216,19 @@ def _read_parquet_with_partition_values(
     partition: _FilePartition, spark_schema: T.StructType
 ):
     """One data file → Arrow batches in the declared schema order, with
-    hive partition columns attached as constants."""
+    hive partition columns attached as constants.  A deletion-vector
+    descriptor on the partition decodes HERE (executor-side) and masks
+    rows by file position before the batch leaves the reader."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    deleted = None
+    if partition.deletion_vector:
+        from ballista_spark.sources.deltalog import _dv_positions
+
+        deleted = set(
+            _dv_positions(partition.table_path, partition.deletion_vector)
+        )
 
     target = _arrow_schema_for(spark_schema)
     part_cols = set(partition.partition_values)
@@ -220,9 +238,19 @@ def _read_parquet_with_partition_values(
         for f in spark_schema.fields
         if f.name not in part_cols
     ]
+    row_offset = 0
     for batch in pq.ParquetFile(partition.path).iter_batches(
         columns=data_cols
     ):
+        if deleted is not None:
+            n0 = batch.num_rows
+            mask = pa.array(
+                [(row_offset + i) not in deleted for i in range(n0)]
+            )
+            row_offset += n0
+            batch = batch.filter(mask)
+            if batch.num_rows == 0:
+                continue
         n = batch.num_rows
         arrays = []
         for field in spark_schema.fields:
@@ -297,6 +325,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         "— restart from a later startingVersion past it"
                     )
                 a = action.get("add")
+                if a and a.get("deletionVector"):
+                    raise ValueError(
+                        f"delta commit {v} attaches a deletion vector: "
+                        "a stream cannot represent retraction — restart "
+                        "from a later startingVersion past it"
+                    )
                 if a and a.get("dataChange", True):
                     pv = dict(a.get("partitionValues") or {})
                     out.append(

@@ -175,13 +175,25 @@ def test_reader_v3_feature_gate(spark, tmp_path):
         },
     )
     assert read_delta_table(spark, ok).count() == 5
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+    # deletionVectors is now a SUPPORTED reader feature (round 8):
+    # columnMapping + deletionVectors tables read; unknown features
+    # still refuse loudly
+    both = _mapped_table(
+        tmp_path / "dv",
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+        },
+    )
+    assert read_delta_table(spark, both).count() == 5
+    with pytest.raises(DeltaProtocolError, match="readerFeatures"):
         bad = _mapped_table(
-            tmp_path / "dv",
+            tmp_path / "v2cp",
             protocol={
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "readerFeatures": ["columnMapping", "v2Checkpoint"],
             },
         )
         read_delta_snapshot(bad)

@@ -1,0 +1,417 @@
+"""Delta deletion-vector READ support (deltalog + dvbitmap): fixtures
+hand-built to the public protocol shapes (delta.io PROTOCOL.md
+"Deletion Vectors" + RoaringFormatSpec) — UUID-named DV files, inline
+z85 bitmaps, absolute paths; applied as a (file, position) anti-join.
+Writes to DV tables stay refused (the documented matrix)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid as _uuid
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ballista_spark.sources.deltalog import (
+    DeltaProtocolError,
+    read_delta_cdf,
+    read_delta_snapshot,
+    read_delta_table,
+)
+from ballista_spark.sources.dvbitmap import (
+    DeletionVectorError,
+    decode_rbm_array,
+    encode_rbm_array,
+    pack_dv_blob,
+    unpack_dv_blob,
+    z85_decode,
+    z85_encode,
+)
+
+
+# ------------------------------------------------------------------- codec
+
+
+def test_z85_spec_vector():
+    data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(data) == "HelloWorld"
+    assert z85_decode("HelloWorld") == data
+    with pytest.raises(DeletionVectorError):
+        z85_decode("abc")  # not a multiple of 5
+    with pytest.raises(DeletionVectorError):
+        z85_decode('abcd"')  # invalid character
+
+
+def test_roaring_round_trip_shapes():
+    for vals in (
+        [],
+        [0],
+        [1, 2, 3, 100_000],
+        list(range(5000)),           # bitmap container (card > 4096)
+        [7, 2**32 + 5, 2**33 + 1],   # multiple 32-bit buckets
+    ):
+        assert decode_rbm_array(encode_rbm_array(vals)) == sorted(set(vals))
+
+
+def test_roaring_run_container_decode():
+    # SERIAL_COOKIE with one run container {5..8} — the shape delta-spark
+    # writes after runOptimize()
+    cookie = (0 << 16) | 12347
+    body = (
+        struct.pack("<I", cookie)
+        + bytes([0b1])
+        + struct.pack("<HH", 0, 3)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 5, 3)
+    )
+    payload = struct.pack("<Iq", 1681511377, 1) + body
+    assert decode_rbm_array(payload) == [5, 6, 7, 8]
+
+
+def test_dv_blob_checksum_and_size_guards():
+    blob, off, size, card = pack_dv_blob([1, 5])
+    assert unpack_dv_blob(blob, off, size) == [1, 5]
+    with pytest.raises(DeletionVectorError, match="sizeInBytes mismatch"):
+        unpack_dv_blob(blob, off, size + 1)
+    corrupt = bytearray(blob)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(DeletionVectorError, match="checksum"):
+        unpack_dv_blob(bytes(corrupt), off, size)
+
+
+# ------------------------------------------------------------ table fixtures
+
+
+def _commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _base_table(tmp_path, feature=True):
+    """v0: two 5-row files, protocol v3 + deletionVectors feature."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    adds = []
+    for fi in range(2):
+        rel = f"f{fi}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array([fi * 100 + j for j in range(5)], pa.int64()),
+                "cat": pa.array([f"c{j}" for j in range(5)], pa.string()),
+            }),
+            os.path.join(table, rel),
+        )
+        adds.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table, rel)),
+            "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 5,
+                "minValues": {"id": fi * 100},
+                "maxValues": {"id": fi * 100 + 4},
+                "nullCount": {"id": 0},
+            }),
+        }})
+    proto = (
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["deletionVectors"],
+         "writerFeatures": ["deletionVectors"]}
+        if feature
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    _commit(table, 0, [
+        {"protocol": proto},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+            ]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+    ] + adds)
+    return table
+
+
+def _dv_descriptor_u(table, positions, prefix=""):
+    """Write a UUID-named DV file and return its descriptor."""
+    blob, off, size, card = pack_dv_blob(positions)
+    u = _uuid.uuid4()
+    dv_dir = os.path.join(table, prefix) if prefix else table
+    os.makedirs(dv_dir, exist_ok=True)
+    with open(os.path.join(dv_dir, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": off,
+        "sizeInBytes": size,
+        "cardinality": card,
+    }
+
+
+def _delete_with_dv(table, version, rel, descriptor):
+    """The DV-DELETE commit shape: remove(rel) + add(rel, DV).  The
+    re-add carries the file's stats like delta-spark's does (bounds
+    stay valid: deleted rows only shrink the true set)."""
+    size = os.path.getsize(os.path.join(table, rel))
+    fi = int(rel[1])
+    _commit(table, version, [
+        {"remove": {"path": rel, "deletionTimestamp": 1, "dataChange": True}},
+        {"add": {"path": rel, "partitionValues": {}, "size": size,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({
+                     "numRecords": 5,
+                     "minValues": {"id": fi * 100},
+                     "maxValues": {"id": fi * 100 + 4},
+                     "nullCount": {"id": 0},
+                 }),
+                 "deletionVector": descriptor}},
+    ])
+
+
+# ------------------------------------------------------------------- reads
+
+
+def test_dv_read_uuid_storage_and_time_travel(spark, tmp_path):
+    table = _base_table(tmp_path)
+    # delete rows at positions 1 and 3 of f0 (ids 1 and 3)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1, 3]))
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 2, 4, 100, 101, 102, 103, 104]
+    # time travel to before the DV commit: all ten rows
+    v0 = sorted(r["id"] for r in read_delta_table(spark, table, version=0).collect())
+    assert v0 == [0, 1, 2, 3, 4, 100, 101, 102, 103, 104]
+    snap = read_delta_snapshot(table)
+    assert sum(1 for f in snap.files if f.deletion_vector) == 1
+
+
+def test_dv_read_prefixed_uuid_storage(spark, tmp_path):
+    table = _base_table(tmp_path)
+    _delete_with_dv(
+        table, 1, "f0.parquet", _dv_descriptor_u(table, [0], prefix="ab/")
+    )
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [1, 2, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_dv_read_inline_storage(spark, tmp_path):
+    table = _base_table(tmp_path)
+    data = encode_rbm_array([2, 4])
+    pad = (-len(data)) % 4
+    _delete_with_dv(table, 1, "f1.parquet", {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    })
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 103]
+
+
+def test_dv_read_absolute_path_storage(spark, tmp_path):
+    table = _base_table(tmp_path)
+    blob, off, size, card = pack_dv_blob([0, 1, 2, 3, 4])
+    ext = str(tmp_path / "elsewhere.bin")
+    with open(ext, "wb") as f:
+        f.write(blob)
+    _delete_with_dv(table, 1, "f0.parquet", {
+        "storageType": "p", "pathOrInlineDv": ext,
+        "offset": off, "sizeInBytes": size, "cardinality": card,
+    })
+    # the whole of f0 is deleted
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [100, 101, 102, 103, 104]
+
+
+def test_dv_successive_vectors_replace(spark, tmp_path):
+    """A second DV on the same file REPLACES the first (the add action
+    is whole-row state, not a delta) — growing deletes accumulate in
+    the new bitmap."""
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    _delete_with_dv(table, 2, "f0.parquet", _dv_descriptor_u(table, [1, 2]))
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 3, 4, 100, 101, 102, 103, 104]
+    # intermediate version applies only the first bitmap
+    v1 = sorted(r["id"] for r in read_delta_table(spark, table, version=1).collect())
+    assert v1 == [0, 2, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_dv_filters_still_prune(spark, tmp_path):
+    """Stats-based file skipping composes with DV application: the
+    pruned file never scans, the kept file's DV still applies."""
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    # prune to f1 only (f0's DV is irrelevant there)
+    got = sorted(
+        r["id"]
+        for r in read_delta_table(
+            spark, table, filters=[("id", ">=", 100)]
+        ).collect()
+    )
+    assert got == [100, 101, 102, 103, 104]
+    # prune to f0 only: its DV applies inside the kept file
+    got0 = sorted(
+        r["id"]
+        for r in read_delta_table(
+            spark, table, filters=[("id", "<", 100)]
+        ).collect()
+    )
+    assert got0 == [0, 2, 3, 4]
+
+
+def test_dv_cdf_exact_deletes(spark, tmp_path):
+    """The change feed across a DV commit emits EXACTLY the rows the
+    bitmap killed, as deletes (carried rows cancel in the multiset
+    diff)."""
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1, 3]))
+    changes = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in read_delta_cdf(spark, table, from_version=0).collect()
+    )
+    assert changes == [(1, "delete", 1), (1, "delete", 3)]
+
+
+def test_dv_guards_raise(spark, tmp_path):
+    table = _base_table(tmp_path)
+    desc = _dv_descriptor_u(table, [1])
+    bad = dict(desc, cardinality=99)
+    _delete_with_dv(table, 1, "f0.parquet", bad)
+    with pytest.raises(DeltaProtocolError, match="cardinality"):
+        read_delta_table(spark, table).collect()
+
+    t2 = _base_table(tmp_path / "t2")
+    _delete_with_dv(t2, 1, "f0.parquet", dict(desc, storageType="x"))
+    with pytest.raises(DeltaProtocolError, match="storageType"):
+        read_delta_table(spark, t2).collect()
+
+
+def test_dv_writes_refused(spark, tmp_path):
+    from ballista_spark.sources.deltalog import (
+        alter_delta_table,
+        compact_delta_table,
+        delete_from_delta_table,
+        merge_delta_table,
+        update_delta_table,
+        write_delta_table,
+    )
+
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    src = spark.createDataFrame([(1, "z")], "id long, cat string")
+    for call in (
+        lambda: write_delta_table(src, table),
+        lambda: merge_delta_table(spark, table, src, on=["id"]),
+        lambda: delete_from_delta_table(spark, table, [("id", "=", 1)]),
+        lambda: update_delta_table(spark, table, {"cat": "'z'"}),
+        lambda: compact_delta_table(spark, table),
+        lambda: alter_delta_table(table, add_columns={"x": "long"}),
+    ):
+        with pytest.raises(DeltaProtocolError, match="deletion vector"):
+            call()
+
+
+def test_dv_feature_without_vectors_reads_and_refuses_writes(spark, tmp_path):
+    """A table that ENABLES the deletionVectors feature but has no DV
+    yet must read fine (round-7 refused it outright) and still refuse
+    writes (a concurrent DV-aware writer could add one any time)."""
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    table = _base_table(tmp_path)  # feature on, no DVs
+    assert read_delta_table(spark, table).count() == 10
+    src = spark.createDataFrame([(1, "z")], "id long, cat string")
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        write_delta_table(src, table)
+
+
+def test_dv_checkpoint_descriptor_survives(spark, tmp_path):
+    """An external checkpoint carrying deletionVector structs feeds the
+    same read path (delta-spark checkpoints its DV tables)."""
+    import pyarrow as pa
+
+    table = _base_table(tmp_path)
+    desc = _dv_descriptor_u(table, [1, 3])
+    _delete_with_dv(table, 1, "f0.parquet", desc)
+    # hand-write a v1 checkpoint WITH the DV struct
+    snap_adds = [
+        {"path": "f0.parquet", "dv": desc},
+        {"path": "f1.parquet", "dv": None},
+    ]
+    schema = pa.schema([
+        pa.field("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        pa.field("metaData", pa.struct([
+            ("id", pa.string()), ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        pa.field("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])),
+        ])),
+    ])
+    meta_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    rows = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"id": "m", "schemaString": meta_schema,
+                      "partitionColumns": [], "configuration": []},
+         "add": None},
+    ] + [
+        {"protocol": None, "metaData": None,
+         "add": {"path": a["path"], "partitionValues": [],
+                 "size": os.path.getsize(os.path.join(table, a["path"])),
+                 "modificationTime": 0, "dataChange": False, "stats": None,
+                 "deletionVector": a["dv"]}}
+        for a in snap_adds
+    ]
+    log = os.path.join(table, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(rows)}, f)
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 2, 4, 100, 101, 102, 103, 104]
+
+
+def test_dv_pyds_face_masks_rows(spark, tmp_path):
+    """The ballista_delta DataSource face decodes the descriptor
+    executor-side and masks rows by position — same result as the
+    library read path."""
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1, 3]))
+    df = spark.read.format("ballista_delta").option("path", table).load()
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [0, 2, 4, 100, 101, 102, 103, 104]
