@@ -17,17 +17,22 @@ subset the storage layer can prune on — conjunctions of
 
 - ``DELETE FROM t WHERE <conj>``
 - ``UPDATE t SET c = <expr> [, ...] [WHERE <conj>]``
-- ``MERGE INTO t USING s|(subquery) ON t.k = s.k [AND ...]
-  WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
-  [WHEN NOT MATCHED THEN INSERT *]``
+- ``MERGE INTO t [alias] USING s|(subquery) [alias] ON t.k = s.k
+  [AND ...] WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET
+  c = <expr> [, ...] | DELETE [WHEN NOT MATCHED [AND <cond>] THEN
+  INSERT *]`` — at most one clause of each kind; ``<cond>`` and SET
+  right-hand sides are arbitrary Spark SQL over the statement aliases
+  (``t.c`` / ``s.c``), evaluated by transforming the merge SOURCE so
+  the storage layer's touch-only rewrite discipline is untouched
 - ``VACUUM t [RETAIN n HOURS]``
 - ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
 - ``ALTER TABLE t ADD COLUMNS (c type [, ...])`` /
   ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)``
-- ``INSERT INTO t <query>`` / ``INSERT OVERWRITE t <query>`` where
-  ``<query>`` is any Spark SQL query (``SELECT ...``, ``VALUES ...``) —
-  aligned to the table schema BY POSITION (SQL INSERT semantics), cast
-  to the declared column types
+- ``INSERT INTO t [(c1, c2, ...)] <query>`` / ``INSERT OVERWRITE t
+  <query>`` where ``<query>`` is any Spark SQL query (``SELECT ...``,
+  ``VALUES ...``) — aligned to the table schema BY POSITION (SQL
+  INSERT semantics) or to the named column list (unlisted columns
+  fill with NULL), cast to the declared column types
 - ``CREATE EXTERNAL TABLE name [(col type, ...)] STORED AS fmt
   [WITH HEADER ROW] [DELIMITER 'c'] LOCATION 'path'`` — the reference's
   exact DDL text (`ballista.proto:236-248`, DataFusion dialect), routed
@@ -149,6 +154,17 @@ class DmlStatement:
     on: list[str] = field(default_factory=list)
     when_matched: str = "update"
     insert_not_matched: bool = False
+    #: MERGE extras (round 8): per-clause conditions (raw SQL over the
+    #: statement aliases), explicit UPDATE SET assignments (None =
+    #: SET *), and the statement's target/source aliases for resolution
+    matched_condition: str | None = None
+    not_matched_condition: str | None = None
+    matched_set: dict[str, str] | None = None
+    target_alias: str | None = None
+    source_alias: str | None = None
+    #: INSERT extras: explicit column list (None = full-schema
+    #: positional)
+    insert_columns: list[str] | None = None
     retain_hours: float | None = None
     zorder_by: list[str] = field(default_factory=list)
     add_columns: dict[str, str] = field(default_factory=dict)
@@ -263,33 +279,67 @@ def parse_dml(query: str) -> DmlStatement | None:
                     raise DmlError(f"unknown qualifier {q!r} in MERGE ON")
             on_cols.append(c1)
         when_matched, insert = None, False  # None = insert-only merge
-        for cm in re.finditer(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
-            r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-            clauses,
-        ):
-            neg, action = cm.group(1), cm.group(2).upper()
+        matched_condition = not_matched_condition = None
+        matched_set: dict[str, str] | None = None
+        clause_re = re.compile(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s*(?:\bAND\b\s+(.+?))?\s*THEN\s+"
+            r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*(?=WHEN\b|$)"
+        )
+        for cm in clause_re.finditer(clauses):
+            neg, cond, action = cm.group(1), cm.group(2), cm.group(3)
+            action_u = re.sub(r"\s+", " ", action.upper()).strip()
             if neg:
-                if not action.startswith("INSERT"):
+                if action_u != "INSERT *":
                     raise DmlError("WHEN NOT MATCHED supports only INSERT *")
+                if insert:
+                    raise DmlError("at most one WHEN NOT MATCHED clause")
                 insert = True
-            elif action == "DELETE":
-                when_matched = "delete"
-            elif action.startswith("UPDATE"):
-                when_matched = "update"
+                not_matched_condition = cond.strip() if cond else None
             else:
-                raise DmlError("WHEN MATCHED supports UPDATE SET * or DELETE")
-        leftover = re.sub(
-            r"(?is)WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+"
-            r"(?:UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-            "",
-            clauses,
-        ).strip()
-        if leftover:
+                if when_matched is not None:
+                    raise DmlError("at most one WHEN MATCHED clause")
+                if action_u == "DELETE":
+                    when_matched = "delete"
+                elif action_u == "UPDATE SET *":
+                    when_matched = "update"
+                elif action_u.startswith("UPDATE SET"):
+                    when_matched = "update"
+                    matched_set = {}
+                    set_sql = re.sub(
+                        r"(?is)^\s*UPDATE\s+SET\s+", "", action
+                    ).strip()
+                    for a in _split_top_level(set_sql, r","):
+                        am = re.fullmatch(
+                            rf"\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*(.+?)\s*",
+                            a,
+                            re.DOTALL,
+                        )
+                        if not am:
+                            raise DmlError(
+                                f"cannot parse MERGE SET assignment {a!r}"
+                            )
+                        q, col, expr = am.groups()
+                        if q and q not in aliases:
+                            raise DmlError(
+                                f"unknown qualifier {q!r} in MERGE SET"
+                            )
+                        if col in matched_set:
+                            raise DmlError(
+                                f"column {col!r} assigned twice in MERGE SET"
+                            )
+                        matched_set[col] = expr
+                else:
+                    raise DmlError(
+                        "WHEN MATCHED supports UPDATE SET * | "
+                        "UPDATE SET c = expr, ... | DELETE"
+                    )
+                matched_condition = cond.strip() if cond else None
+        if re.sub(r"\s+", "", clause_re.sub("", clauses)):
             raise DmlError(
-                f"unsupported MERGE clause {leftover!r} — supported: "
-                "WHEN MATCHED THEN UPDATE SET * | DELETE, "
-                "WHEN NOT MATCHED THEN INSERT *"
+                f"unsupported MERGE clause in {clauses!r} — supported: "
+                "WHEN MATCHED [AND cond] THEN UPDATE SET * | "
+                "UPDATE SET c = expr, ... | DELETE, "
+                "WHEN NOT MATCHED [AND cond] THEN INSERT *"
             )
         if when_matched is None and not insert:
             raise DmlError("MERGE needs at least one WHEN clause")
@@ -298,6 +348,11 @@ def parse_dml(query: str) -> DmlStatement | None:
             # "skip" = insert-only: matched target rows stay untouched
             when_matched=when_matched or "skip",
             insert_not_matched=insert,
+            matched_condition=matched_condition,
+            not_matched_condition=not_matched_condition,
+            matched_set=matched_set,
+            target_alias=t_alias,
+            source_alias=s_alias,
         )
     m = _VACUUM_RE.match(query)
     if m:
@@ -338,21 +393,29 @@ def parse_dml(query: str) -> DmlStatement | None:
     m = _INSERT_RE.match(query)
     if m:
         rest = m.group(3)
+        insert_columns = None
         lead = re.match(
-            rf"\(\s*({_IDENT})(?:\s*,\s*{_IDENT})*\s*\)\s*\S", rest
+            rf"(\(\s*{_IDENT}(?:\s*,\s*{_IDENT})*\s*\))\s*\S", rest
         )
-        if lead and lead.group(1).upper() not in (
-            "SELECT", "VALUES", "WITH", "TABLE", "FROM"
-        ):
-            raise DmlError(
-                "column-list INSERT is not supported — this INSERT aligns "
-                "BY POSITION to the full table schema; project/reorder in "
-                "the SELECT instead"
-            )
+        if lead:
+            cols = [
+                c.strip() for c in lead.group(1)[1:-1].split(",")
+            ]
+            # `INSERT INTO t (SELECT ...)` is a parenthesized query,
+            # not a column list — only treat idents that are not query
+            # heads as columns
+            if cols[0].upper() not in (
+                "SELECT", "VALUES", "WITH", "TABLE", "FROM"
+            ):
+                if len(set(c.lower() for c in cols)) != len(cols):
+                    raise DmlError("duplicate column in INSERT column list")
+                insert_columns = cols
+                rest = rest[lead.end(1):].strip()
         return DmlStatement(
             op="insert" if m.group(1).upper() == "INTO" else "insert_overwrite",
             table=m.group(2),
             source_sql=rest,
+            insert_columns=insert_columns,
         )
     m = _ALTER_ADD_RE.match(query)
     if m:
@@ -433,58 +496,129 @@ def execute_dml(ctx, stmt: DmlStatement):
                 spark, path, stmt.set_exprs, stmt.where
             )
     elif stmt.op == "merge":
+        from pyspark.sql import functions as F
+
         src = stmt.source_sql
         source = (
             spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+        )
+        if fmt == "delta":
+            from ballista_spark.sources.deltalog import (
+                merge_delta_table as _merge,
+                read_delta_table as _read,
+                write_delta_table as _write,
+            )
+        else:
+            from ballista_spark.sources.iceberg import (
+                merge_iceberg_table as _merge,
+                read_iceberg_table as _read,
+                write_iceberg_table as _write,
+            )
+        talias = stmt.target_alias or stmt.table
+        salias = stmt.source_alias or (
+            src if not src.startswith("(") else "__src"
+        )
+        conditional = (
+            stmt.matched_condition is not None
+            or stmt.not_matched_condition is not None
+            or stmt.matched_set is not None
         )
         if stmt.when_matched == "skip":
             # insert-only MERGE: matched rows untouched — new keys
             # anti-join against the target, then a plain append (no
             # file ever rewrites)
-            from pyspark.sql import functions as F
-
-            if fmt == "delta":
-                from ballista_spark.sources.deltalog import (
-                    read_delta_table,
-                    write_delta_table,
+            target_df = _read(spark, path)
+            new_rows = source.alias(salias).join(
+                target_df.select(*stmt.on).distinct(), stmt.on, "left_anti"
+            )
+            if stmt.not_matched_condition:
+                new_rows = new_rows.where(
+                    F.expr(stmt.not_matched_condition)
                 )
-
-                target_df = read_delta_table(spark, path)
-                new_rows = source.join(
-                    target_df.select(*stmt.on).distinct(), stmt.on, "left_anti"
+            new_rows = new_rows.select(*target_df.columns)
+            version = (
+                _write(new_rows, path, mode="append")
+                if new_rows.limit(1).count()
+                else None
+            )
+        elif conditional:
+            # per-clause conditions / explicit SET compose onto the
+            # plain storage MERGE by transforming the SOURCE: matched
+            # rows passing the condition become their POST-action rows
+            # (source row for SET *, a projection over the t/s pair for
+            # explicit SET); matched rows failing it leave the source —
+            # the storage merge then never touches them.  Conditions
+            # and SET right-hand sides are arbitrary Spark SQL over the
+            # statement's aliases (t.c / s.c); ambiguity surfaces as an
+            # AnalysisException, never a silent guess.
+            target_df = _read(spark, path)
+            target_cols = target_df.columns
+            types = {f.name: f.dataType for f in target_df.schema.fields}
+            if stmt.matched_set:
+                bad = [c for c in stmt.matched_set if c not in types]
+                if bad:
+                    raise DmlError(
+                        f"MERGE SET columns {bad} are not in the table "
+                        f"schema {target_cols}"
+                    )
+                keyed = [c for c in stmt.matched_set if c in stmt.on]
+                if keyed:
+                    raise DmlError(
+                        f"MERGE SET cannot assign ON columns {keyed} — "
+                        "the merge is keyed by them"
+                    )
+            t = target_df.alias(talias)
+            s = source.alias(salias)
+            pair_cond = None
+            for k in stmt.on:
+                c = F.col(f"{talias}.{k}") == F.col(f"{salias}.{k}")
+                pair_cond = c if pair_cond is None else (pair_cond & c)
+            m_cond = (
+                F.expr(stmt.matched_condition)
+                if stmt.matched_condition
+                else F.lit(True)
+            )
+            applied = t.join(s, pair_cond, "inner").where(m_cond)
+            if stmt.when_matched == "update" and stmt.matched_set:
+                eff_matched = applied.select(
+                    *[
+                        (
+                            F.expr(stmt.matched_set[c])
+                            .cast(types[c])
+                            .alias(c)
+                            if c in stmt.matched_set
+                            else F.col(f"{talias}.{c}").alias(c)
+                        )
+                        for c in target_cols
+                    ]
                 )
-                version = (
-                    write_delta_table(new_rows, path, mode="append")
-                    if new_rows.limit(1).count()
-                    else None
+            else:  # SET * (update) or DELETE: the source row carries on
+                eff_matched = applied.select(
+                    *[F.col(f"{salias}.{c}").alias(c) for c in target_cols]
                 )
-            else:
-                from ballista_spark.sources.iceberg import (
-                    read_iceberg_table,
-                    write_iceberg_table,
+            pieces = [eff_matched]
+            if stmt.insert_not_matched:
+                ins = s.join(t, pair_cond, "left_anti")
+                if stmt.not_matched_condition:
+                    ins = ins.where(F.expr(stmt.not_matched_condition))
+                pieces.append(
+                    ins.select(
+                        *[
+                            F.col(f"{salias}.{c}").alias(c)
+                            for c in target_cols
+                        ]
+                    )
                 )
-
-                target_df = read_iceberg_table(spark, path)
-                new_rows = source.join(
-                    target_df.select(*stmt.on).distinct(), stmt.on, "left_anti"
-                )
-                version = (
-                    write_iceberg_table(new_rows, path, mode="append")
-                    if new_rows.limit(1).count()
-                    else None
-                )
-        elif fmt == "delta":
-            from ballista_spark.sources.deltalog import merge_delta_table
-
-            version = merge_delta_table(
-                spark, path, source, on=stmt.on,
+            effective = pieces[0]
+            for p in pieces[1:]:
+                effective = effective.unionByName(p)
+            version = _merge(
+                spark, path, effective, on=stmt.on,
                 when_matched=stmt.when_matched,
                 insert_not_matched=stmt.insert_not_matched,
             )
         else:
-            from ballista_spark.sources.iceberg import merge_iceberg_table
-
-            version = merge_iceberg_table(
+            version = _merge(
                 spark, path, source, on=stmt.on,
                 when_matched=stmt.when_matched,
                 insert_not_matched=stmt.insert_not_matched,
@@ -516,6 +650,9 @@ def execute_dml(ctx, stmt: DmlStatement):
         from pyspark.sql import functions as F
 
         src_df = spark.sql(stmt.source_sql)
+        # a VALUES/SELECT query can produce names like `9.5` that any
+        # by-name access would dot-parse — normalize to safe ordinals
+        src_df = src_df.toDF(*[f"__c{i}" for i in range(len(src_df.columns))])
         # SQL INSERT aligns BY POSITION, then casts to the declared types
         if fmt == "delta":
             from ballista_spark.sources.deltalog import (
@@ -534,17 +671,50 @@ def execute_dml(ctx, stmt: DmlStatement):
             target_schema = iceberg_to_spark_type(
                 _current_schema(_load_metadata(path))
             )
-        if len(src_df.columns) != len(target_schema.fields):
-            raise DmlError(
-                f"INSERT column count {len(src_df.columns)} != table "
-                f"column count {len(target_schema.fields)}"
-            )
-        aligned = src_df.select(
-            *[
-                F.col(src_df.columns[i]).cast(f.dataType).alias(f.name)
-                for i, f in enumerate(target_schema.fields)
+        if stmt.insert_columns is not None:
+            # named column list: query columns align BY POSITION to the
+            # listed names; unlisted table columns fill with NULL
+            by_lower = {f.name.lower(): f.name for f in target_schema.fields}
+            unknown = [
+                c for c in stmt.insert_columns if c.lower() not in by_lower
             ]
-        )
+            if unknown:
+                raise DmlError(
+                    f"INSERT column(s) {unknown} not in table schema "
+                    f"{[f.name for f in target_schema.fields]}"
+                )
+            if len(src_df.columns) != len(stmt.insert_columns):
+                raise DmlError(
+                    f"INSERT column list has {len(stmt.insert_columns)} "
+                    f"names but the query produces {len(src_df.columns)} "
+                    "columns"
+                )
+            pos = {
+                by_lower[c.lower()]: i
+                for i, c in enumerate(stmt.insert_columns)
+            }
+            aligned = src_df.select(
+                *[
+                    (
+                        F.col(f"__c{pos[f.name]}").cast(f.dataType)
+                        if f.name in pos
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
+        else:
+            if len(src_df.columns) != len(target_schema.fields):
+                raise DmlError(
+                    f"INSERT column count {len(src_df.columns)} != table "
+                    f"column count {len(target_schema.fields)}"
+                )
+            aligned = src_df.select(
+                *[
+                    F.col(f"__c{i}").cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(target_schema.fields)
+                ]
+            )
         mode = "append" if stmt.op == "insert" else "overwrite"
         if fmt == "delta":
             version = write_delta_table(aligned, path, mode=mode)

@@ -92,10 +92,16 @@ def test_parse_merge_variants():
         parse_dml(
             "MERGE INTO t USING s ON t.a = s.b WHEN MATCHED THEN DELETE"
         )
+    # explicit SET is part of the grammar since round 8
+    s = parse_dml(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = 1"
+    )
+    assert s.matched_set == {"v": "1"}
     with pytest.raises(DmlError, match="unsupported MERGE clause"):
         parse_dml(
             "MERGE INTO t USING s ON t.id = s.id "
-            "WHEN MATCHED THEN UPDATE SET v = 1"
+            "WHEN MATCHED THEN RENAME"
         )
 
 
@@ -258,14 +264,16 @@ def test_insert_only_merge_leaves_matched_rows_alone(spark, tmp_path):
 def test_non_lakehouse_alter_and_insert_pass_through(spark):
     """Statements under ALTER/INSERT heads that the mini-grammar can't
     parse fall through to Spark SQL instead of raising (review
-    finding: ALTER VIEW regressed); column-list INSERT raises with
-    guidance; unparseable DELETE still raises (Spark can never run it
-    on a temp view anyway)."""
+    finding: ALTER VIEW regressed); unparseable DELETE still raises
+    (Spark can never run it on a temp view anyway)."""
     from ballista_spark.dml import parse_dml
 
     assert parse_dml("ALTER VIEW v AS SELECT 1") is None
-    with pytest.raises(DmlError, match="column-list INSERT"):
-        parse_dml("INSERT INTO t (c1, c2) SELECT 1, 2")
+    s = parse_dml("INSERT INTO t (c1, c2) SELECT 1, 2")
+    assert s.insert_columns == ["c1", "c2"]
+    # parenthesized query, NOT a column list
+    s2 = parse_dml("INSERT INTO t (SELECT 1, 2)")
+    assert s2.insert_columns is None
     with pytest.raises(DmlError, match="cannot parse DELETE"):
         parse_dml("DELETE FROM t")  # no WHERE: outside the grammar
 
@@ -324,3 +332,154 @@ def test_insert_and_alter_on_catalog_table_pass_through(spark):
         assert [(r["id"], r["x"]) for r in got] == [(5, None)]
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_passthrough")
+
+
+# --------------------------------------------- round-8 router ergonomics
+
+
+def test_parse_merge_clause_conditions_and_set():
+    s = parse_dml(
+        "MERGE INTO t AS tgt USING src AS s ON tgt.id = s.id "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cat = s.cat, "
+        "v = tgt.v + s.v "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
+    )
+    assert s.op == "merge" and s.on == ["id"]
+    assert s.when_matched == "update" and s.insert_not_matched
+    assert s.matched_condition == "s.op = 'U'"
+    assert s.not_matched_condition == "s.op <> 'D'"
+    assert s.matched_set == {"cat": "s.cat", "v": "tgt.v + s.v"}
+    assert s.target_alias == "tgt" and s.source_alias == "s"
+
+    d = parse_dml(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.stale THEN DELETE"
+    )
+    assert d.when_matched == "delete"
+    assert d.matched_condition == "s.stale"
+    assert d.matched_set is None
+
+    with pytest.raises(DmlError, match="at most one WHEN MATCHED"):
+        parse_dml(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED AND a THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(DmlError, match="cannot parse MERGE SET"):
+        parse_dml(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET == 1"
+        )
+    with pytest.raises(DmlError, match="assigned twice"):
+        parse_dml(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1, v = 2"
+        )
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_conditional_update_set_end_to_end(spark, tmp_path, fmt):
+    """WHEN MATCHED AND cond THEN UPDATE SET c = expr: only matched
+    rows passing the condition change, and only the SET columns; other
+    matched rows stay byte-identical; NOT MATCHED AND cond gates
+    inserts."""
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, cat string, v double",
+    )
+    if fmt == "delta":
+        from ballista_spark.sources.deltalog import write_delta_table
+
+        write_delta_table(target, path)
+        ctx.register_delta("t_c8", path)
+    else:
+        from ballista_spark.sources.iceberg import write_iceberg_table
+
+        write_iceberg_table(target, path)
+        ctx.register_iceberg("t_c8", path)
+    spark.createDataFrame(
+        [(1, "A", 100.0, "U"), (2, "B", 200.0, "skip"),
+         (4, "D", 400.0, "I"), (5, "E", 500.0, "no")],
+        "id long, cat string, v double, op string",
+    ).createOrReplaceTempView("src_c8")
+
+    ctx.sql(
+        "MERGE INTO t_c8 AS tgt USING (SELECT * FROM src_c8) AS s "
+        "ON tgt.id = s.id "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v + tgt.v "
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *"
+    )
+    got = {
+        r["id"]: (r["cat"], r["v"])
+        for r in ctx.sql("SELECT * FROM t_c8").df.collect()
+    }
+    assert got == {
+        1: ("a", 110.0),   # matched + cond: ONLY v updated (cat kept)
+        2: ("b", 20.0),    # matched, cond false: untouched
+        3: ("c", 30.0),    # unmatched target: untouched
+        4: ("D", 400.0),   # not matched + cond: inserted
+        # id=5 filtered by the NOT MATCHED condition
+    }
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_conditional_delete_end_to_end(spark, tmp_path, fmt):
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, cat string"
+    )
+    if fmt == "delta":
+        from ballista_spark.sources.deltalog import write_delta_table
+
+        write_delta_table(target, path)
+        ctx.register_delta("t_d8", path)
+    else:
+        from ballista_spark.sources.iceberg import write_iceberg_table
+
+        write_iceberg_table(target, path)
+        ctx.register_iceberg("t_d8", path)
+    spark.createDataFrame(
+        [(1, "x"), (2, "DEL"), (3, "DEL")], "id long, cat string"
+    ).createOrReplaceTempView("src_d8")
+    ctx.sql(
+        "MERGE INTO t_d8 USING src_d8 ON t_d8.id = src_d8.id "
+        "WHEN MATCHED AND src_d8.cat = 'DEL' THEN DELETE"
+    )
+    got = sorted(
+        r["id"] for r in ctx.sql("SELECT * FROM t_d8").df.collect()
+    )
+    assert got == [1]  # 2 and 3 deleted; 1 matched but cond false
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_insert_column_list_end_to_end(spark, tmp_path, fmt):
+    """INSERT INTO t (c1, c2) <query>: query columns align to the
+    names, unlisted columns fill NULL."""
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, cat string, v double"
+    )
+    if fmt == "delta":
+        from ballista_spark.sources.deltalog import write_delta_table
+
+        write_delta_table(target, path)
+        ctx.register_delta("t_i8", path)
+    else:
+        from ballista_spark.sources.iceberg import write_iceberg_table
+
+        write_iceberg_table(target, path)
+        ctx.register_iceberg("t_i8", path)
+    ctx.sql("INSERT INTO t_i8 (v, id) SELECT 9.5, 9")
+    got = sorted(
+        (r["id"], r["cat"], r["v"])
+        for r in ctx.sql("SELECT * FROM t_i8").df.collect()
+    )
+    assert got == [(1, "a", 1.5), (9, None, 9.5)]
+    with pytest.raises(DmlError, match="not in table schema"):
+        ctx.sql("INSERT INTO t_i8 (nope) SELECT 1")
+    with pytest.raises(DmlError, match="column list has"):
+        ctx.sql("INSERT INTO t_i8 (id, v) SELECT 1")
