@@ -1724,6 +1724,87 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("strength") * 1000000).cast("long").alias("v"),
     ).localCheckpoint(eager=True)
 
+    # data-contract validation (round 7, operators/validate.py): the
+    # REAL one-pass contract runs over documents; per check the report's
+    # passed flag and leading observed integer pin against a DuckDB
+    # replay of the identical statistics (round 8 fold-in)
+    from ballista_spark.operators.validate import (
+        in_range,
+        matches_regex,
+        not_null,
+        row_count,
+        unique,
+        validate,
+    )
+
+    report, _ok = validate(
+        docs,
+        [
+            row_count(lo=1),
+            not_null("text", max_null_frac=0.5),
+            unique("doc_id"),
+            in_range("doc_id", 0, 1099511627776),
+            matches_regex("source", "^src[0-9]+$"),
+        ],
+    )
+    vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
+    val_rows = (
+        report.select(
+            F.lit("validate").alias("op"),
+            vk.alias("k"),
+            F.lit("passed").alias("metric"),
+            F.col("passed").cast("long").alias("v"),
+        )
+        .unionAll(
+            report.select(
+                F.lit("validate"),
+                vk,
+                F.lit("obs"),
+                F.regexp_extract("observed", r"^(-?\d+)", 1).cast("long"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # code-curation quality stats (round 7, operators/code.py): the
+    # StarCoder line-geometry pass + the published filter defaults over
+    # documents, pinned per source as integer aggregates the oracle
+    # recomputes with the identical regex arithmetic (round 8 fold-in)
+    from ballista_spark.operators.code import (
+        code_quality_stats,
+        filter_code_quality,
+    )
+
+    cq = code_quality_stats(docs)
+    cq_g = cq.groupBy("source").agg(
+        F.sum("n_lines").alias("sl"),
+        F.max("max_line_len").alias("ml"),
+        F.sum((F.col("frac_alnum") >= 0.25).cast("long")).alias("na"),
+        F.sum(F.col("is_autogen").cast("long")).alias("ng"),
+    )
+    kept_g = (
+        filter_code_quality(docs)
+        .groupBy("source")
+        .agg(F.count("*").alias("nk"))
+    )
+
+    def _cqm(g, metric, col):
+        return g.select(
+            F.lit("codequal").alias("op"),
+            F.col("source").alias("k"),
+            F.lit(metric).alias("metric"),
+            F.col(col).cast("long").alias("v"),
+        )
+
+    cq_rows = (
+        _cqm(cq_g, "sum_lines", "sl")
+        .unionAll(_cqm(cq_g, "max_line", "ml"))
+        .unionAll(_cqm(cq_g, "alnum_ok", "na"))
+        .unionAll(_cqm(cq_g, "autogen", "ng"))
+        .unionAll(_cqm(kept_g, "kept", "nk"))
+        .localCheckpoint(eager=True)
+    )
+
     afp_ref, afp_clip = _afp_signals(HOP)
 
     def _afp_row(mid, sig):
@@ -1792,6 +1873,8 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(afp_rows)
         .unionAll(bt_rows)
         .unionAll(kw_rows)
+        .unionAll(val_rows)
+        .unionAll(cq_rows)
         .orderBy("op", "k", "metric")
     )
 
@@ -2039,7 +2122,48 @@ def _sketch_sampling_oracle() -> str:
         f"ELSE '{rate_threshold(0.1)}' END"
     )
     return f"""
-WITH lot AS (
+WITH vstats AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls,
+         COUNT(doc_id) AS nn_id,
+         COUNT(DISTINCT doc_id) AS nd_id,
+         SUM(CASE WHEN doc_id IS NOT NULL
+                   AND (doc_id < 0 OR doc_id > 1099511627776)
+             THEN 1 ELSE 0 END) AS bad_range,
+         SUM(CASE WHEN source IS NOT NULL
+                   AND NOT REGEXP_MATCHES(source, '^src[0-9]+$')
+             THEN 1 ELSE 0 END) AS bad_src
+  FROM documents
+), cqs AS (
+  SELECT source,
+         LEN(STRING_SPLIT(text, CHR(10))) AS n_lines,
+         COALESCE(LIST_MAX(LIST_TRANSFORM(
+             STRING_SPLIT(text, CHR(10)), x -> LENGTH(x))), 0) AS max_line_len,
+         ROUND(LENGTH(text)
+               / GREATEST(LEN(STRING_SPLIT(text, CHR(10))), 1)::DOUBLE,
+               4) AS avg_line_len,
+         ROUND(LENGTH(REGEXP_REPLACE(text, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+               / GREATEST(LENGTH(text), 1)::DOUBLE, 4) AS frac_alnum,
+         REGEXP_MATCHES(SUBSTR(text, 1, 2000),
+           '(?i)(do not edit|auto-?generated|generated by|@generated|'
+           || 'this file was generated|code generated by)') AS is_autogen
+  FROM documents
+), cqg AS (
+  -- symmetric CASE (explicit 0 arm): Spark's sum counts false rows as
+  -- 0 and skips NULLs — THEN-only CASE would yield NULL when no row
+  -- matches
+  SELECT source, SUM(n_lines) AS sl, MAX(max_line_len) AS ml,
+         SUM(CASE WHEN frac_alnum >= 0.25 THEN 1
+                  WHEN frac_alnum < 0.25 THEN 0 END) AS na,
+         SUM(CASE WHEN is_autogen THEN 1
+                  WHEN NOT is_autogen THEN 0 END) AS ng
+  FROM cqs GROUP BY source
+), cqk AS (
+  SELECT source, COUNT(*) AS nk FROM cqs
+  WHERE COALESCE(max_line_len <= 1000 AND avg_line_len <= 100
+                 AND frac_alnum >= 0.25 AND NOT is_autogen, FALSE)
+  GROUP BY source
+), lot AS (
   SELECT doc_id, source,
          SUBSTR(MD5(CONCAT_WS(CHR(31), 'sample', CAST(doc_id AS VARCHAR))), 1, 15) AS lv
   FROM documents
@@ -2450,6 +2574,32 @@ UNION ALL SELECT 'kwscreen', source || '|' || term, 'occ',
   CAST(occ AS BIGINT) FROM kw_hits
 UNION ALL SELECT 'kwscreen', source || '|' || term, 'docs',
   CAST(nd AS BIGINT) FROM kw_hits
+UNION ALL SELECT 'validate', 'row_count[1,∞]|-', 'passed',
+  CAST(n >= 1 AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'row_count[1,∞]|-', 'obs',
+  CAST(n AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'not_null(text)|text', 'passed',
+  CAST(nulls * 1.0 / GREATEST(n, 1) <= 0.5 AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'not_null(text)|text', 'obs',
+  CAST(nulls AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'unique(doc_id)|doc_id', 'passed',
+  CAST(nn_id = nd_id AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'unique(doc_id)|doc_id', 'obs',
+  CAST(nn_id - nd_id AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'in_range(doc_id)|doc_id', 'passed',
+  CAST(bad_range = 0 AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'in_range(doc_id)|doc_id', 'obs',
+  CAST(bad_range AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'matches_regex(source)|source', 'passed',
+  CAST(bad_src = 0 AS BIGINT) FROM vstats
+UNION ALL SELECT 'validate', 'matches_regex(source)|source', 'obs',
+  CAST(bad_src AS BIGINT) FROM vstats
+UNION ALL SELECT 'codequal', source, 'sum_lines', CAST(sl AS BIGINT) FROM cqg
+UNION ALL SELECT 'codequal', source, 'max_line', CAST(ml AS BIGINT) FROM cqg
+UNION ALL SELECT 'codequal', source, 'alnum_ok', CAST(na AS BIGINT) FROM cqg
+UNION ALL SELECT 'codequal', source, 'autogen',
+  CAST(ng AS BIGINT) FROM cqg
+UNION ALL SELECT 'codequal', source, 'kept', CAST(nk AS BIGINT) FROM cqk
 ORDER BY op, k, metric
 """
 
@@ -2489,7 +2639,13 @@ _b(
     "(operators/preference.py — pinned 3-round MM fit vs an unrolled "
     "CTE ladder, the pagerank discipline), and the banned-term keyword "
     "screen (operators/text.py — broadcast word/phrase n-gram join vs "
-    "the identical split+join replayed in SQL) "
+    "the identical split+join replayed in SQL), and the round-8 "
+    "fold-ins: data-contract validation (operators/validate.py — the "
+    "real one-pass contract over documents, per-check passed flag + "
+    "observed integer vs DuckDB recomputing the identical statistics) "
+    "and code-curation quality stats (operators/code.py — StarCoder "
+    "line geometry + the published filter defaults, per-source integer "
+    "aggregates vs the identical regex arithmetic in SQL) "
     "— every selected set / token layout pinned exactly cross-engine "
     "(count + sum of ids per source; packing via window-id/offset sums; "
     "LM/quality/DSIR via integer totals + float sums at 1e-4).",
