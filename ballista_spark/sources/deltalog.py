@@ -277,9 +277,11 @@ class DeltaSnapshot:
     #: remove tombstones seen in the replayed log tail: rel path →
     #: deletionTimestamp ms (vacuum's retention input)
     tombstones: dict[str, int] = field(default_factory=dict)
-    #: protocol readerFeatures (v3 tables) — drives the write refusal
-    #: matrix (deletionVectors tables are read-only here)
+    #: protocol readerFeatures (v3 tables)
     reader_features: set = field(default_factory=set)
+    #: the last protocol action VERBATIM — checkpoints must republish
+    #: it (writing a default would downgrade a v3 table's requirements)
+    protocol: dict = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -361,6 +363,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     app_versions: dict[str, int] = {}
     tombstones: dict[str, int] = {}
     reader_features: set = set()
+    protocol_action: dict = {}
     for stream in action_streams:
         for action in stream:
             if "add" in action:
@@ -415,6 +418,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 rv = int(pr.get("minReaderVersion", 1))
                 feats = set(pr.get("readerFeatures") or [])
                 reader_features = feats
+                protocol_action = dict(pr)
                 # v3 REQUIRES a readerFeatures list; absent/empty means
                 # the requirement is unknown -> refuse, don't guess
                 if rv > MAX_READER_VERSION and not (
@@ -462,6 +466,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         configuration=configuration,
         column_mapping=column_mapping,
         reader_features=reader_features,
+        protocol=protocol_action,
     )
 
 
@@ -562,22 +567,15 @@ def _refuse_column_mapped(snap: DeltaSnapshot, op: str) -> None:
         )
 
 
-def _refuse_deletion_vectors(snap: DeltaSnapshot, op: str) -> None:
-    """Writes to deletion-vector tables are refused: a touch-only
-    rewrite would have to reconcile each touched file's DV (else it
-    resurrects deleted rows), and this writer's checkpoints don't carry
-    DV descriptors.  READ support is full (`_dv_tombstones`); mutate
-    such tables with a DV-aware writer or purge the DVs there first
-    (delta-spark: REORG TABLE ... APPLY (PURGE))."""
-    if "deletionVectors" in snap.reader_features or any(
-        f.deletion_vector for f in snap.files
-    ):
-        raise DeltaProtocolError(
-            f"{op} on a Delta table with deletion vectors is not "
-            "supported by this writer (reads are) — rewrites must "
-            "reconcile per-file DVs; purge them with a DV-aware writer "
-            "first"
-        )
+def _purges_deletion_vectors() -> None:
+    """Round-8 stance on mutating DV tables: every mutation path reads
+    touched files through ``_scan_snapshot`` (DV-applied) and rewrites
+    them WITHOUT a descriptor — a touch purges the file's DV while
+    untouched files keep theirs (the checkpoint writer carries the
+    descriptors and the table's real protocol).  delta-spark calls this
+    shape REORG ... APPLY (PURGE), applied incrementally.  This engine
+    still never WRITES new deletion vectors (DELETE is copy-on-write by
+    design — the touch-only rewrite discipline)."""
 
 
 def _dv_positions(table_path: str, dv: dict) -> list[int]:
@@ -1076,7 +1074,6 @@ def write_delta_table(
         else:
             prev = read_delta_snapshot(table_path)
             _refuse_column_mapped(prev, "WRITE")
-            _refuse_deletion_vectors(prev, "WRITE")
             # compare names + types; nullability differences (literal
             # columns are non-nullable) don't constitute schema change
             shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
@@ -1171,7 +1168,6 @@ def _alter_once(
     commit race, recompute and retry."""
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "ALTER")
-    _refuse_deletion_vectors(snap, "ALTER")
     names = {f.name for f in snap.schema.fields}
     dropped = set(json.loads(
         snap.configuration.get("ballista.droppedColumns", "[]")
@@ -1251,12 +1247,23 @@ def _write_checkpoint(table_path: str, version: int) -> None:
 
     snap = read_delta_snapshot(table_path, version)
     blank = {"protocol": None, "metaData": None, "add": None, "txn": None}
+    # republish the table's ACTUAL protocol: writing a default here
+    # would downgrade a v3 (columnMapping/deletionVectors) table's
+    # declared requirements for every reader starting at the checkpoint
+    proto = snap.protocol or {
+        "minReaderVersion": 1,
+        "minWriterVersion": MAX_WRITER_VERSION,
+    }
     rows = [
         {
             **blank,
             "protocol": {
-                "minReaderVersion": 1,
-                "minWriterVersion": MAX_WRITER_VERSION,
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": int(
+                    proto.get("minWriterVersion", MAX_WRITER_VERSION)
+                ),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
             },
         },
         {
@@ -1274,6 +1281,19 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     for app, ver in sorted(snap.app_versions.items()):
         rows.append({**blank, "txn": {"appId": app, "version": ver}})
     for f in snap.files:
+        dv = None
+        if f.deletion_vector:
+            # untouched files keep their DVs across a checkpoint —
+            # dropping the descriptor here would resurrect deleted rows
+            # for every reader starting at the checkpoint
+            d = f.deletion_vector
+            dv = {
+                "storageType": d.get("storageType"),
+                "pathOrInlineDv": d.get("pathOrInlineDv"),
+                "offset": d.get("offset"),
+                "sizeInBytes": d.get("sizeInBytes"),
+                "cardinality": d.get("cardinality"),
+            }
         rows.append(
             {
                 **blank,
@@ -1287,6 +1307,7 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                     "modificationTime": _now_ms(),
                     "dataChange": False,
                     "stats": json.dumps(f.stats) if f.stats else None,
+                    "deletionVector": dv,
                 },
             }
         )
@@ -1296,7 +1317,9 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                 "protocol",
                 pa.struct(
                     [("minReaderVersion", pa.int32()),
-                     ("minWriterVersion", pa.int32())]
+                     ("minWriterVersion", pa.int32()),
+                     ("readerFeatures", pa.list_(pa.string())),
+                     ("writerFeatures", pa.list_(pa.string()))]
                 ),
             ),
             pa.field(
@@ -1320,6 +1343,15 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        ("deletionVector", pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int32()),
+                                ("sizeInBytes", pa.int32()),
+                                ("cardinality", pa.int64()),
+                            ]
+                        )),
                     ]
                 ),
             ),
@@ -1399,7 +1431,6 @@ def compact_delta_table(
     """
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "OPTIMIZE")
-    _refuse_deletion_vectors(snap, "OPTIMIZE")
     by_part: dict[tuple, list[_AddFile]] = {}
     for f in snap.files:
         key = tuple(
@@ -1459,16 +1490,23 @@ def compact_delta_table(
         fsio.remove_dir(out_dir)
         removes.extend(group)
 
+    def _scan_group(group: list[_AddFile]) -> DataFrame:
+        """Group scan through _scan_snapshot so deletion vectors apply:
+        a direct parquet read would resurrect DV-deleted rows into the
+        compacted file.  The rewrite PURGES the group's DVs (visible
+        rows unchanged — dataChange:false stays correct)."""
+        return _scan_snapshot(spark, snap.with_files(group)).select(
+            [fld.name for fld in data_fields]
+        )
+
     for key, files in by_part.items():
         if cluster_by:
             # clustered rewrite: ALL live files of the partition become
             # n_out range-sorted files (narrow per-file stat ranges)
             total = sum(f.size for f in files)
             n_out = max(1, -(-total // target_file_bytes))
-            paths = [os.path.join(table_path, g.path) for g in files]
             shaped = (
-                spark.read.schema(T.StructType(data_fields))
-                .parquet(*paths)
+                _scan_group(files)
                 .repartitionByRange(int(n_out), *cluster_by)
                 .sortWithinPartitions(*cluster_by)
             )
@@ -1477,12 +1515,7 @@ def compact_delta_table(
         bins = plan_compaction_bins([f.size for f in files], target_file_bytes)
         for members in bins:
             group = [files[i] for i in members]
-            paths = [os.path.join(table_path, g.path) for g in group]
-            shaped = (
-                spark.read.schema(T.StructType(data_fields))
-                .parquet(*paths)
-                .coalesce(1)
-            )
+            shaped = _scan_group(group).coalesce(1)
             _rewrite(group, key, shaped)
     if not adds:
         return None
@@ -1618,7 +1651,6 @@ def merge_delta_table(
     on = list(on)
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "MERGE")
-    _refuse_deletion_vectors(snap, "MERGE")
     if txn_app_id is not None:
         # streaming-upsert idempotence (the Delta `txn` action): a
         # replayed epoch is detected in the log and skipped before any
@@ -1891,7 +1923,6 @@ def delete_from_delta_table(
         )
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "DELETE")
-    _refuse_deletion_vectors(snap, "DELETE")
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
@@ -1931,7 +1962,6 @@ def update_delta_table(
         raise ValueError("UPDATE needs at least one SET column")
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "UPDATE")
-    _refuse_deletion_vectors(snap, "UPDATE")
     by_name = {f.name: f for f in snap.schema.fields}
     for name in set_exprs:
         if name not in by_name:

@@ -295,42 +295,97 @@ def test_dv_guards_raise(spark, tmp_path):
         read_delta_table(spark, t2).collect()
 
 
-def test_dv_writes_refused(spark, tmp_path):
+def test_dv_delete_purges_touched_dv_keeps_untouched(spark, tmp_path):
+    """Round-8 mutation stance: a COW mutation reads touched files
+    DV-APPLIED and rewrites them without a descriptor (incremental
+    REORG-PURGE); untouched files keep their DVs."""
+    from ballista_spark.sources.deltalog import delete_from_delta_table
+
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    _delete_with_dv(table, 2, "f1.parquet", _dv_descriptor_u(table, [0]))
+    # touch only f0 (ids 0-4); f1 (ids 100-104, DV kills 100) untouched
+    v = delete_from_delta_table(spark, table, [("id", "=", 0)])
+    assert v == 3
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    # 0 deleted now, 1 deleted by f0's purged DV, 100 by f1's live DV
+    assert got == [2, 3, 4, 101, 102, 103, 104]
+    snap = read_delta_snapshot(table)
+    dvs = {f.path: f.deletion_vector for f in snap.files}
+    rewritten = [p for p in dvs if p not in ("f0.parquet", "f1.parquet")]
+    assert len(rewritten) == 1 and dvs[rewritten[0]] is None
+    assert dvs["f1.parquet"] is not None  # untouched DV survives
+
+
+def test_dv_update_and_merge_apply_then_purge(spark, tmp_path):
     from ballista_spark.sources.deltalog import (
-        alter_delta_table,
-        compact_delta_table,
-        delete_from_delta_table,
         merge_delta_table,
         update_delta_table,
-        write_delta_table,
     )
 
     table = _base_table(tmp_path)
     _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
-    src = spark.createDataFrame([(1, "z")], "id long, cat string")
-    for call in (
-        lambda: write_delta_table(src, table),
-        lambda: merge_delta_table(spark, table, src, on=["id"]),
-        lambda: delete_from_delta_table(spark, table, [("id", "=", 1)]),
-        lambda: update_delta_table(spark, table, {"cat": "'z'"}),
-        lambda: compact_delta_table(spark, table),
-        lambda: alter_delta_table(table, add_columns={"x": "long"}),
-    ):
-        with pytest.raises(DeltaProtocolError, match="deletion vector"):
-            call()
+    update_delta_table(spark, table, {"cat": "'upd'"}, [("id", "=", 2)])
+    got = {r["id"]: r["cat"] for r in read_delta_table(spark, table).collect()}
+    assert 1 not in got and got[2] == "upd" and got[0] == "c0"
+
+    src = spark.createDataFrame(
+        [(3, "merged"), (999, "new")], "id long, cat string"
+    )
+    merge_delta_table(spark, table, src, on=["id"])
+    got = {r["id"]: r["cat"] for r in read_delta_table(spark, table).collect()}
+    assert 1 not in got  # DV-deleted row never resurrects through MERGE
+    assert got[3] == "merged" and got[999] == "new"
+    assert all(
+        f.deletion_vector is None
+        for f in read_delta_snapshot(table).files
+    )
 
 
-def test_dv_feature_without_vectors_reads_and_refuses_writes(spark, tmp_path):
-    """A table that ENABLES the deletionVectors feature but has no DV
-    yet must read fine (round-7 refused it outright) and still refuse
-    writes (a concurrent DV-aware writer could add one any time)."""
+def test_dv_compaction_purges_without_row_change(spark, tmp_path):
+    from ballista_spark.sources.deltalog import compact_delta_table
+
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1, 3]))
+    before = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    v = compact_delta_table(spark, table, target_file_bytes=1 << 30)
+    assert v == 2
+    after = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert after == before == [0, 2, 4, 100, 101, 102, 103, 104]
+    snap = read_delta_snapshot(table)
+    assert all(f.deletion_vector is None for f in snap.files)
+    # dataChange:false — the change feed sees nothing for the compaction
+    assert read_delta_cdf(spark, table, from_version=1).count() == 0
+
+
+def test_dv_append_and_checkpoint_preserve_dv_and_protocol(spark, tmp_path):
+    """Appends on a DV table work; the checkpoint carries BOTH the
+    untouched DV descriptors and the table's real v3 protocol (a
+    default protocol row would downgrade the table's declared
+    requirements)."""
+    import os as _os
+
     from ballista_spark.sources.deltalog import write_delta_table
 
-    table = _base_table(tmp_path)  # feature on, no DVs
-    assert read_delta_table(spark, table).count() == 10
-    src = spark.createDataFrame([(1, "z")], "id long, cat string")
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        write_delta_table(src, table)
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    src = spark.createDataFrame([(999, "app")], "id long, cat string")
+    v = write_delta_table(src, table, checkpoint_interval=1)
+    assert v == 2
+    log = _os.path.join(table, "_delta_log")
+    assert _os.path.exists(
+        _os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    )
+    # remove the pre-checkpoint commits: the snapshot must rebuild from
+    # the checkpoint alone — DVs and protocol included
+    for old in (0, 1):
+        _os.remove(_os.path.join(log, f"{old:020d}.json"))
+    snap = read_delta_snapshot(table)
+    assert snap.reader_features == {"deletionVectors"}
+    assert snap.protocol["minReaderVersion"] == 3
+    assert sum(1 for f in snap.files if f.deletion_vector) == 1
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 2, 3, 4, 100, 101, 102, 103, 104, 999]
 
 
 def test_dv_checkpoint_descriptor_survives(spark, tmp_path):
