@@ -281,9 +281,17 @@ def parse_dml(query: str) -> DmlStatement | None:
         when_matched, insert = None, False  # None = insert-only merge
         matched_condition = not_matched_condition = None
         matched_set: dict[str, str] | None = None
+        # boundary lookaheads are SPECIFIC: a clause ends only at the
+        # next `WHEN [NOT] MATCHED` (not any WHEN — CASE WHEN inside a
+        # SET expression must not truncate it), and the THEN that ends
+        # a condition is the one followed by an action keyword (a CASE
+        # ... THEN inside the condition passes through)
         clause_re = re.compile(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s*(?:\bAND\b\s+(.+?))?\s*THEN\s+"
-            r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*(?=WHEN\b|$)"
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s*"
+            r"(?:\bAND\b\s+(.+?))?\s*"
+            r"THEN\s+(?=(?:UPDATE|DELETE|INSERT)\b)"
+            r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*"
+            r"(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)"
         )
         for cm in clause_re.finditer(clauses):
             neg, cond, action = cm.group(1), cm.group(2), cm.group(3)

@@ -309,12 +309,19 @@ def _normalize_rel(table_path: str, p: str) -> str:
             p = p[1:]
     if "://" in p:
         # absolute URI under the table root (scheme spellings may
-        # differ: s3a vs s3) — strip to the path after the root's tail
+        # differ: s3a vs s3) — strip to the path after the root's tail.
+        # A URI that does NOT live under the root refuses loudly: a
+        # basename guess could silently read a different file
+        # (review finding).
         tail = table_path.partition("://")[2]
         rest = p.partition("://")[2]
         if tail and rest.startswith(tail.rstrip("/") + "/"):
             return rest[len(tail.rstrip("/")) + 1:]
-        return p.rsplit("/", 1)[-1]
+        raise DeltaProtocolError(
+            f"add/remove path {p!r} is not under the table root "
+            f"{table_path!r} — external-location files are not "
+            "supported by this reader"
+        )
     if os.path.isabs(p) and fsio.is_local(table_path):
         return os.path.relpath(p, os.path.abspath(table_path))
     return p
@@ -640,11 +647,16 @@ def _dv_tombstones(spark: SparkSession, snap: DeltaSnapshot):
         return None
     import pandas as pd
 
-    root = (
-        os.path.abspath(snap.table_path)
-        if fsio.is_local(snap.table_path)
-        else snap.table_path.rstrip("/")
-    )
+    # DECODED spelling on this side (rel paths come unquoted out of
+    # _normalize_rel); the scan side url_decodes _metadata.file_path to
+    # match.  file: URIs strip before abspath (abspath('file:///x')
+    # would prepend the cwd — review finding).
+    tp = snap.table_path
+    if tp.startswith("file:"):
+        tp = tp[5:]
+        while tp.startswith("//"):
+            tp = tp[1:]
+    root = os.path.abspath(tp) if fsio.is_local(tp) else tp.rstrip("/")
     frames = []
     for f in dv_files:
         pos = _dv_positions(snap.table_path, f.deletion_vector)
@@ -702,7 +714,13 @@ def read_delta_table(
     return _scan_snapshot(spark, snap)
 
 
-def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
+def _scan_snapshot(
+    spark: SparkSession, snap: DeltaSnapshot, file_col: str | None = None
+) -> DataFrame:
+    """Scan the snapshot; ``file_col`` optionally carries each row's
+    source-file URI captured AT THE SCAN STAGE (``_metadata.file_path``
+    — unlike ``input_file_name()`` it survives any shuffle the DV
+    anti-join introduces downstream)."""
     data_fields = [
         fld for fld in snap.schema.fields if fld.name not in snap.partition_columns
     ]
@@ -731,19 +749,43 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
         return df
 
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        empty_schema = snap.schema
+        if file_col:
+            empty_schema = T.StructType(
+                list(snap.schema.fields)
+                + [T.StructField(file_col, T.StringType())]
+            )
+        return spark.createDataFrame([], empty_schema)
 
     tomb = _dv_tombstones(spark, snap)
 
+    def _tag(scan_df):
+        """Capture the per-row source file AT THE SCAN STAGE when the
+        caller asked for it (probes): after any shuffle downstream,
+        neither input_file_name() nor _metadata resolves."""
+        if not file_col:
+            return scan_df
+        return scan_df.withColumn(file_col, F.col("_metadata.file_path"))
+
     def _strip_deleted(scan_df):
         """Anti-join DV tombstones on (file, row position) — applied on
-        the scan stage while `_metadata` is still resolvable."""
+        the scan stage while `_metadata` is still resolvable.  The scan
+        side DECODES the percent-encoded file URI (literal '+' is
+        pre-escaped so url_decode cannot turn it into a space) because
+        the tombstone side is built from the log's DECODED relative
+        paths."""
         if tomb is None:
             return scan_df
         tagged = scan_df.withColumns(
             {
-                "__dfp": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
+                "__dfp": F.url_decode(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/*", "/"
+                        ),
+                        r"\+",
+                        "%2B",
+                    )
                 ),
                 "__pos": F.col("_metadata.row_index"),
             }
@@ -752,14 +794,19 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
             "__dfp", "__pos"
         )
 
+    out_fields = [fld.name for fld in snap.schema.fields] + (
+        [file_col] if file_col else []
+    )
     if _is_hive_layout(snap):
         reader = spark.read
         if snap.partition_columns:
             reader = reader.option("basePath", snap.table_path)
         df = _strip_deleted(
-            _to_logical(
-                reader.schema(_phys_struct(data_fields)).parquet(
-                    *snap.file_paths()
+            _tag(
+                _to_logical(
+                    reader.schema(_phys_struct(data_fields)).parquet(
+                        *snap.file_paths()
+                    )
                 )
             )
         )
@@ -767,7 +814,7 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
             df = df.withColumn(
                 col, F.col(col).cast(part_fields[col].dataType)
             )
-        return df.select([fld.name for fld in snap.schema.fields])
+        return df.select(out_fields)
     # non-hive layout: one read per distinct partition tuple + union —
     # correct but one scan node per partition value; warn at width
     groups: dict[tuple, list[str]] = {}
@@ -786,8 +833,10 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
     out = None
     for key, paths in groups.items():
         part = _strip_deleted(
-            _to_logical(
-                spark.read.schema(_phys_struct(data_fields)).parquet(*paths)
+            _tag(
+                _to_logical(
+                    spark.read.schema(_phys_struct(data_fields)).parquet(*paths)
+                )
             )
         )
         for col, val in zip(snap.partition_columns, key):
@@ -796,7 +845,7 @@ def _scan_snapshot(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
                 else F.lit(val)
             ).cast(part_fields[col].dataType)
             part = part.withColumn(col, lit)
-        part = part.select([fld.name for fld in snap.schema.fields])
+        part = part.select(out_fields)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -1692,9 +1741,14 @@ def merge_delta_table(
     touched_rel: set[str] = set()
     if candidates:
         probe_snap = snap.with_files(candidates)
+        # _metadata.file_path, NOT input_file_name(): the DV anti-join
+        # inside _scan_snapshot may shuffle, after which
+        # input_file_name() returns '' and the probe silently under-
+        # touches (review finding)
         probe = (
-            _scan_snapshot(spark, probe_snap)
-            .withColumn("__file", F.input_file_name())
+            _scan_snapshot(
+                spark, probe_snap, file_col="__file"
+            )
             .join(F.broadcast(source.select(*on).distinct()), on=on, how="semi")
             .select("__file")
             .distinct()
@@ -1840,10 +1894,12 @@ def _touched_files(
     if not candidates:
         return []
     probe_snap = snap.with_files(candidates)
+    # file identity captured at the scan stage (file_col) — see the
+    # merge probe comment: input_file_name() is '' after a DV shuffle
     probe = (
-        _scan_snapshot(spark, probe_snap)
+        _scan_snapshot(spark, probe_snap, file_col="__file")
         .where(F.coalesce(_filters_to_column(filters), F.lit(False)))
-        .select(F.input_file_name().alias("__file"))
+        .select("__file")
         .distinct()
     )
     touched_rel: set[str] = set()

@@ -106,6 +106,20 @@ def _strip_file(path: str) -> str:
     return path
 
 
+#: schemes whose pyarrow path EXCLUDES the authority (host:port) —
+#: from_uri('hdfs://nn:8020/t') yields path '/t', while bucket-style
+#: stores (s3, gs, abfs) keep the bucket/container as the path's first
+#: segment ('bucket/key')
+_AUTHORITY_SCHEMES = {"hdfs", "viewfs"}
+
+
+def _fs_path(alias: str, rest: str) -> str:
+    if alias in _AUTHORITY_SCHEMES:
+        _host, _, tail = rest.partition("/")
+        return "/" + tail
+    return rest
+
+
 def _resolve(path: str):
     """(fs_or_None, path-for-that-fs); None = local os fast-path."""
     if is_local(path):
@@ -123,10 +137,12 @@ def _resolve(path: str):
     with _LOCK:
         fsys = _FS_CACHE.get(key)
         if fsys is None:
-            fsys, _ = pafs.FileSystem.from_uri(f"{alias}://{rest}")
+            fsys, path0 = pafs.FileSystem.from_uri(f"{alias}://{rest}")
+            # trust from_uri's own path split when it disagrees with
+            # the table (it connected; we only cache the filesystem)
             _FS_CACHE[key] = fsys
-    # pyarrow paths for bucketed stores are "bucket/key"
-    return fsys, rest
+            return fsys, path0
+    return fsys, _fs_path(alias, rest)
 
 
 def read_bytes(path: str) -> bytes:

@@ -448,10 +448,19 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
 
     out_cols = [f.name for f in snap.spark_schema.fields]
+    # _metadata.file_path is a PERCENT-ENCODED URI while manifests and
+    # delete files store raw paths — decode the scan side (literal '+'
+    # pre-escaped so url_decode cannot turn it into a space)
     tagged = df.withColumns(
         {
-            "__dfp": F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
+            "__dfp": F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ),
+                    r"\+",
+                    "%2B",
+                )
             ),
             "__pos": F.col("_metadata.row_index"),
         }

@@ -224,11 +224,14 @@ def _read_parquet_with_partition_values(
 
     deleted = None
     if partition.deletion_vector:
+        import numpy as np
+
         from ballista_spark.sources.deltalog import _dv_positions
 
-        deleted = set(
-            _dv_positions(partition.table_path, partition.deletion_vector)
-        )
+        deleted = np.asarray(
+            _dv_positions(partition.table_path, partition.deletion_vector),
+            dtype=np.int64,
+        )  # sorted by construction
 
     target = _arrow_schema_for(spark_schema)
     part_cols = set(partition.partition_values)
@@ -243,14 +246,20 @@ def _read_parquet_with_partition_values(
         columns=data_cols
     ):
         if deleted is not None:
+            import numpy as np
+
             n0 = batch.num_rows
-            mask = pa.array(
-                [(row_offset + i) not in deleted for i in range(n0)]
-            )
+            # vectorized mask: slice the sorted position array to this
+            # batch's [offset, offset+n) window — C speed, never a
+            # per-row Python loop (review finding)
+            lo, hi = np.searchsorted(deleted, [row_offset, row_offset + n0])
+            keep = np.ones(n0, dtype=bool)
+            keep[deleted[lo:hi] - row_offset] = False
             row_offset += n0
-            batch = batch.filter(mask)
-            if batch.num_rows == 0:
-                continue
+            if hi > lo:
+                batch = batch.filter(pa.array(keep))
+                if batch.num_rows == 0:
+                    continue
         n = batch.num_rows
         arrays = []
         for field in spark_schema.fields:

@@ -470,3 +470,81 @@ def test_dv_pyds_face_masks_rows(spark, tmp_path):
     df = spark.read.format("ballista_delta").option("path", table).load()
     got = sorted(r["id"] for r in df.collect())
     assert got == [0, 2, 4, 100, 101, 102, 103, 104]
+
+
+def test_dv_probe_survives_shuffle_join(spark, tmp_path):
+    """Touch probes capture file identity AT THE SCAN STAGE: with
+    broadcast disabled the DV anti-join shuffles, where
+    input_file_name() returns '' (review finding — mutations silently
+    no-opped); _metadata.file_path survives."""
+    from ballista_spark.sources.deltalog import delete_from_delta_table
+
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1]))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = delete_from_delta_table(spark, table, [("id", "=", 2)])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert v == 2  # the mutation actually happened
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_dv_on_percent_encoded_path(spark, tmp_path):
+    """The spec stores add paths URL-ENCODED while _metadata.file_path
+    is a percent-encoded URI; the DV (file, pos) join must line the two
+    spellings up (review finding: any path needing encoding silently
+    resurrected deleted rows)."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "cat=a b"))
+    pq.write_table(
+        pa.table({
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "cat": pa.array(["x", "y", "z"], pa.string()),
+        }),
+        os.path.join(table, "cat=a b", "f0.parquet"),
+    )
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "cat", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": "cat=a%20b/f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    desc = _dv_descriptor_u(table, [1])
+    _commit(table, 1, [
+        {"remove": {"path": "cat=a%20b/f0.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "cat=a%20b/f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ])
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [0, 2]  # id=1 stays deleted through the encoding
+
+
+def test_external_location_add_path_refuses(spark, tmp_path):
+    """An add path outside the table root refuses loudly — a basename
+    guess could silently read a different file (review finding)."""
+    from ballista_spark.sources.deltalog import _normalize_rel
+
+    with pytest.raises(DeltaProtocolError, match="not under the table root"):
+        _normalize_rel(
+            "s3a://bucket/tbl", "s3://other-bucket/tbl/part-0.parquet"
+        )
+    # alias-different spelling under the SAME root still resolves
+    assert _normalize_rel(
+        "s3a://bucket/tbl", "s3a://bucket/tbl/cat=1/part-0.parquet"
+    ) == "cat=1/part-0.parquet"

@@ -335,3 +335,14 @@ def test_distributed_bounds_path_matches_driver_loop(spark, tmp_path, monkeypatc
     assert _bounds(p1) == _bounds(p2)
     got = {r["id"] for r in iceberg.read_iceberg_table(spark, p2).collect()}
     assert got == set(range(40))
+
+
+def test_authority_scheme_path_split():
+    """hdfs-style URIs exclude host:port from the filesystem path;
+    bucket-style stores keep the bucket as the first path segment
+    (review finding: the raw rest sent 'nn:8020/t' to HDFS as a
+    relative path)."""
+    assert fsio._fs_path("hdfs", "nn:8020/warehouse/t") == "/warehouse/t"
+    assert fsio._fs_path("viewfs", "cluster/a/b") == "/a/b"
+    assert fsio._fs_path("s3", "bucket/key/part") == "bucket/key/part"
+    assert fsio._fs_path("gs", "bucket/key") == "bucket/key"

@@ -483,3 +483,23 @@ def test_insert_column_list_end_to_end(spark, tmp_path, fmt):
         ctx.sql("INSERT INTO t_i8 (nope) SELECT 1")
     with pytest.raises(DmlError, match="column list has"):
         ctx.sql("INSERT INTO t_i8 (id, v) SELECT 1")
+
+
+def test_parse_merge_case_when_in_set_and_condition():
+    """CASE WHEN inside a SET expression or clause condition must not
+    truncate the clause (review finding: the boundary lookahead stopped
+    at ANY 'WHEN'/'THEN' token)."""
+    s = parse_dml(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.x > 0 THEN 1 ELSE 0 END"
+    )
+    assert s.matched_set == {"v": "CASE WHEN s.x > 0 THEN 1 ELSE 0 END"}
+    s2 = parse_dml(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND CASE WHEN s.x > 0 THEN 1 ELSE 0 END = 1 "
+        "THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert s2.matched_condition == "CASE WHEN s.x > 0 THEN 1 ELSE 0 END = 1"
+    assert s2.when_matched == "delete" and s2.insert_not_matched
