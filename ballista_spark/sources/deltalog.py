@@ -580,9 +580,11 @@ def _purges_deletion_vectors() -> None:
     them WITHOUT a descriptor — a touch purges the file's DV while
     untouched files keep theirs (the checkpoint writer carries the
     descriptors and the table's real protocol).  delta-spark calls this
-    shape REORG ... APPLY (PURGE), applied incrementally.  This engine
-    still never WRITES new deletion vectors (DELETE is copy-on-write by
-    design — the touch-only rewrite discipline)."""
+    shape REORG ... APPLY (PURGE), applied incrementally.  DELETE can
+    also WRITE deletion vectors on request
+    (``delete_from_delta_table(use_deletion_vectors=True)`` — zero data
+    bytes rewritten, cost tracks matched rows); the default stays
+    copy-on-write."""
 
 
 def _dv_positions(table_path: str, dv: dict) -> list[int]:
@@ -715,12 +717,15 @@ def read_delta_table(
 
 
 def _scan_snapshot(
-    spark: SparkSession, snap: DeltaSnapshot, file_col: str | None = None
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    file_col: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
-    """Scan the snapshot; ``file_col`` optionally carries each row's
-    source-file URI captured AT THE SCAN STAGE (``_metadata.file_path``
-    — unlike ``input_file_name()`` it survives any shuffle the DV
-    anti-join introduces downstream)."""
+    """Scan the snapshot; ``file_col`` / ``pos_col`` optionally carry
+    each row's source-file URI and physical row position captured AT
+    THE SCAN STAGE (``_metadata`` — unlike ``input_file_name()`` they
+    survive any shuffle the DV anti-join introduces downstream)."""
     data_fields = [
         fld for fld in snap.schema.fields if fld.name not in snap.partition_columns
     ]
@@ -749,23 +754,31 @@ def _scan_snapshot(
         return df
 
     if not snap.files:
-        empty_schema = snap.schema
-        if file_col:
-            empty_schema = T.StructType(
-                list(snap.schema.fields)
-                + [T.StructField(file_col, T.StringType())]
-            )
-        return spark.createDataFrame([], empty_schema)
+        extra = [
+            T.StructField(c, t)
+            for c, t in ((file_col, T.StringType()), (pos_col, T.LongType()))
+            if c
+        ]
+        return spark.createDataFrame(
+            [], T.StructType(list(snap.schema.fields) + extra)
+        )
 
     tomb = _dv_tombstones(spark, snap)
 
     def _tag(scan_df):
-        """Capture the per-row source file AT THE SCAN STAGE when the
-        caller asked for it (probes): after any shuffle downstream,
-        neither input_file_name() nor _metadata resolves."""
-        if not file_col:
-            return scan_df
-        return scan_df.withColumn(file_col, F.col("_metadata.file_path"))
+        """Capture the per-row source file / position AT THE SCAN STAGE
+        when the caller asked for them (probes, DV-delete): after any
+        shuffle downstream, neither input_file_name() nor _metadata
+        resolves."""
+        if file_col:
+            scan_df = scan_df.withColumn(
+                file_col, F.col("_metadata.file_path")
+            )
+        if pos_col:
+            scan_df = scan_df.withColumn(
+                pos_col, F.col("_metadata.row_index")
+            )
+        return scan_df
 
     def _strip_deleted(scan_df):
         """Anti-join DV tombstones on (file, row position) — applied on
@@ -794,9 +807,9 @@ def _scan_snapshot(
             "__dfp", "__pos"
         )
 
-    out_fields = [fld.name for fld in snap.schema.fields] + (
-        [file_col] if file_col else []
-    )
+    out_fields = [fld.name for fld in snap.schema.fields] + [
+        c for c in (file_col, pos_col) if c
+    ]
     if _is_hive_layout(snap):
         reader = spark.read
         if snap.partition_columns:
@@ -1914,10 +1927,13 @@ def _commit_rewrite(
     adds: list[dict],
     operation: str,
     parameters: dict,
+    pre_actions: list[dict] | None = None,
 ) -> int:
     """remove(touched)+add(new) as ONE exclusive-create commit, with the
     merge-path race handling: a concurrent commit that removed one of
-    our touched files aborts (rerun on the new snapshot)."""
+    our touched files aborts (rerun on the new snapshot).
+    ``pre_actions`` prepend after commitInfo (the DV-delete path's
+    protocol upgrade)."""
     ts = _now_ms()
     actions: list[dict] = [
         {
@@ -1928,6 +1944,7 @@ def _commit_rewrite(
             }
         }
     ]
+    actions.extend(pre_actions or [])
     for old in touched:
         actions.append(
             {
@@ -1959,17 +1976,33 @@ def delete_from_delta_table(
     spark: SparkSession,
     table_path: str,
     filters: list[tuple[str, str, object]],
+    use_deletion_vectors: bool = False,
 ) -> int | None:
-    """Copy-on-write ``DELETE FROM``: remove every row matching ALL
-    ``filters`` ((col, op, value) triples — the same proof language the
-    reader prunes on), touching ONLY files that provably contain
-    matches.  Returns the commit version, or None when nothing matched
-    (zero writes).  Rows where the predicate is NULL are KEPT — SQL
-    DELETE semantics.  The transactional twin of
-    ``delete_from_iceberg_table`` (sources/iceberg.py), same discipline:
-    stats pre-prune → exact ``input_file_name`` touch probe → rewrite of
-    only the touched files, untouched files never read twice; a file
-    left empty disappears (no add staged for it).
+    """``DELETE FROM``: remove every row matching ALL ``filters``
+    ((col, op, value) triples — the same proof language the reader
+    prunes on), touching ONLY files that provably contain matches.
+    Returns the commit version, or None when nothing matched (zero
+    writes).  Rows where the predicate is NULL are KEPT — SQL DELETE
+    semantics.  The transactional twin of
+    ``delete_from_iceberg_table`` (sources/iceberg.py), same
+    discipline: stats pre-prune → exact scan-stage touch probe → only
+    the touched files pay, untouched files never read twice.
+
+    Two write shapes:
+
+    - default (copy-on-write): touched files REWRITE without the
+      matching rows; a file left empty disappears.  Cost tracks touched
+      BYTES.
+    - ``use_deletion_vectors=True`` (the modern delta-spark DELETE):
+      matched physical row positions become a roaring bitmap in ONE
+      shared DV file; each touched file re-adds with the descriptor
+      (unioned with any existing DV), zero data bytes rewritten.  Cost
+      tracks MATCHED ROWS — a 3-row delete from a 1 GB file writes a
+      ~100-byte bitmap.  The commit upgrades the protocol to v3 +
+      deletionVectors on first use (required for other readers to see
+      the requirement); a file whose bitmap reaches its row count drops
+      entirely.  Purge later with OPTIMIZE (compaction applies and
+      drops DVs) — the usual operational pairing.
     """
     if not filters:
         raise ValueError(
@@ -1982,6 +2015,10 @@ def delete_from_delta_table(
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
+    if use_deletion_vectors:
+        return _delete_with_deletion_vectors(
+            spark, table_path, snap, touched, filters
+        )
     tsnap = snap.with_files(touched)
     survivors = _scan_snapshot(spark, tsnap).where(
         ~F.coalesce(_filters_to_column(filters), F.lit(False))
@@ -1995,6 +2032,118 @@ def delete_from_delta_table(
         adds,
         "DELETE",
         {"predicate": json.dumps([list(map(str, f)) for f in filters])},
+    )
+
+
+def _delete_with_deletion_vectors(
+    spark: SparkSession,
+    table_path: str,
+    snap: DeltaSnapshot,
+    touched: list[_AddFile],
+    filters: list[tuple[str, str, object]],
+) -> int | None:
+    """The DV write shape of DELETE (see delete_from_delta_table).
+    Matched (file, physical position) pairs collect to the driver —
+    bounded by the DELETE's matched-row count, the same bound as the
+    COW probe — then one DV file serves every touched data file at its
+    own offset."""
+    import uuid as _uuid
+
+    from ballista_spark.sources.dvbitmap import pack_dv_file, z85_encode
+
+    tsnap = snap.with_files(touched)
+    matched = (
+        _scan_snapshot(spark, tsnap, file_col="__file", pos_col="__rowpos")
+        .where(F.coalesce(_filters_to_column(list(filters)), F.lit(False)))
+        .select("__file", "__rowpos")
+        .collect()
+    )
+    by_rel: dict[str, set[int]] = {}
+    for r in matched:
+        by_rel.setdefault(
+            _normalize_rel(table_path, r["__file"]), set()
+        ).add(int(r["__rowpos"]))
+
+    removes: list[_AddFile] = []
+    vectors: list[list[int]] = []
+    vec_files: list[_AddFile] = []
+    for f in touched:
+        new_pos = by_rel.get(f.path)
+        if not new_pos:
+            continue  # probe superset: no live row actually matched
+        if f.deletion_vector:
+            new_pos = new_pos | set(
+                _dv_positions(table_path, f.deletion_vector)
+            )
+        removes.append(f)
+        n_records = (f.stats or {}).get("numRecords")
+        if n_records is not None and len(new_pos) >= int(n_records):
+            continue  # every physical row dead: drop the file entirely
+        vectors.append(sorted(new_pos))
+        vec_files.append(f)
+    if not removes:
+        return None
+
+    adds: list[dict] = []
+    if vectors:
+        blob, descs = pack_dv_file(vectors)
+        u = _uuid.uuid4()
+        fsio.write_bytes(
+            f"{table_path.rstrip('/')}/deletion_vector_{u}.bin", blob
+        )
+        enc = z85_encode(u.bytes)
+        for f, (off, size, card) in zip(vec_files, descs):
+            adds.append(
+                {
+                    "add": {
+                        "path": f.path,
+                        "partitionValues": {
+                            k: ("" if v is None else v)
+                            for k, v in f.partition_values.items()
+                        },
+                        "size": f.size,
+                        "modificationTime": _now_ms(),
+                        "dataChange": True,
+                        "stats": json.dumps(f.stats) if f.stats else None,
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": enc,
+                            "offset": off,
+                            "sizeInBytes": size,
+                            "cardinality": card,
+                        },
+                    }
+                }
+            )
+    pre_actions: list[dict] = []
+    if "deletionVectors" not in snap.reader_features:
+        proto = dict(snap.protocol or {})
+        rf = set(proto.get("readerFeatures") or [])
+        wf = set(proto.get("writerFeatures") or [])
+        # upgrading to v7 writers must ENUMERATE the legacy features the
+        # old minWriterVersion implied (spec: table features)
+        legacy = {1: set(), 2: {"appendOnly", "invariants"}}
+        wf |= legacy.get(int(proto.get("minWriterVersion", 2)), set())
+        pre_actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf | {"deletionVectors"}),
+                    "writerFeatures": sorted(wf | {"deletionVectors"}),
+                }
+            }
+        )
+    return _commit_rewrite(
+        table_path,
+        removes,
+        adds,
+        "DELETE",
+        {
+            "predicate": json.dumps([list(map(str, f)) for f in filters]),
+            "deletionVectors": "true",
+        },
+        pre_actions=pre_actions,
     )
 
 

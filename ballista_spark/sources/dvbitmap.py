@@ -231,8 +231,27 @@ def unpack_dv_blob(blob: bytes, offset: int, size_in_bytes: int) -> list[int]:
 def pack_dv_blob(values: list[int]) -> tuple[bytes, int, int, int]:
     """Fixture helper: one-vector DV file bytes -> (blob, offset,
     sizeInBytes, cardinality)."""
-    data = encode_rbm_array(values)
-    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
-        ">I", zlib.crc32(data) & 0xFFFFFFFF
-    )
-    return blob, 1, len(data), len(set(values))
+    blob, descs = pack_dv_file([values])
+    off, size, card = descs[0]
+    return blob, off, size, card
+
+
+def pack_dv_file(
+    vectors: list[list[int]],
+) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """Many deletion vectors in ONE DV file (the spec's layout — a
+    DELETE commit shares one file across its touched data files):
+    version byte, then per vector ``[size u32 BE][bitmap][crc32 BE]``.
+    Returns (file bytes, [(offset, sizeInBytes, cardinality), ...])."""
+    blob = bytearray(b"\x01")
+    descs = []
+    for vals in vectors:
+        data = encode_rbm_array(vals)
+        off = len(blob)
+        blob += (
+            struct.pack(">I", len(data))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+        descs.append((off, len(data), len(set(vals))))
+    return bytes(blob), descs

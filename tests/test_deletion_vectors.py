@@ -548,3 +548,122 @@ def test_external_location_add_path_refuses(spark, tmp_path):
     assert _normalize_rel(
         "s3a://bucket/tbl", "s3a://bucket/tbl/cat=1/part-0.parquet"
     ) == "cat=1/part-0.parquet"
+
+
+# ------------------------------------------------- DV WRITE path (DELETE)
+
+
+def test_dv_write_delete_zero_rewrite(spark, tmp_path):
+    """use_deletion_vectors=True: a narrow DELETE writes one bitmap
+    file and rewrites ZERO data bytes — every parquet file is carried
+    physically; the protocol upgrades to v3+deletionVectors; reads,
+    CDF, time travel, and a second unioning delete all compose."""
+    import glob as _glob
+
+    from ballista_spark.sources.deltalog import (
+        delete_from_delta_table,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(40)],
+        "id long, cat string, v double",
+    )
+    write_delta_table(df.repartitionByRange(4, "id"), table)
+    files_before = {f.path for f in read_delta_snapshot(table).files}
+    parquets_before = set(_glob.glob(os.path.join(table, "*.parquet")))
+
+    v = delete_from_delta_table(
+        spark, table, [("id", ">=", 5), ("id", "<", 8)],
+        use_deletion_vectors=True,
+    )
+    assert v == 1
+    # zero data bytes rewritten: the SAME physical files, one .bin added
+    assert set(_glob.glob(os.path.join(table, "*.parquet"))) == parquets_before
+    assert len(_glob.glob(os.path.join(table, "deletion_vector_*.bin"))) == 1
+    snap = read_delta_snapshot(table)
+    assert {f.path for f in snap.files} == files_before
+    assert snap.reader_features == {"deletionVectors"}
+    assert snap.protocol["minWriterVersion"] == 7
+    assert "invariants" in snap.protocol["writerFeatures"]
+    dv_carriers = [f for f in snap.files if f.deletion_vector]
+    assert len(dv_carriers) == 1
+    assert dv_carriers[0].deletion_vector["cardinality"] == 3
+
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [i for i in range(40) if not (5 <= i < 8)]
+    # time travel to before the delete
+    assert read_delta_table(spark, table, version=0).count() == 40
+    # CDF: exactly the three deleted rows
+    changes = sorted(
+        (r["_change_type"], r["id"])
+        for r in read_delta_cdf(spark, table, from_version=0).collect()
+    )
+    assert changes == [("delete", 5), ("delete", 6), ("delete", 7)]
+
+    # second DV delete on the SAME band's file unions with the first
+    v2 = delete_from_delta_table(
+        spark, table, [("id", "=", 8)], use_deletion_vectors=True
+    )
+    assert v2 == 2
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [i for i in range(40) if not (5 <= i <= 8)]
+    snap2 = read_delta_snapshot(table)
+    card = [
+        f.deletion_vector["cardinality"]
+        for f in snap2.files
+        if f.deletion_vector
+    ]
+    assert card == [4]  # union of both deletes in ONE bitmap
+
+
+def test_dv_write_delete_full_file_drops(spark, tmp_path):
+    from ballista_spark.sources.deltalog import (
+        delete_from_delta_table,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "t")
+    for lo in (0, 100):
+        write_delta_table(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(5)], "id long, v double"
+            ).coalesce(1),
+            table,
+        )
+    v = delete_from_delta_table(
+        spark, table, [("id", "<", 100)], use_deletion_vectors=True
+    )
+    assert v == 2
+    snap = read_delta_snapshot(table)
+    # the fully-deleted file dropped outright — no add, no bitmap
+    assert snap.num_files == 1
+    assert all(f.deletion_vector is None for f in snap.files)
+    got = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert got == [100, 101, 102, 103, 104]
+
+
+def test_dv_write_then_optimize_purges(spark, tmp_path):
+    from ballista_spark.sources.deltalog import (
+        compact_delta_table,
+        delete_from_delta_table,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ).repartitionByRange(2, "id"),
+        table,
+    )
+    delete_from_delta_table(
+        spark, table, [("id", "=", 3)], use_deletion_vectors=True
+    )
+    before = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    compact_delta_table(spark, table, target_file_bytes=1 << 30)
+    snap = read_delta_snapshot(table)
+    assert all(f.deletion_vector is None for f in snap.files)
+    after = sorted(r["id"] for r in read_delta_table(spark, table).collect())
+    assert after == before and 3 not in after
