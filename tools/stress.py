@@ -896,6 +896,46 @@ def _dml_touch_filesgrow(spark, sf_dir: str):
     )
 
 
+def _dml_delete_dv(spark, sf_dir: str):
+    """The DV-write DELETE at the files-grow layout: the narrow band's
+    matched rows become a bitmap, zero data bytes rewrite.  Per run the
+    band alternates between two disjoint orderkey ranges so each run
+    does REAL new work (a repeated identical DELETE would no-op after
+    run 1); expect ~1× — cost tracks matched rows, not table bytes.
+    Compare the dml_touch_filesgrow row (COW rewrite of the same band)."""
+    from ballista_spark.sources.deltalog import (
+        _prune_files,
+        delete_from_delta_table,
+        read_delta_snapshot,
+        write_delta_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "dmldv")
+    try:
+        snap = read_delta_snapshot(path)
+    except FileNotFoundError:
+        n_files = max(4, int(li.count() / 37_500))
+        write_delta_table(
+            li.repartitionByRange(n_files, "l_orderkey"), path
+        )
+        snap = read_delta_snapshot(path)
+    # alternate the band so every timed run deletes fresh rows
+    band = snap.version % 2
+    lo, hi = (1 + band * 20, 21 + band * 20)
+    delete_from_delta_table(
+        spark, path,
+        [("l_orderkey", ">=", lo), ("l_orderkey", "<", hi)],
+        use_deletion_vectors=True,
+    )
+    snap = read_delta_snapshot(path)
+    return spark.createDataFrame(
+        [(snap.version, snap.num_files,
+          sum(1 for f in snap.files if f.deletion_vector))],
+        "version long, n_files long, n_dv long",
+    )
+
+
 def _langid_predict_local(spark, sf_dir: str):
     """The map-only serving twin of langid_predict: weights ride the
     Arrow-UDF closure, no feature explode, no join, no shuffle — the
@@ -1337,6 +1377,7 @@ LOCAL_BUILDERS = {
     "delta_merge_touch": _delta_merge_touch,
     "dml_touch": _dml_touch,
     "dml_touch_filesgrow": _dml_touch_filesgrow,
+    "dml_delete_dv": _dml_delete_dv,
     "code_screen": _code_screen,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
