@@ -574,6 +574,152 @@ def _refuse_column_mapped(snap: DeltaSnapshot, op: str) -> None:
         )
 
 
+#: Writer features implied by each legacy minWriterVersion (Delta
+#: table-features spec, "Writer Version Requirements" — upgrading to
+#: v7 must ENUMERATE these, and a writer committing at a legacy
+#: version must honor them).
+_LEGACY_WRITER_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        }
+    ),
+    5: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+        }
+    ),
+    6: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+            "identityColumns",
+        }
+    ),
+}
+
+
+def _required_writer_features(proto: dict | None) -> tuple[int, set | None]:
+    """(minWriterVersion, features this table requires of a writer);
+    None features = a version beyond this writer's knowledge."""
+    proto = proto or {}
+    mwv = int(proto.get("minWriterVersion", 1))
+    if mwv == 7:
+        return mwv, set(proto.get("writerFeatures") or [])
+    legacy = _LEGACY_WRITER_FEATURES.get(mwv)
+    return mwv, (set(legacy) if legacy is not None else None)
+
+
+def _check_writer_protocol(
+    snap: DeltaSnapshot,
+    op: str,
+    *,
+    adds_rows: bool = False,
+    removes_rows: bool = False,
+) -> None:
+    """Refuse a commit the table's writer protocol forbids (round-8
+    advice: mutations previously ignored writerFeatures entirely).
+
+    ``adds_rows`` = the commit introduces NEW or CHANGED row values
+    (append, UPDATE SET, MERGE insert/update) — the shapes column
+    invariants / constraints / generated / identity columns constrain.
+    ``removes_rows`` = the commit logically deletes or rewrites rows —
+    what ``delta.appendOnly`` forbids and Change Data Feed requires cdc
+    files for (this writer produces none, so CDF-enabled tables refuse
+    row-removing mutations; pure appends and dataChange=false OPTIMIZE
+    are derivable from add/remove actions per the CDF spec and pass).
+    Feature declarations whose runtime trigger is absent (e.g.
+    ``appendOnly`` declared but ``delta.appendOnly`` unset) pass: the
+    feature is implemented by honoring its contract.
+    """
+    mwv, feats = _required_writer_features(snap.protocol)
+    if feats is None:
+        raise DeltaProtocolError(
+            f"{op}: table requires minWriterVersion={mwv}; this writer "
+            "knows legacy versions 1-6 and table-features version 7"
+        )
+    conf = snap.configuration or {}
+    field_meta = [(f.name, f.metadata or {}) for f in snap.schema.fields]
+
+    def _bool_conf(key: str) -> bool:
+        return str(conf.get(key, "")).lower() == "true"
+
+    for feat in sorted(feats):
+        if feat == "appendOnly":
+            if removes_rows and _bool_conf("delta.appendOnly"):
+                raise DeltaProtocolError(
+                    f"{op} removes or rewrites rows in an append-only "
+                    "table (delta.appendOnly=true)"
+                )
+        elif feat == "invariants":
+            bad = [n for n, m in field_meta if "delta.invariants" in m]
+            if adds_rows and bad:
+                raise DeltaProtocolError(
+                    f"{op}: columns {bad} declare invariants this "
+                    "writer does not enforce"
+                )
+        elif feat == "checkConstraints":
+            cons = sorted(
+                k for k in conf if k.startswith("delta.constraints.")
+            )
+            if adds_rows and cons:
+                raise DeltaProtocolError(
+                    f"{op}: table declares CHECK constraints {cons} "
+                    "this writer does not enforce"
+                )
+        elif feat == "changeDataFeed":
+            if removes_rows and _bool_conf("delta.enableChangeDataFeed"):
+                raise DeltaProtocolError(
+                    f"{op} on a Change-Data-Feed-enabled table requires "
+                    "writing cdc files, which this writer does not "
+                    "produce (appends and OPTIMIZE are fine)"
+                )
+        elif feat == "generatedColumns":
+            gen = [
+                n for n, m in field_meta if "delta.generationExpression" in m
+            ]
+            if adds_rows and gen:
+                raise DeltaProtocolError(
+                    f"{op}: columns {gen} are generated; this writer "
+                    "does not compute generation expressions"
+                )
+        elif feat == "identityColumns":
+            ident = [
+                n
+                for n, m in field_meta
+                if any(k.startswith("delta.identity.") for k in m)
+            ]
+            if adds_rows and ident:
+                raise DeltaProtocolError(
+                    f"{op}: columns {ident} are identity columns; this "
+                    "writer does not assign identity values"
+                )
+        elif feat in ("columnMapping", "deletionVectors"):
+            pass  # implemented: mapped reads/writes, DV read+write+purge
+        else:
+            raise DeltaProtocolError(
+                f"{op}: table declares writer feature {feat!r} this "
+                "writer does not implement — mutating it would break "
+                "that feature's contract for other writers"
+            )
+
+
 def _purges_deletion_vectors() -> None:
     """Round-8 stance on mutating DV tables: every mutation path reads
     touched files through ``_scan_snapshot`` (DV-applied) and rewrites
@@ -626,7 +772,9 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
                 f"DV file {path!r} has format version {blob[:1]!r} "
                 "(this reader implements version 1)"
             )
-        positions = unpack_dv_blob(blob, int(dv["offset"]), size)
+        # PROTOCOL.md marks offset optional; absent means the single
+        # vector starts right after the version byte (offset 1)
+        positions = unpack_dv_blob(blob, int(dv.get("offset") or 1), size)
     else:
         raise DeltaProtocolError(f"unknown DV storageType {st!r}")
     card = dv.get("cardinality")
@@ -1136,6 +1284,12 @@ def write_delta_table(
         else:
             prev = read_delta_snapshot(table_path)
             _refuse_column_mapped(prev, "WRITE")
+            _check_writer_protocol(
+                prev,
+                "WRITE",
+                adds_rows=True,
+                removes_rows=(mode == "overwrite"),
+            )
             # compare names + types; nullability differences (literal
             # columns are non-nullable) don't constitute schema change
             shape = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
@@ -1230,6 +1384,7 @@ def _alter_once(
     commit race, recompute and retry."""
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "ALTER")
+    _check_writer_protocol(snap, "ALTER")
     names = {f.name for f in snap.schema.fields}
     dropped = set(json.loads(
         snap.configuration.get("ballista.droppedColumns", "[]")
@@ -1493,6 +1648,7 @@ def compact_delta_table(
     """
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "OPTIMIZE")
+    _check_writer_protocol(snap, "OPTIMIZE")
     by_part: dict[tuple, list[_AddFile]] = {}
     for f in snap.files:
         key = tuple(
@@ -1713,6 +1869,9 @@ def merge_delta_table(
     on = list(on)
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "MERGE")
+    _check_writer_protocol(
+        snap, "MERGE", adds_rows=True, removes_rows=True
+    )
     if txn_app_id is not None:
         # streaming-upsert idempotence (the Delta `txn` action): a
         # replayed epoch is detected in the log and skipped before any
@@ -2012,6 +2171,7 @@ def delete_from_delta_table(
         )
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "DELETE")
+    _check_writer_protocol(snap, "DELETE", removes_rows=True)
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None
@@ -2121,9 +2281,12 @@ def _delete_with_deletion_vectors(
         rf = set(proto.get("readerFeatures") or [])
         wf = set(proto.get("writerFeatures") or [])
         # upgrading to v7 writers must ENUMERATE the legacy features the
-        # old minWriterVersion implied (spec: table features)
-        legacy = {1: set(), 2: {"appendOnly", "invariants"}}
-        wf |= legacy.get(int(proto.get("minWriterVersion", 2)), set())
+        # old minWriterVersion implied (spec: table features) — the full
+        # 1-6 map; _check_writer_protocol already refused any implied
+        # feature this writer couldn't honor
+        wf |= _LEGACY_WRITER_FEATURES.get(
+            int(proto.get("minWriterVersion", 2)), frozenset()
+        )
         pre_actions.append(
             {
                 "protocol": {
@@ -2167,6 +2330,9 @@ def update_delta_table(
         raise ValueError("UPDATE needs at least one SET column")
     snap = read_delta_snapshot(table_path)
     _refuse_column_mapped(snap, "UPDATE")
+    _check_writer_protocol(
+        snap, "UPDATE", adds_rows=True, removes_rows=True
+    )
     by_name = {f.name: f for f in snap.schema.fields}
     for name in set_exprs:
         if name not in by_name:

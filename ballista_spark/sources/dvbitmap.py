@@ -16,12 +16,15 @@ github.com/RoaringBitmap/RoaringFormatSpec), with no native library:
   at its descriptor ``offset`` as ``[dataSize u32 BE][bitmap bytes]
   [CRC-32 of the bitmap bytes, u32 BE]``.
 
-The encoder exists for fixtures and tests (round-trip + known-answer
-pins); production writes still refuse DV tables — this engine deletes
-copy-on-write.  Cardinalities are bounded by rows-per-file (~1M at the
-128 MB discipline), so driver-side decode of a file's positions is a
-few MB at worst; the scan applies them as a (file, position) anti-join,
-never a per-row Python filter.
+The encoder serves fixtures AND the production DV-write DELETE
+(``delete_from_delta_table(use_deletion_vectors=True)`` packs one
+roaring bitmap per touched file, executor-side, into one shared DV
+file); mutations on DV tables otherwise apply-then-purge (a touched
+file rewrites without its descriptor).  The reader decodes descriptors
+executor-side for large vectors (``deltalog._dv_tombstones``) and
+applies them as a (file, position) anti-join at the scan stage — never
+a per-row Python filter, never all positions materialized on the
+driver.
 """
 
 from __future__ import annotations

@@ -106,18 +106,12 @@ def _strip_file(path: str) -> str:
     return path
 
 
-#: schemes whose pyarrow path EXCLUDES the authority (host:port) —
-#: from_uri('hdfs://nn:8020/t') yields path '/t', while bucket-style
-#: stores (s3, gs, abfs) keep the bucket/container as the path's first
-#: segment ('bucket/key')
-_AUTHORITY_SCHEMES = {"hdfs", "viewfs"}
+def _from_uri(uri: str):
+    """pyarrow FileSystem.from_uri behind a patchable seam (the class
+    itself is immutable — tests stub this)."""
+    from pyarrow import fs as pafs
 
-
-def _fs_path(alias: str, rest: str) -> str:
-    if alias in _AUTHORITY_SCHEMES:
-        _host, _, tail = rest.partition("/")
-        return "/" + tail
-    return rest
+    return pafs.FileSystem.from_uri(uri)
 
 
 def _resolve(path: str):
@@ -129,20 +123,31 @@ def _resolve(path: str):
     reg = _REGISTERED.get(scheme)
     if reg is not None:
         return reg, rest
-    from pyarrow import fs as pafs
-
     alias = _SCHEME_ALIASES.get(scheme, scheme)
     authority = rest.split("/", 1)[0]
     key = f"{alias}://{authority}"
+    tail = rest.partition("/")[2]
     with _LOCK:
-        fsys = _FS_CACHE.get(key)
-        if fsys is None:
-            fsys, path0 = pafs.FileSystem.from_uri(f"{alias}://{rest}")
-            # trust from_uri's own path split when it disagrees with
-            # the table (it connected; we only cache the filesystem)
-            _FS_CACHE[key] = fsys
+        cached = _FS_CACHE.get(key)
+        if cached is None:
+            fsys, path0 = _from_uri(f"{alias}://{rest}")
+            # Cache from_uri's OWN authority->path-prefix split so every
+            # later call under this authority derives paths the same way
+            # (hdfs://nn:8020/t -> '/t' keeps prefix ''; s3://bucket/k ->
+            # 'bucket/k' keeps 'bucket'; abfs container@account URIs keep
+            # 'container', never the raw '@account' authority).
+            if tail and path0.endswith("/" + tail):
+                prefix = path0[: -len(tail) - 1]
+            elif path0 == tail:
+                prefix = ""
+            else:
+                prefix = path0  # tail was empty: path0 IS the prefix
+            _FS_CACHE[key] = (fsys, prefix)
             return fsys, path0
-    return fsys, _fs_path(alias, rest)
+    fsys, prefix = cached
+    if not tail:
+        return fsys, (prefix or "/")
+    return fsys, (f"{prefix}/{tail}" if prefix else "/" + tail)
 
 
 def read_bytes(path: str) -> bytes:

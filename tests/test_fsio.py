@@ -337,12 +337,53 @@ def test_distributed_bounds_path_matches_driver_loop(spark, tmp_path, monkeypatc
     assert got == set(range(40))
 
 
-def test_authority_scheme_path_split():
-    """hdfs-style URIs exclude host:port from the filesystem path;
-    bucket-style stores keep the bucket as the first path segment
-    (review finding: the raw rest sent 'nn:8020/t' to HDFS as a
-    relative path)."""
-    assert fsio._fs_path("hdfs", "nn:8020/warehouse/t") == "/warehouse/t"
-    assert fsio._fs_path("viewfs", "cluster/a/b") == "/a/b"
-    assert fsio._fs_path("s3", "bucket/key/part") == "bucket/key/part"
-    assert fsio._fs_path("gs", "bucket/key") == "bucket/key"
+def test_authority_scheme_path_split(monkeypatch):
+    """Cache-warm path derivation matches from_uri's own split (review
+    finding: the raw rest sent 'nn:8020/t' to HDFS as a relative path;
+    round-8 advice: abfs 'container@account.../path' kept the raw
+    '@account' authority on cache-warm calls).  Seed the cache exactly
+    as a first from_uri call would and check warm derivations."""
+    sentinel = object()
+    monkeypatch.setattr(fsio, "_FS_CACHE", {
+        # hdfs://nn:8020/warehouse/t -> path '/warehouse/t' => prefix ''
+        "hdfs://nn:8020": (sentinel, ""),
+        # s3://bucket/key -> path 'bucket/key' => prefix 'bucket'
+        "s3://bucket": (sentinel, "bucket"),
+        # abfs://container@account.dfs.core.windows.net/path ->
+        # from_uri path 'container/path' => prefix 'container'
+        "abfs://container@account.dfs.core.windows.net": (
+            sentinel, "container"
+        ),
+    })
+    assert fsio._resolve("hdfs://nn:8020/warehouse/t") == (
+        sentinel, "/warehouse/t"
+    )
+    assert fsio._resolve("viewfs://nn:8020/a/b") == (sentinel, "/a/b")
+    assert fsio._resolve("s3a://bucket/key/part") == (
+        sentinel, "bucket/key/part"
+    )
+    assert fsio._resolve("s3://bucket") == (sentinel, "bucket")
+    assert fsio._resolve(
+        "wasb://container@account.dfs.core.windows.net/path/x"
+    ) == (sentinel, "container/path/x")
+
+
+def test_cold_resolve_caches_from_uri_split(monkeypatch):
+    """First resolve trusts from_uri's path verbatim AND caches the
+    prefix it implied, so warm calls agree byte-for-byte."""
+    sentinel = object()
+    calls = []
+
+    def fake_from_uri(uri):
+        calls.append(uri)
+        # mimic the azure split: authority collapses to the container
+        assert uri == "abfs://c@acct.dfs.core.windows.net/a/b"
+        return sentinel, "c/a/b"
+
+    monkeypatch.setattr(fsio, "_FS_CACHE", {})
+    monkeypatch.setattr(fsio, "_from_uri", fake_from_uri)
+    cold = fsio._resolve("abfs://c@acct.dfs.core.windows.net/a/b")
+    warm = fsio._resolve("abfs://c@acct.dfs.core.windows.net/a/b")
+    assert cold == (sentinel, "c/a/b")
+    assert warm == (sentinel, "c/a/b")
+    assert len(calls) == 1  # second call served from the cache
