@@ -786,17 +786,40 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
     return positions
 
 
+#: LOCAL tables whose descriptors declare at most this many total
+#: deleted positions decode tombstones on the driver (one Arrow batch,
+#: no job).  Measured warm on this box (read+count of a 1-DV table):
+#: 2k positions 0.46 s driver vs 0.67 s executor; 20k ~equal (0.78 vs
+#: 0.83); 100k the executor pass WINS (1.28 vs 1.02 — the pure-Python
+#: bitmap decode dominates and parallelizes).  Above the threshold, or
+#: on any non-local table, decode runs EXECUTOR-SIDE: the driver ships
+#: only the (file, descriptor) list — file-count rows — and one
+#: mapInPandas pass decodes each file's bitmap where the anti-join
+#: consumes it.  Driver memory never holds decoded positions (the
+#: round-8 weak item: a 100 TB table with 1% DV-deleted rows would
+#: otherwise materialize billions of int64s on the driver; measured:
+#: a 2.5M-position lifecycle adds 27 MB to driver maxrss on DELETE —
+#: the compressed per-file segments — and 0 MB on read).
+DV_DRIVER_DECODE_MAX = 20_000
+#: test hook: force the executor path regardless of size/locality
+DV_DECODE_FORCE_EXECUTOR = False
+
+#: positions per yielded Arrow batch in the executor decode (bounds a
+#: batch to ~30 MB even for pathological path lengths)
+_DV_DECODE_CHUNK = 1 << 18
+
+
 def _dv_tombstones(spark: SparkSession, snap: DeltaSnapshot):
     """(file path, row position) tombstone DataFrame for every live
-    file carrying a deletion vector, or None.  Decoded driver-side
-    (bounded by rows-per-file), shipped as ONE Arrow batch; the scan
-    applies it as a single anti-join — the Iceberg position-delete
-    pattern, never a per-row Python filter."""
+    file carrying a deletion vector, or None.  The scan applies it as a
+    single anti-join — the Iceberg position-delete pattern, never a
+    per-row Python filter.  Decode placement is size-aware (see
+    DV_DRIVER_DECODE_MAX): small local vectors decode on the driver,
+    everything else decodes executor-side so driver memory stays
+    O(file count), not O(deleted rows)."""
     dv_files = [f for f in snap.files if f.deletion_vector]
     if not dv_files:
         return None
-    import pandas as pd
-
     # DECODED spelling on this side (rel paths come unquoted out of
     # _normalize_rel); the scan side url_decodes _metadata.file_path to
     # match.  file: URIs strip before abspath (abspath('file:///x')
@@ -807,17 +830,63 @@ def _dv_tombstones(spark: SparkSession, snap: DeltaSnapshot):
         while tp.startswith("//"):
             tp = tp[1:]
     root = os.path.abspath(tp) if fsio.is_local(tp) else tp.rstrip("/")
-    frames = []
-    for f in dv_files:
-        pos = _dv_positions(snap.table_path, f.deletion_vector)
-        frames.append(
-            pd.DataFrame(
-                {"__dfp": f"{root}/{f.path}", "__pos": pd.Series(pos, dtype="int64")}
+    total_card = sum(
+        int(f.deletion_vector.get("cardinality") or 0) for f in dv_files
+    )
+    if (
+        total_card <= DV_DRIVER_DECODE_MAX
+        and fsio.is_local(snap.table_path)
+        and not DV_DECODE_FORCE_EXECUTOR
+    ):
+        import pandas as pd
+
+        frames = []
+        for f in dv_files:
+            pos = _dv_positions(snap.table_path, f.deletion_vector)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "__dfp": f"{root}/{f.path}",
+                        "__pos": pd.Series(pos, dtype="int64"),
+                    }
+                )
             )
+        return spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema="__dfp string, __pos long",
         )
-    return spark.createDataFrame(
-        pd.concat(frames, ignore_index=True),
-        schema="__dfp string, __pos long",
+
+    table_path = snap.table_path
+    entries = [
+        (f"{root}/{f.path}", json.dumps(f.deletion_vector)) for f in dv_files
+    ]
+
+    def _decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ballista_spark.sources.deltalog import _dv_positions
+
+        for pdf in batches:
+            for dfp, dvj in zip(pdf["__dfp"], pdf["__dv"]):
+                pos = np.asarray(
+                    _dv_positions(table_path, json.loads(dvj)), dtype="int64"
+                )
+                for i in range(0, max(len(pos), 1), _DV_DECODE_CHUNK):
+                    chunk = pos[i : i + _DV_DECODE_CHUNK]
+                    yield pd.DataFrame(
+                        {
+                            "__dfp": np.repeat(dfp, len(chunk)),
+                            "__pos": chunk,
+                        }
+                    )
+
+    desc_df = spark.createDataFrame(entries, "__dfp string, __dv string")
+    n_part = max(
+        1, min(len(entries), spark.sparkContext.defaultParallelism)
+    )
+    return desc_df.repartition(n_part).mapInPandas(
+        _decode, "__dfp string, __pos long"
     )
 
 
@@ -2203,56 +2272,147 @@ def _delete_with_deletion_vectors(
     filters: list[tuple[str, str, object]],
 ) -> int | None:
     """The DV write shape of DELETE (see delete_from_delta_table).
-    Matched (file, physical position) pairs collect to the driver —
-    bounded by the DELETE's matched-row count, the same bound as the
-    COW probe — then one DV file serves every touched data file at its
-    own offset."""
+    Matched row positions NEVER collect to the driver: they aggregate
+    per touched file EXECUTOR-SIDE (groupBy file → applyInPandas
+    packing each file's roaring-bitmap DV-file segment), unioned there
+    with any existing descriptor's positions (a DV replaces a DV).
+    The driver receives one compressed segment per touched file —
+    O(file count × bitmap bytes), the same order as the DV file it
+    must write as a single object anyway — and concatenates them at
+    running offsets into ONE shared DV file (round-8 weak item: the
+    previous collect() of every matched (file, rowpos) row could OOM
+    the driver on a broad DELETE where the COW path succeeded)."""
     import uuid as _uuid
 
-    from ballista_spark.sources.dvbitmap import pack_dv_file, z85_encode
+    from ballista_spark.sources.dvbitmap import z85_encode
 
     tsnap = snap.with_files(touched)
     matched = (
         _scan_snapshot(spark, tsnap, file_col="__file", pos_col="__rowpos")
         .where(F.coalesce(_filters_to_column(list(filters)), F.lit(False)))
         .select("__file", "__rowpos")
-        .collect()
     )
-    by_rel: dict[str, set[int]] = {}
-    for r in matched:
-        by_rel.setdefault(
-            _normalize_rel(table_path, r["__file"]), set()
-        ).add(int(r["__rowpos"]))
+
+    def _to_rel(batches):
+        import pandas as pd
+
+        from ballista_spark.sources.deltalog import _normalize_rel
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__rel": [
+                        _normalize_rel(table_path, p) for p in pdf["__file"]
+                    ],
+                    "__pos": pdf["__rowpos"].astype("int64"),
+                    "__new": 1,
+                }
+            )
+
+    pos_schema = "__rel string, __pos long, __new int"
+    all_pos = matched.mapInPandas(_to_rel, pos_schema)
+
+    # existing descriptors on touched files fold into the replacement
+    # vector executor-side too (the scan already anti-joined them out,
+    # so matched rows are new deletions only)
+    old_rows = [
+        (f.path, json.dumps(f.deletion_vector))
+        for f in touched
+        if f.deletion_vector
+    ]
+    if old_rows:
+
+        def _decode_old(batches):
+            import numpy as np
+            import pandas as pd
+
+            from ballista_spark.sources.deltalog import _dv_positions
+
+            for pdf in batches:
+                for rel, dvj in zip(pdf["__rel"], pdf["__dv"]):
+                    pos = np.asarray(
+                        _dv_positions(table_path, json.loads(dvj)),
+                        dtype="int64",
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "__rel": np.repeat(rel, len(pos)),
+                            "__pos": pos,
+                            "__new": np.zeros(len(pos), dtype="int32"),
+                        }
+                    )
+
+        old_df = spark.createDataFrame(
+            old_rows, "__rel string, __dv string"
+        ).mapInPandas(_decode_old, pos_schema)
+        all_pos = all_pos.unionByName(old_df)
+
+    def _pack(pdf):
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as pd
+
+        from ballista_spark.sources.dvbitmap import encode_rbm_array
+
+        if not int((pdf["__new"] == 1).sum()):
+            # probe superset / carried-only descriptor: no new deletion
+            return pd.DataFrame(
+                {
+                    "__rel": pd.Series([], dtype=str),
+                    "__segment": pd.Series([], dtype=object),
+                    "__size": pd.Series([], dtype="int64"),
+                    "__card": pd.Series([], dtype="int64"),
+                }
+            )
+        vals = sorted({int(p) for p in pdf["__pos"]})
+        data = encode_rbm_array(vals)
+        seg = (
+            _struct.pack(">I", len(data))
+            + data
+            + _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+        )
+        return pd.DataFrame(
+            {
+                "__rel": [pdf["__rel"].iloc[0]],
+                "__segment": [seg],
+                "__size": [len(data)],
+                "__card": [len(vals)],
+            }
+        )
+
+    packed = {
+        r["__rel"]: r
+        for r in all_pos.groupBy("__rel")
+        .applyInPandas(
+            _pack,
+            "__rel string, __segment binary, __size long, __card long",
+        )
+        .collect()
+    }
 
     removes: list[_AddFile] = []
-    vectors: list[list[int]] = []
-    vec_files: list[_AddFile] = []
+    vec_files: list[tuple[_AddFile, dict]] = []
     for f in touched:
-        new_pos = by_rel.get(f.path)
-        if not new_pos:
+        seg = packed.get(f.path)
+        if seg is None:
             continue  # probe superset: no live row actually matched
-        if f.deletion_vector:
-            new_pos = new_pos | set(
-                _dv_positions(table_path, f.deletion_vector)
-            )
         removes.append(f)
         n_records = (f.stats or {}).get("numRecords")
-        if n_records is not None and len(new_pos) >= int(n_records):
+        if n_records is not None and int(seg["__card"]) >= int(n_records):
             continue  # every physical row dead: drop the file entirely
-        vectors.append(sorted(new_pos))
-        vec_files.append(f)
+        vec_files.append((f, seg))
     if not removes:
         return None
 
     adds: list[dict] = []
-    if vectors:
-        blob, descs = pack_dv_file(vectors)
+    if vec_files:
         u = _uuid.uuid4()
-        fsio.write_bytes(
-            f"{table_path.rstrip('/')}/deletion_vector_{u}.bin", blob
-        )
         enc = z85_encode(u.bytes)
-        for f, (off, size, card) in zip(vec_files, descs):
+        blob = bytearray(b"\x01")  # DV file format version
+        for f, seg in vec_files:
+            off = len(blob)
+            blob += bytes(seg["__segment"])
             adds.append(
                 {
                     "add": {
@@ -2269,12 +2429,15 @@ def _delete_with_deletion_vectors(
                             "storageType": "u",
                             "pathOrInlineDv": enc,
                             "offset": off,
-                            "sizeInBytes": size,
-                            "cardinality": card,
+                            "sizeInBytes": int(seg["__size"]),
+                            "cardinality": int(seg["__card"]),
                         },
                     }
                 }
             )
+        fsio.write_bytes(
+            f"{table_path.rstrip('/')}/deletion_vector_{u}.bin", bytes(blob)
+        )
     pre_actions: list[dict] = []
     if "deletionVectors" not in snap.reader_features:
         proto = dict(snap.protocol or {})

@@ -667,3 +667,78 @@ def test_dv_write_then_optimize_purges(spark, tmp_path):
     assert all(f.deletion_vector is None for f in snap.files)
     after = sorted(r["id"] for r in read_delta_table(spark, table).collect())
     assert after == before and 3 not in after
+
+
+def test_dv_forced_executor_decode_identical(spark, tmp_path, monkeypatch):
+    """The executor-side tombstone decode (mapInPandas over the
+    (file, descriptor) list) returns byte-identical rows to the local
+    driver fast path — same pin discipline as the footer-stats pass."""
+    import ballista_spark.sources.deltalog as dl
+
+    table = _base_table(tmp_path)
+    _delete_with_dv(table, 1, "f0.parquet", _dv_descriptor_u(table, [1, 3]))
+    _delete_with_dv(table, 2, "f1.parquet", _dv_descriptor_u(table, [0, 4]))
+    driver = sorted(map(tuple, read_delta_table(spark, table).collect()))
+    assert len(driver) == 6
+    monkeypatch.setattr(dl, "DV_DECODE_FORCE_EXECUTOR", True)
+    forced = sorted(map(tuple, read_delta_table(spark, table).collect()))
+    assert forced == driver
+
+
+def test_dv_large_cardinality_stays_off_driver(spark, tmp_path):
+    """≥1M-position lifecycle: a broad DV DELETE packs per-file bitmaps
+    executor-side (the driver sees only file-count segments), and the
+    read back decodes executor-side because the declared cardinality
+    exceeds DV_DRIVER_DECODE_MAX — asserted on the plan itself
+    (MapInPandas tombstone source, vs the small-table LocalRelation)."""
+    import ballista_spark.sources.deltalog as dl
+    from ballista_spark.sources.deltalog import (
+        delete_from_delta_table,
+        write_delta_table,
+    )
+
+    n, cut = 1_600_000, 1_200_000
+    table = str(tmp_path / "big")
+    write_delta_table(
+        spark.range(n).selectExpr("id", "id % 7 as k").coalesce(2), table
+    )
+    v = delete_from_delta_table(
+        spark, table, [("id", "<", cut)], use_deletion_vectors=True
+    )
+    assert v == 1
+    snap = read_delta_snapshot(table)
+    # file0 (ids 0..799999) is fully covered -> dropped outright;
+    # file1 carries a 400k-position DV (cut - 800k)
+    cards = sorted(
+        f.deletion_vector["cardinality"]
+        for f in snap.files
+        if f.deletion_vector
+    )
+    assert cards == [cut - n // 2]
+    assert (
+        sum(int((f.stats or {})["numRecords"]) for f in snap.files) == n // 2
+    )
+
+    df = read_delta_table(spark, table)
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "MapInPandas" in plan  # executor-side decode, not a driver batch
+    assert df.count() == n - cut
+    agg = df.selectExpr(
+        "min(id) as lo", "max(id) as hi", "sum(id) as s"
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"]) == (cut, n - 1)
+    assert agg["s"] == (n - 1 + cut) * (n - cut) // 2
+
+    # small tables keep the measured-cheaper driver batch (no job)
+    small = str(tmp_path / "small")
+    write_delta_table(spark.range(10).selectExpr("id", "id as k"), small)
+    delete_from_delta_table(
+        spark, small, [("id", "=", 3)], use_deletion_vectors=True
+    )
+    small_plan = (
+        read_delta_table(spark, small)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert "MapInPandas" not in small_plan
