@@ -21,15 +21,16 @@ production BOTH planes must see the store (Spark via hadoop-aws etc.,
 this module via pyarrow's builtin s3/gcs/azure/hdfs clients or a
 registered custom filesystem).
 
-Atomicity caveat (documented, loud): Delta's commit protocol needs
+Atomicity (the Delta LogStore pattern, now pluggable): commits need
 put-if-absent.  Local filesystems get true ``open(..., "x")``
 exclusive-create.  Object stores have no portable primitive — pyarrow
-exposes none — so :func:`create_exclusive` degrades to
-check-then-write and emits a single warning naming the gap; production
-multi-writer deployments on S3-class stores need a coordination layer
-(the Delta spec's LogStore) exactly as the delta-io docs require.
-Single-writer pipelines (the overwhelmingly common scheduled-job shape)
-are correct as-is.
+exposes none — so deployments register a :class:`LogStore` (atomic
+put-if-absent over DynamoDB, conditional PUT, a database row, …) via
+:func:`register_log_store`; every lakehouse commit for that scheme
+routes through it.  Without one, :func:`create_exclusive` degrades to
+check-then-write and emits a single warning naming the gap (correct
+single-writer — the common scheduled-job shape), or refuses outright
+under ``set_commit_mode("strict")``.
 
 Worker-safe: every function takes a full path/URI and resolves its
 filesystem per call (cached per scheme+authority), so executor-side
@@ -46,6 +47,9 @@ import warnings
 __all__ = [
     "is_local",
     "register_filesystem",
+    "LogStore",
+    "register_log_store",
+    "set_commit_mode",
     "read_bytes",
     "read_text",
     "write_bytes",
@@ -89,6 +93,64 @@ def register_filesystem(scheme: str, fs) -> None:
     can hand in a configured S3FileSystem).  The path passed to the
     filesystem is everything after ``scheme://``."""
     _REGISTERED[scheme.lower()] = fs
+
+
+class LogStore:
+    """Put-if-absent commit coordinator — the Delta LogStore pattern.
+
+    Object stores have no portable atomic exclusive-create, so
+    multi-writer commit safety needs an external coordination point
+    (DynamoDB for S3, the conditional-PUT preconditions on GCS/Azure,
+    a database row, …).  Implement :meth:`put_if_absent` over one of
+    those and register it with :func:`register_log_store`; every
+    lakehouse commit for that scheme then routes through it.  The
+    interface is deliberately one method: winners write, losers get
+    ``FileExistsError``, and everything else (retry loops, snapshot
+    re-reads) already lives in the table formats' commit protocols.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Write ``data`` at ``path`` iff nothing exists there;
+        raise ``FileExistsError`` otherwise.  MUST be atomic under
+        concurrent callers — that is the whole contract."""
+        raise NotImplementedError
+
+
+class _LocalLogStore(LogStore):
+    """Local filesystems get true atomic ``open(..., "x")``."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        p = _strip_file(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "xb") as f:
+            f.write(data)
+
+
+#: scheme -> LogStore; local paths always use _LocalLogStore
+_LOG_STORES: dict[str, LogStore] = {}
+
+#: "warn" (default): non-local commits without a registered LogStore
+#: degrade to check-then-write with a one-time warning — correct
+#: single-writer, unsafe multi-writer.  "strict": refuse them instead.
+_COMMIT_MODE = "warn"
+
+
+def register_log_store(scheme: str, store: LogStore) -> None:
+    """Route exclusive-create commits for ``scheme://…`` through
+    ``store`` (atomic put-if-absent).  Data/metadata reads and
+    non-commit writes keep using the scheme's filesystem."""
+    _LOG_STORES[scheme.lower()] = store
+
+
+def set_commit_mode(mode: str) -> str:
+    """``warn`` | ``strict`` (see _COMMIT_MODE); returns the previous
+    mode so callers can restore it."""
+    global _COMMIT_MODE
+    if mode not in ("warn", "strict"):
+        raise ValueError(f"commit mode must be warn|strict, got {mode!r}")
+    prev = _COMMIT_MODE
+    _COMMIT_MODE = mode
+    return prev
 
 
 def is_local(path: str) -> bool:
@@ -181,21 +243,35 @@ def write_text(path: str, text: str, encoding: str = "utf-8") -> None:
 
 def create_exclusive(path: str, data: bytes) -> None:
     """Put-if-absent: raises FileExistsError when ``path`` exists.
-    Atomic on local filesystems (``open(..., "x")``); check-then-write
-    on object stores (see module docstring — LogStore caveat)."""
-    fsys, p = _resolve(path)
-    if fsys is None:
-        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-        with open(p, "xb") as f:
-            f.write(data)
+    Atomic on local filesystems (``open(..., "x")``) and through any
+    :func:`register_log_store`-registered coordinator; otherwise
+    check-then-write with a one-time warning — or an outright refusal
+    under ``set_commit_mode("strict")``."""
+    if is_local(path):
+        _LocalLogStore().put_if_absent(path, data)
         return
+    scheme = path.partition("://")[0].lower()
+    store = _LOG_STORES.get(scheme)
+    if store is not None:
+        store.put_if_absent(path, data)
+        return
+    if _COMMIT_MODE == "strict":
+        raise PermissionError(
+            f"strict commit mode: no LogStore registered for scheme "
+            f"{scheme!r} and exclusive-create on a non-local filesystem "
+            "is not atomic — register_log_store() a put-if-absent "
+            "coordinator (DynamoDB/conditional-PUT/db-row) or accept "
+            "single-writer semantics with set_commit_mode('warn')"
+        )
     global _warned_non_atomic
     if not _warned_non_atomic:
         _warned_non_atomic = True
         warnings.warn(
             "exclusive-create on a non-local filesystem is "
             "check-then-write, not atomic — concurrent writers on an "
-            "object store need a LogStore coordination layer",
+            "object store need a LogStore coordination layer "
+            "(register_log_store), or set_commit_mode('strict') to "
+            "refuse unsafe commits",
             stacklevel=2,
         )
     if exists(path):

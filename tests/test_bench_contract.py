@@ -35,6 +35,11 @@ def test_bench_emits_one_json_line():
     assert payload["bench_runs"] == 3
     assert len(payload["headline_runs"]) == 3
     assert all(v > 0 for v in payload["headline_runs"])
+    # the artifact carries its own weather (round-8 verdict ask #6)
+    assert len(payload["loadavg_before"]) == 3
+    assert len(payload["loadavg_after"]) == 3
+    assert all(v >= 0 for v in payload["loadavg_before"])
+    assert payload["bench_started_unix"] > 1_700_000_000
 
 
 def test_spec_dialect_matches_oracle_dialect_semantics(spark, duck):
