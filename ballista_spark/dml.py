@@ -27,7 +27,10 @@ subset the storage layer can prune on — conjunctions of
 - ``VACUUM t [RETAIN n HOURS]``
 - ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
 - ``ALTER TABLE t ADD COLUMNS (c type [, ...])`` /
-  ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)``
+  ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)`` /
+  ``ALTER TABLE t RENAME COLUMN old TO new`` (Delta only — metadata
+  commit via column mapping, auto-enabled; Iceberg refuses with the
+  add-backfill-drop guidance)
 - ``INSERT INTO t [(c1, c2, ...)] <query>`` / ``INSERT OVERWRITE t
   <query>`` where ``<query>`` is any Spark SQL query (``SELECT ...``,
   ``VALUES ...``) — aligned to the table schema BY POSITION (SQL
@@ -169,6 +172,8 @@ class DmlStatement:
     zorder_by: list[str] = field(default_factory=list)
     add_columns: dict[str, str] = field(default_factory=dict)
     drop_columns: list[str] = field(default_factory=list)
+    rename_from: str | None = None
+    rename_to: str | None = None
     # CREATE EXTERNAL TABLE fields
     file_type: str | None = None
     location: str | None = None
@@ -206,6 +211,10 @@ _ALTER_ADD_RE = re.compile(
 _ALTER_DROP_RE = re.compile(
     rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
     rf"\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s*;?\s*$"
+)
+_ALTER_RENAME_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+    rf"({_IDENT})\s+TO\s+({_IDENT})\s*;?\s*$"
 )
 _INSERT_RE = re.compile(
     rf"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+(.+?)\s*;?\s*$"
@@ -439,6 +448,12 @@ def parse_dml(query: str) -> DmlStatement | None:
         return DmlStatement(
             op="alter", table=m.group(1),
             drop_columns=[c.strip() for c in m.group(2).split(",")],
+        )
+    m = _ALTER_RENAME_RE.match(query)
+    if m:
+        return DmlStatement(
+            op="alter", table=m.group(1),
+            rename_from=m.group(2), rename_to=m.group(3),
         )
     head = re.sub(r"\s+", " ", _DML_HEAD.match(query).group(1).upper())
     if head in ("ALTER", "INSERT", "CREATE EXTERNAL"):
@@ -731,7 +746,20 @@ def execute_dml(ctx, stmt: DmlStatement):
 
             version = write_iceberg_table(aligned, path, mode=mode)
     elif stmt.op == "alter":
-        if fmt == "delta":
+        if stmt.rename_from is not None:
+            if fmt != "delta":
+                raise DmlError(
+                    "RENAME COLUMN is Delta-only (column mapping); this "
+                    "engine's Iceberg reader binds parquet by NAME, so a "
+                    "rename could not re-bind old data — use ADD COLUMNS "
+                    "+ backfill + DROP COLUMN"
+                )
+            from ballista_spark.sources.deltalog import rename_delta_column
+
+            version = rename_delta_column(
+                path, stmt.rename_from, stmt.rename_to
+            )
+        elif fmt == "delta":
             from ballista_spark.sources.deltalog import alter_delta_table
 
             version = alter_delta_table(

@@ -560,18 +560,13 @@ def _prune_files(
 # reading
 
 
-def _refuse_column_mapped(snap: DeltaSnapshot, op: str) -> None:
-    """Writes to column-mapped tables are refused: this writer stages
-    files under LOGICAL column names, which a mapped table's readers
-    would not resolve (and the mapping mode, once enabled, cannot be
-    disabled per the protocol).  Read support is full; mutate such
-    tables with a mapping-aware writer."""
-    if snap.column_mapping:
-        raise DeltaProtocolError(
-            f"{op} on a column-mapped Delta table is not supported by "
-            "this writer (reads are); the staged files would carry "
-            "logical column names the table's mapping cannot resolve"
-        )
+#: Reader features implied by each legacy minReaderVersion (upgrading
+#: a table to minReaderVersion 3 must enumerate them, exactly like the
+#: writer-side table)
+_LEGACY_READER_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"columnMapping"}),
+}
 
 
 #: Writer features implied by each legacy minWriterVersion (Delta
@@ -1205,14 +1200,28 @@ def _stage_data_files(
     table_path: str,
     partition_by: list[str],
     data_change: bool = True,
+    column_mapping: Mapping[str, str] | None = None,
 ) -> list[dict]:
     """Write ``df`` via Spark into a staging dir, move the parquet files
     into the table root (keeping hive partition subdirs), and return the
     ready-to-commit ``add`` actions with footer-derived stats.  Zero-row
     task outputs are dropped, never added.  IO is fsio-routed (works on
     object storage) and stats collection distributes for large commits
-    (``_collect_file_stats``)."""
+    (``_collect_file_stats``).
+
+    ``column_mapping`` (logical → physical) makes the staged files
+    column-mapped-table citizens: parquet columns, hive partition dirs,
+    partitionValues keys, and stats keys all carry PHYSICAL names (the
+    delta-spark on-disk contract; the snapshot reader remaps them back
+    to logical)."""
     from urllib.parse import unquote
+
+    cm = dict(column_mapping or {})
+    if cm:
+        for logical, phys in cm.items():
+            if logical in df.columns and phys != logical:
+                df = df.withColumnRenamed(logical, phys)
+        partition_by = [cm.get(c, c) for c in partition_by]
 
     staging = f"{table_path.rstrip('/')}/.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
@@ -1296,18 +1305,28 @@ def write_delta_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
-    if partition_by is None and _list_log_versions(table_path):
+    prior = (
+        read_delta_snapshot(table_path)
+        if _list_log_versions(table_path)
+        else None
+    )
+    if partition_by is None and prior is not None:
         # not specified: inherit the table's partitioning (the common
         # append case — a caller shouldn't have to restate it)
-        partition_by = read_delta_snapshot(table_path).partition_columns
+        partition_by = prior.partition_columns
     partition_by = list(partition_by or [])
     fsio.mkdirs(table_path)
-    if txn_app_id is not None and _list_log_versions(table_path):
-        committed = read_delta_snapshot(table_path).app_versions.get(txn_app_id)
+    if txn_app_id is not None and prior is not None:
+        committed = prior.app_versions.get(txn_app_id)
         if committed is not None and committed >= int(txn_version):
             return None  # replay of an already-committed batch
 
-    adds = _stage_data_files(df, table_path, partition_by)
+    adds = _stage_data_files(
+        df,
+        table_path,
+        partition_by,
+        column_mapping=prior.column_mapping if prior else None,
+    )
 
     schema_json = df.schema.json()
     for attempt in range(max_retries):
@@ -1352,7 +1371,6 @@ def write_delta_table(
             )
         else:
             prev = read_delta_snapshot(table_path)
-            _refuse_column_mapped(prev, "WRITE")
             _check_writer_protocol(
                 prev,
                 "WRITE",
@@ -1369,6 +1387,13 @@ def write_delta_table(
                     raise ValueError(
                         "schema/partitioning mismatch with existing table "
                         "(append requires identical schema; use overwrite)"
+                    )
+                if prev.column_mapping:
+                    raise DeltaProtocolError(
+                        "overwrite with a schema/partitioning change on a "
+                        "column-mapped table would replace metaData and "
+                        "drop the mapping — ALTER the schema first, then "
+                        "overwrite with the matching shape"
                     )
                 actions.append(
                     {
@@ -1452,8 +1477,10 @@ def _alter_once(
     concurrent ALTER's schema is never clobbered); None = lost the
     commit race, recompute and retry."""
     snap = read_delta_snapshot(table_path)
-    _refuse_column_mapped(snap, "ALTER")
     _check_writer_protocol(snap, "ALTER")
+    mapped = snap.configuration.get("delta.columnMapping.mode") in (
+        "name", "id"
+    )
     names = {f.name for f in snap.schema.fields}
     dropped = set(json.loads(
         snap.configuration.get("ballista.droppedColumns", "[]")
@@ -1461,16 +1488,18 @@ def _alter_once(
     for c in add_columns:
         if c in names:
             raise ValueError(f"column {c!r} already exists")
-        if c in dropped:
-            # the reader projects parquet by NAME: re-adding a dropped
-            # name would RESURRECT the old physical data in pre-drop
-            # files (the reason delta-spark gates DROP behind column
-            # mapping).  Rewrite the files first, then the name frees up.
+        if c in dropped and not mapped:
+            # the unmapped reader projects parquet by NAME: re-adding a
+            # dropped name would RESURRECT the old physical data in
+            # pre-drop files (the reason delta-spark gates DROP behind
+            # column mapping).  Rewrite the files first, then the name
+            # frees up.  Mapped tables are immune: a re-added name gets
+            # a FRESH physical name, so old file data stays invisible.
             raise ValueError(
                 f"column {c!r} was previously dropped and its name is "
                 "retired; re-adding it would resurrect old file data. "
                 "Use a new name (the Iceberg field-id discipline, "
-                "spelled in names)"
+                "spelled in names), or enable_column_mapping() first"
             )
     for c in drop_columns:
         if c not in names:
@@ -1482,10 +1511,41 @@ def _alter_once(
     fields = [
         f for f in snap.schema.fields if f.name not in set(drop_columns)
     ]
-    fields += [
-        T.StructField(c, T._parse_datatype_string(t), True)  # noqa: SLF001
-        for c, t in add_columns.items()
-    ]
+    config = dict(snap.configuration)
+    if mapped:
+        # new columns join the mapping: fresh id (never reused) + a
+        # fresh physical name, delta-spark's col-<uuid> convention
+        max_id = max(
+            [int(config.get("delta.columnMapping.maxColumnId", 0))]
+            + [
+                int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                for f in snap.schema.fields
+            ]
+        )
+        for c, t in add_columns.items():
+            max_id += 1
+            fields.append(
+                T.StructField(
+                    c,
+                    T._parse_datatype_string(t),  # noqa: SLF001
+                    True,
+                    metadata={
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4().hex[:16]}"
+                        ),
+                    },
+                )
+            )
+        config["delta.columnMapping.maxColumnId"] = str(max_id)
+    else:
+        fields += [
+            T.StructField(c, T._parse_datatype_string(t), True)  # noqa: SLF001
+            for c, t in add_columns.items()
+        ]
+        config["ballista.droppedColumns"] = json.dumps(
+            sorted(dropped | set(drop_columns))
+        )
     if not fields:
         raise ValueError("cannot drop every column")
     new_schema = T.StructType(fields)
@@ -1506,12 +1566,7 @@ def _alter_once(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": new_schema.json(),
                 "partitionColumns": snap.partition_columns,
-                "configuration": {
-                    **snap.configuration,
-                    "ballista.droppedColumns": json.dumps(
-                        sorted(dropped | set(drop_columns))
-                    ),
-                },
+                "configuration": config,
                 "createdTime": _now_ms(),
             }
         },
@@ -1522,6 +1577,160 @@ def _alter_once(
         return versions[-1] + 1
     except FileExistsError:
         return None
+
+
+def enable_column_mapping(table_path: str) -> int | None:
+    """Turn on column mapping (``delta.columnMapping.mode = name``) as
+    a METADATA-ONLY commit; returns the commit version, or None when
+    the table is already mapped.
+
+    Every EXISTING column keeps its current name as its physical name
+    — so every already-written parquet file still resolves — and gets
+    a stable column id (delta-spark does exactly this on ``ALTER TABLE
+    SET TBLPROPERTIES ('delta.columnMapping.mode'='name')``).  Columns
+    added later get fresh ``col-<uuid>`` physical names, which is what
+    makes RENAME/re-add safe afterwards.  The protocol upgrades to the
+    mapping's requirement: legacy (2, 5), or feature lists on tables
+    already at reader 3 / writer 7 (implied legacy features
+    enumerated, per the table-features spec).  Mapping cannot be
+    DISABLED once on (protocol rule) — there is deliberately no
+    inverse."""
+    for _attempt in range(10):
+        snap = read_delta_snapshot(table_path)
+        _check_writer_protocol(snap, "ALTER")
+        if snap.configuration.get("delta.columnMapping.mode") in (
+            "name", "id"
+        ):
+            return None
+        fields = []
+        for i, f in enumerate(snap.schema.fields, 1):
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f.name
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, metadata=md)
+            )
+        config = dict(snap.configuration)
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(len(fields))
+        proto = dict(
+            snap.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": MAX_WRITER_VERSION}
+        )
+        mrv = int(proto.get("minReaderVersion", 1))
+        mwv = int(proto.get("minWriterVersion", 1))
+        if mwv == 7 or mrv >= 3:
+            rf = set(proto.get("readerFeatures") or [])
+            wf = set(proto.get("writerFeatures") or [])
+            rf |= _LEGACY_READER_FEATURES.get(mrv, frozenset())
+            wf |= _LEGACY_WRITER_FEATURES.get(mwv, frozenset())
+            new_proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf | {"columnMapping"}),
+                "writerFeatures": sorted(wf | {"columnMapping"}),
+            }
+        else:
+            new_proto = {
+                "minReaderVersion": max(mrv, 2),
+                "minWriterVersion": max(mwv, 5),
+            }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            {"delta.columnMapping.mode": "name"}
+                        )
+                    },
+                }
+            }
+        ]
+        if new_proto != proto:
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": T.StructType(fields).json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": config,
+                    "createdTime": _now_ms(),
+                }
+            }
+        )
+        versions = _list_log_versions(table_path)
+        try:
+            _attempt_commit(table_path, versions[-1] + 1, actions)
+            return versions[-1] + 1
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
+def rename_delta_column(table_path: str, old: str, new: str) -> int:
+    """``ALTER TABLE … RENAME COLUMN old TO new`` as a METADATA-ONLY
+    commit (zero data I/O): only the LOGICAL name in the schema
+    changes; the physical name bound into every parquet file stays
+    put, which is why delta-spark gates renames behind column mapping.
+    Auto-enables mapping (one extra metadata commit) on an unmapped
+    table.  Time travel before the rename replays the old metaData and
+    sees the old name.  Returns the rename's commit version."""
+    if old == new:
+        raise ValueError("rename to the same name is a no-op")
+    for _attempt in range(10):
+        snap = read_delta_snapshot(table_path)
+        _check_writer_protocol(snap, "ALTER")
+        if snap.configuration.get("delta.columnMapping.mode") not in (
+            "name", "id"
+        ):
+            enable_column_mapping(table_path)
+            snap = read_delta_snapshot(table_path)
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            T.StructField(
+                new if f.name == old else f.name,
+                f.dataType,
+                f.nullable,
+                metadata=dict(f.metadata or {}),
+            )
+            for f in snap.schema.fields
+        ]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"from": old, "to": new},
+                }
+            },
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": T.StructType(fields).json(),
+                    "partitionColumns": [
+                        new if c == old else c for c in snap.partition_columns
+                    ],
+                    "configuration": dict(snap.configuration),
+                    "createdTime": _now_ms(),
+                }
+            },
+        ]
+        versions = _list_log_versions(table_path)
+        try:
+            _attempt_commit(table_path, versions[-1] + 1, actions)
+            return versions[-1] + 1
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentCommitError("lost the commit race 10 times")
 
 
 def _write_checkpoint(table_path: str, version: int) -> None:
@@ -1716,8 +1925,8 @@ def compact_delta_table(
     commit) or readers (old files stay until vacuum).
     """
     snap = read_delta_snapshot(table_path)
-    _refuse_column_mapped(snap, "OPTIMIZE")
     _check_writer_protocol(snap, "OPTIMIZE")
+    cm = snap.column_mapping
     by_part: dict[tuple, list[_AddFile]] = {}
     for f in snap.files:
         key = tuple(
@@ -1731,15 +1940,21 @@ def compact_delta_table(
         fld for fld in snap.schema.fields
         if fld.name not in snap.partition_columns
     ]
-    stat_cols = [fld.name for fld in data_fields]
+    # column-mapped tables stage/name everything physically (dirs,
+    # parquet columns, stats keys, partitionValues) — the reader remaps
+    stat_cols = [cm.get(fld.name, fld.name) for fld in data_fields]
 
     def _rewrite(group: list[_AddFile], key: tuple, shaped) -> None:
         """Write `shaped` (already coalesced/range-partitioned), move its
         files into the partition dir, queue remove+add actions."""
         part_dir = "/".join(
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
+            f"{cm.get(c, c)}="
+            f"{'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
             for c, v in key
         )
+        for logical, phys in cm.items():
+            if logical in shaped.columns and phys != logical:
+                shaped = shaped.withColumnRenamed(logical, phys)
         out_dir = f"{table_path.rstrip('/')}/.compact-{uuid.uuid4().hex}"
         shaped.write.mode("overwrite").parquet(out_dir)
         written = sorted(
@@ -1766,7 +1981,9 @@ def compact_delta_table(
                 {
                     "add": {
                         "path": rel,
-                        "partitionValues": {c: (v or "") for c, v in key},
+                        "partitionValues": {
+                            cm.get(c, c): (v or "") for c, v in key
+                        },
                         "size": size,
                         "modificationTime": _now_ms(),
                         "dataChange": False,
@@ -1937,7 +2154,6 @@ def merge_delta_table(
         raise ValueError("txn_app_id and txn_version go together")
     on = list(on)
     snap = read_delta_snapshot(table_path)
-    _refuse_column_mapped(snap, "MERGE")
     _check_writer_protocol(
         snap, "MERGE", adds_rows=True, removes_rows=True
     )
@@ -2020,7 +2236,11 @@ def merge_delta_table(
             new_rows = kept.unionByName(updates)
         adds.extend(
             _stage_data_files(
-                new_rows, table_path, snap.partition_columns, data_change=True
+                new_rows,
+                table_path,
+                snap.partition_columns,
+                data_change=True,
+                column_mapping=snap.column_mapping,
             )
         )
     if insert_not_matched:
@@ -2031,7 +2251,11 @@ def merge_delta_table(
             pass  # no key matched anything: all of source inserts
         adds.extend(
             _stage_data_files(
-                inserts, table_path, snap.partition_columns, data_change=True
+                inserts,
+                table_path,
+                snap.partition_columns,
+                data_change=True,
+                column_mapping=snap.column_mapping,
             )
         )
     source.unpersist()
@@ -2239,7 +2463,6 @@ def delete_from_delta_table(
             "DataFrame to truncate)"
         )
     snap = read_delta_snapshot(table_path)
-    _refuse_column_mapped(snap, "DELETE")
     _check_writer_protocol(snap, "DELETE", removes_rows=True)
     touched = _touched_files(spark, snap, filters)
     if not touched:
@@ -2253,7 +2476,11 @@ def delete_from_delta_table(
         ~F.coalesce(_filters_to_column(filters), F.lit(False))
     )
     adds = _stage_data_files(
-        survivors, table_path, snap.partition_columns, data_change=True
+        survivors,
+        table_path,
+        snap.partition_columns,
+        data_change=True,
+        column_mapping=snap.column_mapping,
     )
     return _commit_rewrite(
         table_path,
@@ -2450,6 +2677,12 @@ def _delete_with_deletion_vectors(
         wf |= _LEGACY_WRITER_FEATURES.get(
             int(proto.get("minWriterVersion", 2)), frozenset()
         )
+        # same on the reader side: a minReaderVersion=2 (column-mapped)
+        # table upgraded to 3 must keep declaring columnMapping, or
+        # other readers would scan physical names unmapped
+        rf |= _LEGACY_READER_FEATURES.get(
+            int(proto.get("minReaderVersion", 1)), frozenset()
+        )
         pre_actions.append(
             {
                 "protocol": {
@@ -2492,7 +2725,6 @@ def update_delta_table(
     if not set_exprs:
         raise ValueError("UPDATE needs at least one SET column")
     snap = read_delta_snapshot(table_path)
-    _refuse_column_mapped(snap, "UPDATE")
     _check_writer_protocol(
         snap, "UPDATE", adds_rows=True, removes_rows=True
     )
@@ -2535,7 +2767,11 @@ def update_delta_table(
         ]
     )
     adds = _stage_data_files(
-        updated, table_path, snap.partition_columns, data_change=True
+        updated,
+        table_path,
+        snap.partition_columns,
+        data_change=True,
+        column_mapping=snap.column_mapping,
     )
     return _commit_rewrite(
         table_path,

@@ -213,7 +213,13 @@ def test_mapped_pyds_face_reads_logical(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c", 100: "x", 200: "y"}
 
 
-def test_mapped_writes_refused(spark, tmp_path):
+def test_mapped_mutations_stage_physical_names(spark, tmp_path):
+    """Round 9: the full mutation matrix works on column-mapped tables
+    — staged files carry PHYSICAL parquet column names, partition dirs
+    and stats keys are physical, and every read keeps resolving
+    logically (replaces the round-5..8 refusal pins)."""
+    import glob as _glob
+
     from ballista_spark.sources.deltalog import (
         alter_delta_table,
         compact_delta_table,
@@ -223,17 +229,162 @@ def test_mapped_writes_refused(spark, tmp_path):
     )
 
     table = _mapped_table(tmp_path)
-    src = spark.createDataFrame([(1, "z")], "id long, cat string")
-    for op, call in {
-        "WRITE": lambda: write_delta_table(src, table),
-        "MERGE": lambda: merge_delta_table(spark, table, src, on=["id"]),
-        "DELETE": lambda: delete_from_delta_table(spark, table, [("id", "=", 1)]),
-        "UPDATE": lambda: update_delta_table(spark, table, {"cat": "'z'"}),
-        "ALTER": lambda: alter_delta_table(table, add_columns={"x": "long"}),
-        "OPTIMIZE": lambda: compact_delta_table(spark, table),
-    }.items():
-        with pytest.raises(DeltaProtocolError, match="column-mapped"):
-            call()
+
+    # WRITE append: the new file's parquet schema is physically named
+    before = set(_glob.glob(os.path.join(table, "*.parquet")))
+    write_delta_table(
+        spark.createDataFrame([(7, "z")], "id long, cat string"), table
+    )
+    (new_file,) = set(_glob.glob(os.path.join(table, "*.parquet"))) - before
+    assert set(pq.read_schema(new_file).names) == {PHYS["id"], PHYS["cat"]}
+    got = {r["id"]: r["cat"] for r in read_delta_table(spark, table).collect()}
+    assert got[7] == "z" and len(got) == 6
+
+    # stats on the appended file are physically keyed and still prune
+    snap = read_delta_snapshot(table)
+    appended = [f for f in snap.files if f.path == os.path.basename(new_file)]
+    assert appended and appended[0].stats["minValues"]["id"] == 7
+
+    # UPDATE / DELETE / MERGE through the same rewrite machinery
+    update_delta_table(spark, table, {"cat": "'upd'"}, [("id", "=", 2)])
+    delete_from_delta_table(spark, table, [("id", "=", 100)])
+    merge_delta_table(
+        spark,
+        table,
+        spark.createDataFrame([(3, "m3"), (999, "new")], "id long, cat string"),
+        on=["id"],
+    )
+    got = {r["id"]: r["cat"] for r in read_delta_table(spark, table).collect()}
+    assert got == {
+        1: "a", 2: "upd", 3: "m3", 200: "y", 7: "z", 999: "new"
+    }
+
+    # OPTIMIZE rewrites physically too and stays logically identical
+    compact_delta_table(spark, table, target_file_bytes=1 << 30)
+    got2 = {r["id"]: r["cat"] for r in read_delta_table(spark, table).collect()}
+    assert got2 == got
+    for f in read_delta_snapshot(table).files:
+        names = set(
+            pq.read_schema(os.path.join(table, f.path)).names
+        )
+        assert names == {PHYS["id"], PHYS["cat"]}
+
+    # ALTER add assigns a fresh id + col-<uuid> physical name
+    alter_delta_table(table, add_columns={"score": "double"})
+    snap = read_delta_snapshot(table)
+    fld = {f.name: f for f in snap.schema.fields}["score"]
+    assert fld.metadata["delta.columnMapping.id"] == 3
+    assert fld.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    rows = read_delta_table(spark, table).collect()
+    assert all(r["score"] is None for r in rows)  # old files: NULL
+
+    # mapped DROP then RE-ADD is safe (fresh physical name, no
+    # resurrection) — the unmapped path retires the name instead
+    alter_delta_table(table, drop_columns=["score"])
+    alter_delta_table(table, add_columns={"score": "long"})
+    assert all(
+        r["score"] is None for r in read_delta_table(spark, table).collect()
+    )
+
+
+def test_mapped_partitioned_mutation_physical_dirs(spark, tmp_path):
+    """Rewrites of a PARTITIONED mapped table keep physical dir names
+    and physically-keyed partitionValues."""
+    from ballista_spark.sources.deltalog import update_delta_table as upd
+
+    table = _mapped_table(tmp_path, with_part=True)
+    upd(spark, table, {"cat": "'X'"}, [("part", "=", "x")])
+    got = sorted(
+        (r["id"], r["cat"], r["part"])
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert got == [
+        (1, "X", "x"), (2, "X", "x"), (100, "a", "y"), (200, "a", "y")
+    ]
+    snap = read_delta_snapshot(table)
+    for f in snap.files:
+        # hive dirs under the PHYSICAL partition column name
+        assert f.path.startswith(f"{PHYS['part']}=")
+        # partition values were normalized back to logical on read
+        assert set(f.partition_values) == {"part"}
+
+
+def test_rename_column_mapped_metadata_only(spark, tmp_path):
+    """RENAME COLUMN on an already-mapped table: one metadata commit,
+    zero data I/O, time travel sees the old name."""
+    import glob as _glob
+
+    from ballista_spark.sources.deltalog import rename_delta_column
+
+    table = _mapped_table(tmp_path)
+    files_before = sorted(_glob.glob(os.path.join(table, "*.parquet")))
+    v = rename_delta_column(table, "cat", "category")
+    assert v == 1
+    assert sorted(_glob.glob(os.path.join(table, "*.parquet"))) == files_before
+    df = read_delta_table(spark, table)
+    assert df.columns == ["id", "category"]
+    assert {r["id"]: r["category"] for r in df.collect()} == {
+        1: "a", 2: "b", 3: "c", 100: "x", 200: "y"
+    }
+    # time travel replays the pre-rename metaData
+    old = read_delta_table(spark, table, version=0)
+    assert old.columns == ["id", "cat"]
+    with pytest.raises(ValueError, match="does not exist"):
+        rename_delta_column(table, "cat", "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_delta_column(table, "id", "category")
+
+
+def test_rename_column_auto_enables_mapping(spark, tmp_path):
+    """RENAME on an UNMAPPED table auto-enables column mapping first
+    (existing columns keep their names as physical names, so every old
+    file still resolves), then renames logically; mutations keep
+    working afterwards."""
+    import glob as _glob
+
+    from ballista_spark.sources.deltalog import (
+        delete_from_delta_table,
+        rename_delta_column,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "plain")
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(6)], "id long, cat string"
+        ),
+        table,
+    )
+    files_before = sorted(_glob.glob(os.path.join(table, "*.parquet")))
+    rename_delta_column(table, "cat", "label")
+    assert sorted(_glob.glob(os.path.join(table, "*.parquet"))) == files_before
+    snap = read_delta_snapshot(table)
+    assert snap.configuration["delta.columnMapping.mode"] == "name"
+    assert snap.column_mapping == {"id": "id", "label": "cat"}
+    assert int(snap.protocol["minReaderVersion"]) >= 2
+    assert int(snap.protocol["minWriterVersion"]) >= 5
+    df = read_delta_table(spark, table)
+    assert df.columns == ["id", "label"]
+    assert {r["id"]: r["label"] for r in df.collect()} == {
+        i: f"c{i}" for i in range(6)
+    }
+    # post-rename mutations stage under the OLD physical name
+    write_delta_table(
+        spark.createDataFrame([(10, "new")], "id long, label string"), table
+    )
+    delete_from_delta_table(spark, table, [("id", "=", 0)])
+    got = {r["id"]: r["label"] for r in read_delta_table(spark, table).collect()}
+    assert got == {1: "c1", 2: "c2", 3: "c3", 4: "c4", 5: "c5", 10: "new"}
+    newest = [
+        f for f in read_delta_snapshot(table).files
+        if "part-" in f.path and f.stats and f.stats["minValues"].get("id") == 10
+    ]
+    assert newest, "appended file missing"
+    phys = set(
+        pq.read_schema(os.path.join(table, newest[0].path)).names
+    )
+    assert phys == {"id", "cat"}  # the PHYSICAL name, not 'label'
 
 
 def _append_commit(table, version, actions):

@@ -503,3 +503,43 @@ def test_parse_merge_case_when_in_set_and_condition():
     )
     assert s2.matched_condition == "CASE WHEN s.x > 0 THEN 1 ELSE 0 END = 1"
     assert s2.when_matched == "delete" and s2.insert_not_matched
+
+
+def test_parse_alter_rename_column():
+    s = parse_dml("ALTER TABLE t RENAME COLUMN cat TO label;")
+    assert s.op == "alter" and s.table == "t"
+    assert (s.rename_from, s.rename_to) == ("cat", "label")
+    assert not s.add_columns and not s.drop_columns
+
+
+def test_sql_rename_column_end_to_end_delta(spark, tmp_path):
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    write_delta_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"),
+        path,
+    )
+    ctx.register_delta("t", path)
+    out = ctx.sql("ALTER TABLE t RENAME COLUMN cat TO label").df.collect()[0]
+    assert out["operation"] == "alter"
+    got = {r["id"]: r["label"] for r in ctx.sql("SELECT * FROM t").df.collect()}
+    assert got == {1: "a", 2: "b"}
+    # and the renamed table still mutates through the router
+    ctx.sql("UPDATE t SET label = 'z' WHERE id = 2")
+    got = {r["id"]: r["label"] for r in ctx.sql("SELECT * FROM t").df.collect()}
+    assert got == {1: "a", 2: "z"}
+
+
+def test_sql_rename_column_iceberg_refuses(spark, tmp_path):
+    ctx = _ctx(spark)
+    path = str(tmp_path / "ice")
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    write_iceberg_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), path
+    )
+    ctx.register_iceberg("t", path)
+    with pytest.raises(DmlError, match="Delta-only"):
+        ctx.sql("ALTER TABLE t RENAME COLUMN cat TO label")
