@@ -29,6 +29,7 @@ driver.
 
 from __future__ import annotations
 
+import json
 import struct
 import zlib
 
@@ -237,6 +238,110 @@ def pack_dv_blob(values: list[int]) -> tuple[bytes, int, int, int]:
     blob, descs = pack_dv_file([values])
     off, size, card = descs[0]
     return blob, off, size, card
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3: Puffin files + deletion-vector-v1 blobs
+#
+# Iceberg format-version 3 stores deletion vectors as blobs inside
+# Puffin files (apache/iceberg "Puffin file format" + table-spec
+# "Deletion vectors").  The blob payload deliberately shares Delta's
+# layout: 4-byte magic D1 D3 39 64 (== MAGIC little-endian) followed by
+# the portable 64-bit RoaringBitmapArray — so decode_rbm_array above
+# reads both formats unchanged.
+
+PUFFIN_MAGIC = b"PFA1"
+DV_V1_MAGIC = struct.pack("<I", MAGIC)  # D1 D3 39 64
+
+
+def read_puffin_footer(blob: bytes) -> dict:
+    """Parse a Puffin file's footer into its JSON payload (``blobs`` +
+    ``properties``).  Layout (spec): Magic · per-blob payloads · Magic ·
+    FooterPayload (JSON) · FooterPayloadSize (i32 LE) · Flags (4 bytes)
+    · Magic.  Flag bit 0 of byte 0 = lz4-compressed footer — refused
+    (no lz4 in this environment; loud, not silent)."""
+    if len(blob) < 20 or blob[:4] != PUFFIN_MAGIC or blob[-4:] != PUFFIN_MAGIC:
+        raise DeletionVectorError("not a Puffin file (magic)")
+    flags = blob[-8:-4]
+    if flags[0] & 0x01:
+        raise DeletionVectorError(
+            "lz4-compressed Puffin footer unsupported by this reader"
+        )
+    (size,) = struct.unpack("<i", blob[-12:-8])
+    if size < 0 or 12 + size + 4 > len(blob):
+        raise DeletionVectorError("Puffin footer size out of range")
+    payload = blob[-12 - size : -12]
+    try:
+        return json.loads(payload.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise DeletionVectorError(f"bad Puffin footer payload: {e}") from None
+
+
+def unpack_iceberg_dv(blob: bytes, offset: int, length: int) -> list[int]:
+    """Decode one ``deletion-vector-v1`` blob at ``offset``/``length``
+    (the manifest's content_offset / content_size_in_bytes): ``[len of
+    magic+vector, u32 BE][magic D1D33964][portable64 bitmap][crc32 of
+    magic+vector, u32 BE]`` -> sorted deleted positions."""
+    seg = blob[offset : offset + length]
+    if len(seg) != length:
+        raise DeletionVectorError("deletion-vector blob truncated")
+    (comb,) = struct.unpack(">I", seg[:4])
+    if comb + 8 != length:
+        raise DeletionVectorError(
+            f"deletion-vector length mismatch: prefix says {comb + 8}, "
+            f"descriptor says {length}"
+        )
+    if seg[4:8] != DV_V1_MAGIC:
+        raise DeletionVectorError(
+            f"bad deletion-vector magic {seg[4:8]!r}"
+        )
+    data = seg[4 : 4 + comb]  # magic + serialized vector
+    (crc,) = struct.unpack(">I", seg[4 + comb : 8 + comb])
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeletionVectorError("deletion-vector checksum mismatch")
+    return decode_rbm_array(data)
+
+
+def pack_iceberg_dv_blob(values: list[int]) -> bytes:
+    """One ``deletion-vector-v1`` blob's bytes (fixtures + tests)."""
+    data = encode_rbm_array(values)  # == magic + portable64
+    return (
+        struct.pack(">I", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+
+
+def pack_puffin_file(
+    blobs: list[tuple[bytes, dict]],
+) -> tuple[bytes, list[dict]]:
+    """Assemble a Puffin file from ``(blob bytes, blob properties)``
+    pairs; returns (file bytes, footer blob descriptors with offsets) —
+    the descriptors mirror what a v3 delete manifest needs
+    (content_offset / content_size_in_bytes per referenced file)."""
+    out = bytearray(PUFFIN_MAGIC)
+    descs = []
+    for data, props in blobs:
+        off = len(out)
+        out += data
+        descs.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "offset": off,
+                "length": len(data),
+                "properties": dict(props),
+            }
+        )
+    payload = json.dumps({"blobs": descs, "properties": {}}).encode()
+    out += (
+        PUFFIN_MAGIC
+        + payload
+        + struct.pack("<i", len(payload))
+        + b"\x00\x00\x00\x00"
+        + PUFFIN_MAGIC
+    )
+    return bytes(out), descs
 
 
 def pack_dv_file(

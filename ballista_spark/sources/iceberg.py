@@ -18,10 +18,20 @@ reader skip whole manifests by partition summary before opening them),
 file skipping happens before Spark lists anything, and the scan itself
 is the engine's standard pushdown/pruning parquet path.
 
-Supported subset (checked, not assumed): format-version ≤ 2,
+Supported subset (checked, not assumed): format-version ≤ 3 reads,
 append/overwrite snapshots, identity partition transforms for summary
 pruning (non-identity transforms read correctly — they simply don't
-prune), primitive + list/map/struct types.  v2 merge-on-read POSITION
+prune), primitive + list/map/struct types.  v3 DELETION VECTORS
+(round 9): Puffin-stored ``deletion-vector-v1`` blobs (whose payload
+magic D1D33964 is byte-identical to Delta's RoaringBitmapArray — one
+codec, ``dvbitmap.py``, serves both) resolve through the delete
+manifest's referenced_data_file/content_offset/content_size_in_bytes
+and apply as the same (file, position) anti-join as v2 position
+deletes, with the deltalog decode-placement policy (driver for small
+local vectors, mapInPandas otherwise).  v3 WRITES refuse loudly
+(row-lineage bookkeeping this writer does not produce), as do v3
+``initial-default`` schemas (this reader would return NULL where the
+spec says default).  v2 merge-on-read POSITION
 delete files are applied EXACTLY (round 7): one anti-join of the scan's
 ``_metadata.(file_path, row_index)`` against the tombstone files — a
 (file, pos) tombstone can never hit a row written after it, so no
@@ -206,6 +216,7 @@ class IcebergSnapshot:
     def __init__(
         self, table_path, snapshot_id, schema, spark_schema, files,
         delete_files=None, eq_deletes=None, file_seqs=None,
+        dv_deletes=None,
     ):
         self.table_path = table_path
         self.snapshot_id = snapshot_id
@@ -217,6 +228,9 @@ class IcebergSnapshot:
         self.eq_deletes = eq_deletes or []
         #: data-file path -> data sequence number (equality-delete scoping)
         self.file_seqs = file_seqs or {}
+        #: v3 deletion vectors:
+        #: [(puffin_path, referenced_data_file, offset, size, cardinality)]
+        self.dv_deletes = dv_deletes or []
         self.files_pruned = 0
 
     @property
@@ -257,11 +271,25 @@ def _load_metadata(table_path: str) -> dict:
             raise FileNotFoundError(f"no Iceberg metadata under {table_path!r}")
         cand = os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
     md = json.loads(fsio.read_text(cand))
-    if int(md.get("format-version", 1)) > 2:
+    if int(md.get("format-version", 1)) > 3:
         raise IcebergFeatureError(
-            f"format-version {md['format-version']} > 2 unsupported"
+            f"format-version {md['format-version']} > 3 unsupported"
         )
     return md
+
+
+def _refuse_v3_write(md: dict, op: str) -> None:
+    """Mutations on format-version 3 tables refuse: this writer emits
+    v1/v2-shaped metadata and does not maintain v3 invariants (row
+    lineage next-row-id, DV-only position deletes).  Reads — including
+    deletion vectors — are supported."""
+    if int(md.get("format-version", 1)) >= 3:
+        raise IcebergFeatureError(
+            f"{op} on a format-version 3 Iceberg table is not supported "
+            "by this writer (reads incl. deletion vectors are) — v3 "
+            "writes require row-lineage bookkeeping this engine does "
+            "not produce"
+        )
 
 
 def _current_schema(md: dict) -> dict:
@@ -281,6 +309,13 @@ def read_iceberg_snapshot(
     tree only."""
     md = _load_metadata(table_path)
     schema = _current_schema(md)
+    for fld in schema.get("fields", []):
+        if fld.get("initial-default") is not None:
+            raise IcebergFeatureError(
+                f"column {fld.get('name')!r} declares a v3 initial-default "
+                "— this reader would return NULL instead of the default "
+                "for pre-existing rows, so it refuses"
+            )
     spark_schema = iceberg_to_spark_type(schema)
     snaps = md.get("snapshots") or []
     if snapshot_id is None:
@@ -297,6 +332,7 @@ def read_iceberg_snapshot(
     files: list[tuple[str, int, dict]] = []
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, tuple]] = []
+    dv_deletes: list[tuple[str, str, int, int, int]] = []
     file_seqs: dict[str, int] = {}
 
     def manifest_entries(manifest_path: str):
@@ -332,11 +368,32 @@ def read_iceberg_snapshot(
             # takes the manifest's (which took the commit's)
             seq = entry.get("sequence_number")
             seq = inherited_seq if seq is None else int(seq)
-            if content == 1:  # v2 POSITION deletes: exactly supported.
+            if content == 1:  # POSITION deletes: exactly supported.
                 # A (file, pos) tombstone can never hit a row written
                 # after it (later rows live in new files), so applying
                 # every positional delete in the snapshot needs no
                 # sequence-number scoping — unlike equality deletes.
+                if fmt == "PUFFIN":
+                    # v3 deletion vector: one roaring bitmap per
+                    # referenced data file, inside a Puffin blob
+                    ref = df_rec.get("referenced_data_file")
+                    off = df_rec.get("content_offset")
+                    size = df_rec.get("content_size_in_bytes")
+                    if not ref or off is None or size is None:
+                        raise IcebergFeatureError(
+                            "PUFFIN delete entry lacks referenced_data_"
+                            "file/content_offset/content_size_in_bytes"
+                        )
+                    dv_deletes.append(
+                        (
+                            _norm_path(table_path, df_rec["file_path"]),
+                            ref,
+                            int(off),
+                            int(size),
+                            int(df_rec.get("record_count") or 0),
+                        )
+                    )
+                    continue
                 if fmt != "PARQUET":
                     raise IcebergFeatureError(
                         f"{fmt} delete files unsupported"
@@ -392,6 +449,7 @@ def read_iceberg_snapshot(
             )
     return IcebergSnapshot(
         table_path, snapshot_id, schema, spark_schema, files, delete_files,
+        dv_deletes=dv_deletes,
         eq_deletes=eq_deletes, file_seqs=file_seqs,
     )
 
@@ -415,6 +473,103 @@ def _bounds_may_match(bounds: dict, col: str, op: str, value) -> bool:
     except TypeError:
         return True  # incomparable types: keep
     return True
+
+
+#: Same decode-placement policy (and measurements) as
+#: deltalog.DV_DRIVER_DECODE_MAX: local tables whose manifests declare
+#: at most this many total deleted positions decode deletion vectors on
+#: the driver (one Arrow batch, no job); larger vectors, unknown
+#: cardinalities, or non-local tables decode executor-side so driver
+#: memory stays O(DV count), never O(deleted rows).
+DV_DRIVER_DECODE_MAX = 20_000
+#: test hook: force the executor path regardless of size/locality
+DV_DECODE_FORCE_EXECUTOR = False
+
+
+def _read_dv_positions(
+    puffin_path: str, offset: int, size: int, cardinality: int
+) -> list[int]:
+    """Ranged read + decode of one deletion-vector-v1 blob; worker-safe
+    (fsio-routed), never reads the whole Puffin file."""
+    from ballista_spark.sources.dvbitmap import unpack_iceberg_dv
+
+    with fsio.open_input(puffin_path) as f:
+        f.seek(offset)
+        seg = f.read(size)
+    pos = unpack_iceberg_dv(seg, 0, size)
+    if cardinality and len(pos) != cardinality:
+        raise IcebergFeatureError(
+            f"deletion-vector cardinality mismatch: manifest says "
+            f"{cardinality}, bitmap holds {len(pos)}"
+        )
+    return pos
+
+
+def _dv_tombstones(spark: SparkSession, snap: IcebergSnapshot) -> DataFrame:
+    """(data file path, row position) tombstones for every v3 deletion
+    vector in the snapshot — the anti-join side of the scan.  Paths
+    normalize exactly like the parquet position-delete side (file: URI
+    stripped; relative paths rooted at the table)."""
+    entries = []
+    for puffin, ref, off, size, card in snap.dv_deletes:
+        p = _norm_path(snap.table_path, ref)
+        if fsio.is_local(p) and not os.path.isabs(p):
+            p = os.path.abspath(p)
+        entries.append((p, puffin, int(off), int(size), int(card)))
+    total = sum(e[4] for e in entries)
+    cardinality_known = all(e[4] > 0 for e in entries)
+    if (
+        cardinality_known
+        and total <= DV_DRIVER_DECODE_MAX
+        and fsio.is_local(snap.table_path)
+        and not DV_DECODE_FORCE_EXECUTOR
+    ):
+        import pandas as pd
+
+        frames = [
+            pd.DataFrame(
+                {
+                    "__dfp": dfp,
+                    "__pos": pd.Series(
+                        _read_dv_positions(puf, off, size, card),
+                        dtype="int64",
+                    ),
+                }
+            )
+            for dfp, puf, off, size, card in entries
+        ]
+        return spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema="__dfp string, __pos long",
+        )
+
+    def _decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ballista_spark.sources.iceberg import _read_dv_positions
+
+        for pdf in batches:
+            for dfp, puf, off, size, card in zip(
+                pdf["__dfp"], pdf["__puffin"], pdf["__off"],
+                pdf["__size"], pdf["__card"],
+            ):
+                pos = np.asarray(
+                    _read_dv_positions(puf, int(off), int(size), int(card)),
+                    dtype="int64",
+                )
+                yield pd.DataFrame(
+                    {"__dfp": np.repeat(dfp, len(pos)), "__pos": pos}
+                )
+
+    desc = spark.createDataFrame(
+        entries,
+        "__dfp string, __puffin string, __off long, __size long, __card long",
+    )
+    n_part = max(1, min(len(entries), spark.sparkContext.defaultParallelism))
+    return desc.repartition(n_part).mapInPandas(
+        _decode, "__dfp string, __pos long"
+    )
 
 
 def read_iceberg_table(
@@ -443,7 +598,7 @@ def read_iceberg_table(
     if not files:
         return spark.createDataFrame([], snap.spark_schema)
     df = spark.read.schema(snap.spark_schema).parquet(*[f[0] for f in files])
-    if not snap.delete_files and not snap.eq_deletes:
+    if not snap.delete_files and not snap.eq_deletes and not snap.dv_deletes:
         return df
     from pyspark.sql import functions as F
 
@@ -486,6 +641,16 @@ def read_iceberg_table(
         # small (the usual case) but a billion-tombstone table must not
         # be forced through the driver
         tagged = tagged.join(tombstones, ["__dfp", "__pos"], "left_anti")
+    if snap.dv_deletes:
+        # v3 deletion vectors: decode each referenced file's roaring
+        # bitmap into (file, pos) tombstones and apply the SAME
+        # anti-join as parquet position deletes.  Decode placement is
+        # size-aware like deltalog._dv_tombstones: small local vectors
+        # decode on the driver, larger ones executor-side so driver
+        # memory stays O(DV count), never O(deleted rows).
+        tagged = tagged.join(
+            _dv_tombstones(spark, snap), ["__dfp", "__pos"], "left_anti"
+        )
     if snap.eq_deletes:
         # v2 EQUALITY deletes, sequence-scoped: a delete row kills a
         # data row iff all equality columns match (NULL = NULL, the
@@ -598,9 +763,13 @@ def read_iceberg_changelog(
         child_id = log[i]["snapshot-id"]
         child = _applied(child_id)
         parent = _applied(log[i - 1]["snapshot-id"]) if i > 0 else None
-        mor = bool(child.delete_files or child.eq_deletes) or (
+        mor = bool(
+            child.delete_files or child.eq_deletes or child.dv_deletes
+        ) or (
             parent is not None
-            and bool(parent.delete_files or parent.eq_deletes)
+            and bool(
+                parent.delete_files or parent.eq_deletes or parent.dv_deletes
+            )
         )
         if mor:
             # tombstones change visibility without changing data files:
@@ -1228,6 +1397,7 @@ def write_iceberg_table(
 
     try:
         md = _load_metadata(table_path)
+        _refuse_v3_write(md, "WRITE")
     except FileNotFoundError:
         md = None
     if md is not None:
@@ -1381,6 +1551,7 @@ def alter_iceberg_table(
     if not add_columns and not drop_columns:
         raise ValueError("ALTER needs add_columns and/or drop_columns")
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "ALTER")
     meta_dir = os.path.join(table_path, "metadata")
     prev_version = _current_metadata_version(meta_dir)
     schema_json = _current_schema(md)
@@ -1474,6 +1645,7 @@ def compact_iceberg_table(
     from ballista_spark.sources.deltalog import plan_compaction_bins
 
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "OPTIMIZE")
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
@@ -1605,6 +1777,7 @@ def expire_iceberg_snapshots(
     now = int(time.time() * 1000) if now is None else int(now)
     horizon = now - int(retention_ms)
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "EXPIRE SNAPSHOTS")
     meta_dir = os.path.join(table_path, "metadata")
     prev_version = _current_metadata_version(meta_dir)
     snaps = list(md.get("snapshots") or [])
@@ -1734,6 +1907,7 @@ def delete_from_iceberg_table(
             "(use mode='overwrite' with an empty DataFrame to truncate)"
         )
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "DELETE")
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
@@ -1848,6 +2022,7 @@ def update_iceberg_table(
     if not set_exprs:
         raise ValueError("UPDATE needs at least one SET column")
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "UPDATE")
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")
@@ -1999,6 +2174,7 @@ def merge_iceberg_table(
         raise ValueError("txn_app_id and txn_version must be passed together")
     on = list(on)
     md = _load_metadata(table_path)
+    _refuse_v3_write(md, "MERGE")
     if txn_app_id is not None:
         # streaming-upsert idempotence: a replayed epoch is detected in
         # the snapshot history and skipped BEFORE any file is staged

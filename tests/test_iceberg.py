@@ -561,11 +561,13 @@ def test_pyds_face_refuses_mor_tables(spark, tmp_path):
 
 
 def test_future_format_version_raises(tmp_path):
+    """v3 READS are supported since round 9 (deletion vectors); the
+    refusal line moved to format-version 4."""
     table = str(tmp_path / "ice")
     meta = os.path.join(table, "metadata")
     os.makedirs(meta)
     with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
-        json.dump({"format-version": 3, "schemas": []}, f)
+        json.dump({"format-version": 4, "schemas": []}, f)
     with open(os.path.join(meta, "version-hint.text"), "w") as f:
         f.write("1")
     with pytest.raises(IcebergFeatureError, match="format-version"):

@@ -1,0 +1,362 @@
+"""Iceberg format-version 3 deletion vectors: Puffin files carrying
+deletion-vector-v1 blobs (apache/iceberg Puffin spec + table spec
+"Deletion vectors"), referenced from delete manifests via
+referenced_data_file / content_offset / content_size_in_bytes and
+applied as the same (file, position) anti-join as v2 position deletes.
+Fixtures are hand-built to the public spec shapes; v3 WRITES refuse
+loudly (row-lineage bookkeeping this writer does not produce)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ballista_spark.sources.avroio import write_avro_bytes
+from ballista_spark.sources.dvbitmap import (
+    DeletionVectorError,
+    DV_V1_MAGIC,
+    pack_iceberg_dv_blob,
+    pack_puffin_file,
+    read_puffin_footer,
+    unpack_iceberg_dv,
+)
+from ballista_spark.sources.iceberg import (
+    IcebergFeatureError,
+    read_iceberg_snapshot,
+    read_iceberg_table,
+)
+
+# ------------------------------------------------------------------- codec
+
+
+def test_dv_blob_magic_is_delta_compatible():
+    # the spec's magic D1 D3 39 64 IS the little-endian spelling of the
+    # RoaringBitmapArray magic Delta uses — one decoder serves both
+    assert DV_V1_MAGIC == bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def test_puffin_and_dv_blob_round_trip():
+    positions = [0, 3, 5, 70_000, 2**33 + 7]
+    blob = pack_iceberg_dv_blob(positions)
+    assert unpack_iceberg_dv(blob, 0, len(blob)) == sorted(positions)
+    # inside a Puffin file at a real offset
+    f, descs = pack_puffin_file(
+        [(blob, {"referenced-data-file": "/d/f1.parquet"})]
+    )
+    assert f[:4] == b"PFA1" and f[-4:] == b"PFA1"
+    d = descs[0]
+    assert d["offset"] == 4 and d["length"] == len(blob)
+    assert unpack_iceberg_dv(
+        f[d["offset"] : d["offset"] + d["length"]], 0, d["length"]
+    ) == sorted(positions)
+    footer = read_puffin_footer(f)
+    assert footer["blobs"][0]["type"] == "deletion-vector-v1"
+    assert footer["blobs"][0]["properties"]["referenced-data-file"] == (
+        "/d/f1.parquet"
+    )
+
+
+def test_puffin_and_dv_guards():
+    blob = pack_iceberg_dv_blob([1, 2])
+    corrupt = bytearray(blob)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(DeletionVectorError, match="checksum"):
+        unpack_iceberg_dv(bytes(corrupt), 0, len(blob))
+    with pytest.raises(DeletionVectorError, match="length mismatch"):
+        unpack_iceberg_dv(blob + b"x", 0, len(blob) + 1)
+    with pytest.raises(DeletionVectorError, match="truncated"):
+        unpack_iceberg_dv(blob[:-2], 0, len(blob))
+    bad_magic = bytearray(blob)
+    bad_magic[4] ^= 0xFF
+    with pytest.raises(DeletionVectorError, match="magic"):
+        unpack_iceberg_dv(bytes(bad_magic), 0, len(blob))
+    with pytest.raises(DeletionVectorError, match="magic"):
+        read_puffin_footer(b"NOPE" + b"\x00" * 30)
+    # lz4-compressed footer: flag bit set -> loud refusal, not garbage
+    f, _ = pack_puffin_file([(blob, {})])
+    flagged = f[:-8] + b"\x01\x00\x00\x00" + f[-4:]
+    with pytest.raises(DeletionVectorError, match="lz4"):
+        read_puffin_footer(flagged)
+
+
+# ------------------------------------------------------------- v3 fixtures
+
+
+_KV = {
+    "type": "record",
+    "name": "k126_v127",
+    "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"},
+    ],
+}
+_V3_DATA_FILE = {
+    "type": "record",
+    "name": "r2v3",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", {"type": "array", "items": _KV}]},
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {"type": "array", "items": {**_KV, "name": "k128_v129"}},
+            ],
+        },
+        {"name": "referenced_data_file", "type": ["null", "string"]},
+        {"name": "content_offset", "type": ["null", "long"]},
+        {"name": "content_size_in_bytes", "type": ["null", "long"]},
+    ],
+}
+V3_MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _V3_DATA_FILE},
+    ],
+}
+MANIFEST_FILE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+SCHEMA_JSON = {
+    "schema-id": 0,
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "cat", "required": False, "type": "string"},
+    ],
+}
+
+
+def _data_entry(table, name, ids):
+    path = os.path.join(table, "data", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "cat": pa.array([f"c{i}" for i in ids], pa.string()),
+            }
+        ),
+        path,
+    )
+    return {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.relpath(path, table),
+            "file_format": "PARQUET",
+            "record_count": len(ids),
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": [
+                {"key": 1, "value": struct.pack("<q", min(ids))}
+            ],
+            "upper_bounds": [
+                {"key": 1, "value": struct.pack("<q", max(ids))}
+            ],
+            "referenced_data_file": None,
+            "content_offset": None,
+            "content_size_in_bytes": None,
+        },
+    }
+
+
+def _v3_table(tmp_path, dv_by_file, schema_json=SCHEMA_JSON, name="ice3"):
+    """Two data files (ids 0..9, 100..109) + ONE Puffin file holding a
+    deletion vector per entry of ``dv_by_file`` (fname -> positions)."""
+    table = str(tmp_path / name)
+    entries = [
+        _data_entry(table, "f1.parquet", list(range(10))),
+        _data_entry(table, "f2.parquet", list(range(100, 110))),
+    ]
+    dv_entries = []
+    if dv_by_file:
+        pairs = [
+            (os.path.join(table, "data", fname), sorted(set(positions)))
+            for fname, positions in dv_by_file.items()
+        ]
+        blob_bytes, descs = pack_puffin_file(
+            [
+                (
+                    pack_iceberg_dv_blob(positions),
+                    {
+                        "referenced-data-file": ref,
+                        "cardinality": str(len(positions)),
+                    },
+                )
+                for ref, positions in pairs
+            ]
+        )
+        puffin_rel = "data/deletes.puffin"
+        with open(os.path.join(table, puffin_rel), "wb") as f:
+            f.write(blob_bytes)
+        for d, (ref, positions) in zip(descs, pairs):
+            dv_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puffin_rel,
+                        "file_format": "PUFFIN",
+                        "record_count": len(positions),
+                        "file_size_in_bytes": len(blob_bytes),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "referenced_data_file": ref,
+                        "content_offset": d["offset"],
+                        "content_size_in_bytes": d["length"],
+                    },
+                }
+            )
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_rel = "metadata/manifest-1.avro"
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(write_avro_bytes(entries + dv_entries, V3_MANIFEST_ENTRY))
+    mlist_rel = "metadata/snap-7001.avro"
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(
+            write_avro_bytes(
+                [
+                    {
+                        "manifest_path": manifest_rel,
+                        "manifest_length": os.path.getsize(
+                            os.path.join(table, manifest_rel)
+                        ),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": 7001,
+                    }
+                ],
+                MANIFEST_FILE,
+            )
+        )
+    md = {
+        "format-version": 3,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table,
+        "last-sequence-number": 1,
+        "next-row-id": 20,
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 7001, "manifest-list": mlist_rel}],
+        "current-snapshot-id": 7001,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return table
+
+
+# -------------------------------------------------------------------- reads
+
+
+def test_v3_dv_read_applies_exactly(spark, tmp_path):
+    table = _v3_table(
+        tmp_path, {"f1.parquet": [1, 3], "f2.parquet": [0, 9]}
+    )
+    snap = read_iceberg_snapshot(table)
+    assert len(snap.dv_deletes) == 2 and not snap.delete_files
+    got = sorted(r["id"] for r in read_iceberg_table(spark, table).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9, 101, 102, 103, 104, 105, 106, 107, 108]
+    # bound-based file skipping composes with the DV anti-join
+    assert read_iceberg_table(
+        spark, table, filters=[("id", ">=", 100)]
+    ).count() == 8
+    # positions, not values: id=1 deleted only at f1's position 1
+    cats = {r["id"]: r["cat"] for r in read_iceberg_table(spark, table).collect()}
+    assert cats[2] == "c2"
+
+
+def test_v3_dv_forced_executor_decode_identical(spark, tmp_path, monkeypatch):
+    import ballista_spark.sources.iceberg as ice
+
+    table = _v3_table(tmp_path, {"f1.parquet": [0, 5, 9]})
+    driver = sorted(map(tuple, read_iceberg_table(spark, table).collect()))
+    assert len(driver) == 17
+    monkeypatch.setattr(ice, "DV_DECODE_FORCE_EXECUTOR", True)
+    forced = sorted(map(tuple, read_iceberg_table(spark, table).collect()))
+    assert forced == driver
+
+
+def test_v3_dv_cardinality_mismatch_raises(spark, tmp_path):
+    table = _v3_table(tmp_path, {"f1.parquet": [1]})
+    # corrupt the manifest-declared record_count by rewriting the manifest
+    manifest = os.path.join(table, "metadata", "manifest-1.avro")
+    from ballista_spark.sources.avroio import read_avro_bytes
+
+    records, _ = read_avro_bytes(open(manifest, "rb").read())
+    for r in records:
+        if r["data_file"]["content"] == 1:
+            r["data_file"]["record_count"] = 99
+    with open(manifest, "wb") as f:
+        f.write(write_avro_bytes(records, V3_MANIFEST_ENTRY))
+    with pytest.raises(IcebergFeatureError, match="cardinality mismatch"):
+        read_iceberg_table(spark, table).collect()
+
+
+def test_v3_initial_default_refuses(spark, tmp_path):
+    schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {
+                "id": 2,
+                "name": "cat",
+                "required": False,
+                "type": "string",
+                "initial-default": "zz",
+            },
+        ],
+    }
+    table = _v3_table(tmp_path, {}, schema_json=schema, name="icedef")
+    with pytest.raises(IcebergFeatureError, match="initial-default"):
+        read_iceberg_snapshot(table)
+
+
+def test_v3_writes_refuse_loudly(spark, tmp_path):
+    from ballista_spark.sources.iceberg import (
+        alter_iceberg_table,
+        compact_iceberg_table,
+        delete_from_iceberg_table,
+        expire_iceberg_snapshots,
+        update_iceberg_table,
+        write_iceberg_table,
+    )
+
+    table = _v3_table(tmp_path, {"f1.parquet": [1]})
+    src = spark.createDataFrame([(1, "z")], "id long, cat string")
+    for call in (
+        lambda: write_iceberg_table(src, table),
+        lambda: delete_from_iceberg_table(spark, table, [("id", "=", 1)]),
+        lambda: update_iceberg_table(spark, table, {"cat": "'z'"}),
+        lambda: alter_iceberg_table(table, add_columns={"x": "long"}),
+        lambda: compact_iceberg_table(spark, table),
+        lambda: expire_iceberg_snapshots(table),
+    ):
+        with pytest.raises(IcebergFeatureError, match="format-version 3"):
+            call()
