@@ -58,6 +58,12 @@ def _dsum(col: str) -> F.Column:
 # --- 1. CsvScan + projection/selection/predicates/sort/limit/offset ---------
 
 
+#: the DV-lifecycle branches' oracle base: part minus the DV-deleted
+#: brand (what the Delta table holds after the DELETE)
+_PART_MINUS_BRAND1 = (
+    "(SELECT * FROM part WHERE p_brand <> 'Brand#1') AS pmb"
+)
+
 _PART_PREDICATE = """
 SELECT '{src}' AS src, p_partkey, p_name, -p_retailprice AS neg_price
 FROM {table}
@@ -216,12 +222,34 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_hudi_table(spark, ht).createOrReplaceTempView("part_hudi")
     hudi_branch = spark.sql(_PART_PREDICATE.format(src="hudi", table="part_hudi"))
 
+    # sixth/seventh branches (round 9): the deletion-vector LIFECYCLE
+    # through the driver oracle — a DV DELETE (zero data bytes
+    # rewritten; matched positions packed into one roaring bitmap per
+    # file EXECUTOR-side) whose read applies the tombstone anti-join
+    # ('dv'), then OPTIMIZE purges the vectors into plain rewrites and
+    # the same rows must survive ('dvp').  Oracle: the predicate on
+    # base parquet minus the deleted brand, twice.
+    from ballista_spark.sources.deltalog import delete_from_delta_table
+
+    dvt = os.path.join(root, f"part_dvlc_{_uuid.uuid4().hex}")
+    write_delta_table(part.repartition(2), dvt, mode="append")
+    delete_from_delta_table(
+        spark, dvt, [("p_brand", "=", "Brand#1")], use_deletion_vectors=True
+    )
+    read_delta_table(spark, dvt).createOrReplaceTempView("part_dv")
+    dv_branch = spark.sql(_PART_PREDICATE.format(src="dv", table="part_dv"))
+    compact_delta_table(spark, dvt, target_file_bytes=1 << 30)
+    read_delta_table(spark, dvt).createOrReplaceTempView("part_dvp")
+    dvp_branch = spark.sql(_PART_PREDICATE.format(src="dvp", table="part_dvp"))
+
     # neg_price asc == p_retailprice desc: same order as each branch's sort
     return (
         csv_branch.unionAll(ext_branch)
         .unionAll(delta_branch)
         .unionAll(ice_branch)
         .unionAll(hudi_branch)
+        .unionAll(dv_branch)
+        .unionAll(dvp_branch)
         .orderBy("src", "neg_price", "p_partkey")
     )
 
@@ -240,8 +268,13 @@ _b(
     "replace-snapshot compaction + bound-pruned read, "
     "sources/iceberg.py) and the Hudi COW reader over a layout-faithful "
     "two-commit table with an uncommitted ghost file that must stay "
-    "invisible (sources/hudi.py).  Oracle reads the same rows from "
-    "parquet five times, tagged.",
+    "invisible (sources/hudi.py), plus round-9 sixth/seventh branches: "
+    "the deletion-vector LIFECYCLE — a DV DELETE (per-file roaring "
+    "bitmaps packed executor-side, zero data bytes rewritten) read "
+    "through the tombstone anti-join, then an OPTIMIZE purge rewrite "
+    "that must preserve exactly the surviving rows "
+    "(sources/deltalog.py + sources/dvbitmap.py).  Oracle reads the "
+    "same rows from parquet seven times, tagged.",
     _csv_select_builder,
     oracle=f"""
 SELECT * FROM (
@@ -263,6 +296,14 @@ UNION ALL
 SELECT * FROM (
   {_PART_PREDICATE.format(src="hudi", table="part")}
 ) e
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="dv", table=_PART_MINUS_BRAND1)}
+) f
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="dvp", table=_PART_MINUS_BRAND1)}
+) g
 ORDER BY src, neg_price, p_partkey
 """,
 )
