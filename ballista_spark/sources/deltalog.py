@@ -178,6 +178,41 @@ def _map_column_to_dicts(arr) -> list[dict]:
     return out
 
 
+#: Checkpoint part files are IMMUTABLE once written (version-named,
+#: exclusive-create commits), so their decoded action lists cache
+#: across snapshot resolutions — the per-query production pattern
+#: (the Iceberg twin: iceberg._read_manifest).  Keyed by
+#: (path, size, mtime); bounded by total cached actions.
+CHECKPOINT_CACHE_MAX_ACTIONS = 2_000_000
+_CHECKPOINT_CACHE: "dict[tuple, list]" = {}
+_CHECKPOINT_CACHE_COUNT = 0
+
+
+def _read_checkpoint_actions(paths: list[str]) -> list[dict]:
+    """Decoded checkpoint actions, cached.  Callers must treat the
+    returned dicts as READ-ONLY (snapshot construction copies every
+    field it keeps)."""
+    global _CHECKPOINT_CACHE_COUNT
+    try:
+        key = tuple(
+            (p, fsio.file_size(p), fsio.mtime_ms(p)) for p in paths
+        )
+    except (OSError, ValueError):
+        key = None
+    if key is not None:
+        cached = _CHECKPOINT_CACHE.get(key)
+        if cached is not None:
+            return cached
+    actions = list(_iter_checkpoint_actions(paths))
+    if key is not None and len(actions) <= CHECKPOINT_CACHE_MAX_ACTIONS:
+        _CHECKPOINT_CACHE[key] = actions
+        _CHECKPOINT_CACHE_COUNT += len(actions)
+        while _CHECKPOINT_CACHE_COUNT > CHECKPOINT_CACHE_MAX_ACTIONS:
+            k = next(iter(_CHECKPOINT_CACHE))
+            _CHECKPOINT_CACHE_COUNT -= len(_CHECKPOINT_CACHE.pop(k))
+    return actions
+
+
 def _iter_checkpoint_actions(paths: list[str]):
     """Checkpoint rows are one action per row in struct columns — yield
     them in the same {kind: body} shape as JSON commit lines.
@@ -242,16 +277,65 @@ def _iter_checkpoint_actions(paths: list[str]):
 # snapshot
 
 
-@dataclass
 class _AddFile:
-    path: str  # RELATIVE to the table root (spec) — always stored relative
-    partition_values: dict[str, str]
-    size: int
-    stats: dict | None  # parsed stats JSON (numRecords/minValues/maxValues/nullCount)
-    #: deletion-vector descriptor (storageType/pathOrInlineDv/offset/
-    #: sizeInBytes/cardinality) or None — the add action's
-    #: `deletionVector` field, applied at scan time
-    deletion_vector: dict | None = None
+    """One live data file.  ``stats`` accepts the log's raw JSON string
+    and parses LAZILY on first access (round 9: eager ``json.loads`` of
+    1M stats strings was ~36% of snapshot resolution; a filter-less
+    read never needs them)."""
+
+    __slots__ = ("path", "partition_values", "size", "_stats",
+                 "deletion_vector")
+
+    def __init__(
+        self,
+        path: str,  # RELATIVE to the table root (spec) — stored relative
+        partition_values: dict[str, str],
+        size: int,
+        stats: dict | str | None,
+        deletion_vector: dict | None = None,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.size = size
+        self._stats = stats
+        #: deletion-vector descriptor (storageType/pathOrInlineDv/offset/
+        #: sizeInBytes/cardinality) or None — the add action's
+        #: `deletionVector` field, applied at scan time
+        self.deletion_vector = deletion_vector
+
+    @property
+    def stats(self) -> dict | None:
+        """Parsed stats (numRecords/minValues/maxValues/nullCount)."""
+        s = self._stats
+        if isinstance(s, str):
+            try:
+                s = json.loads(s)
+            except ValueError:
+                s = None
+            if not isinstance(s, dict):
+                s = None
+            self._stats = s
+        return self._stats
+
+    @stats.setter
+    def stats(self, value: dict | None) -> None:
+        self._stats = value
+
+    def stats_json(self) -> str | None:
+        """The stats as a JSON string — the raw log bytes when they
+        were never parsed (checkpoint fast path), else a re-dump."""
+        s = self._stats
+        if isinstance(s, str):
+            return s
+        return json.dumps(s) if s else None
+
+    def __repr__(self) -> str:  # dataclass-style, for test diffs
+        return (
+            f"_AddFile(path={self.path!r}, "
+            f"partition_values={self.partition_values!r}, "
+            f"size={self.size!r}, stats={self.stats!r}, "
+            f"deletion_vector={self.deletion_vector!r})"
+        )
 
 
 @dataclass
@@ -301,6 +385,8 @@ class DeltaSnapshot:
 def _normalize_rel(table_path: str, p: str) -> str:
     """Spec says add/remove paths are table-root-relative (URL-encoded);
     tolerate absolute paths/URIs some writers emit."""
+    if "%" not in p and ":" not in p and p[:1] != "/":
+        return p  # plain relative path — the overwhelmingly common case
     if "%" in p:
         p = _unquote(p)
     if p.startswith("file:"):
@@ -342,7 +428,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
     if cp is not None and cp.get("version", -1) <= target:
         cp_version = int(cp["version"])
         action_streams.append(
-            _iter_checkpoint_actions(
+            _read_checkpoint_actions(
                 _checkpoint_paths(table_path, cp_version, cp.get("parts"))
             )
         )
@@ -377,17 +463,13 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                 a = action["add"]
                 rel = _normalize_rel(table_path, a["path"])
                 stats = a.get("stats")
-                if isinstance(stats, str) and stats:
-                    try:
-                        stats = json.loads(stats)
-                    except ValueError:
-                        stats = None
                 dv = a.get("deletionVector")
                 adds[rel] = _AddFile(
                     path=rel,
                     partition_values=dict(a.get("partitionValues") or {}),
                     size=int(a.get("size") or 0),
-                    stats=stats if isinstance(stats, dict) else None,
+                    # raw string: _AddFile.stats parses lazily on access
+                    stats=stats if isinstance(stats, (str, dict)) else None,
                     deletion_vector=dict(dv) if isinstance(dv, dict) else None,
                 )
             elif "remove" in action:
@@ -1801,7 +1883,7 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                     "size": f.size,
                     "modificationTime": _now_ms(),
                     "dataChange": False,
-                    "stats": json.dumps(f.stats) if f.stats else None,
+                    "stats": f.stats_json(),
                     "deletionVector": dv,
                 },
             }
@@ -2651,7 +2733,7 @@ def _delete_with_deletion_vectors(
                         "size": f.size,
                         "modificationTime": _now_ms(),
                         "dataChange": True,
-                        "stats": json.dumps(f.stats) if f.stats else None,
+                        "stats": f.stats_json(),
                         "deletionVector": {
                             "storageType": "u",
                             "pathOrInlineDv": enc,

@@ -75,6 +75,8 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from collections import OrderedDict
+
 from ballista_spark.sources import fsio
 from ballista_spark.sources.avroio import read_avro_bytes
 
@@ -250,6 +252,42 @@ def _norm_path(table_path: str, p: str) -> str:
     return p
 
 
+#: Manifests are IMMUTABLE once written (the Iceberg contract: a new
+#: snapshot writes NEW manifest files), so their decoded entries cache
+#: across snapshot resolutions — the per-query production pattern.
+#: Keyed by (path, size, mtime) so a rewritten-in-place fixture
+#: invalidates.  Bounded by TOTAL cached entries: a 1M-entry manifest
+#: is ~30 s of pure-Python Avro decode (measured, tools/meta_scale.py),
+#: paid once instead of once per query.
+MANIFEST_CACHE_MAX_ENTRIES = 2_000_000
+_MANIFEST_CACHE: OrderedDict = OrderedDict()
+_MANIFEST_CACHE_COUNT = 0
+
+
+def _read_manifest(path: str) -> list[dict]:
+    """Decoded entries of one manifest Avro file, LRU-cached by
+    (path, size, mtime).  Callers must treat the records as READ-ONLY
+    (every write path already copies before modifying)."""
+    global _MANIFEST_CACHE_COUNT
+    try:
+        key = (path, fsio.file_size(path), fsio.mtime_ms(path))
+    except (OSError, ValueError):
+        key = None
+    if key is not None:
+        cached = _MANIFEST_CACHE.get(key)
+        if cached is not None:
+            _MANIFEST_CACHE.move_to_end(key)
+            return cached
+    records, _sch = read_avro_bytes(fsio.read_bytes(path))
+    if key is not None and len(records) <= MANIFEST_CACHE_MAX_ENTRIES:
+        _MANIFEST_CACHE[key] = records
+        _MANIFEST_CACHE_COUNT += len(records)
+        while _MANIFEST_CACHE_COUNT > MANIFEST_CACHE_MAX_ENTRIES:
+            _k, v = _MANIFEST_CACHE.popitem(last=False)
+            _MANIFEST_CACHE_COUNT -= len(v)
+    return records
+
+
 def _metadata_versions(meta_dir: str) -> list[int]:
     return sorted(
         int(n[1:].split(".")[0])
@@ -336,10 +374,7 @@ def read_iceberg_snapshot(
     file_seqs: dict[str, int] = {}
 
     def manifest_entries(manifest_path: str):
-        records, _sch = read_avro_bytes(
-            fsio.read_bytes(_norm_path(table_path, manifest_path))
-        )
-        return records
+        return _read_manifest(_norm_path(table_path, manifest_path))
 
     if "manifest-list" in snap:  # v2 (and v1 with list)
         manifests, _sch = read_avro_bytes(
@@ -1319,9 +1354,7 @@ def _live_entries(table_path: str, snap_md: dict) -> list[dict]:
     )
     live: list[dict] = []
     for m in manifests:
-        entries, _sch = read_avro_bytes(
-            fsio.read_bytes(_norm_path(table_path, m["manifest_path"]))
-        )
+        entries = _read_manifest(_norm_path(table_path, m["manifest_path"]))
         live.extend(e for e in entries if e.get("status", 1) != 2)
     return live
 
@@ -1804,7 +1837,7 @@ def expire_iceberg_snapshots(
         for m in manifests:
             mp = _norm_path(table_path, m["manifest_path"])
             mans.add(mp)
-            entries, _sch = read_avro_bytes(fsio.read_bytes(mp))
+            entries = _read_manifest(mp)
             for e in entries:
                 if e.get("status", 1) != 2:
                     files.add(_norm_path(table_path, e["data_file"]["file_path"]))

@@ -491,3 +491,41 @@ def test_create_external_table_delta_and_iceberg(spark, tmp_path):
     _commit_snapshot(ice, 9, [e], version=1)
     ctx.create_external_table("docs_ice", ice, file_type="iceberg")
     assert ctx.sql("SELECT SUM(id) AS s FROM docs_ice").collect()[0]["s"] == 3
+
+
+def test_lazy_stats_and_checkpoint_cache_consistency(spark, tmp_path):
+    """Round 9: _AddFile parses stats lazily from the log's raw JSON
+    and checkpoint decodes cache by (path, size, mtime) — repeated
+    snapshot resolutions stay identical and mutations are never served
+    stale."""
+    from ballista_spark.sources.deltalog import (
+        _AddFile,
+        delete_from_delta_table,
+        read_delta_snapshot,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    # lazy parse + raw passthrough
+    f = _AddFile("p", {}, 1, stats='{"numRecords": 7, "minValues": {"x": 1}}')
+    assert f.stats_json() == '{"numRecords": 7, "minValues": {"x": 1}}'
+    assert f.stats["numRecords"] == 7
+    f2 = _AddFile("p", {}, 1, stats="not json")
+    assert f2.stats is None
+
+    table = str(tmp_path / "t")
+    for i in range(12):  # checkpoint_interval=10 -> checkpoint at v10
+        write_delta_table(
+            spark.createDataFrame([(i, float(i))], "id long, v double"),
+            table,
+        )
+    s1 = read_delta_snapshot(table)
+    s2 = read_delta_snapshot(table)  # second resolve: cached checkpoint
+    assert [f.path for f in s1.files] == [f.path for f in s2.files]
+    assert [f.stats for f in s1.files] == [f.stats for f in s2.files]
+    # a mutation after the checkpoint is visible immediately (the JSON
+    # tail replays over the cached checkpoint actions)
+    delete_from_delta_table(spark, table, [("id", "<", 3)])
+    assert read_delta_table(spark, table).count() == 9
+    s3 = read_delta_snapshot(table)
+    assert s3.num_files == len(s1.files) - 3
