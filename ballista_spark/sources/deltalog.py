@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ballista_spark.sources import fsio
+from ballista_spark.sources.decodecache import DecodeCache
 
 __all__ = [
     "DeltaSnapshot",
@@ -179,38 +180,24 @@ def _map_column_to_dicts(arr) -> list[dict]:
 
 
 #: Checkpoint part files are IMMUTABLE once written (version-named,
-#: exclusive-create commits), so their decoded action lists cache
+#: exclusive-create commits), so their decoded action lists LRU-cache
 #: across snapshot resolutions — the per-query production pattern
-#: (the Iceberg twin: iceberg._read_manifest).  Keyed by
-#: (path, size, mtime); bounded by total cached actions.
-CHECKPOINT_CACHE_MAX_ACTIONS = 2_000_000
-_CHECKPOINT_CACHE: "dict[tuple, list]" = {}
-_CHECKPOINT_CACHE_COUNT = 0
+#: (the Iceberg twin: iceberg._read_manifest).  Shared implementation:
+#: sources/decodecache.py (thread-safe, (path, size, mtime) keys,
+#: stat-verified, mtime-less stores never cached).
+_CHECKPOINT_CACHE = DecodeCache(max_items=2_000_000)
 
 
 def _read_checkpoint_actions(paths: list[str]) -> list[dict]:
     """Decoded checkpoint actions, cached.  Callers must treat the
-    returned dicts as READ-ONLY (snapshot construction copies every
-    field it keeps)."""
-    global _CHECKPOINT_CACHE_COUNT
-    try:
-        key = tuple(
-            (p, fsio.file_size(p), fsio.mtime_ms(p)) for p in paths
-        )
-    except (OSError, ValueError):
-        key = None
-    if key is not None:
-        cached = _CHECKPOINT_CACHE.get(key)
-        if cached is not None:
-            return cached
-    actions = list(_iter_checkpoint_actions(paths))
-    if key is not None and len(actions) <= CHECKPOINT_CACHE_MAX_ACTIONS:
-        _CHECKPOINT_CACHE[key] = actions
-        _CHECKPOINT_CACHE_COUNT += len(actions)
-        while _CHECKPOINT_CACHE_COUNT > CHECKPOINT_CACHE_MAX_ACTIONS:
-            k = next(iter(_CHECKPOINT_CACHE))
-            _CHECKPOINT_CACHE_COUNT -= len(_CHECKPOINT_CACHE.pop(k))
-    return actions
+    returned action dicts as READ-ONLY: snapshot construction copies
+    the containers it keeps (partitionValues/deletionVector/protocol/
+    configuration) and stores only immutable values by reference
+    (the raw stats string).  Any future change that stores a MUTABLE
+    field by reference must copy it here first."""
+    return _CHECKPOINT_CACHE.get_or_decode(
+        list(paths), lambda: list(_iter_checkpoint_actions(paths))
+    )
 
 
 def _iter_checkpoint_actions(paths: list[str]):
@@ -322,12 +309,30 @@ class _AddFile:
         self._stats = value
 
     def stats_json(self) -> str | None:
-        """The stats as a JSON string — the raw log bytes when they
-        were never parsed (checkpoint fast path), else a re-dump."""
+        """The stats as a JSON string — the raw log bytes pass through
+        when they parse to a dict (checkpoint fast path; semantically
+        identical to a re-dump), and INVALID strings become None
+        exactly like the access path, so checkpoint contents never
+        depend on whether a query touched .stats first."""
         s = self._stats
         if isinstance(s, str):
-            return s
+            try:
+                parsed = json.loads(s)
+            except ValueError:
+                return None
+            return s if isinstance(parsed, dict) else None
         return json.dumps(s) if s else None
+
+    def __eq__(self, other) -> bool:  # the old dataclass contract
+        if not isinstance(other, _AddFile):
+            return NotImplemented
+        return (
+            self.path == other.path
+            and self.partition_values == other.partition_values
+            and self.size == other.size
+            and self.stats == other.stats  # parsed: semantic equality
+            and self.deletion_vector == other.deletion_vector
+        )
 
     def __repr__(self) -> str:  # dataclass-style, for test diffs
         return (

@@ -75,10 +75,9 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from collections import OrderedDict
-
 from ballista_spark.sources import fsio
 from ballista_spark.sources.avroio import read_avro_bytes
+from ballista_spark.sources.decodecache import DecodeCache
 
 __all__ = [
     "read_iceberg_table",
@@ -253,39 +252,23 @@ def _norm_path(table_path: str, p: str) -> str:
 
 
 #: Manifests are IMMUTABLE once written (the Iceberg contract: a new
-#: snapshot writes NEW manifest files), so their decoded entries cache
-#: across snapshot resolutions — the per-query production pattern.
-#: Keyed by (path, size, mtime) so a rewritten-in-place fixture
-#: invalidates.  Bounded by TOTAL cached entries: a 1M-entry manifest
-#: is ~30 s of pure-Python Avro decode (measured, tools/meta_scale.py),
-#: paid once instead of once per query.
-MANIFEST_CACHE_MAX_ENTRIES = 2_000_000
-_MANIFEST_CACHE: OrderedDict = OrderedDict()
-_MANIFEST_CACHE_COUNT = 0
+#: snapshot writes NEW manifest files), so their decoded entries
+#: LRU-cache across snapshot resolutions — the per-query production
+#: pattern.  A 1M-entry manifest is ~20-30 s of pure-Python Avro
+#: decode (measured, tools/meta_scale.py), paid once instead of once
+#: per query.  Shared implementation: sources/decodecache.py
+#: (thread-safe, (path, size, mtime) keys, stat-verified, mtime-less
+#: stores never cached).
+_MANIFEST_CACHE = DecodeCache(max_items=2_000_000)
 
 
 def _read_manifest(path: str) -> list[dict]:
-    """Decoded entries of one manifest Avro file, LRU-cached by
-    (path, size, mtime).  Callers must treat the records as READ-ONLY
-    (every write path already copies before modifying)."""
-    global _MANIFEST_CACHE_COUNT
-    try:
-        key = (path, fsio.file_size(path), fsio.mtime_ms(path))
-    except (OSError, ValueError):
-        key = None
-    if key is not None:
-        cached = _MANIFEST_CACHE.get(key)
-        if cached is not None:
-            _MANIFEST_CACHE.move_to_end(key)
-            return cached
-    records, _sch = read_avro_bytes(fsio.read_bytes(path))
-    if key is not None and len(records) <= MANIFEST_CACHE_MAX_ENTRIES:
-        _MANIFEST_CACHE[key] = records
-        _MANIFEST_CACHE_COUNT += len(records)
-        while _MANIFEST_CACHE_COUNT > MANIFEST_CACHE_MAX_ENTRIES:
-            _k, v = _MANIFEST_CACHE.popitem(last=False)
-            _MANIFEST_CACHE_COUNT -= len(v)
-    return records
+    """Decoded entries of one manifest Avro file, cached.  Callers
+    must treat the records as READ-ONLY (every write path already
+    copies before modifying)."""
+    return _MANIFEST_CACHE.get_or_decode(
+        path, lambda: read_avro_bytes(fsio.read_bytes(path))[0]
+    )
 
 
 def _metadata_versions(meta_dir: str) -> list[int]:

@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _rss_mb() -> float:
+    """CURRENT RSS (VmRSS), not ru_maxrss: a high-water mark would be
+    clamped by whichever earlier phase peaked highest and report 0 for
+    everything after it (review finding)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
 
@@ -115,7 +122,9 @@ def build_iceberg(table: str, n: int) -> None:
             {"id": 2, "name": "v", "required": False, "type": "double"},
         ],
     }
-    entries = [
+    # a GENERATOR: materializing n dicts would hold GBs and clamp the
+    # RSS deltas measured right after (write_avro_bytes iterates once)
+    entries = (
         {
             "status": 1,
             "snapshot_id": 9001,
@@ -136,9 +145,8 @@ def build_iceberg(table: str, n: int) -> None:
             },
         }
         for i in range(n)
-    ]
+    )
     mpath, mlen = _write_manifest(meta_dir, schema_json, entries)
-    del entries
     lpath = _write_manifest_list(meta_dir, 9001, [{
         "manifest_path": mpath,
         "manifest_length": mlen,
