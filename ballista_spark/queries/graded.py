@@ -233,9 +233,16 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dvt = os.path.join(root, f"part_dvlc_{_uuid.uuid4().hex}")
     write_delta_table(part.repartition(2), dvt, mode="append")
-    delete_from_delta_table(
+    if delete_from_delta_table(
         spark, dvt, [("p_brand", "=", "Brand#1")], use_deletion_vectors=True
-    )
+    ) is None:
+        # the driver's testdata has single-digit brands (71 Brand#1 rows
+        # at sf0.01); a generator without them would make this branch a
+        # vacuous empty-vs-empty pass — fail loudly instead
+        raise RuntimeError(
+            "DV-lifecycle branch matched no rows: Brand#1 is absent "
+            "from this part table (fixture drift)"
+        )
     read_delta_table(spark, dvt).createOrReplaceTempView("part_dv")
     dv_branch = spark.sql(_PART_PREDICATE.format(src="dv", table="part_dv"))
     compact_delta_table(spark, dvt, target_file_bytes=1 << 30)

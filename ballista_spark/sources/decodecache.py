@@ -38,9 +38,7 @@ class DecodeCache:
 
     def _stat_key(self, paths: tuple[str, ...]) -> tuple | None:
         try:
-            key = tuple(
-                (p, fsio.file_size(p), fsio.mtime_ms(p)) for p in paths
-            )
+            key = tuple((p, *fsio.stat_key(p)) for p in paths)
         except (OSError, ValueError):
             return None
         # a store that reports no mtime can't distinguish a same-size

@@ -656,6 +656,40 @@ _LEGACY_READER_FEATURES = {
 }
 
 
+def _physical_partition_values(
+    pv: Mapping[str, object], cm: Mapping[str, str]
+) -> dict:
+    """partitionValues as the LOG stores them: physical keys on a
+    column-mapped table (the snapshot normalized them to logical)."""
+    return {cm.get(k, k): ("" if v is None else v) for k, v in pv.items()}
+
+
+def _physical_stats_json(f: "_AddFile", cm: Mapping[str, str]) -> str | None:
+    """An add action's stats string under the on-disk contract:
+    PHYSICAL column keys on a column-mapped table (review finding:
+    re-emitting the snapshot's logical-keyed stats mis-attributes
+    bounds after a RENAME + re-ADD of the old name, and breaks external
+    readers).  Unmapped tables keep the raw-bytes fast path."""
+    if not cm:
+        return f.stats_json()
+    s = f.stats
+    if not s:
+        return None
+
+    def _remap(d):
+        if not isinstance(d, dict):
+            return d
+        return {cm.get(k, k): v for k, v in d.items()}
+
+    return json.dumps(
+        {
+            k: (_remap(v) if k in ("minValues", "maxValues", "nullCount")
+                else v)
+            for k, v in s.items()
+        }
+    )
+
+
 #: Writer features implied by each legacy minWriterVersion (Delta
 #: table-features spec, "Writer Version Requirements" — upgrading to
 #: v7 must ENUMERATE these, and a writer committing at a legacy
@@ -912,11 +946,16 @@ def _dv_tombstones(spark: SparkSession, snap: DeltaSnapshot):
         while tp.startswith("//"):
             tp = tp[1:]
     root = os.path.abspath(tp) if fsio.is_local(tp) else tp.rstrip("/")
-    total_card = sum(
+    cards = [
         int(f.deletion_vector.get("cardinality") or 0) for f in dv_files
-    )
+    ]
+    # a descriptor WITHOUT cardinality could hide an arbitrarily large
+    # vector — unknown sizes always take the executor path (the Iceberg
+    # twin applies the same rule)
+    cardinality_known = all(c > 0 for c in cards)
     if (
-        total_card <= DV_DRIVER_DECODE_MAX
+        cardinality_known
+        and sum(cards) <= DV_DRIVER_DECODE_MAX
         and fsio.is_local(snap.table_path)
         and not DV_DECODE_FORCE_EXECUTOR
     ):
@@ -1047,10 +1086,12 @@ def _scan_snapshot(
     def _to_logical(df):
         if not cm:
             return df
-        for logical, phys in cm.items():
-            if phys in df.columns and phys != logical:
-                df = df.withColumnRenamed(phys, logical)
-        return df
+        # atomic select (see _stage_data_files: sequential renames
+        # collide when the two namespaces overlap after RENAME+re-ADD)
+        to_logical = {p: l for l, p in cm.items()}
+        return df.select(
+            *[df[c].alias(to_logical.get(c, c)) for c in df.columns]
+        )
 
     if not snap.files:
         extra = [
@@ -1305,9 +1346,13 @@ def _stage_data_files(
 
     cm = dict(column_mapping or {})
     if cm:
-        for logical, phys in cm.items():
-            if logical in df.columns and phys != logical:
-                df = df.withColumnRenamed(logical, phys)
+        # ONE atomic select, never sequential renames: after RENAME +
+        # re-ADD the logical and physical namespaces overlap (logical
+        # 'renamed' -> physical 'a' while logical 'a' -> 'col-xxxx'),
+        # and a chain of withColumnRenamed collides midway
+        df = df.select(
+            *[df[c].alias(cm.get(c, c)) for c in df.columns]
+        )
         partition_by = [cm.get(c, c) for c in partition_by]
 
     staging = f"{table_path.rstrip('/')}/.staging-{uuid.uuid4().hex}"
@@ -1881,14 +1926,14 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                 **blank,
                 "add": {
                     "path": f.path,
-                    "partitionValues": {
-                        k: ("" if v is None else v)
-                        for k, v in f.partition_values.items()
-                    },
+                    # the on-disk contract: PHYSICAL keys on mapped tables
+                    "partitionValues": _physical_partition_values(
+                        f.partition_values, snap.column_mapping
+                    ),
                     "size": f.size,
                     "modificationTime": _now_ms(),
                     "dataChange": False,
-                    "stats": f.stats_json(),
+                    "stats": _physical_stats_json(f, snap.column_mapping),
                     "deletionVector": dv,
                 },
             }
@@ -2039,9 +2084,10 @@ def compact_delta_table(
             f"{'__HIVE_DEFAULT_PARTITION__' if v in (None, '') else v}"
             for c, v in key
         )
-        for logical, phys in cm.items():
-            if logical in shaped.columns and phys != logical:
-                shaped = shaped.withColumnRenamed(logical, phys)
+        if cm:
+            shaped = shaped.select(
+                *[shaped[c].alias(cm.get(c, c)) for c in shaped.columns]
+            )
         out_dir = f"{table_path.rstrip('/')}/.compact-{uuid.uuid4().hex}"
         shaped.write.mode("overwrite").parquet(out_dir)
         written = sorted(
@@ -2731,14 +2777,17 @@ def _delete_with_deletion_vectors(
                 {
                     "add": {
                         "path": f.path,
-                        "partitionValues": {
-                            k: ("" if v is None else v)
-                            for k, v in f.partition_values.items()
-                        },
+                        # the on-disk contract: PHYSICAL keys on mapped
+                        # tables (the snapshot normalized to logical)
+                        "partitionValues": _physical_partition_values(
+                            f.partition_values, snap.column_mapping
+                        ),
                         "size": f.size,
                         "modificationTime": _now_ms(),
                         "dataChange": True,
-                        "stats": f.stats_json(),
+                        "stats": _physical_stats_json(
+                            f, snap.column_mapping
+                        ),
                         "deletionVector": {
                             "storageType": "u",
                             "pathOrInlineDv": enc,

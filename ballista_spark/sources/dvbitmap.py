@@ -268,8 +268,11 @@ def read_puffin_footer(blob: bytes) -> dict:
             "lz4-compressed Puffin footer unsupported by this reader"
         )
     (size,) = struct.unpack("<i", blob[-12:-8])
-    if size < 0 or 12 + size + 4 > len(blob):
+    # header magic (4) + footer magic·payload·size·flags·magic (16+size)
+    if size < 0 or size + 20 > len(blob):
         raise DeletionVectorError("Puffin footer size out of range")
+    if blob[-16 - size : -12 - size] != PUFFIN_MAGIC:
+        raise DeletionVectorError("Puffin footer opening magic missing")
     payload = blob[-12 - size : -12]
     try:
         return json.loads(payload.decode("utf-8"))

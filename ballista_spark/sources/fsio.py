@@ -67,6 +67,7 @@ __all__ = [
     "remove_dir",
     "file_size",
     "mtime_ms",
+    "stat_key",
 ]
 
 # Hadoop-connector scheme -> pyarrow scheme (warc.py's table, shared
@@ -189,6 +190,10 @@ def _resolve(path: str):
     authority = rest.split("/", 1)[0]
     key = f"{alias}://{authority}"
     tail = rest.partition("/")[2]
+    if "%" in tail:
+        # from_uri percent-DECODES; the cached textual derivation can't
+        # reproduce that — resolve such URIs through from_uri every time
+        return _from_uri(f"{alias}://{rest}")
     with _LOCK:
         cached = _FS_CACHE.get(key)
         if cached is None:
@@ -197,14 +202,16 @@ def _resolve(path: str):
             # later call under this authority derives paths the same way
             # (hdfs://nn:8020/t -> '/t' keeps prefix ''; s3://bucket/k ->
             # 'bucket/k' keeps 'bucket'; abfs container@account URIs keep
-            # 'container', never the raw '@account' authority).
+            # 'container', never the raw '@account' authority).  When
+            # from_uri NORMALIZED the path (so the textual derivation
+            # cannot reproduce it), cache nothing — a wrong prefix would
+            # poison every later path under this authority.
             if tail and path0.endswith("/" + tail):
-                prefix = path0[: -len(tail) - 1]
+                _FS_CACHE[key] = (fsys, path0[: -len(tail) - 1])
             elif path0 == tail:
-                prefix = ""
-            else:
-                prefix = path0  # tail was empty: path0 IS the prefix
-            _FS_CACHE[key] = (fsys, prefix)
+                _FS_CACHE[key] = (fsys, "")
+            elif not tail:
+                _FS_CACHE[key] = (fsys, path0)
             return fsys, path0
     fsys, prefix = cached
     if not tail:
@@ -409,6 +416,21 @@ def remove_dir(path: str) -> None:
         fsys.delete_dir(p)
     except FileNotFoundError:
         pass
+
+
+def stat_key(path: str) -> tuple[int, int]:
+    """(size_bytes, mtime_ms) from ONE stat call (cache keys — two
+    separate helpers would double the metadata RPCs per path)."""
+    fsys, p = _resolve(path)
+    if fsys is None:
+        st = os.stat(p)
+        return int(st.st_size), int(st.st_mtime * 1000)
+    info = _info(fsys, p)
+    mt = info.mtime
+    return (
+        int(info.size or 0),
+        int(mt.timestamp() * 1000) if mt is not None else 0,
+    )
 
 
 def file_size(path: str) -> int:

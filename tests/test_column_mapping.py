@@ -441,3 +441,87 @@ def test_mapped_changes_partition_values_remap_to_logical(spark, tmp_path):
 
     inc = read_delta_changes(spark, table, from_version=0).collect()
     assert [(r["id"], r["cat"], r["part"]) for r in inc] == [(300, "q", "z")]
+
+
+def test_checkpoint_and_dv_adds_stay_physical_on_mapped_tables(spark, tmp_path):
+    """Review finding (round 9): re-emitting snapshot state verbatim
+    wrote LOGICAL-keyed stats/partitionValues into checkpoints and
+    DV-DELETE re-adds on mapped tables — after RENAME + re-ADD of the
+    old name, the physical->logical remap then mis-attributes bounds
+    between columns and pruning can skip live rows.  Both sites must
+    invert the mapping back to PHYSICAL keys."""
+    from ballista_spark.sources.deltalog import (
+        _write_checkpoint,
+        alter_delta_table,
+        delete_from_delta_table,
+        rename_delta_column,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "a long, b long"
+        ),
+        table,
+    )
+    rename_delta_column(table, "a", "renamed")  # logical renamed, physical a
+    alter_delta_table(table, add_columns={"a": "long"})  # fresh col-<uuid>
+    write_delta_table(
+        spark.createDataFrame(
+            [(100, 1000, 77), (101, 1010, 78)],
+            "renamed long, b long, a long",
+        ).coalesce(1),
+        table,
+    )
+    snap = read_delta_snapshot(table)
+    phys_of = snap.column_mapping  # {'renamed': 'a', 'b': 'b', 'a': 'col-..'}
+    assert phys_of["renamed"] == "a" and phys_of["a"].startswith("col-")
+
+    # DV DELETE re-adds the touched file: its commit stats must be
+    # PHYSICALLY keyed
+    delete_from_delta_table(
+        spark, table, [("renamed", "=", 100)], use_deletion_vectors=True
+    )
+    ver = read_delta_snapshot(table).version
+    commit = os.path.join(table, "_delta_log", f"{ver:020d}.json")
+    dv_adds = [
+        json.loads(line)["add"]
+        for line in open(commit)
+        if '"add"' in line
+    ]
+    assert dv_adds
+    for a in dv_adds:
+        keys = set(json.loads(a["stats"])["minValues"])
+        assert "renamed" not in keys  # logical name must NOT leak
+        assert keys <= set(phys_of.values())
+
+    # checkpoint: same contract
+    _write_checkpoint(table, ver)
+    import glob as _glob
+
+    ckpt = _glob.glob(
+        os.path.join(table, "_delta_log", "*.checkpoint.parquet")
+    )[0]
+    tbl = pq.read_table(ckpt)
+    for stats in tbl.column("add").combine_chunks().field("stats").to_pylist():
+        if stats:
+            keys = set(json.loads(stats).get("minValues") or {})
+            assert "renamed" not in keys
+            assert keys <= set(phys_of.values())
+
+    # and the table still reads correctly (snapshot now starts at the
+    # checkpoint): no swapped/mis-attributed columns
+    got = {
+        r["renamed"]: (r["b"], r["a"])
+        for r in read_delta_table(spark, table).collect()
+    }
+    expect = {i: (i * 10, None) for i in range(8)}
+    expect[101] = (1010, 78)  # the DV survivor of the post-rename file
+    assert got == expect
+    # stats pruning on the RENAMED column still proves correctly
+    assert (
+        read_delta_table(
+            spark, table, filters=[("renamed", "=", 3)]
+        ).where("renamed = 3").count() == 1
+    )

@@ -66,7 +66,7 @@ def test_mtime_less_store_never_cached(tmp_path, monkeypatch):
     refuse to cache rather than serve stale (review finding)."""
     c = DecodeCache(max_items=100)
     p = _mk(tmp_path, "m.bin", b"aaa")
-    monkeypatch.setattr(fsio, "mtime_ms", lambda _p: 0)
+    monkeypatch.setattr(fsio, "stat_key", lambda _p: (3, 0))
     calls = []
     c.get_or_decode(p, lambda: calls.append(1) or [1])
     c.get_or_decode(p, lambda: calls.append(1) or [1])
