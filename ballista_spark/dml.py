@@ -30,7 +30,11 @@ subset the storage layer can prune on — conjunctions of
   ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)`` /
   ``ALTER TABLE t RENAME COLUMN old TO new`` (Delta only — metadata
   commit via column mapping, auto-enabled; Iceberg refuses with the
-  add-backfill-drop guidance)
+  add-backfill-drop guidance) /
+  ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)`` /
+  ``UNSET TBLPROPERTIES ('k', ...)`` — feature-backed Delta
+  properties (appendOnly, enableChangeDataFeed, constraints) upgrade
+  the protocol and the writer gate then honors them
 - ``INSERT INTO t [(c1, c2, ...)] <query>`` / ``INSERT OVERWRITE t
   <query>`` where ``<query>`` is any Spark SQL query (``SELECT ...``,
   ``VALUES ...``) — aligned to the table schema BY POSITION (SQL
@@ -174,6 +178,8 @@ class DmlStatement:
     drop_columns: list[str] = field(default_factory=list)
     rename_from: str | None = None
     rename_to: str | None = None
+    set_properties: dict[str, str] = field(default_factory=dict)
+    unset_properties: list[str] = field(default_factory=list)
     # CREATE EXTERNAL TABLE fields
     file_type: str | None = None
     location: str | None = None
@@ -215,6 +221,15 @@ _ALTER_DROP_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
     rf"({_IDENT})\s+TO\s+({_IDENT})\s*;?\s*$"
+)
+_PROP_PAIR = r"'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'"
+_ALTER_SETPROPS_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+    rf"\(\s*{_PROP_PAIR}(?:\s*,\s*{_PROP_PAIR})*\s*\)\s*;?\s*$"
+)
+_ALTER_UNSETPROPS_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+    rf"\(\s*'(?:[^']|'')+'(?:\s*,\s*'(?:[^']|'')+')*\s*\)\s*;?\s*$"
 )
 _INSERT_RE = re.compile(
     rf"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+(.+?)\s*;?\s*$"
@@ -454,6 +469,30 @@ def parse_dml(query: str) -> DmlStatement | None:
         return DmlStatement(
             op="alter", table=m.group(1),
             rename_from=m.group(2), rename_to=m.group(3),
+        )
+    m = _ALTER_SETPROPS_RE.match(query)
+    if m:
+        body = query[query.index("(") + 1 : query.rindex(")")]
+        props = {}
+        for pair in _split_top_level(body, r","):
+            pm = re.fullmatch(rf"\s*{_PROP_PAIR}\s*", pair, re.DOTALL)
+            if not pm:
+                raise DmlError(f"cannot parse TBLPROPERTIES pair {pair!r}")
+            props[pm.group(1).replace("''", "'")] = (
+                pm.group(2).replace("''", "'")
+            )
+        return DmlStatement(
+            op="alter", table=m.group(1), set_properties=props
+        )
+    m = _ALTER_UNSETPROPS_RE.match(query)
+    if m:
+        body = query[query.index("(") + 1 : query.rindex(")")]
+        keys = [
+            k.strip()[1:-1].replace("''", "'")
+            for k in _split_top_level(body, r",")
+        ]
+        return DmlStatement(
+            op="alter", table=m.group(1), unset_properties=keys
         )
     head = re.sub(r"\s+", " ", _DML_HEAD.match(query).group(1).upper())
     if head in ("ALTER", "INSERT", "CREATE EXTERNAL"):
@@ -746,7 +785,28 @@ def execute_dml(ctx, stmt: DmlStatement):
 
             version = write_iceberg_table(aligned, path, mode=mode)
     elif stmt.op == "alter":
-        if stmt.rename_from is not None:
+        if stmt.set_properties or stmt.unset_properties:
+            if fmt == "delta":
+                from ballista_spark.sources.deltalog import (
+                    set_delta_table_properties,
+                )
+
+                version = set_delta_table_properties(
+                    path,
+                    set_props=stmt.set_properties or None,
+                    unset=stmt.unset_properties or None,
+                )
+            else:
+                from ballista_spark.sources.iceberg import (
+                    set_iceberg_table_properties,
+                )
+
+                version = set_iceberg_table_properties(
+                    path,
+                    set_props=stmt.set_properties or None,
+                    unset=stmt.unset_properties or None,
+                )
+        elif stmt.rename_from is not None:
             if fmt != "delta":
                 raise DmlError(
                     "RENAME COLUMN is Delta-only (column mapping); this "

@@ -1803,6 +1803,116 @@ def enable_column_mapping(table_path: str) -> int | None:
     raise DeltaConcurrentCommitError("lost the commit race 10 times")
 
 
+#: table properties whose semantics ride on a writer feature — SETTING
+#: one upgrades the protocol to carry the requirement (legacy
+#: minWriterVersion, feature name), exactly as delta-spark does
+_PROPERTY_WRITER_REQUIREMENTS = {
+    "delta.appendOnly": (2, "appendOnly"),
+    "delta.enableChangeDataFeed": (4, "changeDataFeed"),
+}
+
+
+def _protocol_with_writer_requirement(
+    proto: dict | None, legacy_version: int, feature: str
+) -> dict:
+    """The protocol action carrying a new writer requirement: a legacy
+    minWriterVersion bump when the table is pre-table-features, or the
+    feature added to an enumerated v7 list (implied legacy features
+    spelled out, per the spec)."""
+    proto = dict(
+        proto or {"minReaderVersion": 1, "minWriterVersion": MAX_WRITER_VERSION}
+    )
+    mrv = int(proto.get("minReaderVersion", 1))
+    mwv = int(proto.get("minWriterVersion", 1))
+    if mwv == 7:
+        wf = set(proto.get("writerFeatures") or [])
+        out = dict(proto)
+        out["writerFeatures"] = sorted(wf | {feature})
+        return out
+    if mwv >= legacy_version:
+        return proto
+    return {"minReaderVersion": mrv, "minWriterVersion": legacy_version}
+
+
+def set_delta_table_properties(
+    table_path: str,
+    set_props: Mapping[str, object] | None = None,
+    unset: list[str] | None = None,
+) -> int:
+    """``ALTER TABLE … SET/UNSET TBLPROPERTIES`` as a METADATA-ONLY
+    commit: merges ``set_props`` into (and pops ``unset`` from) the
+    table's configuration.  Feature-backed properties
+    (``delta.appendOnly``, ``delta.enableChangeDataFeed``,
+    ``delta.constraints.*``) upgrade the protocol to carry the writer
+    requirement, and this engine's own writer-protocol gate then
+    honors them (an appendOnly table refuses row removals; a
+    CDF-enabled table refuses mutations it cannot produce cdc files
+    for).  Column-mapping properties refuse: use
+    :func:`enable_column_mapping` (the mode cannot be disabled per the
+    protocol).  Returns the commit version."""
+    set_props = {k: str(v) for k, v in (set_props or {}).items()}
+    unset = list(unset or [])
+    if not set_props and not unset:
+        raise ValueError("SET/UNSET TBLPROPERTIES needs at least one key")
+    for k in list(set_props) + unset:
+        if k.startswith("delta.columnMapping"):
+            raise ValueError(
+                "delta.columnMapping.* cannot be set directly — use "
+                "enable_column_mapping() (and mapping cannot be "
+                "disabled once on, per the protocol)"
+            )
+    for _attempt in range(10):
+        snap = read_delta_snapshot(table_path)
+        _check_writer_protocol(snap, "ALTER")
+        config = dict(snap.configuration)
+        for k in unset:
+            config.pop(k, None)
+        config.update(set_props)
+        proto = dict(snap.protocol or {})
+        new_proto = dict(proto) if proto else None
+        for k in set_props:
+            req = _PROPERTY_WRITER_REQUIREMENTS.get(k)
+            if req is None and k.startswith("delta.constraints."):
+                req = (3, "checkConstraints")
+            if req is not None:
+                new_proto = _protocol_with_writer_requirement(
+                    new_proto if new_proto else proto, *req
+                )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(set_props),
+                        "unset": json.dumps(unset),
+                    },
+                }
+            }
+        ]
+        if new_proto and new_proto != proto:
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": config,
+                    "createdTime": _now_ms(),
+                }
+            }
+        )
+        versions = _list_log_versions(table_path)
+        try:
+            _attempt_commit(table_path, versions[-1] + 1, actions)
+            return versions[-1] + 1
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentCommitError("lost the commit race 10 times")
+
+
 def rename_delta_column(table_path: str, old: str, new: str) -> int:
     """``ALTER TABLE … RENAME COLUMN old TO new`` as a METADATA-ONLY
     commit (zero data I/O): only the LOGICAL name in the schema

@@ -1621,6 +1621,42 @@ def alter_iceberg_table(
     return prev_version + 1
 
 
+def set_iceberg_table_properties(
+    table_path: str,
+    set_props=None,
+    unset: list[str] | None = None,
+) -> int:
+    """``ALTER TABLE … SET/UNSET TBLPROPERTIES`` — a new metadata
+    version with the ``properties`` map merged (the Iceberg twin of
+    ``deltalog.set_delta_table_properties``; Iceberg properties carry
+    no protocol requirements).  The ``ballista.dropped-columns``
+    registry refuses direct edits (it is ALTER's bookkeeping).
+    Returns the new metadata version."""
+    set_props = {k: str(v) for k, v in (set_props or {}).items()}
+    unset = list(unset or [])
+    if not set_props and not unset:
+        raise ValueError("SET/UNSET TBLPROPERTIES needs at least one key")
+    if any(
+        k == "ballista.dropped-columns" for k in list(set_props) + unset
+    ):
+        raise ValueError(
+            "ballista.dropped-columns is ALTER's retired-name registry "
+            "— it cannot be edited directly"
+        )
+    md = _load_metadata(table_path)
+    _refuse_v3_write(md, "SET TBLPROPERTIES")
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_version = _current_metadata_version(meta_dir)
+    props = dict(md.get("properties") or {})
+    for k in unset:
+        props.pop(k, None)
+    props.update(set_props)
+    new_md = dict(md)
+    new_md["properties"] = props
+    _commit_metadata(meta_dir, new_md, prev_version)
+    return prev_version + 1
+
+
 def compact_iceberg_table(
     spark: SparkSession,
     table_path: str,

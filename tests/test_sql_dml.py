@@ -543,3 +543,89 @@ def test_sql_rename_column_iceberg_refuses(spark, tmp_path):
     ctx.register_iceberg("t", path)
     with pytest.raises(DmlError, match="Delta-only"):
         ctx.sql("ALTER TABLE t RENAME COLUMN cat TO label")
+
+
+def test_parse_set_unset_tblproperties():
+    s = parse_dml(
+        "ALTER TABLE t SET TBLPROPERTIES ('delta.appendOnly' = 'true', "
+        "'owner' = 'a''b')"
+    )
+    assert s.op == "alter" and s.table == "t"
+    assert s.set_properties == {"delta.appendOnly": "true", "owner": "a'b"}
+    s = parse_dml("ALTER TABLE t UNSET TBLPROPERTIES ('delta.appendOnly')")
+    assert s.unset_properties == ["delta.appendOnly"]
+
+
+def test_sql_tblproperties_feature_backed_end_to_end(spark, tmp_path):
+    """SET TBLPROPERTIES makes the table's contracts REAL: appendOnly
+    refuses row removals through this engine's own gate, the protocol
+    carries the requirement for other writers, and UNSET restores."""
+    from ballista_spark.sources.deltalog import (
+        DeltaProtocolError,
+        read_delta_snapshot,
+        write_delta_table,
+    )
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame([(i, float(i)) for i in range(6)],
+                              "id long, v double"),
+        path,
+    )
+    ctx.register_delta("t", path)
+    ctx.sql("ALTER TABLE t SET TBLPROPERTIES ('delta.appendOnly' = 'true')")
+    snap = read_delta_snapshot(path)
+    assert snap.configuration["delta.appendOnly"] == "true"
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        ctx.sql("DELETE FROM t WHERE id = 1")
+    # appends stay legal; INSERT routes through the same surface
+    ctx.sql("INSERT INTO t SELECT 10 as id, 10.0 as v")
+    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 7
+    ctx.sql("ALTER TABLE t UNSET TBLPROPERTIES ('delta.appendOnly')")
+    ctx.sql("DELETE FROM t WHERE id = 1")
+    assert ctx.sql("SELECT count(*) c FROM t").df.collect()[0]["c"] == 6
+
+    # CDF property upgrades the protocol's writer requirement
+    ctx.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')"
+    )
+    snap = read_delta_snapshot(path)
+    assert int(snap.protocol["minWriterVersion"]) >= 4
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        ctx.sql("UPDATE t SET v = 0 WHERE id = 2")
+
+
+def test_sql_tblproperties_column_mapping_refused(spark, tmp_path):
+    from ballista_spark.sources.deltalog import write_delta_table
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "t")
+    write_delta_table(spark.createDataFrame([(1,)], "id long"), path)
+    ctx.register_delta("t", path)
+    with pytest.raises(ValueError, match="enable_column_mapping"):
+        ctx.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.columnMapping.mode' = 'name')"
+        )
+
+
+def test_sql_tblproperties_iceberg_round_trip(spark, tmp_path):
+    from ballista_spark.sources.iceberg import (
+        _load_metadata,
+        write_iceberg_table,
+    )
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "ice")
+    write_iceberg_table(spark.createDataFrame([(1,)], "id long"), path)
+    ctx.register_iceberg("t", path)
+    ctx.sql(
+        "ALTER TABLE t SET TBLPROPERTIES ('commit.retry.num-retries'='7')"
+    )
+    assert _load_metadata(path)["properties"][
+        "commit.retry.num-retries"
+    ] == "7"
+    ctx.sql("ALTER TABLE t UNSET TBLPROPERTIES ('commit.retry.num-retries')")
+    assert "commit.retry.num-retries" not in _load_metadata(path)["properties"]
