@@ -352,6 +352,11 @@ class DeltaSnapshot:
     version: int
     schema: T.StructType
     partition_columns: list[str]
+    #: metaData.id — the table's STABLE unique identifier per the Delta
+    #: protocol; every metaData-rewriting commit must re-emit it
+    #: unchanged (external readers treat an id change as table
+    #: replacement and invalidate), fresh uuid only at table creation
+    table_id: str = ""
     files: list[_AddFile] = field(default_factory=list)
     #: populated by filter pruning: how many live files the filters removed
     files_pruned: int = 0
@@ -455,6 +460,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
 
     adds: dict[str, _AddFile] = {}
     schema: T.StructType | None = None
+    table_id: str = ""
     part_cols: list[str] = []
     configuration: dict = {}
     column_mapping: dict = {}
@@ -491,6 +497,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
                     )
             elif "metaData" in action:
                 md = action["metaData"]
+                table_id = md.get("id") or table_id
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                 part_cols = list(md.get("partitionColumns") or [])
                 configuration = dict(md.get("configuration") or {})
@@ -553,6 +560,7 @@ def read_delta_snapshot(table_path: str, version: int | None = None) -> DeltaSna
         table_path=table_path,
         version=target,
         schema=schema,
+        table_id=table_id,
         partition_columns=part_cols,
         files=sorted(adds.values(), key=lambda f: f.path),
         app_versions=app_versions,
@@ -1530,7 +1538,8 @@ def write_delta_table(
                 actions.append(
                     {
                         "metaData": {
-                            "id": str(uuid.uuid4()),
+                            # overwrite replaces data, not table identity
+                            "id": prev.table_id or str(uuid.uuid4()),
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": schema_json,
                             "partitionColumns": partition_by,
@@ -1694,7 +1703,7 @@ def _alter_once(
         },
         {
             "metaData": {
-                "id": str(uuid.uuid4()),
+                "id": snap.table_id or str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": new_schema.json(),
                 "partitionColumns": snap.partition_columns,
@@ -1785,7 +1794,7 @@ def enable_column_mapping(table_path: str) -> int | None:
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": snap.table_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": T.StructType(fields).json(),
                     "partitionColumns": snap.partition_columns,
@@ -1895,7 +1904,7 @@ def set_delta_table_properties(
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": snap.table_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema.json(),
                     "partitionColumns": snap.partition_columns,
@@ -1955,7 +1964,7 @@ def rename_delta_column(table_path: str, old: str, new: str) -> int:
             },
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": snap.table_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": T.StructType(fields).json(),
                     "partitionColumns": [
@@ -2006,7 +2015,7 @@ def _write_checkpoint(table_path: str, version: int) -> None:
         {
             **blank,
             "metaData": {
-                "id": str(uuid.uuid4()),
+                "id": snap.table_id or str(uuid.uuid4()),
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
                 # configuration must survive checkpointing: the ALTER

@@ -190,12 +190,19 @@ def _resolve(path: str):
     authority = rest.split("/", 1)[0]
     key = f"{alias}://{authority}"
     tail = rest.partition("/")[2]
-    if "%" in tail:
-        # from_uri percent-DECODES; the cached textual derivation can't
-        # reproduce that — resolve such URIs through from_uri every time
-        return _from_uri(f"{alias}://{rest}")
     with _LOCK:
         cached = _FS_CACHE.get(key)
+        if cached is None and "%" in tail:
+            # '%' in an object key is LITERAL here (Hive/Spark
+            # escapePathName partition dirs like p=a%20b, which Delta
+            # add.path round-trips verbatim), but from_uri percent-
+            # DECODES its input — feeding it the tail would resolve the
+            # wrong key AND mint a fresh FileSystem per call (breaking
+            # move()'s same-store identity check).  Learn the
+            # authority's filesystem + path prefix from a tail-less
+            # probe and derive the path textually like any warm call.
+            fsys, root = _from_uri(key)
+            cached = _FS_CACHE[key] = (fsys, root.rstrip("/"))
         if cached is None:
             fsys, path0 = _from_uri(f"{alias}://{rest}")
             # Cache from_uri's OWN authority->path-prefix split so every

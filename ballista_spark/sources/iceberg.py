@@ -322,6 +322,38 @@ def _current_schema(md: dict) -> dict:
     return md["schema"]  # v1
 
 
+def _refuse_initial_defaults(schema: dict) -> None:
+    """Refuse v3 ``initial-default`` anywhere in the schema tree —
+    including struct fields nested under struct/list/map types, which a
+    top-level-only scan would miss and then silently return NULL where
+    the spec says the default applies (round-9 advice)."""
+
+    def walk_fields(fields, prefix: str) -> None:
+        for fld in fields or []:
+            name = f"{prefix}{fld.get('name')}"
+            if fld.get("initial-default") is not None:
+                raise IcebergFeatureError(
+                    f"column {name!r} declares a v3 initial-default — "
+                    "this reader would return NULL instead of the "
+                    "default for pre-existing rows, so it refuses"
+                )
+            walk_type(fld.get("type"), name + ".")
+
+    def walk_type(typ, prefix: str) -> None:
+        if not isinstance(typ, dict):
+            return  # primitive
+        t = typ.get("type")
+        if t == "struct":
+            walk_fields(typ.get("fields"), prefix)
+        elif t == "list":
+            walk_type(typ.get("element"), prefix + "element.")
+        elif t == "map":
+            walk_type(typ.get("key"), prefix + "key.")
+            walk_type(typ.get("value"), prefix + "value.")
+
+    walk_fields(schema.get("fields"), "")
+
+
 def read_iceberg_snapshot(
     table_path: str, snapshot_id: int | None = None
 ) -> IcebergSnapshot:
@@ -330,13 +362,7 @@ def read_iceberg_snapshot(
     tree only."""
     md = _load_metadata(table_path)
     schema = _current_schema(md)
-    for fld in schema.get("fields", []):
-        if fld.get("initial-default") is not None:
-            raise IcebergFeatureError(
-                f"column {fld.get('name')!r} declares a v3 initial-default "
-                "— this reader would return NULL instead of the default "
-                "for pre-existing rows, so it refuses"
-            )
+    _refuse_initial_defaults(schema)
     spark_schema = iceberg_to_spark_type(schema)
     snaps = md.get("snapshots") or []
     if snapshot_id is None:
@@ -565,6 +591,7 @@ def _dv_tombstones(spark: SparkSession, snap: IcebergSnapshot) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from ballista_spark.sources.deltalog import _DV_DECODE_CHUNK
         from ballista_spark.sources.iceberg import _read_dv_positions
 
         for pdf in batches:
@@ -576,9 +603,13 @@ def _dv_tombstones(spark: SparkSession, snap: IcebergSnapshot) -> DataFrame:
                     _read_dv_positions(puf, int(off), int(size), int(card)),
                     dtype="int64",
                 )
-                yield pd.DataFrame(
-                    {"__dfp": np.repeat(dfp, len(pos)), "__pos": pos}
-                )
+                # chunk like deltalog._dv_tombstones: one huge DV must
+                # not become one unbounded Arrow batch (round-9 advice)
+                for i in range(0, max(len(pos), 1), _DV_DECODE_CHUNK):
+                    chunk = pos[i : i + _DV_DECODE_CHUNK]
+                    yield pd.DataFrame(
+                        {"__dfp": np.repeat(dfp, len(chunk)), "__pos": chunk}
+                    )
 
     desc = spark.createDataFrame(
         entries,

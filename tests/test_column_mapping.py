@@ -525,3 +525,64 @@ def test_checkpoint_and_dv_adds_stay_physical_on_mapped_tables(spark, tmp_path):
             spark, table, filters=[("renamed", "=", 3)]
         ).where("renamed = 3").count() == 1
     )
+
+
+def test_metadata_commits_keep_stable_table_id(spark, tmp_path):
+    """metaData.id is the table's STABLE identity per the Delta
+    protocol — SET TBLPROPERTIES / ALTER / RENAME / overwrite /
+    checkpoint must re-emit it unchanged; external readers (delta-spark
+    streaming sources) treat an id change as table replacement and
+    abort (round-9 advice)."""
+    import glob as _glob
+
+    from ballista_spark.sources.deltalog import (
+        _write_checkpoint,
+        alter_delta_table,
+        enable_column_mapping,
+        rename_delta_column,
+        set_delta_table_properties,
+        write_delta_table,
+    )
+
+    table = str(tmp_path / "stableid")
+
+    def _meta_ids():
+        ids = []
+        for p in sorted(
+            _glob.glob(os.path.join(table, "_delta_log", "*.json"))
+        ):
+            for line in open(p):
+                a = json.loads(line)
+                if "metaData" in a:
+                    ids.append(a["metaData"]["id"])
+        return ids
+
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(4)], "id long, cat string"
+        ),
+        table,
+    )
+    created = _meta_ids()
+    assert len(created) == 1 and created[0]
+
+    set_delta_table_properties(table, {"foo.bar": "1"})
+    enable_column_mapping(table)
+    alter_delta_table(table, add_columns={"extra": "int"})
+    rename_delta_column(table, "cat", "label")
+    # overwrite with a schema change on an UNMAPPED twin keeps id too
+    assert set(_meta_ids()) == {created[0]}
+
+    _write_checkpoint(table, read_delta_snapshot(table).version)
+    assert read_delta_snapshot(table).table_id == created[0]
+
+    table2 = str(tmp_path / "stableid2")
+    write_delta_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), table2
+    )
+    id2 = read_delta_snapshot(table2).table_id
+    assert id2 and id2 != created[0]  # fresh uuid only at creation
+    write_delta_table(
+        spark.createDataFrame([(1.5,)], "x double"), table2, mode="overwrite"
+    )
+    assert read_delta_snapshot(table2).table_id == id2

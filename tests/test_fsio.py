@@ -389,6 +389,50 @@ def test_cold_resolve_caches_from_uri_split(monkeypatch):
     assert len(calls) == 1  # second call served from the cache
 
 
+def test_percent_in_tail_is_literal_and_cached(monkeypatch):
+    """'%' in an object key is LITERAL (Hive/Spark escapePathName
+    partition dirs like p=a%20b, round-tripped verbatim by Delta
+    add.path) — resolution must not percent-decode it through from_uri
+    nor mint a fresh FileSystem per call (round-9 advice)."""
+    sentinel = object()
+    calls = []
+
+    def fake_from_uri(uri):
+        calls.append(uri)
+        assert uri == "s3://bucket"  # tail-less authority probe only
+        return sentinel, "bucket"
+
+    monkeypatch.setattr(fsio, "_FS_CACHE", {})
+    monkeypatch.setattr(fsio, "_from_uri", fake_from_uri)
+    cold = fsio._resolve("s3://bucket/t/p=a%20b/part-0.parquet")
+    warm = fsio._resolve("s3a://bucket/t/p=a%20b/part-1.parquet")
+    assert cold == (sentinel, "bucket/t/p=a%20b/part-0.parquet")
+    assert warm == (sentinel, "bucket/t/p=a%20b/part-1.parquet")
+    assert calls == ["s3://bucket"]  # one probe; shared cached fs
+
+
+def test_move_same_store_with_percent_paths(monkeypatch):
+    """Staged-file moves on partitioned object-store tables: both
+    %-containing endpoints must resolve to the SAME cached filesystem
+    so move()'s same-store identity check passes (round-9 advice)."""
+
+    class FakeFS:
+        def __init__(self):
+            self.moves = []
+
+        def create_dir(self, p, recursive=True):
+            pass
+
+        def move(self, s, d):
+            self.moves.append((s, d))
+
+    fs = FakeFS()
+    monkeypatch.setattr(fsio, "_FS_CACHE", {})
+    monkeypatch.setattr(fsio, "_from_uri", lambda uri: (fs, "bucket"))
+    fsio.move("s3://bucket/_stage/p=a%20b/f", "s3://bucket/t/p=a%20b/f")
+    assert fs.moves == [("bucket/_stage/p=a%20b/f", "bucket/t/p=a%20b/f")]
+
+
 # ------------------------------------------------------------ LogStore
 
 

@@ -338,6 +338,76 @@ def test_v3_initial_default_refuses(spark, tmp_path):
         read_iceberg_snapshot(table)
 
 
+def test_v3_initial_default_refuses_nested(spark, tmp_path):
+    """initial-default buried inside struct/list/map element types must
+    refuse too — a top-level-only scan would silently return NULL where
+    the spec says the default applies (round-9 advice)."""
+    nested_struct = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {
+                "id": 2,
+                "name": "meta",
+                "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "id": 3,
+                            "name": "tag",
+                            "required": False,
+                            "type": "string",
+                            "initial-default": "zz",
+                        }
+                    ],
+                },
+            },
+        ],
+    }
+    table = _v3_table(
+        tmp_path, {}, schema_json=nested_struct, name="icedefnest"
+    )
+    with pytest.raises(IcebergFeatureError, match="meta.tag.*initial-default"):
+        read_iceberg_snapshot(table)
+
+    in_list_of_struct = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {
+                "id": 2,
+                "name": "items",
+                "required": False,
+                "type": {
+                    "type": "list",
+                    "element-id": 3,
+                    "element-required": False,
+                    "element": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "id": 4,
+                                "name": "v",
+                                "required": False,
+                                "type": "int",
+                                "initial-default": 7,
+                            }
+                        ],
+                    },
+                },
+            },
+        ],
+    }
+    table2 = _v3_table(
+        tmp_path, {}, schema_json=in_list_of_struct, name="icedeflist"
+    )
+    with pytest.raises(IcebergFeatureError, match="initial-default"):
+        read_iceberg_snapshot(table2)
+
+
 def test_v3_writes_refuse_loudly(spark, tmp_path):
     from ballista_spark.sources.iceberg import (
         alter_iceberg_table,
