@@ -397,6 +397,549 @@ def _compile_decoder(sch):
     raise AvroTypeError(f"unsupported avro type: {sch!r}")
 
 
+def _read_long_at(buf, pos):
+    """Zigzag varint from a flat buffer at ``pos`` -> (value, new_pos).
+    The per-byte ``f.read(1)`` of the stream decoder allocates a bytes
+    object per byte — on manifest-scale inputs (millions of varints)
+    indexing a bytes buffer is the difference between 22 s and 10 s of
+    driver-side metadata resolution (round-10 ask #1)."""
+    b = buf[pos]
+    pos += 1
+    acc = b & 0x7F
+    shift = 7
+    while b & 0x80:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _compile_buf_decoder(sch, kv_arrays_as_maps: bool = False):
+    """Buffer-offset twin of :func:`_compile_decoder`: each compiled
+    function is ``dec(buf, pos) -> (value, new_pos)`` over one block's
+    decompressed bytes — no stream objects, no per-byte allocations.
+    Semantics identical to :func:`_decode_datum` (same subset, same
+    logical-type conversions)."""
+    _sub = lambda s: _compile_buf_decoder(s, kv_arrays_as_maps)  # noqa: E731
+    if _is_nullable_union(sch):
+        branches = [None if b == "null" else _sub(b) for b in sch]
+
+        def d_union(buf, pos, _b=branches):
+            idx, pos = _read_long_at(buf, pos)
+            br = _b[idx]
+            return (None, pos) if br is None else br(buf, pos)
+
+        return d_union
+    if isinstance(sch, list):
+        branches = [_sub(b) for b in sch]
+
+        def d_anyunion(buf, pos, _b=branches):
+            idx, pos = _read_long_at(buf, pos)
+            return _b[idx](buf, pos)
+
+        return d_anyunion
+    t = _type_name(sch)
+    logical = sch.get("logicalType") if isinstance(sch, dict) else None
+    if t == "null":
+        return lambda buf, pos: (None, pos)
+    if t == "boolean":
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if t in ("int", "long"):
+        if logical == "date":
+            import datetime
+
+            _epoch = datetime.date(1970, 1, 1)
+            _day = datetime.timedelta(days=1)
+
+            def d_date(buf, pos, _e=_epoch, _d=_day):
+                v, pos = _read_long_at(buf, pos)
+                return _e + _d * v, pos
+
+            return d_date
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            import datetime
+
+            scale = 1e6 if logical == "timestamp-micros" else 1e3
+
+            def d_ts(buf, pos, _s=scale):
+                v, pos = _read_long_at(buf, pos)
+                return (
+                    datetime.datetime.fromtimestamp(
+                        v / _s, tz=datetime.timezone.utc
+                    ).replace(tzinfo=None),
+                    pos,
+                )
+
+            return d_ts
+        return _read_long_at
+    if t == "float":
+        _uf = struct.Struct("<f").unpack_from
+        return lambda buf, pos: (_uf(buf, pos)[0], pos + 4)
+    if t == "double":
+        _ud = struct.Struct("<d").unpack_from
+        return lambda buf, pos: (_ud(buf, pos)[0], pos + 8)
+    if t == "bytes":
+
+        def d_bytes(buf, pos):
+            n, pos = _read_long_at(buf, pos)
+            end = pos + n
+            return buf[pos:end], end
+
+        return d_bytes
+    if t == "string":
+
+        def d_string(buf, pos):
+            n, pos = _read_long_at(buf, pos)
+            end = pos + n
+            return buf[pos:end].decode("utf-8"), end
+
+        return d_string
+    if t == "fixed":
+        size = sch["size"]
+        return lambda buf, pos, _n=size: (buf[pos:pos + _n], pos + _n)
+    if t == "enum":
+        symbols = sch["symbols"]
+
+        def d_enum(buf, pos, _s=symbols):
+            idx, pos = _read_long_at(buf, pos)
+            return _s[idx], pos
+
+        return d_enum
+    if t == "record":
+        pairs = [
+            (fld["name"], _sub(fld["type"])) for fld in sch["fields"]
+        ]
+
+        def d_record(buf, pos, _p=pairs):
+            out = {}
+            for name, dec in _p:
+                out[name], pos = dec(buf, pos)
+            return out, pos
+
+        return d_record
+    if t == "array":
+        if kv_arrays_as_maps and _is_kv_record(sch["items"]):
+            kdec = _sub(sch["items"]["fields"][0]["type"])
+            vdec = _sub(sch["items"]["fields"][1]["type"])
+
+            def d_kvmap(buf, pos, _k=kdec, _v=vdec):
+                out = {}
+                while True:
+                    n, pos = _read_long_at(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        n = -n
+                        _, pos = _read_long_at(buf, pos)
+                    for _ in range(n):
+                        k, pos = _k(buf, pos)
+                        out[k], pos = _v(buf, pos)
+
+            return d_kvmap
+        item = _sub(sch["items"])
+
+        def d_array(buf, pos, _i=item):
+            out = []
+            append = out.append
+            while True:
+                n, pos = _read_long_at(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block-size prefixed form
+                    n = -n
+                    _, pos = _read_long_at(buf, pos)
+                for _ in range(n):
+                    v, pos = _i(buf, pos)
+                    append(v)
+
+        return d_array
+    if t == "map":
+        val = _sub(sch["values"])
+
+        def d_map(buf, pos, _v=val):
+            out = {}
+            while True:
+                n, pos = _read_long_at(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long_at(buf, pos)
+                for _ in range(n):
+                    kn, pos = _read_long_at(buf, pos)
+                    kend = pos + kn
+                    k = buf[pos:kend].decode("utf-8")
+                    out[k], pos = _v(buf, kend)
+
+        return d_map
+    raise AvroTypeError(f"unsupported avro type: {sch!r}")
+
+
+def _is_kv_record(sch) -> bool:
+    """The Iceberg manifests' ``array<record{key,value}>`` logical-map
+    shape (spec: k_v arrays).  Decoding those as plain dicts (opt-in,
+    ``kv_arrays_as_maps``) kills three allocations per element — at 1M
+    manifest entries that is hundreds of MB of driver RSS and a
+    measurable slice of cold decode."""
+    return (
+        isinstance(sch, dict)
+        and sch.get("type") == "record"
+        and len(sch.get("fields") or []) == 2
+        and [f["name"] for f in sch["fields"]] == ["key", "value"]
+    )
+
+
+def _gen_block_decoder(sch, kv_arrays_as_maps: bool = False):
+    """Generate and ``exec`` ONE flat function that decodes a whole
+    block of records from a buffer — the fastavro strategy (public):
+    the schema walk is resolved at generation time into straight-line
+    bytecode, so the per-record path has no closure calls, no tuple
+    returns, and inlined varint reads.  Measured ~2× over the compiled
+    closure chain on Iceberg manifest entries (round-10 ask #1: 1M-file
+    metadata resolution).  Raises AvroTypeError for any construct
+    outside the documented subset — callers fall back to
+    :func:`_compile_buf_decoder`."""
+    g = _AvroCodeGen(kv_arrays_as_maps)
+    g.lines.append("def _decode_block(buf, pos, n, append):")
+    g.lines.append("    for _ in range(n):")
+    g.value(sch, "_rec", 2)
+    g.lines.append("        append(_rec)")
+    g.lines.append("    return pos")
+    return g.build()
+
+
+class _AvroCodeGen:
+    """Shared code-emitter behind :func:`_gen_block_decoder` and
+    :func:`_gen_projected_block_decoder`: ``value`` decodes a schema
+    into a variable, ``skip`` advances ``pos`` without materializing
+    anything (string/bytes/array contents are never sliced), and
+    ``project`` mixes the two over a record tree so a caller gets flat
+    tuples of just the fields it consumes."""
+
+    def __init__(self, kv_arrays_as_maps: bool = False):
+        self.kv = kv_arrays_as_maps
+        self.lines: list[str] = []
+        self.env: dict = {}
+        self._ctr = 0
+
+    def uniq(self, prefix: str) -> str:
+        self._ctr += 1
+        return f"{prefix}{self._ctr}"
+
+    def build(self):
+        exec("\n".join(self.lines), self.env)  # noqa: S102 — schema-derived
+        return self.env["_decode_block"]
+
+    def varint(self, target: str, ind: str) -> None:
+        lines = self.lines
+        lines.append(f"{ind}_b = buf[pos]; pos += 1; _a = _b & 127; _s = 7")
+        lines.append(f"{ind}while _b & 128:")
+        lines.append(
+            f"{ind}    _b = buf[pos]; pos += 1; "
+            "_a |= (_b & 127) << _s; _s += 7"
+        )
+        lines.append(f"{ind}{target} = (_a >> 1) ^ -(_a & 1)")
+
+    def varint_skip(self, ind: str) -> None:
+        lines = self.lines
+        lines.append(f"{ind}_b = buf[pos]; pos += 1")
+        lines.append(f"{ind}while _b & 128:")
+        lines.append(f"{ind}    _b = buf[pos]; pos += 1")
+
+    def _guard(self, start: int, ind: str) -> None:
+        """An opened block whose body emitted nothing needs a pass."""
+        if len(self.lines) == start:
+            self.lines.append(f"{ind}    pass")
+
+    def value(self, sch, target: str, depth: int) -> None:
+        lines, env, ind = self.lines, self.env, "    " * depth
+        if _is_nullable_union(sch):
+            idx = self.uniq("u")
+            self.varint(idx, ind)
+            null_first = sch[0] == "null"
+            value_sch = sch[1] if null_first else sch[0]
+            lines.append(f"{ind}if {idx} == {0 if null_first else 1}:")
+            lines.append(f"{ind}    {target} = None")
+            lines.append(f"{ind}else:")
+            self.value(value_sch, target, depth + 1)
+            return
+        if isinstance(sch, list):
+            idx = self.uniq("u")
+            self.varint(idx, ind)
+            for i, branch in enumerate(sch):
+                kw = "if" if i == 0 else "elif"
+                lines.append(f"{ind}{kw} {idx} == {i}:")
+                if branch == "null":
+                    lines.append(f"{ind}    {target} = None")
+                else:
+                    self.value(branch, target, depth + 1)
+            return
+        t = _type_name(sch)
+        logical = sch.get("logicalType") if isinstance(sch, dict) else None
+        if t == "null":
+            lines.append(f"{ind}{target} = None")
+            return
+        if t == "boolean":
+            lines.append(f"{ind}{target} = buf[pos] == 1; pos += 1")
+            return
+        if t in ("int", "long"):
+            if logical in ("date", "timestamp-micros", "timestamp-millis"):
+                cnv = self.uniq("_cnv")
+                env[cnv] = _logical_long_converter(logical)
+                raw = self.uniq("v")
+                self.varint(raw, ind)
+                lines.append(f"{ind}{target} = {cnv}({raw})")
+                return
+            self.varint(target, ind)
+            return
+        if t == "float":
+            env.setdefault("_uf", struct.Struct("<f").unpack_from)
+            lines.append(f"{ind}{target} = _uf(buf, pos)[0]; pos += 4")
+            return
+        if t == "double":
+            env.setdefault("_ud", struct.Struct("<d").unpack_from)
+            lines.append(f"{ind}{target} = _ud(buf, pos)[0]; pos += 8")
+            return
+        if t in ("bytes", "string"):
+            n = self.uniq("n")
+            self.varint(n, ind)
+            dec = '.decode("utf-8")' if t == "string" else ""
+            lines.append(f"{ind}_e = pos + {n}")
+            lines.append(f"{ind}{target} = buf[pos:_e]{dec}; pos = _e")
+            return
+        if t == "fixed":
+            size = int(sch["size"])
+            lines.append(
+                f"{ind}{target} = buf[pos:pos + {size}]; pos += {size}"
+            )
+            return
+        if t == "enum":
+            sym = self.uniq("_sym")
+            env[sym] = list(sch["symbols"])
+            idx = self.uniq("v")
+            self.varint(idx, ind)
+            lines.append(f"{ind}{target} = {sym}[{idx}]")
+            return
+        if t == "record":
+            parts = []
+            for fld in sch["fields"]:
+                v = self.uniq("f")
+                self.value(fld["type"], v, depth)
+                parts.append(f"{fld['name']!r}: {v}")
+            lines.append(f"{ind}{target} = {{{', '.join(parts)}}}")
+            return
+        if t in ("array", "map"):
+            cnt = self.uniq("c")
+            item = self.uniq("v")
+            kv = (
+                t == "array"
+                and self.kv
+                and _is_kv_record(sch["items"])
+            )
+            lines.append(
+                f"{ind}{target} = "
+                + ("[]" if t == "array" and not kv else "{}")
+            )
+            lines.append(f"{ind}while True:")
+            self.varint(cnt, ind + "    ")
+            lines.append(f"{ind}    if {cnt} == 0: break")
+            lines.append(f"{ind}    if {cnt} < 0:")
+            lines.append(f"{ind}        {cnt} = -{cnt}")
+            self.varint("_skip", ind + "        ")
+            lines.append(f"{ind}    for _ in range({cnt}):")
+            if kv:
+                kvar = self.uniq("k")
+                self.value(sch["items"]["fields"][0]["type"], kvar, depth + 2)
+                self.value(sch["items"]["fields"][1]["type"], item, depth + 2)
+                lines.append(f"{ind}        {target}[{kvar}] = {item}")
+            elif t == "array":
+                self.value(sch["items"], item, depth + 2)
+                lines.append(f"{ind}        {target}.append({item})")
+            else:
+                k = self.uniq("k")
+                n = self.uniq("n")
+                self.varint(n, ind + "        ")
+                lines.append(f"{ind}        _e = pos + {n}")
+                lines.append(
+                    f"{ind}        {k} = "
+                    'buf[pos:_e].decode("utf-8"); pos = _e'
+                )
+                self.value(sch["values"], item, depth + 2)
+                lines.append(f"{ind}        {target}[{k}] = {item}")
+            return
+        raise AvroTypeError(f"unsupported avro type: {sch!r}")
+
+    def skip(self, sch, depth: int) -> None:
+        """Advance ``pos`` past one datum without materializing it."""
+        lines, ind = self.lines, "    " * depth
+        if _is_nullable_union(sch):
+            nonnull = sch[1] if sch[0] == "null" else sch[0]
+            nn_idx = 1 if sch[0] == "null" else 0
+            idx = self.uniq("u")
+            self.varint(idx, ind)
+            lines.append(f"{ind}if {idx} == {nn_idx}:")
+            mark = len(lines)
+            self.skip(nonnull, depth + 1)
+            self._guard(mark, ind)
+            return
+        if isinstance(sch, list):
+            idx = self.uniq("u")
+            self.varint(idx, ind)
+            for i, branch in enumerate(sch):
+                kw = "if" if i == 0 else "elif"
+                lines.append(f"{ind}{kw} {idx} == {i}:")
+                mark = len(lines)
+                if branch != "null":
+                    self.skip(branch, depth + 1)
+                self._guard(mark, ind)
+            return
+        t = _type_name(sch)
+        if t == "null":
+            return
+        if t == "boolean":
+            lines.append(f"{ind}pos += 1")
+            return
+        if t in ("int", "long", "enum"):
+            self.varint_skip(ind)
+            return
+        if t == "float":
+            lines.append(f"{ind}pos += 4")
+            return
+        if t == "double":
+            lines.append(f"{ind}pos += 8")
+            return
+        if t in ("bytes", "string"):
+            n = self.uniq("n")
+            self.varint(n, ind)
+            lines.append(f"{ind}pos += {n}")
+            return
+        if t == "fixed":
+            lines.append(f"{ind}pos += {int(sch['size'])}")
+            return
+        if t == "record":
+            for fld in sch["fields"]:
+                self.skip(fld["type"], depth)
+            return
+        if t in ("array", "map"):
+            cnt = self.uniq("c")
+            lines.append(f"{ind}while True:")
+            self.varint(cnt, ind + "    ")
+            lines.append(f"{ind}    if {cnt} == 0: break")
+            lines.append(f"{ind}    if {cnt} < 0:")
+            # writer gave block byte sizes: O(1) whole-block skip
+            sz = self.uniq("n")
+            self.varint(sz, ind + "        ")
+            lines.append(f"{ind}        pos += {sz}")
+            lines.append(f"{ind}        continue")
+            lines.append(f"{ind}    for _ in range({cnt}):")
+            mark = len(lines)
+            if t == "map":
+                n = self.uniq("n")
+                self.varint(n, ind + "        ")
+                lines.append(f"{ind}        pos += {n}")
+                self.skip(sch["values"], depth + 2)
+            else:
+                self.skip(sch["items"], depth + 2)
+            self._guard(mark, ind + "    ")
+            return
+        raise AvroTypeError(f"unsupported avro type: {sch!r}")
+
+    def project(
+        self, sch, paths_to_vars: dict[tuple, str], depth: int
+    ) -> None:
+        """Decode just the record fields named by ``paths_to_vars``
+        (relative paths → output variable names), skipping the rest;
+        paths the schema lacks — or that a NULL union branch hides —
+        assign None."""
+        lines, ind = self.lines, "    " * depth
+        if _is_nullable_union(sch):
+            nonnull = sch[1] if sch[0] == "null" else sch[0]
+            null_idx = 0 if sch[0] == "null" else 1
+            idx = self.uniq("u")
+            self.varint(idx, ind)
+            lines.append(f"{ind}if {idx} == {null_idx}:")
+            for var in paths_to_vars.values():
+                lines.append(f"{ind}    {var} = None")
+            lines.append(f"{ind}else:")
+            self.project(nonnull, paths_to_vars, depth + 1)
+            return
+        if not (isinstance(sch, dict) and sch.get("type") == "record"):
+            raise AvroTypeError(
+                f"projection path traverses a non-record: {sch!r}"
+            )
+        names = {f["name"] for f in sch["fields"]}
+        for path, var in paths_to_vars.items():
+            if path[0] not in names:
+                lines.append(f"{ind}{var} = None")
+        for fld in sch["fields"]:
+            sub = {
+                p[1:]: v for p, v in paths_to_vars.items()
+                if p[0] == fld["name"]
+            }
+            if not sub:
+                self.skip(fld["type"], depth)
+            elif () in sub:
+                if len(sub) > 1:
+                    raise AvroTypeError(
+                        f"projection lists {fld['name']!r} both as a "
+                        "leaf and a prefix"
+                    )
+                self.value(fld["type"], sub[()], depth)
+            else:
+                self.project(fld["type"], sub, depth)
+
+
+def _gen_projected_block_decoder(
+    sch, paths: list[tuple[str, ...]], kv_arrays_as_maps: bool = False
+):
+    """Generated decoder appending one TUPLE per record holding just
+    the ``paths`` leaves (None where the schema lacks a path — e.g. a
+    v1 Iceberg manifest has no ``sequence_number``), everything else
+    parsed-but-skipped: no dicts, no unused slices.  This is what lets
+    a 1M-entry manifest resolve in seconds (round-10 ask #1).  Raises
+    AvroTypeError when the schema/paths fall outside the subset —
+    callers fall back to full decode."""
+    g = _AvroCodeGen(kv_arrays_as_maps)
+    g.lines.append("def _decode_block(buf, pos, n, append):")
+    g.lines.append("    for _ in range(n):")
+    out_vars = [g.uniq("o") for _ in paths]
+    g.project(sch, dict(zip([tuple(p) for p in paths], out_vars)), 2)
+    g.lines.append(f"        append(({', '.join(out_vars)},))")
+    g.lines.append("    return pos")
+    return g.build()
+
+
+def _logical_long_converter(logical: str):
+    import datetime
+
+    if logical == "date":
+        epoch, day = datetime.date(1970, 1, 1), datetime.timedelta(days=1)
+        return lambda v: epoch + day * v
+    scale = 1e6 if logical == "timestamp-micros" else 1e3
+    return lambda v: datetime.datetime.fromtimestamp(
+        v / scale, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+
+
+def _block_decoder(sch, kv_arrays_as_maps: bool = False):
+    """Best available block decoder: generated flat code, else the
+    closure chain wrapped to the same ``(buf, pos, n, append) -> pos``
+    shape."""
+    try:
+        return _gen_block_decoder(sch, kv_arrays_as_maps)
+    except AvroTypeError:
+        dec = _compile_buf_decoder(sch, kv_arrays_as_maps)
+
+        def _fallback(buf, pos, n, append, _d=dec):
+            for _ in range(n):
+                v, pos = _d(buf, pos)
+                append(v)
+            return pos
+
+        return _fallback
+
+
 def _encode_datum(buf: bytearray, sch, v) -> None:
     if _is_nullable_union(sch):
         null_idx = sch.index("null")
@@ -460,6 +1003,18 @@ def _encode_datum(buf: bytearray, sch, v) -> None:
             _encode_datum(buf, fld["type"], (v or {}).get(fld["name"]))
         return
     if t == "array":
+        if isinstance(v, dict) and _is_kv_record(sch["items"]):
+            # kv_arrays_as_maps round-trip: a dict-decoded logical map
+            # re-encodes as the spec's key/value records, in order
+            if v:
+                _write_long(buf, len(v))
+                ksch = sch["items"]["fields"][0]["type"]
+                vsch = sch["items"]["fields"][1]["type"]
+                for k, val in v.items():
+                    _encode_datum(buf, ksch, k)
+                    _encode_datum(buf, vsch, val)
+            _write_long(buf, 0)
+            return
         v = list(v or [])
         if v:
             _write_long(buf, len(v))
@@ -498,11 +1053,8 @@ def _read_header(f) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
-def iter_avro_blocks(f):
-    """Yield lists of decoded records, one list per container block —
-    the streaming unit (peak memory = one block)."""
-    schema, codec, sync = _read_header(f)
-    decode = _compile_decoder(schema)
+def _iter_raw_blocks(f, codec: str, sync: bytes):
+    """(decompressed_bytes, record_count) per container block."""
     while True:
         try:
             n = _read_long(f)
@@ -519,17 +1071,74 @@ def iter_avro_blocks(f):
             )
         if f.read(SYNC_SIZE) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
-        bf = io.BytesIO(raw)
-        yield [decode(bf) for _ in range(n)]
+        yield raw, n
 
 
-def read_avro_bytes(payload: bytes) -> tuple[list[dict], dict]:
+def iter_avro_blocks(f, kv_arrays_as_maps: bool = False):
+    """Yield lists of decoded records, one list per container block —
+    the streaming unit (peak memory = one block)."""
+    schema, codec, sync = _read_header(f)
+    decode_block = _block_decoder(schema, kv_arrays_as_maps)
+    for raw, n in _iter_raw_blocks(f, codec, sync):
+        recs: list = []
+        decode_block(raw, 0, n, recs.append)
+        yield recs
+
+
+def read_avro_projected(
+    payload: bytes,
+    paths: list[tuple[str, ...]],
+    kv_arrays_as_maps: bool = False,
+) -> list[tuple]:
+    """One flat tuple per record holding just the ``paths`` leaves
+    (None where the schema lacks a path), decoded block-streaming so
+    the records' dict form never exists — the Iceberg manifest
+    scan-row reader (round-10 ask #1).  Falls back to full decode +
+    extraction for schema shapes the generator refuses."""
+    f = io.BytesIO(payload)
+    schema, codec, sync = _read_header(f)
+    rows: list[tuple] = []
+    append = rows.append
+    try:
+        decode_block = _gen_projected_block_decoder(
+            schema, paths, kv_arrays_as_maps
+        )
+    except AvroTypeError:
+        def dig(rec, path):
+            for part in path:
+                if not isinstance(rec, dict):
+                    return None
+                rec = rec.get(part)
+            return rec
+
+        for raw, n in _iter_raw_blocks(f, codec, sync):
+            block: list = []
+            _block_decoder(schema, kv_arrays_as_maps)(
+                raw, 0, n, block.append
+            )
+            for r in block:
+                append(tuple(dig(r, p) for p in paths))
+        return rows
+    for raw, n in _iter_raw_blocks(f, codec, sync):
+        decode_block(raw, 0, n, append)
+    return rows
+
+
+def read_avro_bytes(
+    payload: bytes, kv_arrays_as_maps: bool = False
+) -> tuple[list[dict], dict]:
     """(records, avro schema) from one container file's bytes — the
-    unit-testable pure core."""
+    unit-testable pure core.  ``kv_arrays_as_maps`` decodes the
+    Iceberg-manifest ``array<record{key,value}>`` shape as plain dicts
+    (the write side re-encodes either form)."""
     f = io.BytesIO(payload)
     schema, _codec, _sync = _read_header(f)
     f.seek(0)
-    records = [r for block in iter_avro_blocks(f) for r in block]
+    records = [
+        r
+        for block in iter_avro_blocks(f, kv_arrays_as_maps)
+        for r in block
+    ]
     return records, schema
 
 

@@ -48,13 +48,22 @@ class DecodeCache:
         return key
 
     def get_or_decode(
-        self, paths: str | list[str], decode: Callable[[], list]
+        self,
+        paths: str | list[str],
+        decode: Callable[[], list],
+        tag: str | None = None,
     ) -> list:
         """The decoded items for ``paths`` — cached when possible.
         ``decode`` is called outside the lock.  Callers must treat the
-        returned list and its items as READ-ONLY."""
+        returned list and its items as READ-ONLY.  ``tag``
+        discriminates different decoded REPRESENTATIONS of the same
+        file (e.g. the Iceberg read path's compact scan rows vs the
+        write path's full manifest entries)."""
         ptuple = (paths,) if isinstance(paths, str) else tuple(paths)
-        key = self._stat_key(ptuple)
+        skey = self._stat_key(ptuple)
+        key = None if skey is None else (
+            (tag, *skey) if tag is not None else skey
+        )
         if key is not None:
             with self._lock:
                 cached = self._entries.get(key)
@@ -63,7 +72,7 @@ class DecodeCache:
                     return cached
         items = decode()
         # only cache when the files are provably the ones we decoded
-        if key is not None and self._stat_key(ptuple) == key and (
+        if key is not None and self._stat_key(ptuple) == skey and (
             len(items) <= self.max_items
         ):
             with self._lock:

@@ -76,7 +76,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ballista_spark.sources import fsio
-from ballista_spark.sources.avroio import read_avro_bytes
+from ballista_spark.sources.avroio import (
+    read_avro_bytes,
+    read_avro_projected,
+)
 from ballista_spark.sources.decodecache import DecodeCache
 
 __all__ = [
@@ -207,6 +210,102 @@ def _as_id_map(v) -> dict[int, bytes]:
     return out
 
 
+def _kv_get(v, fid: int):
+    """One field id's value from a raw bounds map (either avro form)
+    without materializing the whole id-map — the lazy-bounds lookup."""
+    if v is None:
+        return None
+    if isinstance(v, dict):
+        got = v.get(fid)  # int keys: the kv_arrays_as_maps decode
+        return v.get(str(fid)) if got is None else got
+    for item in v:
+        if int(item["key"]) == fid:
+            return item["value"]
+    return None
+
+
+class _LazyBounds:
+    """Per-file ``{column: (lo, hi)}`` decoded from the manifest
+    entry's RAW Appendix-D bytes on FIRST touch per column (round-10
+    ask #1): a filter-less read of a 1M-file table pays zero
+    ``decode_bound`` calls, a filtered read decodes only the columns
+    it compares, and the raw k-v lists are SHARED with the manifest
+    cache — the snapshot holds no per-entry copy.  Read-only mapping
+    face (``in`` / ``[]`` / ``get`` / ``items``), the surface
+    ``_bounds_may_match`` and existing callers use."""
+
+    __slots__ = ("_lo", "_hi", "_by_name", "_memo")
+
+    def __init__(self, lo, hi, by_name):
+        self._lo = lo          # raw lower_bounds (avro list/map), may be None
+        self._hi = hi
+        self._by_name = by_name  # SHARED per-snapshot {name: (fid, type)}
+        self._memo = None
+
+    def _pair(self, col):
+        memo = self._memo
+        if memo is None:
+            memo = self._memo = {}
+        elif col in memo:
+            return memo[col]
+        info = self._by_name.get(col)
+        pair = None
+        if info is not None:
+            fid, ftype = info
+            lo = decode_bound(_kv_get(self._lo, fid), ftype)
+            hi = decode_bound(_kv_get(self._hi, fid), ftype)
+            if lo is not None or hi is not None:
+                pair = (lo, hi)
+        memo[col] = pair
+        return pair
+
+    def __contains__(self, col):
+        return self._pair(col) is not None
+
+    def __getitem__(self, col):
+        pair = self._pair(col)
+        if pair is None:
+            raise KeyError(col)
+        return pair
+
+    def get(self, col, default=None):
+        pair = self._pair(col)
+        return default if pair is None else pair
+
+    def _all(self) -> dict:
+        out = {}
+        for name in self._by_name:
+            pair = self._pair(name)
+            if pair is not None:
+                out[name] = pair
+        return out
+
+    def items(self):
+        return self._all().items()
+
+    def keys(self):
+        return self._all().keys()
+
+    def __iter__(self):
+        return iter(self._all())
+
+    def __len__(self):
+        return len(self._all())
+
+    def __bool__(self):
+        return bool(self._all())
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyBounds):
+            other = other._all()
+        if isinstance(other, dict):
+            return self._all() == other
+        return NotImplemented
+
+    def __repr__(self):
+        return f"_LazyBounds({self._all()!r})"
+
+
 # ---------------------------------------------------------------------------
 # snapshot
 
@@ -233,6 +332,8 @@ class IcebergSnapshot:
         #: [(puffin_path, referenced_data_file, offset, size, cardinality)]
         self.dv_deletes = dv_deletes or []
         self.files_pruned = 0
+        #: whole manifests skipped by partition summaries (filters)
+        self.manifests_pruned = 0
 
     @property
     def num_files(self) -> int:
@@ -265,10 +366,60 @@ _MANIFEST_CACHE = DecodeCache(max_items=2_000_000)
 def _read_manifest(path: str) -> list[dict]:
     """Decoded entries of one manifest Avro file, cached.  Callers
     must treat the records as READ-ONLY (every write path already
-    copies before modifying)."""
+    copies before modifying).  ``kv_arrays_as_maps``: the spec's
+    bounds/counts k_v arrays decode as plain ``{id: value}`` dicts —
+    ~25% less decode time and RSS per entry; ``_as_id_map``/``_kv_get``
+    accept both forms and the Avro encoder re-emits dicts as k/v
+    records, so carried-forward entries round-trip byte-identically."""
     return _MANIFEST_CACHE.get_or_decode(
-        path, lambda: read_avro_bytes(fsio.read_bytes(path))[0]
+        path,
+        lambda: read_avro_bytes(
+            fsio.read_bytes(path), kv_arrays_as_maps=True
+        )[0],
     )
+
+
+#: compact scan-row slots (see _manifest_scan_rows)
+_SR_STATUS, _SR_SEQ, _SR_CONTENT, _SR_FMT, _SR_PATH, _SR_RC = range(6)
+_SR_LO, _SR_HI, _SR_EQIDS, _SR_REF, _SR_OFF, _SR_SIZE = range(6, 12)
+
+
+def _manifest_scan_rows(path: str) -> list[tuple]:
+    """The READ path's compact per-manifest form: one 12-slot tuple per
+    entry holding exactly what snapshot resolution consumes (status,
+    seq, content, format, path, record_count, RAW bounds maps, and the
+    delete-entry fields), built STREAMING block-by-block so the full
+    dict form never exists at once.  At 1M entries this is the
+    difference between ~1.5 GB and ~0.6 GB of cached driver RSS and
+    cuts the per-entry field lookups out of every warm resolution
+    (round-10 ask #1).  Write paths keep :func:`_read_manifest` (full
+    entries, carried forward verbatim); the two representations cache
+    under different tags."""
+
+    def build() -> list[tuple]:
+        return read_avro_projected(
+            fsio.read_bytes(path),
+            _SCAN_ROW_PATHS,
+            kv_arrays_as_maps=True,
+        )
+
+    return _MANIFEST_CACHE.get_or_decode(path, build, tag="scan")
+
+
+_SCAN_ROW_PATHS = [
+    ("status",),
+    ("sequence_number",),
+    ("data_file", "content"),
+    ("data_file", "file_format"),
+    ("data_file", "file_path"),
+    ("data_file", "record_count"),
+    ("data_file", "lower_bounds"),
+    ("data_file", "upper_bounds"),
+    ("data_file", "equality_ids"),
+    ("data_file", "referenced_data_file"),
+    ("data_file", "content_offset"),
+    ("data_file", "content_size_in_bytes"),
+]
 
 
 def _metadata_versions(meta_dir: str) -> list[int]:
@@ -354,12 +505,66 @@ def _refuse_initial_defaults(schema: dict) -> None:
     walk_fields(schema.get("fields"), "")
 
 
+def _partition_spec_fields(md: dict) -> dict[int, list]:
+    """spec-id → partition field list (v2 ``partition-specs`` or the v1
+    flat ``partition-spec``)."""
+    specs: dict[int, list] = {}
+    for s in md.get("partition-specs") or []:
+        specs[int(s.get("spec-id", 0))] = list(s.get("fields") or [])
+    if not specs and md.get("partition-spec"):
+        specs[0] = list(md["partition-spec"])
+    return specs
+
+
+def _manifest_may_match(mrec: dict, spec_fields: list, ids: dict,
+                        filters) -> bool:
+    """Proof-based MANIFEST skip from the manifest-list entry's
+    partition field summaries (round-10 ask #1: whole manifests prune
+    before any entry decode).  Identity transforms only — any other
+    transform, missing summary, or undecodable bound keeps the
+    manifest.  Comparison predicates exclude NULL rows by SQL
+    semantics, so ``contains_null`` cannot rescue a bounds-excluded
+    manifest."""
+    summaries = mrec.get("partitions")
+    if not summaries or not spec_fields:
+        return True
+    for i, pf in enumerate(spec_fields):
+        if i >= len(summaries):
+            break
+        if pf.get("transform") != "identity":
+            continue
+        src = ids.get(int(pf.get("source-id", -1)))
+        if src is None:
+            continue
+        name, ftype = src
+        fsum = summaries[i]
+        if not isinstance(fsum, dict):
+            continue
+        lo = decode_bound(fsum.get("lower_bound"), ftype)
+        hi = decode_bound(fsum.get("upper_bound"), ftype)
+        if lo is None and hi is None:
+            continue
+        b = {name: (lo, hi)}
+        for c, op, v in filters:
+            if c == name and op in ("=", "<", "<=", ">", ">=") and not (
+                _bounds_may_match(b, c, op, v)
+            ):
+                return False
+    return True
+
+
 def read_iceberg_snapshot(
-    table_path: str, snapshot_id: int | None = None
+    table_path: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> IcebergSnapshot:
     """Resolve the current (or named) snapshot to its live data-file
-    list with decoded per-file column bounds — driver-side, metadata
-    tree only."""
+    list with lazily-decoded per-file column bounds — driver-side,
+    metadata tree only.  Advisory ``filters`` additionally skip whole
+    manifests whose manifest-list partition summaries PROVE no entry
+    can match (identity partition transforms), before any entry
+    decode; per-file bounds pruning stays the caller's move
+    (:func:`read_iceberg_table`)."""
     md = _load_metadata(table_path)
     schema = _current_schema(md)
     _refuse_initial_defaults(schema)
@@ -376,19 +581,39 @@ def read_iceberg_snapshot(
         raise ValueError(f"snapshot {snapshot_id} not found")
 
     ids = _field_ids(schema)
+    by_name = {name: (fid, ftype) for fid, (name, ftype) in ids.items()}
     files: list[tuple[str, int, dict]] = []
+    file_seq_list: list[int] = []
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, tuple]] = []
     dv_deletes: list[tuple[str, str, int, int, int]] = []
-    file_seqs: dict[str, int] = {}
-
-    def manifest_entries(manifest_path: str):
-        return _read_manifest(_norm_path(table_path, manifest_path))
+    manifests_pruned = 0
 
     if "manifest-list" in snap:  # v2 (and v1 with list)
         manifests, _sch = read_avro_bytes(
             fsio.read_bytes(_norm_path(table_path, snap["manifest-list"]))
         )
+        if filters:
+            # whole-manifest skip from partition field summaries —
+            # DATA manifests only (content 0): a skipped data
+            # manifest's entries would all fall to the same bounds
+            # prune later, while delete manifests must always load
+            # (their tombstones may hit kept files)
+            specs = _partition_spec_fields(md)
+            kept_manifests = []
+            for m in manifests:
+                if int(m.get("content") or 0) == 0 and not (
+                    _manifest_may_match(
+                        m,
+                        specs.get(int(m.get("partition_spec_id") or 0), []),
+                        ids,
+                        filters,
+                    )
+                ):
+                    manifests_pruned += 1
+                    continue
+                kept_manifests.append(m)
+            manifests = kept_manifests
         manifest_paths = [m["manifest_path"] for m in manifests]
         manifest_seqs = {
             m["manifest_path"]: int(m.get("sequence_number") or 0)
@@ -399,18 +624,41 @@ def read_iceberg_snapshot(
         manifest_seqs = {}
 
     snap_seq = int(snap.get("sequence-number") or 0)
+    files_append = files.append
+    seq_append = file_seq_list.append
     for mp in manifest_paths:
         inherited_seq = manifest_seqs.get(mp, snap_seq)
-        for entry in manifest_entries(mp):
-            status = entry.get("status", 1)
-            if status == 2:  # DELETED
+        for row in _manifest_scan_rows(_norm_path(table_path, mp)):
+            if row[_SR_STATUS] == 2:  # DELETED
                 continue
-            df_rec = entry["data_file"]
-            content = df_rec.get("content", 0) or 0
-            fmt = (df_rec.get("file_format") or "PARQUET").upper()
-            # spec inheritance: a null sequence_number on an ADDED entry
-            # takes the manifest's (which took the commit's)
-            seq = entry.get("sequence_number")
+            content = row[_SR_CONTENT]
+            if content != 1 and content != 2:  # data file — the common case
+                fmt = row[_SR_FMT]
+                if fmt != "PARQUET":
+                    fmt = (fmt or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise IcebergFeatureError(
+                        f"{fmt} data files unsupported"
+                    )
+                p = row[_SR_PATH]
+                # fast path: absolute non-URI paths (the overwhelmingly
+                # common manifest spelling) skip _norm_path's checks —
+                # measured ~0.5 s/1M entries on snapshot resolution
+                fp = p if p[:1] == "/" else _norm_path(table_path, p)
+                # spec inheritance: a null sequence_number on an ADDED
+                # entry takes the manifest's (which took the commit's)
+                seq = row[_SR_SEQ]
+                seq_append(inherited_seq if seq is None else int(seq))
+                files_append(
+                    (
+                        fp,
+                        int(row[_SR_RC] or 0),
+                        _LazyBounds(row[_SR_LO], row[_SR_HI], by_name),
+                    )
+                )
+                continue
+            fmt = (row[_SR_FMT] or "PARQUET").upper()
+            seq = row[_SR_SEQ]
             seq = inherited_seq if seq is None else int(seq)
             if content == 1:  # POSITION deletes: exactly supported.
                 # A (file, pos) tombstone can never hit a row written
@@ -420,9 +668,9 @@ def read_iceberg_snapshot(
                 if fmt == "PUFFIN":
                     # v3 deletion vector: one roaring bitmap per
                     # referenced data file, inside a Puffin blob
-                    ref = df_rec.get("referenced_data_file")
-                    off = df_rec.get("content_offset")
-                    size = df_rec.get("content_size_in_bytes")
+                    ref = row[_SR_REF]
+                    off = row[_SR_OFF]
+                    size = row[_SR_SIZE]
                     if not ref or off is None or size is None:
                         raise IcebergFeatureError(
                             "PUFFIN delete entry lacks referenced_data_"
@@ -430,11 +678,11 @@ def read_iceberg_snapshot(
                         )
                     dv_deletes.append(
                         (
-                            _norm_path(table_path, df_rec["file_path"]),
+                            _norm_path(table_path, row[_SR_PATH]),
                             ref,
                             int(off),
                             int(size),
-                            int(df_rec.get("record_count") or 0),
+                            int(row[_SR_RC] or 0),
                         )
                     )
                     continue
@@ -442,7 +690,7 @@ def read_iceberg_snapshot(
                     raise IcebergFeatureError(
                         f"{fmt} delete files unsupported"
                     )
-                delete_files.append(_norm_path(table_path, df_rec["file_path"]))
+                delete_files.append(_norm_path(table_path, row[_SR_PATH]))
                 continue
             if content == 2:
                 # v2 EQUALITY deletes, sequence-scoped (spec: the delete
@@ -453,7 +701,7 @@ def read_iceberg_snapshot(
                     raise IcebergFeatureError(
                         f"{fmt} delete files unsupported"
                     )
-                eq_ids = [int(i) for i in (df_rec.get("equality_ids") or [])]
+                eq_ids = [int(i) for i in (row[_SR_EQIDS] or [])]
                 if not eq_ids:
                     raise IcebergFeatureError(
                         "equality delete file lists no equality_ids"
@@ -466,36 +714,23 @@ def read_iceberg_snapshot(
                     )
                 eq_deletes.append(
                     (
-                        _norm_path(table_path, df_rec["file_path"]),
+                        _norm_path(table_path, row[_SR_PATH]),
                         seq,
                         tuple(ids[i][0] for i in eq_ids),
                     )
                 )
-                continue
-            if fmt != "PARQUET":
-                raise IcebergFeatureError(f"{fmt} data files unsupported")
-            lowers = _as_id_map(df_rec.get("lower_bounds"))
-            uppers = _as_id_map(df_rec.get("upper_bounds"))
-            bounds = {}
-            for fid, (name, ftype) in ids.items():
-                lo = decode_bound(lowers.get(fid), ftype)
-                hi = decode_bound(uppers.get(fid), ftype)
-                if lo is not None or hi is not None:
-                    bounds[name] = (lo, hi)
-            fp = _norm_path(table_path, df_rec["file_path"])
-            file_seqs[fp] = seq
-            files.append(
-                (
-                    fp,
-                    int(df_rec.get("record_count") or 0),
-                    bounds,
-                )
-            )
-    return IcebergSnapshot(
+    # the {path: seq} map only serves equality-delete scoping — on the
+    # common no-eq-delete table it would be 1M dead dict entries
+    file_seqs = (
+        {f[0]: s for f, s in zip(files, file_seq_list)} if eq_deletes else {}
+    )
+    out = IcebergSnapshot(
         table_path, snapshot_id, schema, spark_schema, files, delete_files,
         dv_deletes=dv_deletes,
         eq_deletes=eq_deletes, file_seqs=file_seqs,
     )
+    out.manifests_pruned = manifests_pruned
+    return out
 
 
 def _bounds_may_match(bounds: dict, col: str, op: str, value) -> bool:
@@ -630,10 +865,11 @@ def read_iceberg_table(
     """The Iceberg table at the current (or named) snapshot as a
     DataFrame — ONE parquet scan over the live files, with the same
     advisory driver-side ``filters`` contract as
-    :func:`deltalog.read_delta_table` (prune by manifest bounds, still
-    apply the real ``.where`` for row-level filtering + parquet
-    row-group skipping)."""
-    snap = read_iceberg_snapshot(table_path, snapshot_id)
+    :func:`deltalog.read_delta_table` (skip whole manifests by
+    partition summary, prune files by manifest bounds, still apply the
+    real ``.where`` for row-level filtering + parquet row-group
+    skipping)."""
+    snap = read_iceberg_snapshot(table_path, snapshot_id, filters=filters)
     files = snap.files
     if filters:
         kept = [

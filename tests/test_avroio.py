@@ -190,3 +190,179 @@ def test_timestamp_and_date_logicals():
              "ts": datetime.datetime(2026, 8, 15, 12, 30, 45, 123456)}]
     got, _ = read_avro_bytes(write_avro_bytes(rows, sch))
     assert got == rows
+
+
+def test_read_avro_projected_and_kv_maps():
+    """Round-10 additions: projection to flat tuples (missing paths →
+    None), kv_arrays_as_maps dict decode, and the encoder re-emitting
+    dict-form kv arrays byte-identically."""
+    from ballista_spark.sources.avroio import read_avro_projected
+
+    kv = {
+        "type": "record",
+        "name": "kv",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    }
+    sch = {
+        "type": "record",
+        "name": "entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "inner",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "inner",
+                        "fields": [
+                            {"name": "path", "type": "string"},
+                            {"name": "n", "type": "long"},
+                            {
+                                "name": "bounds",
+                                "type": [
+                                    "null",
+                                    {"type": "array", "items": kv},
+                                ],
+                            },
+                        ],
+                    },
+                ],
+            },
+        ],
+    }
+    recs = [
+        {
+            "status": 1,
+            "inner": {
+                "path": "a.parquet",
+                "n": 5,
+                "bounds": [{"key": 1, "value": b"\x01"}],
+            },
+        },
+        {"status": 2, "inner": None},
+    ]
+    payload = write_avro_bytes(recs, sch, codec="null")
+
+    rows = read_avro_projected(
+        payload,
+        [("status",), ("inner", "path"), ("inner", "bounds"),
+         ("inner", "missing_field"), ("not_there",)],
+        kv_arrays_as_maps=True,
+    )
+    assert rows == [
+        (1, "a.parquet", {1: b"\x01"}, None, None),
+        (2, None, None, None, None),
+    ]
+
+    # kv_arrays_as_maps full decode + re-encode round-trips to the
+    # SAME bytes (the carry-forward contract for cached manifests)
+    decoded, _ = read_avro_bytes(payload, kv_arrays_as_maps=True)
+    assert decoded[0]["inner"]["bounds"] == {1: b"\x01"}
+    assert write_avro_bytes(decoded, sch, codec="null") == payload
+
+    # projection through an array falls back to full decode, same rows
+    arr_sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    arr_payload = write_avro_bytes(
+        [{"xs": [1, 2], "tag": "t"}], arr_sch, codec="null"
+    )
+    assert read_avro_projected(arr_payload, [("xs", "oops"), ("tag",)]) == [
+        (None, "t")
+    ]
+    assert read_avro_projected(arr_payload, [("tag",)]) == [("t",)]
+
+
+def test_generated_decoder_matches_reference_decoder():
+    """The codegen fast path and the original closure decoder agree on
+    every supported construct (enums, fixed, unions, maps, logicals,
+    nested records, negative block counts are writer-side absent but
+    empty/None variants are covered)."""
+    import datetime
+
+    from ballista_spark.sources.avroio import (
+        _block_decoder,
+        _compile_buf_decoder,
+    )
+
+    sch = {
+        "type": "record",
+        "name": "all",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 2}},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["R", "G"]}},
+            {"name": "ns", "type": ["null", "string"]},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "a", "type": {"type": "array", "items": "string"}},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "b": True, "i": -7, "f": 1.5, "d": -2.25, "s": "héllo",
+            "by": b"\x00\xff", "fx": b"ab", "e": "G", "ns": None,
+            "m": {"k1": 1, "k2": -2}, "a": ["x", ""],
+            "dt": datetime.date(2021, 3, 4),
+            "ts": datetime.datetime(2020, 1, 2, 3, 4, 5, 123456),
+            "nested": {"x": 9},
+        },
+        {
+            "b": False, "i": 0, "f": 0.0, "d": 0.0, "s": "", "by": b"",
+            "fx": b"zz", "e": "R", "ns": "set", "m": {}, "a": [],
+            "dt": datetime.date(1970, 1, 1),
+            "ts": datetime.datetime(1970, 1, 1),
+            "nested": {"x": -1},
+        },
+    ]
+    payload = write_avro_bytes(recs, sch, codec="null")
+    f = io.BytesIO(payload)
+    from ballista_spark.sources.avroio import _read_header
+
+    _sch, codec, sync = _read_header(f)
+    block = f.read()  # one block: count, size, data, sync
+    import ballista_spark.sources.avroio as av
+
+    bf = io.BytesIO(block)
+    n = av._read_long(bf)
+    size = av._read_long(bf)
+    raw = bf.read(size)
+
+    fast: list = []
+    _block_decoder(sch)(raw, 0, n, fast.append)
+    slow: list = []
+    pos = 0
+    dec = _compile_buf_decoder(sch)
+    for _ in range(n):
+        v, pos = dec(raw, pos)
+        slow.append(v)
+    assert fast == slow
+    assert fast[0]["m"] == {"k1": 1, "k2": -2}
+    assert fast[0]["dt"] == datetime.date(2021, 3, 4)
+    assert fast[0]["ts"] == datetime.datetime(2020, 1, 2, 3, 4, 5, 123456)
+    assert fast == recs
