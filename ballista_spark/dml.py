@@ -28,9 +28,9 @@ subset the storage layer can prune on — conjunctions of
 - ``OPTIMIZE t [ZORDER BY (c1, c2, ...)]``
 - ``ALTER TABLE t ADD COLUMNS (c type [, ...])`` /
   ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (c1, c2)`` /
-  ``ALTER TABLE t RENAME COLUMN old TO new`` (Delta only — metadata
-  commit via column mapping, auto-enabled; Iceberg refuses with the
-  add-backfill-drop guidance) /
+  ``ALTER TABLE t RENAME COLUMN old TO new`` (metadata-only on both
+  formats: Delta via column mapping, auto-enabled; Iceberg via field-id
+  binding — rename proves every live file carries parquet field ids) /
   ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)`` /
   ``UNSET TBLPROPERTIES ('k', ...)`` — feature-backed Delta
   properties (appendOnly, enableChangeDataFeed, constraints) upgrade
@@ -807,18 +807,26 @@ def execute_dml(ctx, stmt: DmlStatement):
                     unset=stmt.unset_properties or None,
                 )
         elif stmt.rename_from is not None:
-            if fmt != "delta":
-                raise DmlError(
-                    "RENAME COLUMN is Delta-only (column mapping); this "
-                    "engine's Iceberg reader binds parquet by NAME, so a "
-                    "rename could not re-bind old data — use ADD COLUMNS "
-                    "+ backfill + DROP COLUMN"
+            if fmt == "delta":
+                from ballista_spark.sources.deltalog import (
+                    rename_delta_column,
                 )
-            from ballista_spark.sources.deltalog import rename_delta_column
 
-            version = rename_delta_column(
-                path, stmt.rename_from, stmt.rename_to
-            )
+                version = rename_delta_column(
+                    path, stmt.rename_from, stmt.rename_to
+                )
+            else:
+                # round 10: Iceberg renames are metadata-only too —
+                # staged files carry parquet field ids and renamed
+                # tables read id-resolved (rename proves every live
+                # file has ids first)
+                from ballista_spark.sources.iceberg import (
+                    rename_iceberg_column,
+                )
+
+                version = rename_iceberg_column(
+                    path, stmt.rename_from, stmt.rename_to, spark=spark
+                )
         elif fmt == "delta":
             from ballista_spark.sources.deltalog import alter_delta_table
 

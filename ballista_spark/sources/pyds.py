@@ -127,6 +127,10 @@ class _FilePartition(InputPartition):
     deletion_vector: dict = None
     #: table root, needed to resolve a "u"-storage DV file
     table_path: str = None
+    #: Iceberg field-id map {field_id: current_name} — set on RENAMED
+    #: tables so the reader re-binds each file's columns by the ids in
+    #: its own footer instead of by (possibly pre-rename) name
+    field_ids: dict = None
 
 
 class _DeltaReader(DataSourceReader):
@@ -235,7 +239,20 @@ def _read_parquet_with_partition_values(
 
     target = _arrow_schema_for(spark_schema)
     part_cols = set(partition.partition_values)
-    phys = partition.column_renames or {}
+    phys = dict(partition.column_renames or {})
+    if partition.field_ids:
+        # renamed Iceberg table: bind THIS file's columns by the field
+        # ids in its own footer (pre-rename files carry old names)
+        file_schema = pq.read_schema(partition.path)
+        by_id = {}
+        for fld in file_schema:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        for fid, cur_name in partition.field_ids.items():
+            file_name = by_id.get(int(fid))
+            if file_name is not None and file_name != cur_name:
+                phys[cur_name] = file_name
     data_cols = [
         phys.get(f.name, f.name)
         for f in spark_schema.fields
@@ -413,13 +430,22 @@ class _IcebergReader(DataSourceReader):
         )
 
         snap = read_iceberg_snapshot(self.table_path, self.snapshot_id)
-        if snap.delete_files or snap.eq_deletes:
+        if snap.delete_files or snap.eq_deletes or snap.dv_deletes:
             raise ValueError(
-                "table has v2 delete files: the per-file DataSource "
-                "face would return deleted rows — read it through "
-                "read_iceberg_table (which applies position AND "
-                "equality tombstones) or compact first"
+                "table has delete files / deletion vectors: the "
+                "per-file DataSource face would return deleted rows — "
+                "read it through read_iceberg_table (which applies "
+                "position, equality AND deletion-vector tombstones) "
+                "or compact first"
             )
+        # renamed table: ship the {field_id: current_name} map so each
+        # task re-binds its file's columns by the ids in its own footer
+        fids = None
+        if snap.field_id_binding:
+            fids = {
+                int(f["id"]): f["name"]
+                for f in snap.schema_json.get("fields", [])
+            }
         pruned, self._pruned = self._pruned, []
         files = snap.files
         if pruned:
@@ -429,7 +455,8 @@ class _IcebergReader(DataSourceReader):
                 if all(_bounds_may_match(f[2], c, op, v) for (c, op, v) in pruned)
             ]
         return [
-            _FilePartition(path=f[0], partition_values={}) for f in files
+            _FilePartition(path=f[0], partition_values={}, field_ids=fids)
+            for f in files
         ] or [_FilePartition(path="", partition_values={})]
 
     def read(self, partition: _FilePartition):
@@ -533,6 +560,20 @@ class _IcebergStreamReader(DataSourceStreamReader):
         md = _load_metadata(self.table_path)
         log = list(md.get("snapshot-log") or [])
         snaps = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+        # renamed table: bind replayed files' columns by field id (a
+        # stream replay may cross the rename boundary)
+        from ballista_spark.sources.iceberg import (
+            _current_schema,
+            _rename_in_history,
+        )
+
+        cur_schema = _current_schema(md)
+        fids = None
+        if _rename_in_history(md, cur_schema):
+            fids = {
+                int(f["id"]): f["name"]
+                for f in cur_schema.get("fields", [])
+            }
         out = []
         for i in self._positions(log, start, end):
             sid = log[i]["snapshot-id"]
@@ -574,6 +615,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
                                 self.table_path, e["data_file"]["file_path"]
                             ),
                             partition_values={},
+                            field_ids=fids,
                         )
                     )
         return out

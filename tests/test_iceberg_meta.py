@@ -298,3 +298,329 @@ def test_scan_rows_match_full_entries(tmp_path):
         assert row[_SR_PATH] == entry["data_file"]["file_path"]
         assert row[_SR_RC] == entry["data_file"]["record_count"]
         assert row[_SR_LO] == entry["data_file"]["lower_bounds"]
+
+
+# ------------------------------------------------- field-id binding / RENAME
+
+
+def test_rename_roundtrip_across_generations(spark, tmp_path):
+    """RENAME COLUMN is metadata-only: pre-rename files re-bind by
+    parquet field id, post-rename appends/mutations keep working, and
+    time travel to a pre-rename snapshot reads old files correctly
+    under the current names (round-10 ask #2)."""
+    import glob as _glob
+
+    from ballista_spark.sources.iceberg import (
+        delete_from_iceberg_table,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "ren")
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(i, f"c{i}", float(i)) for i in range(8)],
+            "id long, cat string, v double",
+        ),
+        t,
+    )
+    files_before = sorted(_glob.glob(os.path.join(t, "data", "*.parquet")))
+    first_snap = read_iceberg_snapshot(t).snapshot_id
+
+    rename_iceberg_column(t, "cat", "label", spark=spark)
+    # metadata-only: zero data I/O
+    assert sorted(_glob.glob(os.path.join(t, "data", "*.parquet"))) == (
+        files_before
+    )
+    snap = read_iceberg_snapshot(t)
+    assert snap.field_id_binding
+    assert [f["name"] for f in snap.schema_json["fields"]] == [
+        "id", "label", "v",
+    ]
+    got = read_iceberg_table(spark, t)
+    assert got.columns == ["id", "label", "v"]
+    assert {r["id"]: r["label"] for r in got.collect()} == {
+        i: f"c{i}" for i in range(8)
+    }
+
+    # post-rename append under the NEW name + a mutation
+    write_iceberg_table(
+        spark.createDataFrame([(100, "new", 1.5)],
+                              "id long, label string, v double"),
+        t,
+        mode="append",
+    )
+    delete_from_iceberg_table(spark, t, [("id", "=", 3)])
+    got2 = {
+        r["id"]: r["label"] for r in read_iceberg_table(spark, t).collect()
+    }
+    assert got2 == {0: "c0", 1: "c1", 2: "c2", 4: "c4", 5: "c5",
+                    6: "c6", 7: "c7", 100: "new"}
+
+    # bounds pruning still proves on the renamed table (bounds key by
+    # field id, names resolve through the CURRENT schema)
+    pruned = read_iceberg_table(spark, t, filters=[("id", ">=", 100)])
+    assert [r["id"] for r in pruned.where("id >= 100").collect()] == [100]
+
+    # time travel to the pre-rename snapshot: current names, old data
+    tt = read_iceberg_table(spark, t, snapshot_id=first_snap)
+    assert tt.columns == ["id", "label", "v"]
+    assert tt.count() == 8
+
+
+def test_rename_refuses_idless_files_then_compact_unlocks(spark, tmp_path):
+    """Files staged before field-id stamping (simulated by stripping
+    the ids) refuse RENAME with compaction guidance; after
+    compact_iceberg_table rewrites them (stamping ids), the rename
+    succeeds."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ballista_spark.sources.iceberg import (
+        IcebergFeatureError,
+        compact_iceberg_table,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "legacy")
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(6)], "id long, cat string"
+        ),
+        t,
+    )
+    # strip field ids in place — byte-for-byte what pre-round-10 staged
+    # files look like (same rows, no PARQUET:field_id metadata)
+    for p in _glob.glob(os.path.join(t, "data", "*.parquet")):
+        tbl = _pq.read_table(p)
+        stripped = tbl.cast(
+            pa.schema([pa.field(f.name, f.type) for f in tbl.schema])
+        )
+        _pq.write_table(stripped, p)
+    with pytest.raises(IcebergFeatureError, match="field ids.*compact"):
+        rename_iceberg_column(t, "cat", "label", spark=spark)
+    compact_iceberg_table(spark, t, target_file_bytes=1 << 30)
+    rename_iceberg_column(t, "cat", "label", spark=spark)
+    got = {
+        r["id"]: r["label"] for r in read_iceberg_table(spark, t).collect()
+    }
+    assert got == {i: f"c{i}" for i in range(6)}
+
+
+def test_reads_table_renamed_by_another_engine(spark, tmp_path):
+    """A spec-shaped fixture simulating iceberg-java's rename: data
+    files stamped with parquet field ids (all real writers stamp them),
+    schemas history carrying the old name, current schema the new one.
+    This reader must re-bind old files to the new name by id."""
+    table = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    # data file written under the ORIGINAL name, ids stamped
+    path = os.path.join(table, "data", "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "old_name": pa.array(["a", "b", "c"], pa.string()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field("id", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("old_name", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        path,
+    )
+    entry = {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.relpath(path, table),
+            "file_format": "PARQUET",
+            "record_count": 3,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": [{"key": 1, "value": _lb(1)}],
+            "upper_bounds": [{"key": 1, "value": _lb(3)}],
+        },
+    }
+    man_rel = "metadata/manifest-1.avro"
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(table, man_rel), "wb") as f:
+        f.write(write_avro_bytes([entry], MANIFEST_ENTRY))
+    mlist_rel = "metadata/snap-9001.avro"
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(
+            write_avro_bytes(
+                [
+                    {
+                        "manifest_path": man_rel,
+                        "manifest_length": os.path.getsize(
+                            os.path.join(table, man_rel)
+                        ),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "added_snapshot_id": 9001,
+                        "partitions": None,
+                    }
+                ],
+                MANIFEST_FILE,
+            )
+        )
+    schema0 = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "old_name", "required": False,
+             "type": "string"},
+        ],
+    }
+    schema1 = {
+        "schema-id": 1,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "new_name", "required": False,
+             "type": "string"},
+        ],
+    }
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table,
+        "schemas": [schema0, schema1],
+        "current-schema-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 9001, "manifest-list": mlist_rel}],
+        "current-snapshot-id": 9001,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    snap = read_iceberg_snapshot(table)
+    assert snap.field_id_binding
+    got = read_iceberg_table(spark, table)
+    assert got.columns == ["id", "new_name"]
+    assert sorted((r["id"], r["new_name"]) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # bounds from the old files still prune under the current name
+    assert read_iceberg_table(
+        spark, table, filters=[("id", ">", 10)]
+    ).count() == 0
+
+
+def test_eq_deletes_on_renamed_table_refuse(spark, tmp_path, monkeypatch):
+    """Equality-delete files read by NAME cannot be applied on a
+    renamed table — refuse loudly rather than resurrect rows."""
+    from ballista_spark.sources.iceberg import (
+        IcebergFeatureError,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "reneq")
+    write_iceberg_table(
+        spark.createDataFrame([(1, "a")], "id long, cat string"), t
+    )
+    rename_iceberg_column(t, "cat", "label", spark=spark)
+
+    real = iceberg.read_iceberg_snapshot
+
+    def with_eq(table_path, snapshot_id=None, filters=None):
+        s = real(table_path, snapshot_id, filters)
+        s.eq_deletes = [("/nonexistent.parquet", 5, ("id",))]
+        return s
+
+    monkeypatch.setattr(iceberg, "read_iceberg_snapshot", with_eq)
+    with pytest.raises(IcebergFeatureError, match="RENAMED.*refuses|renamed"):
+        read_iceberg_table(spark, t).collect()
+
+
+def test_rename_sql_routing(spark, tmp_path):
+    """ALTER TABLE … RENAME COLUMN reaches the Iceberg rename through
+    ctx.sql (previously a Delta-only refusal)."""
+    from ballista_spark.context import BallistaContext
+    from ballista_spark.sources.iceberg import write_iceberg_table
+
+    ctx = BallistaContext(spark)
+    t = str(tmp_path / "rensql")
+    write_iceberg_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"), t
+    )
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE rensql STORED AS ICEBERG LOCATION '{t}'"
+    )
+    ctx.sql("ALTER TABLE rensql RENAME COLUMN cat TO label").collect()
+    out = ctx.sql("SELECT id, label FROM rensql ORDER BY id").collect()
+    assert [(r["id"], r["label"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_pyds_face_on_renamed_table(spark, tmp_path):
+    """format('ballista_iceberg') re-binds pre-rename files by the
+    field ids in each file's own footer (the per-file executor-side
+    twin of the main reader's id binding)."""
+    from ballista_spark.sources.iceberg import (
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    t = str(tmp_path / "renpyds")
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(5)], "id long, cat string"
+        ),
+        t,
+    )
+    rename_iceberg_column(t, "cat", "label", spark=spark)
+    # post-rename append so the scan mixes old-name and new-name files
+    write_iceberg_table(
+        spark.createDataFrame([(9, "new")], "id long, label string"),
+        t,
+        mode="append",
+    )
+    df = (
+        spark.read.format("ballista_iceberg").option("path", t).load()
+    )
+    assert df.columns == ["id", "label"]
+    got = {r["id"]: r["label"] for r in df.collect()}
+    assert got == {0: "c0", 1: "c1", 2: "c2", 3: "c3", 4: "c4", 9: "new"}
+
+
+def test_pyds_face_refuses_dv_tables(spark, tmp_path):
+    """The per-file face cannot apply v3 deletion vectors — it must
+    refuse rather than return deleted rows (round-10 gap found while
+    extending the face: the guard covered delete_files/eq_deletes but
+    not dv_deletes).  Fixture: a real v3 table with a Puffin DV,
+    built by the test_iceberg_v3_dv helpers."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "t_v3dv", os.path.join(os.path.dirname(__file__),
+                               "test_iceberg_v3_dv.py")
+    )
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from ballista_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    table = mod._v3_table(tmp_path, {"f1.parquet": [1]})
+    with pytest.raises(Exception, match="deletion.vector|delete files"):
+        spark.read.format("ballista_iceberg").option(
+            "path", table
+        ).load().collect()
