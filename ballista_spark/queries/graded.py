@@ -249,6 +249,68 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_delta_table(spark, dvt).createOrReplaceTempView("part_dvp")
     dvp_branch = spark.sql(_PART_PREDICATE.format(src="dvp", table="part_dvp"))
 
+    # eighth/ninth branches (round 10): the ICEBERG v2 position-delete
+    # LIFECYCLE — the zero-rewrite DELETE twin of 'dv'/'dvp'.  A
+    # position-delete DELETE (matched (file,pos) pairs written
+    # executor-side as sorted spec-shaped tombstone parquet, content=1
+    # delete manifest, format-version upgrade to 2) whose read applies
+    # the tombstone anti-join ('ipd'), then compaction purges the
+    # tombstones into a plain rewrite and the same rows must survive
+    # ('ipdp').  Oracle: part minus the deleted brand, twice.
+    from ballista_spark.sources.iceberg import delete_from_iceberg_table
+
+    ipt = os.path.join(root, f"part_ipd_{_uuid.uuid4().hex}")
+    write_iceberg_table(part.repartition(2), ipt)
+    if delete_from_iceberg_table(
+        spark, ipt, [("p_brand", "=", "Brand#1")], use_position_deletes=True
+    ) is None:
+        raise RuntimeError(
+            "position-delete branch matched no rows: Brand#1 is absent "
+            "from this part table (fixture drift)"
+        )
+    read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipd")
+    ipd_branch = spark.sql(_PART_PREDICATE.format(src="ipd", table="part_ipd"))
+    compact_iceberg_table(spark, ipt, target_file_bytes=1 << 30)
+    from ballista_spark.sources.iceberg import read_iceberg_snapshot
+
+    if read_iceberg_snapshot(ipt).delete_files:
+        raise RuntimeError(
+            "compaction left position-delete tombstones live — the "
+            "'ipdp' branch would not grade the purge"
+        )
+    read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipdp")
+    ipdp_branch = spark.sql(_PART_PREDICATE.format(src="ipdp", table="part_ipdp"))
+
+    # tenth branch (round 10): the ICEBERG v3 DELETION-VECTOR read
+    # plane through the oracle — a spec-built format-version 3 table
+    # (Puffin deletion-vector-v1 blob, delete manifest referencing it
+    # by content_offset/content_size) holding part ordered by
+    # p_partkey in one data file, with every Brand#1 row's POSITION
+    # deletion-vectored out.  The read must decode the roaring bitmap
+    # and anti-join by (file, position); oracle: part minus the brand.
+    from ballista_spark.sources.iceberg import spark_to_iceberg_schema
+    from ballista_spark.sources.iceberg_fixtures import build_v3_dv_table
+
+    it3 = os.path.join(root, f"part_ice3_{_uuid.uuid4().hex}")
+    ordered = part.repartition(1).sortWithinPartitions("p_partkey").toArrow()
+    positions = [
+        i
+        for i, b in enumerate(ordered["p_brand"].to_pylist())
+        if b == "Brand#1"
+    ]
+    if not positions:
+        raise RuntimeError(
+            "v3 DV branch matched no rows: Brand#1 absent (fixture drift)"
+        )
+    build_v3_dv_table(
+        it3,
+        {"part-00000.parquet": ordered},
+        {"part-00000.parquet": positions},
+        spark_to_iceberg_schema(part.schema)[0],
+    )
+    read_iceberg_table(spark, it3).createOrReplaceTempView("part_ice3")
+    ice3_branch = spark.sql(_PART_PREDICATE.format(src="ice3", table="part_ice3"))
+
     # neg_price asc == p_retailprice desc: same order as each branch's sort
     return (
         csv_branch.unionAll(ext_branch)
@@ -257,6 +319,9 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(hudi_branch)
         .unionAll(dv_branch)
         .unionAll(dvp_branch)
+        .unionAll(ipd_branch)
+        .unionAll(ipdp_branch)
+        .unionAll(ice3_branch)
         .orderBy("src", "neg_price", "p_partkey")
     )
 
@@ -280,8 +345,16 @@ _b(
     "bitmaps packed executor-side, zero data bytes rewritten) read "
     "through the tombstone anti-join, then an OPTIMIZE purge rewrite "
     "that must preserve exactly the surviving rows "
-    "(sources/deltalog.py + sources/dvbitmap.py).  Oracle reads the "
-    "same rows from parquet seven times, tagged.",
+    "(sources/deltalog.py + sources/dvbitmap.py), plus round-10 "
+    "eighth/ninth/tenth branches: the ICEBERG v2 position-delete "
+    "lifecycle — zero-rewrite DELETE writing sorted spec-shaped "
+    "(file_path,pos) tombstone parquet + content=1 delete manifest, "
+    "read via the tombstone anti-join ('ipd'), compaction purge "
+    "('ipdp') — and the v3 DELETION-VECTOR read plane over a "
+    "spec-built Puffin fixture whose roaring bitmap must anti-join "
+    "by position ('ice3') (sources/iceberg.py + "
+    "sources/iceberg_fixtures.py).  Oracle reads the same rows from "
+    "parquet ten times, tagged.",
     _csv_select_builder,
     oracle=f"""
 SELECT * FROM (
@@ -311,6 +384,18 @@ UNION ALL
 SELECT * FROM (
   {_PART_PREDICATE.format(src="dvp", table=_PART_MINUS_BRAND1)}
 ) g
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="ipd", table=_PART_MINUS_BRAND1)}
+) h
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="ipdp", table=_PART_MINUS_BRAND1)}
+) i
+UNION ALL
+SELECT * FROM (
+  {_PART_PREDICATE.format(src="ice3", table=_PART_MINUS_BRAND1)}
+) j
 ORDER BY src, neg_price, p_partkey
 """,
 )

@@ -913,22 +913,8 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
 
     out_cols = [f.name for f in snap.spark_schema.fields]
-    # _metadata.file_path is a PERCENT-ENCODED URI while manifests and
-    # delete files store raw paths — decode the scan side (literal '+'
-    # pre-escaped so url_decode cannot turn it into a space)
     tagged = df.withColumns(
-        {
-            "__dfp": F.url_decode(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ),
-                    r"\+",
-                    "%2B",
-                )
-            ),
-            "__pos": F.col("_metadata.row_index"),
-        }
+        {"__dfp": _decoded_file_path_col(), "__pos": F.col("_metadata.row_index")}
     )
     if snap.delete_files:
         # v2 POSITION deletes: one anti-join on (file, row position).
@@ -1422,7 +1408,42 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "existing_data_files_count", "type": ["null", "int"]},
         {"name": "deleted_data_files_count", "type": ["null", "int"]},
         {"name": "added_rows_count", "type": ["null", "long"]},
+        # v2 fields (null on v1-only lists; the reader treats null as
+        # content=data / sequence 0): a DELETE manifest announces
+        # itself here, and its sequence number scopes its tombstones
+        {"name": "content", "type": ["null", "int"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
+}
+
+#: v2 POSITION-DELETE manifest shapes: ``data_file.content`` is the
+#: spec's discriminator (1 = position deletes); entry sequence_number
+#: stays null and inherits the manifest's (spec "sequence number
+#: inheritance").  Bounds carry the reserved file_path field id so an
+#: id-aware reader could skip delete files per data file.
+_DELETE_FILE_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int"},
+        *_DATA_FILE_SCHEMA["fields"],
+    ],
+}
+_DELETE_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": _DELETE_FILE_RECORD_SCHEMA},
+    ],
+}
+
+#: Iceberg spec reserved field ids for position-delete file columns
+_POS_DELETE_IDS = {
+    2147483546: ("file_path", "string"),
+    2147483545: ("pos", "long"),
 }
 
 
@@ -1547,16 +1568,22 @@ def _entry_for_file(
     snapshot_id: int,
     size: int,
     bounds: tuple,
+    content: int = 0,
 ) -> dict | None:
     """Manifest entry (status ADDED) for one staged parquet file with
-    its Appendix-D footer bounds; None for an empty task output."""
+    its Appendix-D footer bounds; None for an empty task output.
+    ``content=1`` marks a position-delete file (written through the
+    v2-shaped ``_DELETE_MANIFEST_ENTRY_SCHEMA``, whose data_file record
+    carries the discriminator; the v1 data schema ignores the key)."""
     n_records, lowers, uppers, nulls = bounds
     if n_records == 0:
         return None
     return {
         "status": 1,  # ADDED
         "snapshot_id": snapshot_id,
+        "sequence_number": None,  # inherit the manifest's (v2 entries)
         "data_file": {
+            "content": content,
             "file_path": dest,
             "file_format": "PARQUET",
             "partition": {},
@@ -1577,7 +1604,11 @@ def _entry_for_file(
 
 
 def _stage_entries(
-    df: DataFrame, table_path: str, ids: dict, snapshot_id: int
+    df: DataFrame,
+    table_path: str,
+    ids: dict,
+    snapshot_id: int,
+    content: int = 0,
 ) -> list[dict]:
     """Distributed parquet staging → ``data/`` + manifest entries.
 
@@ -1618,7 +1649,7 @@ def _stage_entries(
             continue  # empty task output — swept with staging
         dest = f"{data_dir}/{_uuid.uuid4().hex}-{rel.rsplit('/', 1)[-1]}"
         fsio.move(f"{staging}/{rel}", dest)
-        e = _entry_for_file(dest, snapshot_id, size, b)
+        e = _entry_for_file(dest, snapshot_id, size, b, content=content)
         if e is not None:
             entries.append(e)
     fsio.remove_dir(staging)
@@ -1839,6 +1870,15 @@ def write_iceberg_table(
                     {k: m.get(k) for k in
                      [f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]]}
                 )
+    # a table upgraded to v2 (first position delete) keeps its version
+    # and advances the sequence counter on every commit; v1 tables
+    # stay v1 with no sequence bookkeeping
+    fmt_version = int((md or {}).get("format-version", 1))
+    new_seq = (
+        int((md or {}).get("last-sequence-number", 0)) + 1
+        if fmt_version >= 2
+        else None
+    )
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
@@ -1850,6 +1890,8 @@ def write_iceberg_table(
         "added_rows_count": sum(
             e["data_file"]["record_count"] for e in entries
         ),
+        "content": 0,
+        "sequence_number": new_seq,
     }
     list_path = _write_manifest_list(
         meta_dir, snapshot_id, carried + [new_manifest]
@@ -1870,13 +1912,15 @@ def write_iceberg_table(
             ),
         },
     }
+    if new_seq is not None:
+        snapshot["sequence-number"] = new_seq
     if parent_snapshot_id is not None:
         snapshot["parent-snapshot-id"] = parent_snapshot_id
     new_md = _append_snapshot_md(
         md,
         snapshot,
         extras={
-            "format-version": 1,
+            "format-version": fmt_version,
             "table-uuid": table_uuid,
             "location": table_path,
             "last-column-id": last_column_id,
@@ -1885,6 +1929,11 @@ def write_iceberg_table(
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "default-spec-id": 0,
             "properties": (md or {}).get("properties", {}),
+            **(
+                {"last-sequence-number": new_seq}
+                if new_seq is not None
+                else {}
+            ),
         },
     )
     _commit_metadata(meta_dir, new_md, prev_version)
@@ -2202,7 +2251,7 @@ def compact_iceberg_table(
             ]
             new_entries.extend(
                 _stage_entries(
-                    spark.read.schema(spark_schema).parquet(*paths).coalesce(1),
+                    _mutation_scan(spark, md, schema_json, paths).coalesce(1),
                     table_path,
                     ids,
                     snapshot_id,
@@ -2352,6 +2401,40 @@ def expire_iceberg_snapshots(
     return sorted(deleted)
 
 
+def _mutation_scan(spark: SparkSession, md: dict, schema_json: dict, paths):
+    """Raw data-file read for a REWRITE (DELETE/UPDATE/MERGE/compact
+    bin-pack): when the schema history contains a rename, bind columns
+    by parquet field id exactly like :func:`read_iceberg_table` —
+    pre-rename files carry OLD column names, and a name-bound read
+    would silently NULL the renamed column in the rewritten output
+    (round-10 regression caught by forcing a survivor rewrite of a
+    pre-rename file)."""
+    spark_schema = iceberg_to_spark_type(schema_json)
+    read_schema = spark_schema
+    if _rename_in_history(md, schema_json):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = _spark_schema_with_field_ids(spark_schema, schema_json)
+    return spark.read.schema(read_schema).parquet(*paths)
+
+
+def _decoded_file_path_col():
+    """``_metadata.file_path`` normalized to the manifests' raw spelling
+    — it is a PERCENT-ENCODED ``file:`` URI while manifests and delete
+    files store raw absolute paths; literal '+' is pre-escaped so
+    url_decode cannot turn it into a space.  Shared by the tombstone
+    anti-join (read side) and the position-delete writer (so both sides
+    of the (file, pos) join always agree byte-for-byte)."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+            r"\+",
+            "%2B",
+        )
+    )
+
+
 def _filters_to_column(filters: list[tuple[str, str, object]]):
     """AND of advisory filter triples as a real row predicate — the
     exact-match side of the same language the readers prune on."""
@@ -2383,24 +2466,41 @@ def delete_from_iceberg_table(
     spark: SparkSession,
     table_path: str,
     filters: list[tuple[str, str, object]],
+    use_position_deletes: bool = False,
 ) -> int | None:
-    """Copy-on-write DELETE: remove every row matching ALL ``filters``
-    (the same (col, op, value) triples the readers prune on), touching
-    ONLY the files whose manifest bounds may contain matches — the
+    """DELETE: remove every row matching ALL ``filters`` (the same
+    (col, op, value) triples the readers prune on), touching ONLY the
+    files whose manifest bounds may contain matches — the
     ``merge_delta_table`` discipline.  Commits one snapshot (operation
     ``delete``); returns its id, or None when the bounds prove no file
-    could match (zero I/O).
+    could match (zero I/O).  Rows where the predicate is NULL are KEPT
+    — SQL DELETE semantics.
 
-    Untouched files' manifest records carry forward verbatim; touched
-    files are rewritten without the matching rows (a file left empty
-    disappears).  Rows where the predicate is NULL are KEPT — SQL
-    DELETE semantics.  Tables with v2 position-delete files refuse:
-    rewriting a file invalidates ITS tombstone positions while other
-    files' tombstones must survive, and the carry-forward manifest
-    cannot express delete entries — run ``compact_iceberg_table``
-    first (it applies the tombstones).  Old snapshots stay readable
-    until ``expire_iceberg_snapshots``; the ``ballista_iceberg``
-    streaming face refuses delete snapshots (a stream cannot retract).
+    Two write shapes (the Iceberg twin of
+    ``delete_from_delta_table``'s COW/DV split):
+
+    - default (copy-on-write): touched files REWRITE without the
+      matching rows (a file left empty disappears); untouched files'
+      manifest records carry forward verbatim.  Cost tracks touched
+      BYTES.  Tables with v2 delete files refuse: rewriting a file
+      invalidates ITS tombstone positions while other files'
+      tombstones must survive — run ``compact_iceberg_table`` first
+      (it applies the tombstones).
+    - ``use_position_deletes=True`` (spec v2 merge-on-read): matched
+      (file, position) pairs write as sorted position-delete PARQUET
+      files with the spec's reserved field ids, referenced from a new
+      DELETE manifest (``content=1``); ZERO data bytes rewritten, cost
+      tracks MATCHED ROWS.  The commit upgrades the table to
+      format-version 2 and assigns the snapshot a sequence number.
+      Repeating the same DELETE is a no-op (existing tombstones
+      anti-join out of the matched scan executor-side).  Purge later
+      with ``compact_iceberg_table`` (a table with delete files
+      compacts through the tombstone-applying reader and the replace
+      snapshot carries none).
+
+    Old snapshots stay readable until ``expire_iceberg_snapshots``;
+    the ``ballista_iceberg`` streaming face refuses delete snapshots
+    (a stream cannot retract).
     """
     import time
     import uuid as _uuid
@@ -2423,12 +2523,28 @@ def delete_from_iceberg_table(
     if cur_id in (None, -1) or cur_id not in snaps:
         return None
     live = _live_entries(table_path, snaps[cur_id])
-    if any((e["data_file"].get("content", 0) or 0) != 0 for e in live):
+    if not use_position_deletes and any(
+        (e["data_file"].get("content", 0) or 0) != 0 for e in live
+    ):
         raise IcebergFeatureError(
             "table has v2 delete files: copy-on-write DELETE cannot "
             "carry tombstones across a rewrite — compact_iceberg_table "
-            "first (it applies them)"
+            "first (it applies them), or pass use_position_deletes=True"
         )
+    if use_position_deletes:
+        for e in live:
+            content = e["data_file"].get("content", 0) or 0
+            fmt = (e["data_file"].get("file_format") or "PARQUET").upper()
+            if content == 2 or (content == 1 and fmt != "PARQUET"):
+                raise IcebergFeatureError(
+                    "position-delete DELETE on a table with equality "
+                    "deletes or Puffin deletion vectors is not "
+                    "supported (their sequence/vector bookkeeping "
+                    "would interleave) — compact_iceberg_table first"
+                )
+        # renamed tables are fine: the matched scan binds by field id
+        # (_mutation_scan) and tombstones are (file, pos) pairs —
+        # name-independent by construction
 
     def _may_match(entry: dict) -> bool:
         lowers = _as_id_map(entry["data_file"].get("lower_bounds"))
@@ -2441,18 +2557,33 @@ def delete_from_iceberg_table(
                 bounds[name] = (lo, hi)
         return all(_bounds_may_match(bounds, c, op, v) for c, op, v in filters)
 
-    touched = [e for e in live if _may_match(e)]
+    touched = [
+        e
+        for e in live
+        if (e["data_file"].get("content", 0) or 0) == 0 and _may_match(e)
+    ]
     if not touched:
         return None
+    if use_position_deletes:
+        return _delete_with_position_deletes(
+            spark,
+            table_path,
+            md,
+            snaps[cur_id],
+            live,
+            touched,
+            filters,
+            schema_json,
+            meta_dir,
+            prev_version,
+        )
     snapshot_id = _uuid.uuid4().int >> 75
     spark_schema = iceberg_to_spark_type(schema_json)
     paths = [
         _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
     ]
-    survivors = (
-        spark.read.schema(spark_schema)
-        .parquet(*paths)
-        .where(~F.coalesce(_filters_to_column(filters), F.lit(False)))
+    survivors = _mutation_scan(spark, md, schema_json, paths).where(
+        ~F.coalesce(_filters_to_column(filters), F.lit(False))
     )
     new_entries = _stage_entries(survivors, table_path, ids, snapshot_id)
 
@@ -2499,6 +2630,163 @@ def delete_from_iceberg_table(
         },
     }
     _commit_metadata(meta_dir, _append_snapshot_md(md, snapshot), prev_version)
+    return snapshot_id
+
+
+def _delete_with_position_deletes(
+    spark: SparkSession,
+    table_path: str,
+    md: dict,
+    cur_snap: dict,
+    live: list[dict],
+    touched: list[dict],
+    filters: list[tuple[str, str, object]],
+    schema_json: dict,
+    meta_dir: str,
+    prev_version: int,
+) -> int | None:
+    """The zero-rewrite shape of DELETE (see delete_from_iceberg_table)
+    — the Iceberg v2 twin of ``deltalog._delete_with_deletion_vectors``.
+
+    Matched row positions NEVER collect to the driver: the touched
+    files scan with ``_metadata`` (file, row_index), existing
+    tombstones anti-join out executor-side (a repeated DELETE commits
+    nothing), and the survivors write DISTRIBUTED as sorted
+    position-delete parquet under ``data/`` — the driver only moves
+    staged files and reads their footers, exactly the data-write
+    discipline of ``_stage_entries``.  One new DELETE manifest
+    (``content=1``, spec reserved field ids 2147483546/2147483545)
+    joins the manifest list next to the carried-forward data
+    manifests; the commit upgrades the table to format-version 2 and
+    advances ``last-sequence-number``.
+    """
+    import math
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ballista_spark.sources.avroio import write_avro_bytes
+
+    paths = [
+        _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
+    ]
+    tagged = _mutation_scan(spark, md, schema_json, paths).withColumns(
+        {
+            "__dfp": _decoded_file_path_col(),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    existing = [
+        _norm_path(table_path, e["data_file"]["file_path"])
+        for e in live
+        if (e["data_file"].get("content", 0) or 0) == 1
+    ]
+    if existing:
+        tombstones = (
+            spark.read.parquet(*existing)
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                    "__dfp"
+                ),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            .distinct()
+        )
+        tagged = tagged.join(tombstones, ["__dfp", "__pos"], "left_anti")
+    matched = tagged.where(
+        F.coalesce(_filters_to_column(list(filters)), F.lit(False))
+    ).select(
+        F.col("__dfp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    # spec: position-delete rows sorted by (file_path, pos); each output
+    # file covers a contiguous file range so a future id-aware reader
+    # can skip delete files by their file_path bounds
+    n_out = max(1, math.ceil(len(touched) / 64))
+    if n_out > 1:
+        matched = matched.repartitionByRange(n_out, "file_path", "pos")
+    else:
+        matched = matched.coalesce(1)
+    matched = matched.sortWithinPartitions("file_path", "pos")
+
+    snapshot_id = _uuid.uuid4().int >> 75
+    entries = _stage_entries(
+        matched, table_path, _POS_DELETE_IDS, snapshot_id, content=1
+    )
+    if not entries:
+        return None  # every match was already tombstoned — no-op
+    n_tombstones = sum(e["data_file"]["record_count"] for e in entries)
+
+    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-d0.avro")
+    manifest_bytes = write_avro_bytes(
+        entries,
+        _DELETE_MANIFEST_ENTRY_SCHEMA,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    fsio.write_bytes(manifest_path, manifest_bytes)
+
+    new_seq = int(md.get("last-sequence-number", 0)) + 1
+    carried = []
+    prev_manifests, _sch = read_avro_bytes(
+        fsio.read_bytes(_norm_path(table_path, cur_snap["manifest-list"]))
+    )
+    for m in prev_manifests:
+        carried.append(
+            {
+                k: m.get(k)
+                for k in [f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]]
+            }
+        )
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_tombstones,
+        "content": 1,
+        "sequence_number": new_seq,
+    }
+    list_path = _write_manifest_list(
+        meta_dir, snapshot_id, carried + [new_manifest]
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "sequence-number": new_seq,
+        "manifest-list": list_path,
+        "parent-snapshot-id": cur_snap["snapshot-id"],
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(n_tombstones),
+        },
+    }
+    if "schema-id" not in schema_json:
+        schema_json = {"schema-id": 0, **schema_json}
+    new_md = _append_snapshot_md(
+        md,
+        snapshot,
+        extras={
+            # first position delete upgrades the table to the spec
+            # version that defines delete files
+            "format-version": 2,
+            "last-sequence-number": new_seq,
+            "schemas": md.get("schemas") or [schema_json],
+            "current-schema-id": md.get(
+                "current-schema-id", schema_json.get("schema-id", 0)
+            ),
+        },
+    )
+    _commit_metadata(meta_dir, new_md, prev_version)
     return snapshot_id
 
 
@@ -2575,7 +2863,7 @@ def update_iceberg_table(
     paths = [
         _norm_path(table_path, e["data_file"]["file_path"]) for e in touched
     ]
-    base = spark.read.schema(spark_schema).parquet(*paths)
+    base = _mutation_scan(spark, md, schema_json, paths)
     # SQL UPDATE: all SET right-hand sides see the PRE-update row
     # (`SET a = b, b = a` swaps) — one select projection, not chained
     # withColumn
@@ -2759,8 +3047,7 @@ def merge_iceberg_table(
     touched_paths: set[str] = set()
     if candidates:
         probe = (
-            spark.read.schema(spark_schema)
-            .parquet(*_paths(candidates))
+            _mutation_scan(spark, md, schema_json, _paths(candidates))
             .withColumn("__file", F.input_file_name())
             .join(F.broadcast(source.select(*on).distinct()), on=on, how="semi")
             .select("__file")
@@ -2784,7 +3071,7 @@ def merge_iceberg_table(
     new_entries: list[dict] = []
     matched_keys = None
     if touched:
-        touched_df = spark.read.schema(spark_schema).parquet(*_paths(touched))
+        touched_df = _mutation_scan(spark, md, schema_json, _paths(touched))
         kept = touched_df.join(
             F.broadcast(source.select(*on).distinct()), on=on, how="left_anti"
         )

@@ -624,3 +624,70 @@ def test_pyds_face_refuses_dv_tables(spark, tmp_path):
         spark.read.format("ballista_iceberg").option(
             "path", table
         ).load().collect()
+
+
+def test_cow_rewrites_bind_by_id_on_renamed_tables(spark, tmp_path):
+    """Round-10 regression: a COW rewrite (DELETE/UPDATE/MERGE/compact
+    bin-pack) of a PRE-RENAME file must bind columns by field id — a
+    name-bound read silently NULLed the renamed column in the
+    rewritten output.  Forces single-file layouts so every mutation
+    rewrites a file that still carries the old column name."""
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        delete_from_iceberg_table,
+        merge_iceberg_table,
+        read_iceberg_table,
+        rename_iceberg_column,
+        update_iceberg_table,
+        write_iceberg_table,
+    )
+
+    def fresh(name):
+        t = str(tmp_path / name)
+        write_iceberg_table(
+            spark.createDataFrame(
+                [(i, f"c{i}", float(i)) for i in range(8)],
+                "id long, cat string, v double",
+            ).coalesce(1),
+            t,
+        )
+        rename_iceberg_column(t, "cat", "label", spark=spark)
+        return t
+
+    def labels(t):
+        return {
+            r["id"]: r["label"]
+            for r in read_iceberg_table(spark, t).collect()
+        }
+
+    t = fresh("del")
+    delete_from_iceberg_table(spark, t, [("id", "=", 3)])
+    assert labels(t) == {i: f"c{i}" for i in range(8) if i != 3}
+
+    t = fresh("upd")
+    update_iceberg_table(spark, t, {"v": "v + 100"}, [("id", "=", 2)])
+    assert labels(t) == {i: f"c{i}" for i in range(8)}
+
+    t = fresh("mrg")
+    merge_iceberg_table(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(3, "zz", 0.0)], "id long, label string, v double"
+        ),
+        on=["id"],
+    )
+    got = labels(t)
+    assert got == {**{i: f"c{i}" for i in range(8)}, 3: "zz"}
+
+    t = fresh("cmp")
+    # second tiny file so the bin-pack (non-full-rewrite) branch runs
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(100, "x", 0.0)], "id long, label string, v double"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    assert compact_iceberg_table(spark, t, target_file_bytes=1 << 30)
+    assert labels(t) == {**{i: f"c{i}" for i in range(8)}, 100: "x"}

@@ -88,55 +88,15 @@ def test_puffin_and_dv_guards():
 # ------------------------------------------------------------- v3 fixtures
 
 
-_KV = {
-    "type": "record",
-    "name": "k126_v127",
-    "fields": [
-        {"name": "key", "type": "int"},
-        {"name": "value", "type": "bytes"},
-    ],
-}
-_V3_DATA_FILE = {
-    "type": "record",
-    "name": "r2v3",
-    "fields": [
-        {"name": "content", "type": "int"},
-        {"name": "file_path", "type": "string"},
-        {"name": "file_format", "type": "string"},
-        {"name": "record_count", "type": "long"},
-        {"name": "file_size_in_bytes", "type": "long"},
-        {"name": "lower_bounds", "type": ["null", {"type": "array", "items": _KV}]},
-        {
-            "name": "upper_bounds",
-            "type": [
-                "null",
-                {"type": "array", "items": {**_KV, "name": "k128_v129"}},
-            ],
-        },
-        {"name": "referenced_data_file", "type": ["null", "string"]},
-        {"name": "content_offset", "type": ["null", "long"]},
-        {"name": "content_size_in_bytes", "type": ["null", "long"]},
-    ],
-}
-V3_MANIFEST_ENTRY = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "data_file", "type": _V3_DATA_FILE},
-    ],
-}
-MANIFEST_FILE = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "added_snapshot_id", "type": ["null", "long"]},
-    ],
-}
+# the spec-shaped builder moved into the library (round 10) so the
+# graded corpus can grade the v3 read plane too; the tests keep their
+# original entry points as thin wrappers
+from ballista_spark.sources.iceberg_fixtures import (  # noqa: E402
+    V3_MANIFEST_ENTRY_SCHEMA as V3_MANIFEST_ENTRY,
+    V3_MANIFEST_FILE_SCHEMA as MANIFEST_FILE,
+    build_v3_dv_table,
+)
+
 SCHEMA_JSON = {
     "schema-id": 0,
     "type": "struct",
@@ -147,128 +107,27 @@ SCHEMA_JSON = {
 }
 
 
-def _data_entry(table, name, ids):
-    path = os.path.join(table, "data", name)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(
-        pa.table(
-            {
-                "id": pa.array(ids, pa.int64()),
-                "cat": pa.array([f"c{i}" for i in ids], pa.string()),
-            }
-        ),
-        path,
+def _arrow_ids(ids):
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "cat": pa.array([f"c{i}" for i in ids], pa.string()),
+        }
     )
-    return {
-        "status": 1,
-        "snapshot_id": None,
-        "data_file": {
-            "content": 0,
-            "file_path": os.path.relpath(path, table),
-            "file_format": "PARQUET",
-            "record_count": len(ids),
-            "file_size_in_bytes": os.path.getsize(path),
-            "lower_bounds": [
-                {"key": 1, "value": struct.pack("<q", min(ids))}
-            ],
-            "upper_bounds": [
-                {"key": 1, "value": struct.pack("<q", max(ids))}
-            ],
-            "referenced_data_file": None,
-            "content_offset": None,
-            "content_size_in_bytes": None,
-        },
-    }
 
 
 def _v3_table(tmp_path, dv_by_file, schema_json=SCHEMA_JSON, name="ice3"):
     """Two data files (ids 0..9, 100..109) + ONE Puffin file holding a
     deletion vector per entry of ``dv_by_file`` (fname -> positions)."""
-    table = str(tmp_path / name)
-    entries = [
-        _data_entry(table, "f1.parquet", list(range(10))),
-        _data_entry(table, "f2.parquet", list(range(100, 110))),
-    ]
-    dv_entries = []
-    if dv_by_file:
-        pairs = [
-            (os.path.join(table, "data", fname), sorted(set(positions)))
-            for fname, positions in dv_by_file.items()
-        ]
-        blob_bytes, descs = pack_puffin_file(
-            [
-                (
-                    pack_iceberg_dv_blob(positions),
-                    {
-                        "referenced-data-file": ref,
-                        "cardinality": str(len(positions)),
-                    },
-                )
-                for ref, positions in pairs
-            ]
-        )
-        puffin_rel = "data/deletes.puffin"
-        with open(os.path.join(table, puffin_rel), "wb") as f:
-            f.write(blob_bytes)
-        for d, (ref, positions) in zip(descs, pairs):
-            dv_entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": None,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": puffin_rel,
-                        "file_format": "PUFFIN",
-                        "record_count": len(positions),
-                        "file_size_in_bytes": len(blob_bytes),
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                        "referenced_data_file": ref,
-                        "content_offset": d["offset"],
-                        "content_size_in_bytes": d["length"],
-                    },
-                }
-            )
-    meta_dir = os.path.join(table, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    manifest_rel = "metadata/manifest-1.avro"
-    with open(os.path.join(table, manifest_rel), "wb") as f:
-        f.write(write_avro_bytes(entries + dv_entries, V3_MANIFEST_ENTRY))
-    mlist_rel = "metadata/snap-7001.avro"
-    with open(os.path.join(table, mlist_rel), "wb") as f:
-        f.write(
-            write_avro_bytes(
-                [
-                    {
-                        "manifest_path": manifest_rel,
-                        "manifest_length": os.path.getsize(
-                            os.path.join(table, manifest_rel)
-                        ),
-                        "partition_spec_id": 0,
-                        "added_snapshot_id": 7001,
-                    }
-                ],
-                MANIFEST_FILE,
-            )
-        )
-    md = {
-        "format-version": 3,
-        "table-uuid": str(uuid.uuid4()),
-        "location": table,
-        "last-sequence-number": 1,
-        "next-row-id": 20,
-        "schemas": [schema_json],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
-        "snapshots": [{"snapshot-id": 7001, "manifest-list": mlist_rel}],
-        "current-snapshot-id": 7001,
-    }
-    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
-        json.dump(md, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write("1")
-    return table
+    return build_v3_dv_table(
+        str(tmp_path / name),
+        {
+            "f1.parquet": _arrow_ids(list(range(10))),
+            "f2.parquet": _arrow_ids(list(range(100, 110))),
+        },
+        dv_by_file,
+        schema_json,
+    )
 
 
 # -------------------------------------------------------------------- reads

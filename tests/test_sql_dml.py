@@ -532,17 +532,26 @@ def test_sql_rename_column_end_to_end_delta(spark, tmp_path):
     assert got == {1: "a", 2: "z"}
 
 
-def test_sql_rename_column_iceberg_refuses(spark, tmp_path):
+def test_sql_rename_column_iceberg(spark, tmp_path):
+    """Round 10 replaced the Iceberg rename refusal with field-id
+    binding: the router now renames as a metadata-only commit and the
+    renamed table keeps reading + mutating."""
     ctx = _ctx(spark)
     path = str(tmp_path / "ice")
     from ballista_spark.sources.iceberg import write_iceberg_table
 
     write_iceberg_table(
-        spark.createDataFrame([(1, "a")], "id long, cat string"), path
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string"),
+        path,
     )
     ctx.register_iceberg("t", path)
-    with pytest.raises(DmlError, match="Delta-only"):
-        ctx.sql("ALTER TABLE t RENAME COLUMN cat TO label")
+    out = ctx.sql("ALTER TABLE t RENAME COLUMN cat TO label").df.collect()[0]
+    assert out["operation"] == "alter"
+    got = {r["id"]: r["label"] for r in ctx.sql("SELECT * FROM t").df.collect()}
+    assert got == {1: "a", 2: "b"}
+    ctx.sql("UPDATE t SET label = 'z' WHERE id = 2")
+    got = {r["id"]: r["label"] for r in ctx.sql("SELECT * FROM t").df.collect()}
+    assert got == {1: "a", 2: "z"}
 
 
 def test_parse_set_unset_tblproperties():
