@@ -27,10 +27,12 @@ exclusive-create.  Object stores have no portable primitive — pyarrow
 exposes none — so deployments register a :class:`LogStore` (atomic
 put-if-absent over DynamoDB, conditional PUT, a database row, …) via
 :func:`register_log_store`; every lakehouse commit for that scheme
-routes through it.  Without one, :func:`create_exclusive` degrades to
-check-then-write and emits a single warning naming the gap (correct
-single-writer — the common scheduled-job shape), or refuses outright
-under ``set_commit_mode("strict")``.
+routes through it.  :class:`SqliteLogStore` ships as the reference
+implementation (and the documented 1:1 shape of a DynamoDB
+coordinator).  Without one, :func:`create_exclusive` REFUSES by
+default (``strict``, round 10 — the unsafe path is opt-in);
+``set_commit_mode("warn")`` accepts single-writer check-then-write
+with a one-time warning (the common scheduled-job shape).
 
 Worker-safe: every function takes a full path/URI and resolves its
 filesystem per call (cached per scheme+authority), so executor-side
@@ -48,6 +50,7 @@ __all__ = [
     "is_local",
     "register_filesystem",
     "LogStore",
+    "SqliteLogStore",
     "register_log_store",
     "set_commit_mode",
     "read_bytes",
@@ -127,13 +130,113 @@ class _LocalLogStore(LogStore):
             f.write(data)
 
 
+class SqliteLogStore(LogStore):
+    """Reference NON-LOCAL commit coordinator: atomic put-if-absent
+    through a shared SQLite database — genuinely atomic across
+    processes (SQLite serializes the claiming INSERT), usable wherever
+    all writers can reach one database file with working locks (local
+    disk for single-host multi-process, a shared POSIX filesystem for
+    small fleets).  It is also the documented SHAPE of a DynamoDB
+    coordinator: the claiming ``INSERT`` maps 1:1 to ``PutItem`` with
+    ``attribute_not_exists(path)``, the completion ``UPDATE`` to
+    ``UpdateItem`` — swap those two calls and the protocol carries to
+    S3 multi-writer unchanged (the delta-io S3DynamoDBLogStore recipe,
+    delta.io PROTOCOL + storage docs).
+
+    Commit protocol (crash-safe write-ahead):
+
+    1. STAGE  — write ``data`` to ``<path>.tmp-<uuid>`` on the target
+       store (a same-store sibling, so publish is a cheap copy).
+    2. CLAIM  — atomically INSERT the path, recording the temp name.
+       Exactly one concurrent writer succeeds; losers raise
+       ``FileExistsError``.
+    3. PUBLISH — copy temp → final path, mark the claim complete,
+       drop the temp.
+
+    A winner crashing between CLAIM and PUBLISH leaves the slot
+    claimed but unpublished; ANY later ``put_if_absent`` on that path
+    first COMPLETES the recorded winner (copies its temp into place)
+    before raising ``FileExistsError`` — a crashed writer never wedges
+    the log, exactly the recovery rule the DynamoDB LogStore
+    documents."""
+
+    def __init__(self, db_path: str):
+        import sqlite3
+
+        self._db = db_path
+        con = sqlite3.connect(db_path, timeout=30)
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS commits ("
+                    "path TEXT PRIMARY KEY, tmp TEXT NOT NULL, "
+                    "complete INTEGER NOT NULL DEFAULT 0)"
+                )
+        finally:
+            con.close()
+
+    def _connect(self):
+        import sqlite3
+
+        return sqlite3.connect(self._db, timeout=30)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        import sqlite3
+        import uuid as _uuid
+
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        write_bytes(tmp, data)  # STAGE
+        con = self._connect()
+        try:
+            try:
+                with con:  # CLAIM (atomic: path is the primary key)
+                    con.execute(
+                        "INSERT INTO commits (path, tmp, complete) "
+                        "VALUES (?, ?, 0)",
+                        (path, tmp),
+                    )
+            except sqlite3.IntegrityError:
+                remove(tmp, missing_ok=True)
+                self._recover(con, path)
+                raise FileExistsError(path) from None
+            write_bytes(path, data)  # PUBLISH
+            with con:
+                con.execute(
+                    "UPDATE commits SET complete = 1 WHERE path = ?", (path,)
+                )
+        finally:
+            con.close()
+        remove(tmp, missing_ok=True)
+
+    def _recover(self, con, path: str) -> None:
+        """Complete a claimed-but-unpublished commit (winner crashed
+        between CLAIM and PUBLISH) so later readers see it."""
+        row = con.execute(
+            "SELECT tmp, complete FROM commits WHERE path = ?", (path,)
+        ).fetchone()
+        if row is None or row[1]:
+            return
+        tmp = row[0]
+        if not exists(path):
+            if not exists(tmp):
+                return  # winner still mid-stage; nothing to complete yet
+            write_bytes(path, read_bytes(tmp))
+        with con:
+            con.execute(
+                "UPDATE commits SET complete = 1 WHERE path = ?", (path,)
+            )
+        remove(tmp, missing_ok=True)
+
+
 #: scheme -> LogStore; local paths always use _LocalLogStore
 _LOG_STORES: dict[str, LogStore] = {}
 
-#: "warn" (default): non-local commits without a registered LogStore
-#: degrade to check-then-write with a one-time warning — correct
-#: single-writer, unsafe multi-writer.  "strict": refuse them instead.
-_COMMIT_MODE = "warn"
+#: "strict" (default since round 10): non-local commits without a
+#: registered LogStore REFUSE — object stores have no atomic
+#: exclusive-create, so the unsafe check-then-write path is opt-in.
+#: "warn": degrade to check-then-write with a one-time warning —
+#: correct single-writer, unsafe multi-writer.
+_COMMIT_MODE = "strict"
 
 
 def register_log_store(scheme: str, store: LogStore) -> None:
@@ -258,9 +361,10 @@ def write_text(path: str, text: str, encoding: str = "utf-8") -> None:
 def create_exclusive(path: str, data: bytes) -> None:
     """Put-if-absent: raises FileExistsError when ``path`` exists.
     Atomic on local filesystems (``open(..., "x")``) and through any
-    :func:`register_log_store`-registered coordinator; otherwise
-    check-then-write with a one-time warning — or an outright refusal
-    under ``set_commit_mode("strict")``."""
+    :func:`register_log_store`-registered coordinator (ship-with
+    reference: :class:`SqliteLogStore`); otherwise REFUSED by default
+    (``strict``) — ``set_commit_mode("warn")`` opts into single-writer
+    check-then-write with a one-time warning."""
     if is_local(path):
         _LocalLogStore().put_if_absent(path, data)
         return

@@ -32,6 +32,16 @@ def mockfs():
     fsio._REGISTERED.pop("mock", None)
 
 
+@pytest.fixture()
+def warnmode():
+    """Opt a test into the pre-round-10 check-then-write commit path
+    (strict is the default now; single-writer metadata-plane tests
+    exercise the commit sites without a coordinator)."""
+    prev = fsio.set_commit_mode("warn")
+    yield
+    fsio.set_commit_mode(prev)
+
+
 # ------------------------------------------------------------- fsio unit
 
 
@@ -55,7 +65,7 @@ def test_local_fast_path(tmp_path):
     assert not fsio.exists(str(tmp_path / "a"))
 
 
-def test_mock_fs_ops(mockfs):
+def test_mock_fs_ops(mockfs, warnmode):
     fsio.write_bytes("mock://t/dir/f1.bin", b"abc")
     assert fsio.read_bytes("mock://t/dir/f1.bin") == b"abc"
     assert fsio.exists("mock://t/dir/f1.bin")
@@ -143,7 +153,7 @@ def _mock_delta_table(n_files=3):
     return table
 
 
-def test_delta_metadata_plane_on_mock_fs(mockfs):
+def test_delta_metadata_plane_on_mock_fs(mockfs, warnmode):
     from ballista_spark.sources.deltalog import (
         _attempt_commit,
         _prune_files,
@@ -172,7 +182,7 @@ def test_delta_metadata_plane_on_mock_fs(mockfs):
 # ------------------------------------------ Iceberg metadata plane on mock
 
 
-def test_iceberg_metadata_plane_on_mock_fs(mockfs):
+def test_iceberg_metadata_plane_on_mock_fs(mockfs, warnmode):
     from ballista_spark.sources.iceberg import (
         _commit_metadata,
         _current_metadata_version,
@@ -251,7 +261,7 @@ def test_iceberg_metadata_plane_on_mock_fs(mockfs):
 # --------------------------------------------- Hudi timeline plane on mock
 
 
-def test_hudi_timeline_on_mock_fs(mockfs):
+def test_hudi_timeline_on_mock_fs(mockfs, warnmode):
     from ballista_spark.sources.hudi import hudi_snapshot_files
 
     table = "mock://wh/hudi"
@@ -516,20 +526,122 @@ def test_log_store_end_to_end_delta_commits(mock_log_store):
     assert read_delta_snapshot(table).num_files == 2
 
 
-def test_strict_commit_mode_refuses_without_log_store(mockfs):
-    prev = fsio.set_commit_mode("strict")
-    try:
-        with pytest.raises(PermissionError, match="strict commit mode"):
-            fsio.create_exclusive("mock://t/_delta_log/0.json", b"x")
-        # local paths stay atomic and unaffected
-    finally:
-        assert fsio.set_commit_mode(prev) == "strict"
+def test_strict_is_default_and_refuses_without_log_store(mockfs, tmp_path):
+    """Round 10: non-local commits REFUSE by default — the warning text
+    became the error; the unsafe path is opt-in via warn mode."""
+    assert fsio._COMMIT_MODE == "strict"
+    with pytest.raises(PermissionError, match="strict commit mode"):
+        fsio.create_exclusive("mock://t/_delta_log/0.json", b"x")
+    # local paths stay atomic and unaffected by strict mode
+    p = str(tmp_path / "local.json")
+    fsio.create_exclusive(p, b"x")
+    with pytest.raises(FileExistsError):
+        fsio.create_exclusive(p, b"y")
 
 
-def test_warn_mode_check_then_write_warns_once(mockfs, monkeypatch):
+def test_warn_mode_check_then_write_warns_once(mockfs, warnmode, monkeypatch):
     monkeypatch.setattr(fsio, "_warned_non_atomic", False)
     with pytest.warns(UserWarning, match="LogStore"):
         fsio.create_exclusive("mock://w/one.json", b"x")
     with pytest.raises(FileExistsError):
         fsio.create_exclusive("mock://w/one.json", b"y")
     assert fsio.read_bytes("mock://w/one.json") == b"x"
+
+
+# ---------------------------------------------------- SqliteLogStore
+
+
+@pytest.fixture()
+def sqlite_store(mockfs, tmp_path):
+    store = fsio.SqliteLogStore(str(tmp_path / "commits.db"))
+    fsio.register_log_store("mock", store)
+    yield store
+    fsio._LOG_STORES.pop("mock", None)
+
+
+def test_sqlite_log_store_exactly_one_winner(sqlite_store):
+    """The shipped reference coordinator under a genuine N-writer race:
+    exactly one create_exclusive wins, the final object holds the
+    winner's bytes, and no temp files leak."""
+    import threading
+
+    path = "mock://tbl/_delta_log/00000000000000000007.json"
+    n = 12
+    barrier = threading.Barrier(n)
+    outcomes = []
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            fsio.create_exclusive(path, b"payload-%d" % i)
+            outcomes.append(("win", i))
+        except FileExistsError:
+            outcomes.append(("lose", i))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [o for o in outcomes if o[0] == "win"]
+    assert len(wins) == 1 and len(outcomes) == n
+    assert fsio.read_bytes(path) == b"payload-%d" % wins[0][1]
+    # no stage temps left behind
+    leftovers = [
+        rel for rel, _ in fsio.walk_files("mock://tbl") if ".tmp-" in rel
+    ]
+    assert leftovers == []
+
+
+def test_sqlite_log_store_recovers_crashed_winner(sqlite_store, monkeypatch):
+    """A winner crashing between CLAIM and PUBLISH must not wedge the
+    slot: the next attempt completes the winner's commit from its
+    recorded temp, then reports the slot taken."""
+    path = "mock://tbl/_delta_log/00000000000000000001.json"
+
+    real_write = fsio.write_bytes
+    crashed = {"done": False}
+
+    def crash_on_publish(p, data):
+        if p == path and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated crash after claim")
+        real_write(p, data)
+
+    monkeypatch.setattr(fsio, "write_bytes", crash_on_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sqlite_store.put_if_absent(path, b"winner-bytes")
+    assert not fsio.exists(path)  # claimed but unpublished
+
+    # a later writer loses AND completes the crashed winner's commit
+    with pytest.raises(FileExistsError):
+        sqlite_store.put_if_absent(path, b"loser-bytes")
+    assert fsio.read_bytes(path) == b"winner-bytes"
+    # idempotent: further losers see the completed slot, content stable
+    with pytest.raises(FileExistsError):
+        sqlite_store.put_if_absent(path, b"third-bytes")
+    assert fsio.read_bytes(path) == b"winner-bytes"
+
+
+def test_sqlite_log_store_delta_commits_under_strict(sqlite_store):
+    """End-to-end under the strict DEFAULT: a mock:// Delta table
+    commits through the sqlite coordinator with no warning and no
+    refusal — the supported multi-writer deployment shape."""
+    import warnings as _w
+
+    from ballista_spark.sources.deltalog import (
+        _attempt_commit,
+        read_delta_snapshot,
+    )
+
+    assert fsio._COMMIT_MODE == "strict"
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        table = _mock_delta_table()
+        _attempt_commit(table, 1, [
+            {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}}
+        ])
+        with pytest.raises(FileExistsError):
+            _attempt_commit(table, 1, [])
+    assert read_delta_snapshot(table).num_files == 2
