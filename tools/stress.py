@@ -936,6 +936,46 @@ def _dml_delete_dv(spark, sf_dir: str):
     )
 
 
+def _dml_delete_ipd(spark, sf_dir: str):
+    """The ICEBERG position-delete DELETE at the files-grow layout —
+    the round-10 twin of dml_delete_dv: the narrow band's matched
+    (file, pos) pairs become sorted tombstone parquet referenced from a
+    content=1 delete manifest, zero data bytes rewrite.  Per run the
+    band alternates between two disjoint orderkey ranges so each run
+    does REAL new work; expect ~1× — cost tracks matched rows (and
+    accumulated tombstone count on the anti-join read), not table
+    bytes.  Compare dml_delete_dv (the Delta DV shape)."""
+    from ballista_spark.sources.iceberg import (
+        delete_from_iceberg_table,
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    li = _delta_lineitem(spark, sf_dir)
+    path = _delta_scratch(sf_dir, "ipd")
+    try:
+        snap = read_iceberg_snapshot(path)
+    except FileNotFoundError:
+        n_files = max(4, int(li.count() / 37_500))
+        write_iceberg_table(
+            li.repartitionByRange(n_files, "l_orderkey"), path
+        )
+        snap = read_iceberg_snapshot(path)
+    # alternate the band so every timed run deletes fresh rows
+    band = len(snap.delete_files) % 2
+    lo, hi = (1 + band * 20, 21 + band * 20)
+    delete_from_iceberg_table(
+        spark, path,
+        [("l_orderkey", ">=", lo), ("l_orderkey", "<", hi)],
+        use_position_deletes=True,
+    )
+    snap = read_iceberg_snapshot(path)
+    return spark.createDataFrame(
+        [(snap.num_files, len(snap.delete_files))],
+        "n_files long, n_delete_files long",
+    )
+
+
 def _langid_predict_local(spark, sf_dir: str):
     """The map-only serving twin of langid_predict: weights ride the
     Arrow-UDF closure, no feature explode, no join, no shuffle — the
@@ -1378,6 +1418,7 @@ LOCAL_BUILDERS = {
     "dml_touch": _dml_touch,
     "dml_touch_filesgrow": _dml_touch_filesgrow,
     "dml_delete_dv": _dml_delete_dv,
+    "dml_delete_ipd": _dml_delete_ipd,
     "code_screen": _code_screen,
     # skew shapes: NOT in the default sweep — they retune AQE thresholds
     # for the whole session (see _SKEW_CONF); run isolated via
