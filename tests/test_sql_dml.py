@@ -638,3 +638,50 @@ def test_sql_tblproperties_iceberg_round_trip(spark, tmp_path):
     ] == "7"
     ctx.sql("ALTER TABLE t UNSET TBLPROPERTIES ('commit.retry.num-retries')")
     assert "commit.retry.num-retries" not in _load_metadata(path)["properties"]
+
+
+def test_sql_delete_uses_dv_when_property_set(spark, tmp_path):
+    """Round 10: `delta.enableDeletionVectors=true` routes plain SQL
+    DELETE through the zero-rewrite DV shape (the delta-spark
+    behavior); without the property SQL DELETE stays copy-on-write."""
+    import glob as _glob
+    import os
+
+    from ballista_spark.sources.deltalog import (
+        read_delta_snapshot,
+        set_delta_table_properties,
+        write_delta_table,
+    )
+
+    ctx = _ctx(spark)
+    path = str(tmp_path / "dvt")
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(10)], "id long, cat string"
+        ).coalesce(1),
+        path,
+    )
+    set_delta_table_properties(
+        path, {"delta.enableDeletionVectors": "true"}
+    )
+    files_before = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    ctx.register_delta("t", path)
+    ctx.sql("DELETE FROM t WHERE id < 3")
+    # zero data bytes rewritten; the add carries a DV descriptor
+    assert sorted(_glob.glob(os.path.join(path, "*.parquet"))) == files_before
+    snap = read_delta_snapshot(path)
+    assert any(f.deletion_vector for f in snap.files)
+    got = sorted(r["id"] for r in ctx.sql("SELECT id FROM t").df.collect())
+    assert got == list(range(3, 10))
+
+    # without the property: plain COW (no DV descriptors)
+    p2 = str(tmp_path / "cowt")
+    write_delta_table(
+        spark.createDataFrame(
+            [(i, f"c{i}") for i in range(10)], "id long, cat string"
+        ).coalesce(1),
+        p2,
+    )
+    ctx.register_delta("t2", p2)
+    ctx.sql("DELETE FROM t2 WHERE id < 3")
+    assert not any(f.deletion_vector for f in read_delta_snapshot(p2).files)
