@@ -536,37 +536,18 @@ def execute_dml(ctx, stmt: DmlStatement):
     fmt, path = entry
     version: int | None = None
     if stmt.op == "delete":
+        # both storage layers default their write shape from the
+        # table's own properties (delta.enableDeletionVectors /
+        # write.delete.mode=merge-on-read) — the router stays policy-
+        # free and the snapshot/metadata is read exactly once
         if fmt == "delta":
-            from ballista_spark.sources.deltalog import (
-                delete_from_delta_table,
-                read_delta_snapshot,
-            )
+            from ballista_spark.sources.deltalog import delete_from_delta_table
 
-            # the delta-spark opt-in: tables that enable DVs get the
-            # zero-rewrite DELETE shape from plain SQL too
-            use_dv = (
-                read_delta_snapshot(path).configuration or {}
-            ).get("delta.enableDeletionVectors", "").lower() == "true"
-            version = delete_from_delta_table(
-                spark, path, stmt.where, use_deletion_vectors=use_dv
-            )
+            version = delete_from_delta_table(spark, path, stmt.where)
         else:
-            from ballista_spark.sources.iceberg import (
-                _load_metadata,
-                delete_from_iceberg_table,
-            )
+            from ballista_spark.sources.iceberg import delete_from_iceberg_table
 
-            # the Iceberg spec's opt-in: write.delete.mode=merge-on-read
-            # routes SQL DELETE through position-delete writes
-            mor = (
-                (_load_metadata(path).get("properties") or {})
-                .get("write.delete.mode", "copy-on-write")
-                .lower()
-                == "merge-on-read"
-            )
-            version = delete_from_iceberg_table(
-                spark, path, stmt.where, use_position_deletes=mor
-            )
+            version = delete_from_iceberg_table(spark, path, stmt.where)
     elif stmt.op == "update":
         if fmt == "delta":
             from ballista_spark.sources.deltalog import update_delta_table

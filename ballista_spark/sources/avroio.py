@@ -1111,11 +1111,10 @@ def read_avro_projected(
                 rec = rec.get(part)
             return rec
 
+        dec = _block_decoder(schema, kv_arrays_as_maps)  # compile ONCE
         for raw, n in _iter_raw_blocks(f, codec, sync):
             block: list = []
-            _block_decoder(schema, kv_arrays_as_maps)(
-                raw, 0, n, block.append
-            )
+            dec(raw, 0, n, block.append)
             for r in block:
                 append(tuple(dig(r, p) for p in paths))
         return rows

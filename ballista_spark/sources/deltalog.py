@@ -2680,7 +2680,7 @@ def delete_from_delta_table(
     spark: SparkSession,
     table_path: str,
     filters: list[tuple[str, str, object]],
-    use_deletion_vectors: bool = False,
+    use_deletion_vectors: bool | None = None,
 ) -> int | None:
     """``DELETE FROM``: remove every row matching ALL ``filters``
     ((col, op, value) triples — the same proof language the reader
@@ -2697,7 +2697,9 @@ def delete_from_delta_table(
     - default (copy-on-write): touched files REWRITE without the
       matching rows; a file left empty disappears.  Cost tracks touched
       BYTES.
-    - ``use_deletion_vectors=True`` (the modern delta-spark DELETE):
+    - ``use_deletion_vectors=True`` — or None (the default) on a table
+      with ``delta.enableDeletionVectors=true``, the delta-spark
+      routing (the modern delta-spark DELETE):
       matched physical row positions become a roaring bitmap in ONE
       shared DV file; each touched file re-adds with the descriptor
       (unioned with any existing DV), zero data bytes rewritten.  Cost
@@ -2716,6 +2718,16 @@ def delete_from_delta_table(
         )
     snap = read_delta_snapshot(table_path)
     _check_writer_protocol(snap, "DELETE", removes_rows=True)
+    if use_deletion_vectors is None:
+        # the delta-spark default: tables that enable DVs get the
+        # zero-rewrite shape (SQL DELETE included); explicit True/False
+        # overrides
+        use_deletion_vectors = (
+            (snap.configuration or {})
+            .get("delta.enableDeletionVectors", "")
+            .lower()
+            == "true"
+        )
     touched = _touched_files(spark, snap, filters)
     if not touched:
         return None

@@ -184,6 +184,8 @@ class SqliteLogStore(LogStore):
         import sqlite3
         import uuid as _uuid
 
+        if exists(path):  # fast path: slot visibly taken
+            raise FileExistsError(path)
         tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
         write_bytes(tmp, data)  # STAGE
         con = self._connect()
@@ -197,8 +199,27 @@ class SqliteLogStore(LogStore):
                     )
             except sqlite3.IntegrityError:
                 remove(tmp, missing_ok=True)
-                self._recover(con, path)
-                raise FileExistsError(path) from None
+                # losers must ALWAYS report the slot taken; recovery of
+                # a crashed winner is best-effort on top (review
+                # finding: a live winner finishing mid-recovery must
+                # not surface as FileNotFoundError)
+                try:
+                    self._recover(con, path)
+                finally:
+                    raise FileExistsError(path) from None
+            if exists(path):
+                # the claim won but the OBJECT already exists: a commit
+                # published outside this store (warn-mode history, a
+                # rebuilt db).  Honor put-if-absent — never clobber
+                # committed history; backfill the row as complete so
+                # the db converges on the truth on disk.
+                with con:
+                    con.execute(
+                        "UPDATE commits SET complete = 1 WHERE path = ?",
+                        (path,),
+                    )
+                remove(tmp, missing_ok=True)
+                raise FileExistsError(path)
             write_bytes(path, data)  # PUBLISH
             with con:
                 con.execute(
@@ -210,7 +231,10 @@ class SqliteLogStore(LogStore):
 
     def _recover(self, con, path: str) -> None:
         """Complete a claimed-but-unpublished commit (winner crashed
-        between CLAIM and PUBLISH) so later readers see it."""
+        between CLAIM and PUBLISH) so later readers see it.  Tolerates
+        racing the LIVE winner: if its temp vanishes mid-copy the
+        winner published (or is about to) — either way the slot is
+        taken and there is nothing left to complete."""
         row = con.execute(
             "SELECT tmp, complete FROM commits WHERE path = ?", (path,)
         ).fetchone()
@@ -220,7 +244,12 @@ class SqliteLogStore(LogStore):
         if not exists(path):
             if not exists(tmp):
                 return  # winner still mid-stage; nothing to complete yet
-            write_bytes(path, read_bytes(tmp))
+            try:
+                staged = read_bytes(tmp)
+            except (FileNotFoundError, OSError):
+                return  # live winner just published and reaped its temp
+            if not exists(path):  # re-check: don't clobber the winner
+                write_bytes(path, staged)
         with con:
             con.execute(
                 "UPDATE commits SET complete = 1 WHERE path = ?", (path,)

@@ -2077,12 +2077,19 @@ def rename_iceberg_column(
     stamps ``parquet.field.id`` into every staged file (Spark's parquet
     writer emits them natively), reads of renamed tables resolve
     columns BY ID (``field_id_binding``), and rename first PROVES the
-    re-binding is safe by checking that every live data file's footer
-    carries field ids — files staged before round 10 lack them, and
-    ``compact_iceberg_table`` rewrites such files with ids.  Time
-    travel to pre-rename snapshots reads the old files correctly under
-    the CURRENT names (Iceberg reads apply the current schema).
-    Returns the new metadata version."""
+    re-binding is safe by checking that every data file referenced by
+    ANY retained snapshot carries field ids — not just the current one
+    (review finding: after a compact-then-rename of a legacy table,
+    time travel to a pre-compaction snapshot would otherwise hit
+    id-less files under the id-bound read and fail where it worked
+    before).  ``expire_iceberg_snapshots`` retires old snapshots;
+    ``compact_iceberg_table`` rewrites id-less live files with ids.
+    Tables carrying equality-delete files refuse: post-rename reads of
+    ANY retained snapshot with eq-deletes raise (name-bound delete
+    files), which would wedge the table behind an unreadable
+    compaction path.  Time travel to pre-rename snapshots reads the
+    old files correctly under the CURRENT names (Iceberg reads apply
+    the current schema).  Returns the new metadata version."""
     if old == new:
         raise ValueError("rename to the same name is a no-op")
     md = _load_metadata(table_path)
@@ -2093,16 +2100,37 @@ def rename_iceberg_column(
         raise ValueError(f"column {old!r} does not exist")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
-    snap = read_iceberg_snapshot(table_path)
-    missing = _files_missing_field_ids(spark, [f[0] for f in snap.files])
+    # vet EVERY retained snapshot's entries, not just the current
+    # snapshot's: time travel and eq-delete application must survive
+    # the switch to id-bound reads
+    all_paths: set[str] = set()
+    for snap_md in md.get("snapshots") or []:
+        for e in _live_entries(table_path, snap_md):
+            content = e["data_file"].get("content", 0) or 0
+            if content == 2:
+                raise IcebergFeatureError(
+                    "RENAME COLUMN on a table with equality-delete "
+                    "files (in any retained snapshot) is not supported "
+                    "— eq-delete files apply by NAME, so every read of "
+                    "the renamed table would refuse, including the "
+                    "compaction that could repair it.  Compact first "
+                    "(it applies the deletes), then rename"
+                )
+            if content == 0:
+                all_paths.add(
+                    _norm_path(table_path, e["data_file"]["file_path"])
+                )
+    missing = _files_missing_field_ids(spark, sorted(all_paths))
     if missing:
         raise IcebergFeatureError(
-            "RENAME COLUMN requires every data file to carry parquet "
-            f"field ids (the spec's id-resolution contract), but "
-            f"{len(missing)} live file(s) lack them (e.g. "
-            f"{missing[0]!r}) — they predate field-id stamping. "
-            "compact_iceberg_table() rewrites them with ids; rename "
-            "after that"
+            "RENAME COLUMN requires every data file referenced by any "
+            "retained snapshot to carry parquet field ids (the spec's "
+            f"id-resolution contract), but {len(missing)} file(s) lack "
+            f"them (e.g. {missing[0]!r}) — they predate field-id "
+            "stamping.  compact_iceberg_table() rewrites live files "
+            "with ids and expire_iceberg_snapshots() retires old "
+            "snapshots still referencing id-less ones; rename after "
+            "that"
         )
     fields = [dict(f) for f in schema_json["fields"]]
     for f in fields:
@@ -2466,7 +2494,7 @@ def delete_from_iceberg_table(
     spark: SparkSession,
     table_path: str,
     filters: list[tuple[str, str, object]],
-    use_position_deletes: bool = False,
+    use_position_deletes: bool | None = None,
 ) -> int | None:
     """DELETE: remove every row matching ALL ``filters`` (the same
     (col, op, value) triples the readers prune on), touching ONLY the
@@ -2486,7 +2514,9 @@ def delete_from_iceberg_table(
       invalidates ITS tombstone positions while other files'
       tombstones must survive — run ``compact_iceberg_table`` first
       (it applies the tombstones).
-    - ``use_position_deletes=True`` (spec v2 merge-on-read): matched
+    - ``use_position_deletes=True`` — or None (the default) on a table
+      with ``write.delete.mode=merge-on-read``, the spec's routing
+      property (spec v2 merge-on-read): matched
       (file, position) pairs write as sorted position-delete PARQUET
       files with the spec's reserved field ids, referenced from a new
       DELETE manifest (``content=1``); ZERO data bytes rewritten, cost
@@ -2514,6 +2544,16 @@ def delete_from_iceberg_table(
         )
     md = _load_metadata(table_path)
     _refuse_v3_write(md, "DELETE")
+    if use_position_deletes is None:
+        # the spec's routing property: merge-on-read tables get the
+        # zero-rewrite shape (SQL DELETE included); explicit True/False
+        # overrides
+        use_position_deletes = (
+            (md.get("properties") or {})
+            .get("write.delete.mode", "copy-on-write")
+            .lower()
+            == "merge-on-read"
+        )
     schema_json = _current_schema(md)
     ids = _field_ids(schema_json)
     meta_dir = os.path.join(table_path, "metadata")

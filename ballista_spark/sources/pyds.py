@@ -240,12 +240,12 @@ def _read_parquet_with_partition_values(
     target = _arrow_schema_for(spark_schema)
     part_cols = set(partition.partition_values)
     phys = dict(partition.column_renames or {})
+    pf = pq.ParquetFile(partition.path)  # ONE footer open per task
     if partition.field_ids:
         # renamed Iceberg table: bind THIS file's columns by the field
         # ids in its own footer (pre-rename files carry old names)
-        file_schema = pq.read_schema(partition.path)
         by_id = {}
-        for fld in file_schema:
+        for fld in pf.schema_arrow:
             fid = (fld.metadata or {}).get(b"PARQUET:field_id")
             if fid is not None:
                 by_id[int(fid)] = fld.name
@@ -259,9 +259,7 @@ def _read_parquet_with_partition_values(
         if f.name not in part_cols
     ]
     row_offset = 0
-    for batch in pq.ParquetFile(partition.path).iter_batches(
-        columns=data_cols
-    ):
+    for batch in pf.iter_batches(columns=data_cols):
         if deleted is not None:
             import numpy as np
 

@@ -595,3 +595,25 @@ def test_v1_inline_manifests(spark, tmp_path):
         json.dump(md, f)
     out = read_iceberg_table(spark, table)
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_rename_refuses_on_equality_deletes(spark, tmp_path):
+    """Round-10 review finding: rename on a table with equality-delete
+    files (readable here when written by foreign engines) would WEDGE
+    it — every post-rename read refuses (name-bound delete files),
+    including the compaction that could repair it.  Rename must refuse
+    first, pointing at compaction."""
+    from ballista_spark.sources.iceberg import rename_iceberg_column
+
+    table = str(tmp_path / "ice")
+    e1 = _write_data_file(
+        table, "f1.parquet", [(i, "a", float(i)) for i in range(5)]
+    )
+    d = _write_eq_delete_file(
+        table, "eq1.parquet", {"id": [0]}, equality_ids=[1], seq=2
+    )
+    _commit_seq_snapshot(
+        table, 2001, [_seq_entry(e1, 1, None), d], version=1
+    )
+    with pytest.raises(IcebergFeatureError, match="equality-delete"):
+        rename_iceberg_column(table, "cat", "label", spark=spark)
