@@ -446,32 +446,17 @@ def _compile_buf_decoder(sch, kv_arrays_as_maps: bool = False):
     if t == "boolean":
         return lambda buf, pos: (buf[pos] == 1, pos + 1)
     if t in ("int", "long"):
-        if logical == "date":
-            import datetime
+        if logical in ("date", "timestamp-micros", "timestamp-millis"):
+            # ONE conversion implementation shared with the generated
+            # decoder (_logical_long_converter) — a precision fix there
+            # must apply here too
+            _cnv = _logical_long_converter(logical)
 
-            _epoch = datetime.date(1970, 1, 1)
-            _day = datetime.timedelta(days=1)
-
-            def d_date(buf, pos, _e=_epoch, _d=_day):
+            def d_logical(buf, pos, _c=_cnv):
                 v, pos = _read_long_at(buf, pos)
-                return _e + _d * v, pos
+                return _c(v), pos
 
-            return d_date
-        if logical in ("timestamp-micros", "timestamp-millis"):
-            import datetime
-
-            scale = 1e6 if logical == "timestamp-micros" else 1e3
-
-            def d_ts(buf, pos, _s=scale):
-                v, pos = _read_long_at(buf, pos)
-                return (
-                    datetime.datetime.fromtimestamp(
-                        v / _s, tz=datetime.timezone.utc
-                    ).replace(tzinfo=None),
-                    pos,
-                )
-
-            return d_ts
+            return d_logical
         return _read_long_at
     if t == "float":
         _uf = struct.Struct("<f").unpack_from

@@ -208,17 +208,27 @@ class SqliteLogStore(LogStore):
                 finally:
                     raise FileExistsError(path) from None
             if exists(path):
-                # the claim won but the OBJECT already exists: a commit
-                # published outside this store (warn-mode history, a
-                # rebuilt db).  Honor put-if-absent — never clobber
-                # committed history; backfill the row as complete so
-                # the db converges on the truth on disk.
+                # the claim won but the OBJECT already exists.  Two
+                # cases (review finding — they must not be conflated):
+                # (a) a racing LOSER ran _recover and completed OUR
+                #     claim from OUR staged temp — the bytes are ours,
+                #     the commit STANDS, report success;
+                # (b) a commit published outside this store (warn-mode
+                #     history, a rebuilt db) slipped in between the
+                #     fast pre-check and the claim — honor
+                #     put-if-absent, never clobber committed history.
+                try:
+                    published_ours = read_bytes(path) == data
+                except OSError:
+                    published_ours = False
                 with con:
                     con.execute(
                         "UPDATE commits SET complete = 1 WHERE path = ?",
                         (path,),
                     )
                 remove(tmp, missing_ok=True)
+                if published_ours:
+                    return
                 raise FileExistsError(path)
             write_bytes(path, data)  # PUBLISH
             with con:

@@ -528,7 +528,11 @@ def _manifest_may_match(mrec: dict, spec_fields: list, ids: dict,
     transform, missing summary, or undecodable bound keeps the
     manifest.  Comparison predicates exclude NULL rows by SQL
     semantics, so ``contains_null`` cannot rescue a bounds-excluded
-    manifest."""
+    manifest — but ``contains_nan`` CAN: the spec excludes NaN from
+    float/double bounds while Spark SQL orders NaN above every number,
+    so a NaN-holding manifest must survive ``>``/``>=`` pruning
+    (review finding: a bounds-only skip would silently drop NaN
+    rows)."""
     summaries = mrec.get("partitions")
     if not summaries or not spec_fields:
         return True
@@ -548,11 +552,14 @@ def _manifest_may_match(mrec: dict, spec_fields: list, ids: dict,
         hi = decode_bound(fsum.get("upper_bound"), ftype)
         if lo is None and hi is None:
             continue
+        has_nan = bool(fsum.get("contains_nan"))
         b = {name: (lo, hi)}
         for c, op, v in filters:
-            if c == name and op in ("=", "<", "<=", ">", ">=") and not (
-                _bounds_may_match(b, c, op, v)
-            ):
+            if c != name or op not in ("=", "<", "<=", ">", ">="):
+                continue
+            if has_nan and op in (">", ">="):
+                continue  # NaN > every number in Spark's ordering
+            if not _bounds_may_match(b, c, op, v):
                 return False
     return True
 
@@ -1488,23 +1495,59 @@ def _spark_schema_with_field_ids(
     return T.StructType(fields)
 
 
+def _named_fields(schema_json: dict):
+    """Yield ``(field_id, name, is_top_level)`` for every NAMED field
+    in the schema tree — struct members at any depth (list/map
+    element/key/value ids carry no names and are skipped)."""
+
+    def walk_type(t):
+        if not isinstance(t, dict):
+            return
+        k = t.get("type")
+        if k == "struct":
+            for f in t.get("fields") or []:
+                yield int(f["id"]), f.get("name"), False
+                yield from walk_type(f.get("type"))
+        elif k == "list":
+            yield from walk_type(t.get("element"))
+        elif k == "map":
+            yield from walk_type(t.get("key"))
+            yield from walk_type(t.get("value"))
+
+    for f in schema_json.get("fields") or []:
+        yield int(f["id"]), f.get("name"), True
+        yield from walk_type(f.get("type"))
+
+
 def _rename_in_history(md: dict, current: dict) -> bool:
-    """True when any retained schema maps a field id (still present at
-    top level) to a DIFFERENT name than the current schema — i.e. a
-    rename happened and data files may carry old names, so the scan
-    must bind by field id."""
-    cur = {
-        int(f["id"]): f["name"] for f in current.get("fields", [])
-    }
+    """True when any retained schema maps a field id to a DIFFERENT
+    name than the current schema — a rename happened and data files may
+    carry old names, so the scan must bind by field id.  A rename of a
+    NESTED field (only foreign writers produce these — this engine
+    renames top-level columns) refuses loudly: the id-annotated read
+    schema covers top-level fields only, so nested resolution would
+    silently fall back to by-name and read NULLs where the renamed
+    member's data lives (review finding)."""
+    cur = {fid: (name, top) for fid, name, top in _named_fields(current)}
     cur_sid = current.get("schema-id", 0)
+    renamed = False
     for s in md.get("schemas") or []:
         if s.get("schema-id", 0) == cur_sid:
             continue
-        for f in s.get("fields", []):
-            n = cur.get(int(f["id"]))
-            if n is not None and n != f.get("name"):
-                return True
-    return False
+        for fid, old_name, _top in _named_fields(s):
+            hit = cur.get(fid)
+            if hit is None or hit[0] == old_name:
+                continue
+            if not hit[1]:
+                raise IcebergFeatureError(
+                    f"schema history renames NESTED field id {fid} "
+                    f"({old_name!r} -> {hit[0]!r}); this reader binds "
+                    "nested parquet columns by name and would return "
+                    "NULL for the renamed member's pre-rename data — "
+                    "refusing rather than reading wrong-shaped"
+                )
+            renamed = True
+    return renamed
 
 
 def _schema_compatible(existing: T.StructType, new: T.StructType) -> bool:
@@ -2102,24 +2145,43 @@ def rename_iceberg_column(
         raise ValueError(f"column {new!r} already exists")
     # vet EVERY retained snapshot's entries, not just the current
     # snapshot's: time travel and eq-delete application must survive
-    # the switch to id-bound reads
+    # the switch to id-bound reads.  Walks the PROJECTED scan rows
+    # (content + path slots), never the full dict-form entries — at
+    # 1M-entry manifests the full decode is the exact cost the read
+    # path's projection exists to avoid (review finding)
     all_paths: set[str] = set()
+    seen_manifests: set[str] = set()
     for snap_md in md.get("snapshots") or []:
-        for e in _live_entries(table_path, snap_md):
-            content = e["data_file"].get("content", 0) or 0
-            if content == 2:
-                raise IcebergFeatureError(
-                    "RENAME COLUMN on a table with equality-delete "
-                    "files (in any retained snapshot) is not supported "
-                    "— eq-delete files apply by NAME, so every read of "
-                    "the renamed table would refuse, including the "
-                    "compaction that could repair it.  Compact first "
-                    "(it applies the deletes), then rename"
+        if "manifest-list" in snap_md:
+            mlist, _sch = read_avro_bytes(
+                fsio.read_bytes(
+                    _norm_path(table_path, snap_md["manifest-list"])
                 )
-            if content == 0:
-                all_paths.add(
-                    _norm_path(table_path, e["data_file"]["file_path"])
-                )
+            )
+            manifest_paths = [m["manifest_path"] for m in mlist]
+        else:
+            manifest_paths = list(snap_md.get("manifests") or [])
+        for mp in manifest_paths:
+            mp = _norm_path(table_path, mp)
+            if mp in seen_manifests:  # appends share manifests
+                continue
+            seen_manifests.add(mp)
+            for row in _manifest_scan_rows(mp):
+                if row[_SR_STATUS] == 2:
+                    continue
+                content = row[_SR_CONTENT] or 0
+                if content == 2:
+                    raise IcebergFeatureError(
+                        "RENAME COLUMN on a table with equality-delete "
+                        "files (in any retained snapshot) is not "
+                        "supported — eq-delete files apply by NAME, so "
+                        "every read of the renamed table would refuse, "
+                        "including the compaction that could repair "
+                        "it.  Compact first (it applies the deletes), "
+                        "then rename"
+                    )
+                if content == 0:
+                    all_paths.add(_norm_path(table_path, row[_SR_PATH]))
     missing = _files_missing_field_ids(spark, sorted(all_paths))
     if missing:
         raise IcebergFeatureError(

@@ -645,3 +645,58 @@ def test_sqlite_log_store_delta_commits_under_strict(sqlite_store):
         with pytest.raises(FileExistsError):
             _attempt_commit(table, 1, [])
     assert read_delta_snapshot(table).num_files == 2
+
+
+def test_sqlite_log_store_winner_completed_by_racing_loser(
+    sqlite_store, monkeypatch
+):
+    """Review finding: a racing loser's _recover can publish the
+    winner's staged temp BEFORE the winner's own publish step.  The
+    winner must recognize the published object as its own commit and
+    SUCCEED — not misread it as a foreign commit and raise."""
+    path = "mock://tbl/_delta_log/00000000000000000009.json"
+    real_write = fsio.write_bytes
+
+    def write_and_mirror(p, data):
+        real_write(p, data)
+        if ".tmp-" in p:
+            # a racing loser completes our claim the instant we stage
+            real_write(path, data)
+
+    monkeypatch.setattr(fsio, "write_bytes", write_and_mirror)
+    sqlite_store.put_if_absent(path, b"mine")  # must NOT raise
+    assert fsio.read_bytes(path) == b"mine"
+    monkeypatch.setattr(fsio, "write_bytes", real_write)
+    with pytest.raises(FileExistsError):  # slot now taken for others
+        sqlite_store.put_if_absent(path, b"other")
+    assert fsio.read_bytes(path) == b"mine"
+
+
+def test_sqlite_log_store_never_clobbers_foreign_commit(
+    sqlite_store, monkeypatch
+):
+    """An object that exists WITHOUT a db row (warn-mode history, a
+    rebuilt db) is a taken slot — put-if-absent must refuse without
+    overwriting it, both on the fast pre-check and in the post-claim
+    race window."""
+    # fast pre-check
+    fast = "mock://tbl/_delta_log/00000000000000000010.json"
+    fsio.write_bytes(fast, b"foreign")
+    with pytest.raises(FileExistsError):
+        sqlite_store.put_if_absent(fast, b"mine")
+    assert fsio.read_bytes(fast) == b"foreign"
+
+    # post-claim window: the foreign object lands between the
+    # pre-check and the claim
+    slow = "mock://tbl/_delta_log/00000000000000000011.json"
+    real_write = fsio.write_bytes
+
+    def write_and_plant(p, data):
+        real_write(p, data)
+        if ".tmp-" in p:
+            real_write(slow, b"foreign")
+
+    monkeypatch.setattr(fsio, "write_bytes", write_and_plant)
+    with pytest.raises(FileExistsError):
+        sqlite_store.put_if_absent(slow, b"mine")
+    assert fsio.read_bytes(slow) == b"foreign"

@@ -68,6 +68,7 @@ _FIELD_SUMMARY = {
     "name": "r508",
     "fields": [
         {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"]},
         {"name": "lower_bound", "type": ["null", "bytes"]},
         {"name": "upper_bound", "type": ["null", "bytes"]},
     ],
@@ -129,7 +130,7 @@ def _data_entry(table, name, ids):
     }
 
 
-def _summarized_table(tmp_path, *, identity=True):
+def _summarized_table(tmp_path, *, identity=True, nan_b=False):
     """Two DATA manifests under one manifest list, each carrying an
     identity-partition field summary over ``id``: manifest A covers
     ids 0..99, manifest B covers 1000..1099."""
@@ -160,6 +161,7 @@ def _summarized_table(tmp_path, *, identity=True):
                 "partitions": [
                     {
                         "contains_null": False,
+                        "contains_nan": (nan_b and tag == "b") or None,
                         "lower_bound": _lb(min(lo_ids)),
                         "upper_bound": _lb(max(hi_ids)),
                     }
@@ -219,6 +221,75 @@ def test_manifest_summary_prunes_whole_manifests(spark, tmp_path):
     assert snap2.num_files == 4
     # no filters → no manifest pruning at all
     assert read_iceberg_snapshot(table).manifests_pruned == 0
+
+
+def test_manifest_summary_contains_nan_blocks_gt_prune(spark, tmp_path):
+    """Spec: float/double summary bounds EXCLUDE NaN (contains_nan
+    carries it separately) while Spark orders NaN above every number —
+    a NaN-holding manifest must survive ``>``/``>=`` pruning even when
+    its bounds are below the filter, but ``<`` pruning still applies
+    (NaN can never satisfy it)."""
+    table = _summarized_table(tmp_path, nan_b=True)
+    # bounds of BOTH manifests are below 5000; B carries contains_nan
+    snap = read_iceberg_snapshot(table, filters=[("id", ">", 5000)])
+    assert snap.manifests_pruned == 1  # A pruned, B kept for its NaNs
+    # < prune is unaffected: NaN cannot satisfy id < -5
+    snap2 = read_iceberg_snapshot(table, filters=[("id", "<", -5)])
+    assert snap2.manifests_pruned == 2
+
+
+def test_nested_rename_in_foreign_metadata_refuses():
+    """A NESTED-field rename in the schema history (foreign writers
+    only) must refuse loudly: the id-annotated read schema covers
+    top-level fields, so nested resolution would silently fall back to
+    by-name and read NULLs (round-10 review finding)."""
+    from ballista_spark.sources.iceberg import (
+        IcebergFeatureError,
+        _rename_in_history,
+    )
+
+    def schema(sid, inner_name):
+        return {
+            "schema-id": sid,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {
+                    "id": 2,
+                    "name": "s",
+                    "required": False,
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "id": 3,
+                                "name": inner_name,
+                                "required": False,
+                                "type": "string",
+                            }
+                        ],
+                    },
+                },
+            ],
+        }
+
+    old, cur = schema(0, "a"), schema(1, "b")
+    with pytest.raises(IcebergFeatureError, match="NESTED"):
+        _rename_in_history({"schemas": [old, cur]}, cur)
+    # unchanged nested names: no binding, no refusal
+    assert _rename_in_history({"schemas": [schema(0, "a")]}, schema(1, "a")) is False
+    # a TOP-LEVEL rename still just turns binding on
+    top_old = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}],
+    }
+    top_cur = {
+        "schema-id": 1,
+        "type": "struct",
+        "fields": [{"id": 1, "name": "y", "required": False, "type": "long"}],
+    }
+    assert _rename_in_history({"schemas": [top_old, top_cur]}, top_cur) is True
 
 
 def test_manifest_summary_nonidentity_never_prunes(spark, tmp_path):

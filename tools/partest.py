@@ -143,9 +143,12 @@ def main() -> int:
         new_times.update(_collect_file_times(xml))
         with open(os.path.join(LOG_DIR, f"worker{i}.log")) as f:
             tail = f.read().strip().rsplit("\n", 1)[-1]
-        status = "ok" if rc == 0 else f"FAILED rc={rc}"
+        # rc 5 = "no tests collected": normal when -k/-m filter args
+        # leave a shard empty (files are sharded before filtering)
+        ok = rc == 0 or (rc == 5 and args.pytest_args)
+        status = "ok" if ok else f"FAILED rc={rc}"
         print(f"worker {i}: {status} — {tail}")
-        if rc != 0:
+        if not ok:
             failed = True
 
     with open(TIMES_PATH, "w") as f:
