@@ -29,9 +29,13 @@ manifest's referenced_data_file/content_offset/content_size_in_bytes
 and apply as the same (file, position) anti-join as v2 position
 deletes, with the deltalog decode-placement policy (driver for small
 local vectors, mapInPandas otherwise).  v3 WRITES refuse loudly
-(row-lineage bookkeeping this writer does not produce), as do v3
-``initial-default`` schemas (this reader would return NULL where the
-spec says default).  v2 merge-on-read POSITION
+(row-lineage bookkeeping this writer does not produce).  v3
+``initial-default`` schemas READ correctly for top-level primitive
+fields (round 10): files whose footers lack the field — written
+before it existed — fill the default constant, files carrying it keep
+actual values including genuine NULLs; nested or
+non-literal-materializable defaults still refuse loudly.
+v2 merge-on-read POSITION
 delete files are applied EXACTLY (round 7): one anti-join of the scan's
 ``_metadata.(file_path, row_index)`` against the tombstone files — a
 (file, pos) tombstone can never hit a row written after it, so no
@@ -338,6 +342,9 @@ class IcebergSnapshot:
         #: a rename exists in the schema history → the scan must
         #: resolve parquet columns by field id, not name
         self.field_id_binding = False
+        #: v3 {field_name: (json_default, iceberg_type)} — files
+        #: written before the field existed read the default
+        self.initial_defaults: dict = {}
 
     @property
     def num_files(self) -> int:
@@ -477,20 +484,46 @@ def _current_schema(md: dict) -> dict:
     return md["schema"]  # v1
 
 
-def _refuse_initial_defaults(schema: dict) -> None:
-    """Refuse v3 ``initial-default`` anywhere in the schema tree —
-    including struct fields nested under struct/list/map types, which a
-    top-level-only scan would miss and then silently return NULL where
-    the spec says the default applies (round-9 advice)."""
+#: initial-default types this reader can materialize as a Spark
+#: literal from the spec's JSON single-value serialization
+_DEFAULTABLE_TYPES = {
+    "boolean", "int", "long", "float", "double", "string", "date",
+}
+
+
+def _collect_initial_defaults(schema: dict) -> dict:
+    """v3 ``initial-default`` handling (round 10: refusal → support for
+    TOP-LEVEL primitive fields).  Returns ``{field_name: (json_value,
+    iceberg_type)}`` — the main reader fills the default for files
+    written before the field existed (their footers lack the field).
+    Still refuses loudly where silent NULLs could otherwise slip out:
+    defaults on NESTED fields (the per-file column-presence probe and
+    fill cover top-level fields only) and on types whose JSON
+    single-value form this reader does not materialize."""
+    out: dict = {}
+    for fld in schema.get("fields") or []:
+        dv = fld.get("initial-default")
+        if dv is not None:
+            ftype = fld.get("type")
+            if not isinstance(ftype, str) or ftype not in _DEFAULTABLE_TYPES:
+                raise IcebergFeatureError(
+                    f"column {fld.get('name')!r} declares a v3 "
+                    f"initial-default of type {ftype!r} — this reader "
+                    "materializes defaults only for "
+                    f"{sorted(_DEFAULTABLE_TYPES)} and refuses rather "
+                    "than return NULL for pre-existing rows"
+                )
+            out[fld["name"]] = (dv, ftype)
 
     def walk_fields(fields, prefix: str) -> None:
         for fld in fields or []:
             name = f"{prefix}{fld.get('name')}"
             if fld.get("initial-default") is not None:
                 raise IcebergFeatureError(
-                    f"column {name!r} declares a v3 initial-default — "
-                    "this reader would return NULL instead of the "
-                    "default for pre-existing rows, so it refuses"
+                    f"column {name!r} declares a v3 initial-default on "
+                    "a NESTED field — this reader fills defaults for "
+                    "top-level fields only and refuses rather than "
+                    "return NULL for pre-existing rows"
                 )
             walk_type(fld.get("type"), name + ".")
 
@@ -506,7 +539,9 @@ def _refuse_initial_defaults(schema: dict) -> None:
             walk_type(typ.get("key"), prefix + "key.")
             walk_type(typ.get("value"), prefix + "value.")
 
-    walk_fields(schema.get("fields"), "")
+    for fld in schema.get("fields") or []:
+        walk_type(fld.get("type"), f"{fld.get('name')}.")
+    return out
 
 
 def _partition_spec_fields(md: dict) -> dict[int, list]:
@@ -578,7 +613,7 @@ def read_iceberg_snapshot(
     (:func:`read_iceberg_table`)."""
     md = _load_metadata(table_path)
     schema = _current_schema(md)
-    _refuse_initial_defaults(schema)
+    initial_defaults = _collect_initial_defaults(schema)
     spark_schema = iceberg_to_spark_type(schema)
     snaps = md.get("snapshots") or []
     if snapshot_id is None:
@@ -593,6 +628,7 @@ def read_iceberg_snapshot(
                 table_path, None, schema, spark_schema, []
             )
             empty.field_id_binding = field_id_binding
+            empty.initial_defaults = initial_defaults
             return empty
         raise ValueError(f"snapshot {snapshot_id} not found")
 
@@ -747,6 +783,7 @@ def read_iceberg_snapshot(
     )
     out.manifests_pruned = manifests_pruned
     out.field_id_binding = field_id_binding
+    out.initial_defaults = initial_defaults
     return out
 
 
@@ -914,15 +951,28 @@ def read_iceberg_table(
         read_schema = _spark_schema_with_field_ids(
             snap.spark_schema, snap.schema_json
         )
-    df = spark.read.schema(read_schema).parquet(*[f[0] for f in files])
-    if not snap.delete_files and not snap.eq_deletes and not snap.dv_deletes:
-        return df
     from pyspark.sql import functions as F
 
-    out_cols = [f.name for f in snap.spark_schema.fields]
-    tagged = df.withColumns(
-        {"__dfp": _decoded_file_path_col(), "__pos": F.col("_metadata.row_index")}
+    has_deletes = bool(
+        snap.delete_files or snap.eq_deletes or snap.dv_deletes
     )
+    if snap.initial_defaults:
+        df = _scan_with_initial_defaults(
+            spark, read_schema, [f[0] for f in files], snap, tag=has_deletes
+        )
+    else:
+        df = spark.read.schema(read_schema).parquet(*[f[0] for f in files])
+        if has_deletes:
+            df = df.withColumns(
+                {
+                    "__dfp": _decoded_file_path_col(),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+    if not has_deletes:
+        return df
+    out_cols = [f.name for f in snap.spark_schema.fields]
+    tagged = df
     if snap.delete_files:
         # v2 POSITION deletes: one anti-join on (file, row position).
         # The row side uses the parquet reader's _metadata columns (no
@@ -2106,6 +2156,108 @@ def _files_missing_field_ids(
     sc = spark.sparkContext
     rdd = sc.parallelize(paths, min(len(paths), sc.defaultParallelism))
     return sorted(rdd.filter(lambda p: not _file_has_field_ids(p)).collect())
+
+
+def _absent_default_fields(path: str, targets: tuple) -> frozenset:
+    """The defaulted field names ABSENT from this file's footer
+    (matched by stamped field id when present, else by name) — rows in
+    such a file predate the field and read its initial-default.
+    Worker-safe (fsio-routed)."""
+    import pyarrow.parquet as pq
+
+    with fsio.open_input(path) as f:
+        sch = pq.ParquetFile(f).schema_arrow
+    present_ids: set[int] = set()
+    present_names: set[str] = set()
+    for fld in sch:
+        present_names.add(fld.name)
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            present_ids.add(int(fid))
+    return frozenset(
+        name
+        for name, fid in targets
+        if fid not in present_ids and name not in present_names
+    )
+
+
+def _absent_defaults_per_file(
+    spark: SparkSession | None, paths: list[str], targets: tuple
+) -> dict:
+    """{path: frozenset(absent defaulted field names)}; large
+    object-store tables distribute the footer probe (the
+    `_files_missing_field_ids` pattern) instead of a serial driver
+    loop."""
+    if (
+        spark is None
+        or len(paths) < EXECUTOR_STATS_MIN_FILES
+        or not paths
+        or (fsio.is_local(paths[0]) and not EXECUTOR_STATS_FORCE)
+    ):
+        return {p: _absent_default_fields(p, targets) for p in paths}
+    sc = spark.sparkContext
+    rdd = sc.parallelize(paths, min(len(paths), sc.defaultParallelism))
+    return dict(
+        rdd.map(lambda p: (p, _absent_default_fields(p, targets))).collect()
+    )
+
+
+def _scan_with_initial_defaults(
+    spark: SparkSession,
+    read_schema: T.StructType,
+    paths: list[str],
+    snap: IcebergSnapshot,
+    tag: bool,
+) -> DataFrame:
+    """Scan a v3 table whose schema declares ``initial-default``
+    fields: files written BEFORE a field existed (footer lacks it)
+    read the default CONSTANT for that field; files carrying the field
+    read actual values — genuine NULLs stay NULL (the reason a blanket
+    ``coalesce`` would be wrong).  Files group by their absent-field
+    set (one Spark scan per distinct group — in practice two: before
+    and after the ADD COLUMN), and ``tag=True`` attaches the
+    (__dfp, __pos) tombstone-join columns scan-side, where
+    ``_metadata`` is still resolvable (it is not after a union)."""
+    from pyspark.sql import functions as F
+
+    id_by_name = {
+        f["name"]: int(f["id"])
+        for f in snap.schema_json.get("fields", [])
+    }
+    targets = tuple(
+        (name, id_by_name.get(name, -1)) for name in snap.initial_defaults
+    )
+    absent = _absent_defaults_per_file(spark, paths, targets)
+    groups: dict[frozenset, list] = {}
+    for p in paths:
+        groups.setdefault(absent.get(p, frozenset()), []).append(p)
+    out_cols = [f.name for f in read_schema.fields]
+    if tag:
+        out_cols = out_cols + ["__dfp", "__pos"]
+    parts = []
+    for absent_set in sorted(groups, key=lambda s: sorted(s)):
+        gpaths = groups[absent_set]
+        sub = T.StructType(
+            [f for f in read_schema.fields if f.name not in absent_set]
+        )
+        g = spark.read.schema(sub).parquet(*gpaths)
+        if tag:
+            g = g.withColumns(
+                {
+                    "__dfp": _decoded_file_path_col(),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+        for name in absent_set:
+            jv, ftype = snap.initial_defaults[name]
+            g = g.withColumn(
+                name, F.lit(jv).cast(iceberg_to_spark_type(ftype))
+            )
+        parts.append(g.select(*out_cols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def rename_iceberg_column(

@@ -436,6 +436,13 @@ class _IcebergReader(DataSourceReader):
                 "position, equality AND deletion-vector tombstones) "
                 "or compact first"
             )
+        if snap.initial_defaults:
+            raise ValueError(
+                "schema declares v3 initial-default fields: the "
+                "per-file DataSource face would return NULL where the "
+                "default applies — read it through read_iceberg_table "
+                "(which fills defaults per file)"
+            )
         # renamed table: ship the {field_id: current_name} map so each
         # task re-binds its file's columns by the ids in its own footer
         fids = None
@@ -561,11 +568,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # renamed table: bind replayed files' columns by field id (a
         # stream replay may cross the rename boundary)
         from ballista_spark.sources.iceberg import (
+            _collect_initial_defaults,
             _current_schema,
             _rename_in_history,
         )
 
         cur_schema = _current_schema(md)
+        if _collect_initial_defaults(cur_schema):
+            raise ValueError(
+                "schema declares v3 initial-default fields: the "
+                "per-file streaming face would return NULL where the "
+                "default applies — use read_iceberg_table batches"
+            )
         fids = None
         if _rename_in_history(md, cur_schema):
             fids = {

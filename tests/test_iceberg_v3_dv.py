@@ -177,7 +177,66 @@ def test_v3_dv_cardinality_mismatch_raises(spark, tmp_path):
         read_iceberg_table(spark, table).collect()
 
 
-def test_v3_initial_default_refuses(spark, tmp_path):
+def test_v3_initial_default_top_level_reads(spark, tmp_path):
+    """Round 10: top-level primitive initial-defaults READ correctly —
+    files written BEFORE the field existed (footer lacks it) fill the
+    default; files carrying the field keep actual values including
+    genuine NULLs (the case a blanket coalesce would corrupt)."""
+    schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {
+                "id": 2,
+                "name": "cat",
+                "required": False,
+                "type": "string",
+                "initial-default": "zz",
+            },
+            {
+                "id": 3,
+                "name": "score",
+                "required": False,
+                "type": "long",
+                "initial-default": 7,
+            },
+        ],
+    }
+    old = pa.table({"id": pa.array([1, 2], pa.int64())})  # pre-ADD file
+    new = pa.table(
+        {
+            "id": pa.array([3, 4], pa.int64()),
+            "cat": pa.array(["x", None], pa.string()),  # genuine NULL
+            "score": pa.array([30, 40], pa.int64()),
+        }
+    )
+    table = build_v3_dv_table(
+        str(tmp_path / "icedef"),
+        {"old.parquet": old, "new.parquet": new},
+        {},
+        schema,
+    )
+    snap = read_iceberg_snapshot(table)
+    assert snap.initial_defaults == {
+        "cat": ("zz", "string"),
+        "score": (7, "long"),
+    }
+    got = {
+        r["id"]: (r["cat"], r["score"])
+        for r in read_iceberg_table(spark, table).collect()
+    }
+    assert got == {
+        1: ("zz", 7),
+        2: ("zz", 7),
+        3: ("x", 30),
+        4: (None, 40),  # genuine NULL survives — not defaulted
+    }
+
+
+def test_v3_initial_default_composes_with_dv(spark, tmp_path):
+    """Defaults + deletion vectors in one table: the per-group scan
+    must keep the (file, position) tombstone join correct."""
     schema = {
         "schema-id": 0,
         "type": "struct",
@@ -192,7 +251,42 @@ def test_v3_initial_default_refuses(spark, tmp_path):
             },
         ],
     }
-    table = _v3_table(tmp_path, {}, schema_json=schema, name="icedef")
+    old = pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+    new = pa.table(
+        {
+            "id": pa.array([10, 11], pa.int64()),
+            "cat": pa.array(["a", "b"], pa.string()),
+        }
+    )
+    table = build_v3_dv_table(
+        str(tmp_path / "icedefdv"),
+        {"old.parquet": old, "new.parquet": new},
+        {"old.parquet": [1], "new.parquet": [0]},  # kill id=2 and id=10
+        schema,
+    )
+    got = {
+        r["id"]: r["cat"]
+        for r in read_iceberg_table(spark, table).collect()
+    }
+    assert got == {1: "zz", 3: "zz", 11: "b"}
+
+
+def test_v3_initial_default_unsupported_type_refuses(spark, tmp_path):
+    schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {
+                "id": 2,
+                "name": "b",
+                "required": False,
+                "type": "binary",
+                "initial-default": "AAAA",
+            },
+        ],
+    }
+    table = _v3_table(tmp_path, {}, schema_json=schema, name="icedefbin")
     with pytest.raises(IcebergFeatureError, match="initial-default"):
         read_iceberg_snapshot(table)
 
