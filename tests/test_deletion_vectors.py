@@ -699,8 +699,13 @@ def test_dv_large_cardinality_stays_off_driver(spark, tmp_path):
 
     n, cut = 1_600_000, 1_200_000
     table = str(tmp_path / "big")
+    # range(0, n, 1, 2): exactly two slices split at n // 2 regardless of
+    # the session's core count — range().coalesce(2) packs an uneven
+    # number of default slices per output file when the parallelism does
+    # not divide evenly (e.g. 5 cores -> 640k/960k), breaking the
+    # cardinality assertions below
     write_delta_table(
-        spark.range(n).selectExpr("id", "id % 7 as k").coalesce(2), table
+        spark.range(0, n, 1, 2).selectExpr("id", "id % 7 as k"), table
     )
     v = delete_from_delta_table(
         spark, table, [("id", "<", cut)], use_deletion_vectors=True
