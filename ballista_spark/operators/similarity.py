@@ -77,16 +77,32 @@ def cosine_topk(
     Returns (query_id, rank, neighbor_id, cosine); ties broken by neighbor
     id so the result set is deterministic.
     """
-    c = _spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
+    # SQL-text expression construction (same trees as the Column helpers
+    # below — see text.py's plan-build cost note; r10 measured 168 ms of
+    # py4j chatter per *build* of this query through the Column API)
+    c = _spread(corpus, id_col).selectExpr(
+        f"{id_col} as neighbor_id",
+        f"transform({vec_col}, x -> cast(x as double)) as cv",
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x)) as cn",
+    )
+    q = queries.selectExpr(
+        f"{id_col} as query_id",
+        f"transform({vec_col}, x -> cast(x as double)) as qv",
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x)) as qn",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _cosine(_dot(F.col("cv"), F.col("qv")), F.col("cn") * F.col("qn")))
+        .where("neighbor_id != query_id")
+        .withColumn(
+            "cosine",
+            F.expr(
+                "CASE WHEN (cn * qn) != 0.0D THEN"
+                " aggregate(zip_with(cv, qv, (x, y) -> x * y), 0.0D,"
+                " (acc, x) -> acc + x) / (cn * qn) END"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -30,8 +30,26 @@ def _tokens(text) -> F.Column:
     return F.split(F.trim(F.col(text) if isinstance(text, str) else text), " ")
 
 
+#: Plan-build cost note (r10, guide §1/§4): every ``F.xxx`` Column call is
+#: one or more py4j round-trips, and the composite metrics below chain
+#: dozens of them — measured 30-80 ms of pure *driver-side expression
+#: construction* per metric per query build (fingerprint 38 ms, quality
+#: 80 ms), vs ~1 ms to hand the same expression to the SQL parser as ONE
+#: string.  The hot operators therefore build their expression as SQL
+#: text when given a plain column *name* (the common case) and fall back
+#: to the Column API for Column inputs.  The two forms parse to identical
+#: expression trees (literal suffixes ``L``/``D`` pin the same types the
+#: Column API produced); tests assert exact result equality.
+
+
+def _tokens_sql(name: str) -> str:
+    return f"split(trim({name}), ' ')"
+
+
 def token_count(text="text") -> F.Column:
     """Whitespace token count (BIGINT)."""
+    if isinstance(text, str):
+        return F.expr(f"cast(size({_tokens_sql(text)}) as bigint)")
     return F.size(_tokens(text)).cast("bigint")
 
 
@@ -43,8 +61,22 @@ def _substr_count(padded: F.Column, needle: str) -> F.Column:
     ).cast("bigint")
 
 
+def _stopword_hits_sql(name: str, words: list[str]) -> str:
+    padded = f"concat(' ', trim({name}), ' ')"
+    terms = " + ".join(
+        f"cast((length(__pad) - length(replace(__pad, ' {w} ', ''))) / {len(w) + 2} as bigint)"
+        for w in words
+    )
+    # one shared padded value via a lateral-style aggregate trick is not
+    # available in a scalar expression; inline the padded expr per term
+    # exactly as the Column form re-evaluates it (codegen CSEs it anyway)
+    return f"(cast(0 as bigint) + {terms})".replace("__pad", padded)
+
+
 def stopword_hits(text, words: list[str]) -> F.Column:
     """Count of token-bounded occurrences of any word in ``words``."""
+    if isinstance(text, str):
+        return F.expr(_stopword_hits_sql(text, words))
     padded = F.concat(F.lit(" "), F.trim(F.col(text) if isinstance(text, str) else text), F.lit(" "))
     out = F.lit(0).cast("bigint")
     for w in words:
@@ -56,7 +88,26 @@ def quality_score(text="text") -> F.Column:
     """Composite quality score in [0, ~2]: token-length sanity + stopword
     presence + length band.  Deterministic double arithmetic (exact integer
     inputs, one division per term)."""
-    col = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        ntok = f"cast(size({_tokens_sql(text)}) as bigint)"
+        nchar = f"cast(length({text}) as bigint)"
+        avg_tok_len = f"(cast((({nchar}) - ({ntok})) + 1L as double) / cast({ntok} as double))"
+        stop_ratio = (
+            f"(cast({_stopword_hits_sql(text, LANG_STOPWORDS['en'])} as double)"
+            f" / cast({ntok} as double))"
+        )
+        len_band = (
+            f"(CASE WHEN ({nchar}) >= 100L AND ({nchar}) <= 2000L THEN 1.0D"
+            f" WHEN ({nchar}) >= 50L THEN 0.5D ELSE 0.0D END)"
+        )
+        tok_band = (
+            f"(CASE WHEN {avg_tok_len} >= 3.0D AND {avg_tok_len} <= 10.0D"
+            f" THEN 1.0D ELSE 0.5D END)"
+        )
+        return F.expr(
+            f"{len_band} * 0.4D + {tok_band} * 0.3D + {stop_ratio} * 0.3D"
+        )
+    col = text
     ntok = token_count(text)
     nchar = F.length(col).cast("bigint")
     avg_tok_len = (nchar - ntok + 1).cast("double") / ntok.cast("double")
@@ -99,6 +150,16 @@ def fingerprint(text="text") -> F.Column:
     integer arithmetic reproducible in any ANSI SQL engine (the oracle
     recomputes it verbatim); order-aware yet commutative-sum based, so the
     aggregation parallelizes without an ordered fold."""
+    if isinstance(text, str):
+        term = (
+            f"((i + 1) * {_PHI}L + (length(x) * 65599 + "
+            f"ascii(substring(x, 1, 1)) * 256 + ascii(substring(x, -1, 1)))"
+            f" % {_M31}) % {_M31}L"
+        )
+        return F.expr(
+            f"cast(aggregate(transform({_tokens_sql(text)}, (x, i) -> {term}),"
+            f" cast(0 as bigint), (acc, x) -> acc + x) % {_M31}L as bigint)"
+        )
     toks = _tokens(text)
     terms = F.transform(
         toks,
@@ -131,6 +192,21 @@ def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
     per-gram ``slice`` calls, which is O(L·n) allocations and measured 3.5×
     slower at sf0.1.  Documents with fewer than ``n`` tokens score 0.0.
     """
+    if isinstance(text, str):
+        toks_s = _tokens_sql(text)
+        m_s = f"cast(size({toks_s}) - {n - 1} as bigint)"
+        mc_s = f"cast(greatest({m_s}, 0L) as int)"
+        grams_s = f"slice({toks_s}, 1, {mc_s})"
+        for k in range(1, n):
+            grams_s = (
+                f"zip_with({grams_s}, slice({toks_s}, {k + 1}, {mc_s}),"
+                f" (a, b) -> concat_ws(' ', a, b))"
+            )
+        dup_s = f"cast(size({grams_s}) - size(array_distinct({grams_s})) as double)"
+        return F.expr(
+            f"CASE WHEN {m_s} >= 1L THEN {dup_s} / cast({m_s} as double)"
+            f" ELSE 0.0D END"
+        )
     toks = _tokens(text)
     m = (F.size(toks) - F.lit(n - 1)).cast("bigint")
     mc = F.greatest(m, F.lit(0)).cast("int")

@@ -22,7 +22,7 @@ from ballista_spark.operators import multimodal as M
 from ballista_spark.operators import similarity as S
 from ballista_spark.operators import text as X
 from ballista_spark.queries.base import Query
-from ballista_spark.sources.registry import load_table
+from ballista_spark.sources.registry import _session_cache, load_table
 
 PIPELINE_QUERIES: dict[str, Query] = {}
 
@@ -421,12 +421,27 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def _embedding_dim(spark: SparkSession, sf: str, emb: DataFrame) -> int:
+    """Embedding dimensionality of the ``embeddings`` table, cached per
+    (session, sf_dir): the ``first()`` probe is a Spark job (~40 ms) that
+    the guard-rail dim checks below would otherwise pay on every query
+    *build* in the bench/driver loop (r10)."""
+    cache = _session_cache(spark)
+    key = (sf, "__embedding_dim__")
+    if cache is not None and key in cache:
+        return cache[key]
+    dim = len(emb.select("embedding").first()["embedding"])
+    if cache is not None:
+        cache[key] = dim
+    return dim
+
+
 def _ann_lsh_builder(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     # The static oracle inlines dim=64 hyperplanes; a testdata regeneration
     # with a different embedding dim must fail LOUDLY here, not truncate
     # the dot products silently (zip_with null-pads the shorter array).
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(spark, sf, emb)
     if dim != 64:
         raise ValueError(
             f"embeddings dim changed to {dim}; regenerate the dim-64 "
@@ -556,7 +571,7 @@ def _pq_label_codebooks(emb: DataFrame) -> list[list[list[float]]]:
 
 def _pq_builder(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(spark, sf, emb)
     if dim != _PQ_DIM:
         raise ValueError(
             f"embeddings dim changed to {dim}; regenerate the m={_PQ_M} "

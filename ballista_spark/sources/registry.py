@@ -63,7 +63,29 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one canonical table from a TESTDATA scale-factor directory."""
+    """Load one canonical table from a TESTDATA scale-factor directory.
+
+    Cached per (session, sf_dir, name): every uncached call pays a
+    parquet footer read + schema inference (~65 ms measured at sf0.1),
+    and the DataFrame-API pipeline builders call this once per table per
+    *query build* — in the bench loop that was 0.13-0.25 s of pure
+    driver-side rebuild per iteration (r10 measurement).  Caching the
+    DataFrame also caches anything derived lazily from the same object
+    (``df.rdd`` partition probes in ``_spread``/``_parallelized``).  The
+    cache holds only unresolved plans — never materialized data — so
+    every execution still computes from the parquet inputs.
+    """
+    cache = _session_cache(spark)
+    key = (sf_dir, name)
+    if cache is not None and key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if cache is not None:
+        cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # nanosAsLong only affects TIMESTAMP(NANOS) columns; µs files read
@@ -80,20 +102,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: Attribute under which the per-session DataFrame cache lives ON the
-#: session object itself.  Re-loading re-reads every parquet footer (~1.3 s
-#: for 10 tables), which would otherwise be paid per query in the bench/
-#: driver loop.  The cache must not live in any module-level mapping: a
-#: plain ``id(spark)`` key can be reused by CPython after the session is
-#: collected (stale inheritance), and a ``WeakKeyDictionary`` never evicts
-#: here because the cached DataFrames strongly reference their session —
-#: value → key — which pins the entry for process lifetime.  An attribute
-#: on the session has exactly the right lifetime: it is collected with the
-#: session (reference cycles through the session's own attributes are
-#: handled by Python's cycle collector).  Only the loaded DataFrames are
-#: cached — ``createOrReplaceTempView`` is a cheap catalog operation and is
+#: session object itself, keyed ``(sf_dir, name)`` — re-loading re-reads
+#: every parquet footer (~1.3 s for 10 tables), which would otherwise be
+#: paid per query in the bench/driver loop.  The cache must not live in
+#: any module-level mapping: a plain ``id(spark)`` key can be reused by
+#: CPython after the session is collected (stale inheritance), and a
+#: ``WeakKeyDictionary`` never evicts here because the cached DataFrames
+#: strongly reference their session — value → key — which pins the entry
+#: for process lifetime.  An attribute on the session has exactly the
+#: right lifetime: it is collected with the session (reference cycles
+#: through the session's own attributes are handled by Python's cycle
+#: collector).  Only the loaded DataFrames are cached —
+#: ``createOrReplaceTempView`` is a cheap catalog operation and is
 #: re-issued on every call, so a caller who rebound one of the canonical
-#: view names always gets the canonical binding back.
+#: view names always gets the canonical binding back.  (r10: keyed by
+#: ``(sf_dir, name)`` instead of one dir per session, so tests/builders
+#: touching several scale dirs in one session all hit.)
 _CACHE_ATTR = "_ballista_spark_table_cache"
+
+
+def _session_cache(spark: SparkSession) -> dict | None:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if isinstance(cache, dict):
+        return cache
+    cache = {}
+    try:
+        setattr(spark, _CACHE_ATTR, cache)
+    except AttributeError:  # pragma: no cover - session type forbids attrs
+        return None
+    return cache
 
 
 def register_tables(
@@ -114,35 +151,27 @@ def register_tables(
     returned mapping as ``.load_errors`` so callers iterating the dict can
     distinguish "not requested" from "failed to load" without indexing.
     """
-    cached_dir, cached = getattr(spark, _CACHE_ATTR, (None, {}))
-    if cached_dir != sf_dir:
-        cached = {}
-    out = dict(cached)
+    out: dict[str, DataFrame] = {}
     errors: dict[str, Exception] = {}
     for name in names:
-        if name not in out:
-            try:
-                out[name] = load_table(spark, sf_dir, name)
-            except Exception as exc:  # noqa: BLE001 - isolate per table
-                errors[name] = exc
-                print(
-                    f"ballista_spark: failed to load table {name!r} from "
-                    f"{sf_dir}: {exc}",
-                    file=sys.stderr,
-                )
-                try:  # never serve a stale view for a failed table
-                    spark.catalog.dropTempView(name)
-                except Exception:  # pragma: no cover - catalog unavailable
-                    pass
-                continue
+        try:
+            out[name] = load_table(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001 - isolate per table
+            errors[name] = exc
+            print(
+                f"ballista_spark: failed to load table {name!r} from "
+                f"{sf_dir}: {exc}",
+                file=sys.stderr,
+            )
+            try:  # never serve a stale view for a failed table
+                spark.catalog.dropTempView(name)
+            except Exception:  # pragma: no cover - catalog unavailable
+                pass
+            continue
         out[name].createOrReplaceTempView(name)
-    try:
-        setattr(spark, _CACHE_ATTR, (sf_dir, out))
-    except AttributeError:  # pragma: no cover - session type forbids attrs
-        pass
     # always the error-reporting flavor so `.load_errors` is uniformly
     # present (empty when everything loaded)
-    return _ErrorReportingTables({n: out[n] for n in names if n in out}, errors)
+    return _ErrorReportingTables(out, errors)
 
 
 class _ErrorReportingTables(dict):
