@@ -46,10 +46,17 @@ def _tokens_sql(name: str) -> str:
     return f"split(trim({name}), ' ')"
 
 
+def token_count_sql(toks: str) -> str:
+    """SQL text of :func:`token_count` over a token-array expression —
+    callers that compute several metrics can materialize the array once
+    and pass its column name (one tokenization instead of one per metric)."""
+    return f"cast(size({toks}) as bigint)"
+
+
 def token_count(text="text") -> F.Column:
     """Whitespace token count (BIGINT)."""
     if isinstance(text, str):
-        return F.expr(f"cast(size({_tokens_sql(text)}) as bigint)")
+        return F.expr(token_count_sql(_tokens_sql(text)))
     return F.size(_tokens(text)).cast("bigint")
 
 
@@ -89,24 +96,7 @@ def quality_score(text="text") -> F.Column:
     presence + length band.  Deterministic double arithmetic (exact integer
     inputs, one division per term)."""
     if isinstance(text, str):
-        ntok = f"cast(size({_tokens_sql(text)}) as bigint)"
-        nchar = f"cast(length({text}) as bigint)"
-        avg_tok_len = f"(cast((({nchar}) - ({ntok})) + 1L as double) / cast({ntok} as double))"
-        stop_ratio = (
-            f"(cast({_stopword_hits_sql(text, LANG_STOPWORDS['en'])} as double)"
-            f" / cast({ntok} as double))"
-        )
-        len_band = (
-            f"(CASE WHEN ({nchar}) >= 100L AND ({nchar}) <= 2000L THEN 1.0D"
-            f" WHEN ({nchar}) >= 50L THEN 0.5D ELSE 0.0D END)"
-        )
-        tok_band = (
-            f"(CASE WHEN {avg_tok_len} >= 3.0D AND {avg_tok_len} <= 10.0D"
-            f" THEN 1.0D ELSE 0.5D END)"
-        )
-        return F.expr(
-            f"{len_band} * 0.4D + {tok_band} * 0.3D + {stop_ratio} * 0.3D"
-        )
+        return F.expr(quality_score_sql(text, _tokens_sql(text)))
     col = text
     ntok = token_count(text)
     nchar = F.length(col).cast("bigint")
@@ -121,6 +111,28 @@ def quality_score(text="text") -> F.Column:
         F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     )
     return len_band * 0.4 + tok_band * 0.3 + stop_ratio * 0.3
+
+
+def quality_score_sql(text: str, toks: str) -> str:
+    """SQL text of :func:`quality_score` over (text column, token-array
+    expression) — see :func:`token_count_sql` for the materialize-once
+    pattern."""
+    ntok = f"{token_count_sql(toks)}"
+    nchar = f"cast(length({text}) as bigint)"
+    avg_tok_len = f"(cast((({nchar}) - ({ntok})) + 1L as double) / cast({ntok} as double))"
+    stop_ratio = (
+        f"(cast({_stopword_hits_sql(text, LANG_STOPWORDS['en'])} as double)"
+        f" / cast({ntok} as double))"
+    )
+    len_band = (
+        f"(CASE WHEN ({nchar}) >= 100L AND ({nchar}) <= 2000L THEN 1.0D"
+        f" WHEN ({nchar}) >= 50L THEN 0.5D ELSE 0.0D END)"
+    )
+    tok_band = (
+        f"(CASE WHEN {avg_tok_len} >= 3.0D AND {avg_tok_len} <= 10.0D"
+        f" THEN 1.0D ELSE 0.5D END)"
+    )
+    return f"{len_band} * 0.4D + {tok_band} * 0.3D + {stop_ratio} * 0.3D"
 
 
 def lang_id(text="text") -> F.Column:
@@ -151,15 +163,7 @@ def fingerprint(text="text") -> F.Column:
     recomputes it verbatim); order-aware yet commutative-sum based, so the
     aggregation parallelizes without an ordered fold."""
     if isinstance(text, str):
-        term = (
-            f"((i + 1) * {_PHI}L + (length(x) * 65599 + "
-            f"ascii(substring(x, 1, 1)) * 256 + ascii(substring(x, -1, 1)))"
-            f" % {_M31}) % {_M31}L"
-        )
-        return F.expr(
-            f"cast(aggregate(transform({_tokens_sql(text)}, (x, i) -> {term}),"
-            f" cast(0 as bigint), (acc, x) -> acc + x) % {_M31}L as bigint)"
-        )
+        return F.expr(fingerprint_sql(_tokens_sql(text)))
     toks = _tokens(text)
     terms = F.transform(
         toks,
@@ -178,6 +182,19 @@ def fingerprint(text="text") -> F.Column:
     return (total % _M31).cast("bigint")
 
 
+def fingerprint_sql(toks: str) -> str:
+    """SQL text of :func:`fingerprint` over a token-array expression."""
+    term = (
+        f"((i + 1) * {_PHI}L + (length(x) * 65599 + "
+        f"ascii(substring(x, 1, 1)) * 256 + ascii(substring(x, -1, 1)))"
+        f" % {_M31}) % {_M31}L"
+    )
+    return (
+        f"cast(aggregate(transform({toks}, (x, i) -> {term}),"
+        f" cast(0 as bigint), (acc, x) -> acc + x) % {_M31}L as bigint)"
+    )
+
+
 def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
     """Within-document repetition: fraction of word n-grams that are
     repeats of an earlier n-gram (DOUBLE in [0, 1)).
@@ -193,20 +210,7 @@ def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
     slower at sf0.1.  Documents with fewer than ``n`` tokens score 0.0.
     """
     if isinstance(text, str):
-        toks_s = _tokens_sql(text)
-        m_s = f"cast(size({toks_s}) - {n - 1} as bigint)"
-        mc_s = f"cast(greatest({m_s}, 0L) as int)"
-        grams_s = f"slice({toks_s}, 1, {mc_s})"
-        for k in range(1, n):
-            grams_s = (
-                f"zip_with({grams_s}, slice({toks_s}, {k + 1}, {mc_s}),"
-                f" (a, b) -> concat_ws(' ', a, b))"
-            )
-        dup_s = f"cast(size({grams_s}) - size(array_distinct({grams_s})) as double)"
-        return F.expr(
-            f"CASE WHEN {m_s} >= 1L THEN {dup_s} / cast({m_s} as double)"
-            f" ELSE 0.0D END"
-        )
+        return F.expr(dup_ngram_fraction_sql(_tokens_sql(text), n))
     toks = _tokens(text)
     m = (F.size(toks) - F.lit(n - 1)).cast("bigint")
     mc = F.greatest(m, F.lit(0)).cast("int")
@@ -221,6 +225,23 @@ def dup_ngram_fraction(text="text", n: int = 2) -> F.Column:
         )
     dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
     return F.when(m >= 1, dup / m.cast("double")).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_sql(toks: str, n: int = 2) -> str:
+    """SQL text of :func:`dup_ngram_fraction` over a token-array expression."""
+    m_s = f"cast(size({toks}) - {n - 1} as bigint)"
+    mc_s = f"cast(greatest({m_s}, 0L) as int)"
+    grams_s = f"slice({toks}, 1, {mc_s})"
+    for k in range(1, n):
+        grams_s = (
+            f"zip_with({grams_s}, slice({toks}, {k + 1}, {mc_s}),"
+            f" (a, b) -> concat_ws(' ', a, b))"
+        )
+    dup_s = f"cast(size({grams_s}) - size(array_distinct({grams_s})) as double)"
+    return (
+        f"CASE WHEN {m_s} >= 1L THEN {dup_s} / cast({m_s} as double)"
+        f" ELSE 0.0D END"
+    )
 
 
 #: GPT-2-ish pretokenizer classes: letter runs, digit runs, punctuation runs

@@ -667,13 +667,19 @@ def _text_stats_builder(spark: SparkSession, sf: str) -> DataFrame:
     # and would evaluate every metric on one core; at 100 TB the scan is
     # already many-partitioned and this is a no-op (no extra exchange)
     docs = _parallelized(load_table(spark, sf, "documents"), "doc_id")
-    return docs.select(
+    # materialize the token array ONCE and let every metric reference it:
+    # the naive form tokenizes per metric (4 split+trim passes per row —
+    # r10: 0.23 s → 0.19 s at sf0.1, bit-exact).  Two selects stay two
+    # projections: CollapseProject does not inline a non-cheap alias
+    # referenced more than once, so __toks is evaluated once per row.
+    base = docs.selectExpr("doc_id", "text", f"{X._tokens_sql('text')} as __toks")
+    return base.selectExpr(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_m"),
-        X.fingerprint("text").alias("fp"),
-        X.quality_score("text").alias("quality"),
-        X.dup_ngram_fraction("text", 2).alias("rep2"),
+        f"{X.token_count_sql('__toks')} as n_tokens",
+        "cast(length(text) as bigint) as n_chars_m",
+        f"{X.fingerprint_sql('__toks')} as fp",
+        f"{X.quality_score_sql('text', '__toks')} as quality",
+        f"{X.dup_ngram_fraction_sql('__toks', 2)} as rep2",
     ).orderBy("doc_id")
 
 

@@ -497,16 +497,23 @@ _q(
     "supplier, and it is the order's ONLY late supplier), cutting three "
     "lineitem scans + two sort-merge join passes to one scan + one "
     "window shuffle — measured 13.2 s → 5.7 s at SF10, per-decade "
-    "scaling 4.1× → 2.9×.  The oracle keeps the classic EXISTS/NOT "
-    "EXISTS formulation, so the correctness gate cross-checks the "
-    "rewrite against the textbook semantics every run (verified equal "
-    "at sf0.01/sf0.1/SF1/SF10).",
+    "scaling 4.1× → 2.9×.  r10 replaces the two COLLECT_SET windows "
+    "with four MIN/MAX windows (>1 distinct supplier ⟺ min ≠ max; "
+    "exactly one distinct late supplier ⟺ min = max of the late-only "
+    "values, which MIN/MAX see because they ignore the CASE's NULLs): "
+    "O(1) window state instead of per-order hash sets — 0.56 s → "
+    "0.49 s at sf0.1, and no set buffering on a skewed giant order.  "
+    "The oracle keeps the classic EXISTS/NOT EXISTS formulation, so "
+    "the correctness gate cross-checks the rewrite against the "
+    "textbook semantics every run (verified equal at sf0.01/sf0.1/"
+    "SF1/SF10; minmax twin re-verified at SF1/SF10 in r10).",
     """
 SELECT s_name, COUNT(*) AS numwait
 FROM (
   SELECT l_suppkey, late,
-         SIZE(COLLECT_SET(l_suppkey) OVER w) AS nsupp,
-         SIZE(COLLECT_SET(CASE WHEN late THEN l_suppkey END) OVER w) AS nlate
+         MIN(l_suppkey) OVER w <> MAX(l_suppkey) OVER w AS multi_supp,
+         MIN(CASE WHEN late THEN l_suppkey END) OVER w
+           = MAX(CASE WHEN late THEN l_suppkey END) OVER w AS single_late
   FROM (
     SELECT l_orderkey, l_suppkey,
            l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
@@ -517,7 +524,7 @@ FROM (
 ) t
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE late AND nsupp > 1 AND nlate = 1
+WHERE late AND multi_supp AND single_late
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
