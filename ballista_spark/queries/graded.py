@@ -1283,6 +1283,65 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     li = load_table(spark, sf_dir, "lineitem")
 
+    #: branch checkpoints deferred for one concurrent materialization pass
+    deferred_ckpts: list[DataFrame] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        """Deferred-eager localCheckpoint (r10, guide §2.6).
+
+        Returns the checkpointed DataFrame immediately (lazy) and
+        registers it; just before the builder returns, every deferred
+        checkpoint is forced by its own ``count()`` from a small thread
+        pool, so the ~14 independent branch materializations OVERLAP
+        instead of serializing ~25 tiny jobs on an idle cluster
+        (measured: 22.5 s → ~10 s warm build at sf0.01).  Semantics are
+        identical to ``localCheckpoint(eager=True)`` by the time any
+        consumer runs: each branch is fully materialized (plan truncated,
+        computed exactly once) before the entry's union executes."""
+        out = df.localCheckpoint(eager=False)
+        deferred_ckpts.append(out)
+        return out
+
+    # the four ITERATIVE/fit constructions run eager internal checkpoints
+    # (pagerank 7 rounds, Bradley-Terry 5, the lm/dsir fits one each —
+    # ~5.7 s serial warm at sf0.01).  Kick them off now on pool threads so
+    # they overlap with each other and with the main thread's (serial,
+    # py4j-bound) plan construction; each is resolved at its first use.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ballista_spark.operators.graph import pagerank
+    from ballista_spark.operators.preference import bt_strengths
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    _d = F.col("doc_id")
+    lm_fit_f = pool.submit(
+        lambda: ngram_lm_fit(docs.where(F.col("source") == "src1"), n=2)
+    )
+    dsm_f = pool.submit(
+        lambda: dsir_fit(docs.where(F.col("source") == "src1"), docs)
+    )
+    pr_f = pool.submit(
+        lambda: pagerank(
+            docs.select(
+                ((_d * 7 + 3) % 53).alias("src"), ((_d * 13 + 5) % 61).alias("dst")
+            ),
+            max_iters=_PR_ITERS,
+            tol=0.0,
+        )
+    )
+    bt_f = pool.submit(
+        lambda: bt_strengths(
+            docs.select(
+                F.pmod(_d, F.lit(7)).alias("key_a"),
+                F.pmod(F.pmod(_d * 13 + 5, F.lit(11)), F.lit(7)).alias("key_b"),
+                F.pmod(_d, F.lit(2)).cast("double").alias("wins_a"),
+            ),
+            max_iters=_BT_ITERS,
+            tol=0.0,
+            smoothing=_BT_SMOOTHING,
+        )
+    )
+
     def two(df: DataFrame, op: str) -> DataFrame:
         g = df.groupBy("source").agg(
             F.count("*").alias("n"), F.sum("doc_id").alias("s")
@@ -1376,13 +1435,15 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enough that any formula/backoff/count error lands far outside it.
     # The n=3 ladder and exact (unrounded) scores are pytest-mirrored in
     # test_lm.py; n=2 keeps the oracle's candidate/fit CTEs compact.
-    lm = ngram_lm_fit(docs.where(F.col("source") == "src1"), n=2)
-    # eager checkpoint: the per-source aggregate is <= n_sources rows but
-    # its subtree would otherwise be copied once per metric AND planned
-    # inside the giant entry union, where the interpreted higher-order
-    # gram expressions evaluate pathologically (~90 s observed for the
-    # quality branch vs ~1 s standalone at sf0.001)
-    lm_g = (
+    lm = lm_fit_f.result()  # constructed concurrently above
+    # eager checkpoint (via _ckpt, which defers the materialization and
+    # then runs all branch materializations CONCURRENTLY): the
+    # per-source aggregate is <= n_sources rows but its subtree would
+    # otherwise be copied once per metric AND planned inside the giant
+    # entry union, where the interpreted higher-order gram expressions
+    # evaluate pathologically (~90 s observed for the quality branch vs
+    # ~1 s standalone at sf0.001)
+    lm_g = _ckpt(
         ngram_lm_score(docs, lm)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -1391,7 +1452,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("st"),
             F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
         )
-        .localCheckpoint(eager=True)
     )
     lm_rows = (
         lm_g.select(
@@ -1423,14 +1483,13 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
     )
     q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
-    q_g = (
+    q_g = _ckpt(
         q_scored.groupBy("source")
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
             F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
         )
-        .localCheckpoint(eager=True)  # see lm_g
     )
     q_rows = (
         q_g.select(
@@ -1452,8 +1511,8 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log ratios — pinned per source by n docs, exact gram totals, and
     # the log-weight sum at 1e-4 (same ulp discipline as lm_ppl).  The
     # oracle replays the identical md5-bucket counts from its qfeat CTE.
-    dsm = dsir_fit(docs.where(F.col("source") == "src1"), docs)
-    ds_g = (
+    dsm = dsm_f.result()  # constructed concurrently above
+    ds_g = _ckpt(
         dsir_log_weights(docs, dsm)
         .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
         .groupBy("source")
@@ -1462,7 +1521,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_grams").alias("sg"),
             F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
         )
-        .localCheckpoint(eager=True)  # see lm_g
     )
     ds_rows = (
         ds_g.select(
@@ -1489,7 +1547,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh recall argument)
     from ballista_spark.operators.decontam import fuzzy_contaminated_keys
 
-    fz_g = (
+    fz_g = _ckpt(
         fuzzy_contaminated_keys(
             docs.where(F.col("source") != "src0"), bench, threshold=0.8
         )
@@ -1497,7 +1555,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
-        .localCheckpoint(eager=True)  # see lm_g
     )
     fz_rows = fz_g.select(
         F.lit("fuzzy_contam").alias("op"),
@@ -1619,10 +1676,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PageRank over a doc-derived digraph (multi-edges + dangling nodes
     # by construction); tol=0 pins exactly _PR_ITERS power iterations so
     # the oracle's unrolled CTE ladder computes the identical iterate
-    edges = docs.select(
-        ((d * 7 + 3) % 53).alias("src"), ((d * 13 + 5) % 61).alias("dst")
-    )
-    pr_rows = pagerank(edges, max_iters=_PR_ITERS, tol=0.0).select(
+    pr_rows = pr_f.result().select(  # constructed concurrently above
         F.lit("pagerank").alias("op"),
         F.col("node").cast("string").alias("k"),
         F.lit("rank_1e6").alias("metric"),
@@ -1647,14 +1701,13 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmodel = SoftmaxModel(
         weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
     )
-    lg_g = (
+    lg_g = _ckpt(
         softmax_predict(docs, lmodel)
         .groupBy("source", "pred")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
         )
-        .localCheckpoint(eager=True)  # see lm_g
     )
     lg_k = F.concat(F.col("source"), F.lit("|"), F.col("pred"))
     lg_rows = lg_g.select(
@@ -1760,17 +1813,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"k": ks + ["shape", "const_rows"], "metric": ms, "v": vs}
                 )
 
-    jp_rows = (
+    jp_rows = _ckpt(
         jp_df.mapInPandas(_jp, "k string, metric string, v long")
         .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
-        .localCheckpoint(eager=True)  # see lm_g
     )
 
     pdf_df = spark.createDataFrame(
         [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
     )
     pe = pdf_extract_text(pdf_df)
-    pdf_rows = (
+    pdf_rows = _ckpt(
         pe.select(
             F.lit("pdf").alias("op"),
             F.lit("d0").alias("k"),
@@ -1783,12 +1835,11 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_pages").cast("long"),
             )
         )
-        .localCheckpoint(eager=True)
     )
 
     sent_df = spark.createDataFrame([(0, _SENT_KA_TEXT)], "doc_id long, text string")
     ss = split_sentences(sent_df)
-    sent_rows = (
+    sent_rows = _ckpt(
         ss.select(
             F.lit("sent").alias("op"),
             F.col("sentence_id").cast("string").alias("k"),
@@ -1800,7 +1851,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("sent"), F.lit("all"), F.lit("n"), F.col("n").cast("long")
             )
         )
-        .localCheckpoint(eager=True)
     )
 
     # banned-term keyword screen (round 7, operators/text.py): fixed
@@ -1820,7 +1870,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
-    kw_rows = (
+    kw_rows = _ckpt(
         kw_g.select(
             F.lit("kwscreen").alias("op"),
             kw_k.alias("k"),
@@ -1832,7 +1882,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("kwscreen"), kw_k, F.lit("docs"), F.col("nd").cast("long")
             )
         )
-        .localCheckpoint(eager=True)
     )
 
     # Bradley-Terry strengths (round 7, operators/preference.py): a
@@ -1842,20 +1891,13 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical update as chained CTEs — the pagerank discipline.
     from ballista_spark.operators.preference import bt_strengths
 
-    bt_pairs = docs.select(
-        F.pmod(d, F.lit(7)).alias("key_a"),
-        F.pmod(F.pmod(d * 13 + 5, F.lit(11)), F.lit(7)).alias("key_b"),
-        F.pmod(d, F.lit(2)).cast("double").alias("wins_a"),
-    )
-    bt = bt_strengths(
-        bt_pairs, max_iters=_BT_ITERS, tol=0.0, smoothing=_BT_SMOOTHING
-    )
-    bt_rows = bt.select(
+    bt = bt_f.result()  # constructed concurrently above
+    bt_rows = _ckpt(bt.select(
         F.lit("btrank").alias("op"),
         F.col("item").cast("string").alias("k"),
         F.lit("strength_1e6").alias("metric"),
         F.round(F.col("strength") * 1000000).cast("long").alias("v"),
-    ).localCheckpoint(eager=True)
+    ))
 
     # data-contract validation (round 7, operators/validate.py): the
     # REAL one-pass contract runs over documents; per check the report's
@@ -1881,7 +1923,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
-    val_rows = (
+    val_rows = _ckpt(
         report.select(
             F.lit("validate").alias("op"),
             vk.alias("k"),
@@ -1896,7 +1938,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_extract("observed", r"^(-?\d+)", 1).cast("long"),
             )
         )
-        .localCheckpoint(eager=True)
     )
 
     # code-curation quality stats (round 7, operators/code.py): the
@@ -1929,13 +1970,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(col).cast("long").alias("v"),
         )
 
-    cq_rows = (
+    cq_rows = _ckpt(
         _cqm(cq_g, "sum_lines", "sl")
         .unionAll(_cqm(cq_g, "max_line", "ml"))
         .unionAll(_cqm(cq_g, "alnum_ok", "na"))
         .unionAll(_cqm(cq_g, "autogen", "ng"))
         .unionAll(_cqm(kept_g, "kept", "nk"))
-        .localCheckpoint(eager=True)
     )
 
     afp_ref, afp_clip = _afp_signals(HOP)
@@ -1953,7 +1993,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     afp_media = spark.createDataFrame(
         [_afp_row(1, afp_ref), _afp_row(2, afp_clip)], MEDIA_SCHEMA
     )
-    afp_rows = (
+    afp_rows = _ckpt(
         audio_match_pairs(audio_fingerprints(afp_media), min_matches=8)
         .orderBy(F.desc("n_matches"), "offset")
         .limit(1)
@@ -1963,8 +2003,17 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("offset").alias("metric"),
             F.col("offset").cast("long").alias("v"),
         )
-        .localCheckpoint(eager=True)
     )
+
+    # force every deferred branch checkpoint CONCURRENTLY (guide §2.6:
+    # Spark's FIFO scheduler back-fills idle executors with the later
+    # jobs' tasks; each count() materializes its branch's LogicalRDD so
+    # the union below reads truncated, computed-once plans exactly as
+    # the old sequential eager checkpoints did)
+    try:
+        list(pool.map(lambda d: d.count(), deferred_ckpts))
+    finally:
+        pool.shutdown()
 
     return (
         hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
