@@ -124,57 +124,81 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".csv"):
             os.rename(os.path.join(out, f), os.path.join(out, f[:-4] + ".tbl"))
     ctx = BallistaContext(spark)
-    tbl = ctx.read_csv(
-        out, schema=part.schema, delimiter="|", file_extension=".tbl"
-    )
-    ctx.register_table("part_tbl", tbl)
-    ctx.create_external_table(
-        "part_ext", os.path.join(sf_dir, "part.parquet"), "parquet"
-    )
-    csv_branch = spark.sql(_PART_PREDICATE.format(src="csv", table="part_tbl"))
-    ext_branch = spark.sql(_PART_PREDICATE.format(src="ext", table="part_ext"))
+
+    # r10 (guide §2.6): the lakehouse round-trip branches below build
+    # INDEPENDENT tables in separate directories — serialized they run
+    # ~20 tiny write/commit/read jobs back-to-back (measured 5.8 s cold
+    # / 4.5 s warm at sf0.01).  Each branch group runs in its own pool
+    # thread; concurrent Spark jobs are FIFO-scheduled and back-fill the
+    # idle executors.  The THREE Iceberg-writer branches stay grouped in
+    # ONE thread: write_iceberg_table toggles the session-wide
+    # spark.sql.parquet.outputTimestampType around its write, and two
+    # concurrent toggles could race their restores (no other branch
+    # mutates session conf; none of the frames written here carry
+    # timestamp columns, so a concurrent Delta/Hudi/CSV write cannot be
+    # affected by the Iceberg thread's toggle).  Results are identical —
+    # only job overlap changes; each branch's temp-view name is unique.
+    from concurrent.futures import ThreadPoolExecutor
 
     from ballista_spark.sources.deltalog import (
         compact_delta_table,
+        delete_from_delta_table,
         read_delta_table,
         write_delta_table,
     )
+    from ballista_spark.sources.iceberg import (
+        compact_iceberg_table,
+        delete_from_iceberg_table,
+        read_iceberg_snapshot,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
 
-    # fresh per-call table dir (snapshot resolution is eager; data files
-    # persist under `root`, reaped at process exit with the csv dirs)
     import uuid as _uuid
 
-    dt = os.path.join(root, f"part_delta_{_uuid.uuid4().hex}")
-    write_delta_table(
-        part.where("p_partkey % 2 = 0").repartition(2), dt, mode="append"
-    )
-    write_delta_table(
-        part.where("p_partkey % 2 = 1").repartition(2), dt, mode="append"
-    )
-    compact_delta_table(spark, dt, cluster_by=["p_size"])
-    read_delta_table(
-        spark, dt, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
-    ).createOrReplaceTempView("part_delta")
-    delta_branch = spark.sql(_PART_PREDICATE.format(src="delta", table="part_delta"))
+    def _csv_ext_branches():
+        tbl = ctx.read_csv(
+            out, schema=part.schema, delimiter="|", file_extension=".tbl"
+        )
+        ctx.register_table("part_tbl", tbl)
+        ctx.create_external_table(
+            "part_ext", os.path.join(sf_dir, "part.parquet"), "parquet"
+        )
+        return (
+            spark.sql(_PART_PREDICATE.format(src="csv", table="part_tbl")),
+            spark.sql(_PART_PREDICATE.format(src="ext", table="part_ext")),
+        )
+
+    def _delta_branch():
+        # fresh per-call table dir (snapshot resolution is eager; data
+        # files persist under `root`, reaped at process exit with the
+        # csv dirs)
+        dt = os.path.join(root, f"part_delta_{_uuid.uuid4().hex}")
+        write_delta_table(
+            part.where("p_partkey % 2 = 0").repartition(2), dt, mode="append"
+        )
+        write_delta_table(
+            part.where("p_partkey % 2 = 1").repartition(2), dt, mode="append"
+        )
+        compact_delta_table(spark, dt, cluster_by=["p_size"])
+        read_delta_table(
+            spark, dt, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
+        ).createOrReplaceTempView("part_delta")
+        return spark.sql(_PART_PREDICATE.format(src="delta", table="part_delta"))
 
     # fourth branch (round 7): the same round-trip through the Iceberg
     # v1 WRITER — two appends building a real multi-snapshot table,
     # clustered compaction (replace snapshot), then a bound-pruned
     # snapshot read; oracle: identical select on the base parquet
-    from ballista_spark.sources.iceberg import (
-        compact_iceberg_table,
-        read_iceberg_table,
-        write_iceberg_table,
-    )
-
-    it = os.path.join(root, f"part_ice_{_uuid.uuid4().hex}")
-    write_iceberg_table(part.where("p_partkey % 2 = 0").repartition(2), it)
-    write_iceberg_table(part.where("p_partkey % 2 = 1").repartition(2), it)
-    compact_iceberg_table(spark, it, cluster_by=["p_size"])
-    read_iceberg_table(
-        spark, it, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
-    ).createOrReplaceTempView("part_ice")
-    ice_branch = spark.sql(_PART_PREDICATE.format(src="ice", table="part_ice"))
+    def _ice_branch():
+        it = os.path.join(root, f"part_ice_{_uuid.uuid4().hex}")
+        write_iceberg_table(part.where("p_partkey % 2 = 0").repartition(2), it)
+        write_iceberg_table(part.where("p_partkey % 2 = 1").repartition(2), it)
+        compact_iceberg_table(spark, it, cluster_by=["p_size"])
+        read_iceberg_table(
+            spark, it, filters=[("p_size", ">=", 10), ("p_size", "<=", 30)]
+        ).createOrReplaceTempView("part_ice")
+        return spark.sql(_PART_PREDICATE.format(src="ice", table="part_ice"))
 
     # fifth branch (round 7): the Hudi COW reader over a layout-faithful
     # table built from the same rows — two commits (even/odd file
@@ -184,43 +208,44 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ballista_spark.sources.hudi import read_hudi_table
 
-    ht = os.path.join(root, f"part_hudi_{_uuid.uuid4().hex}")
-    os.makedirs(os.path.join(ht, ".hoodie"), exist_ok=True)
-    with open(os.path.join(ht, ".hoodie", "hoodie.properties"), "w") as f:
-        f.write("hoodie.table.name=part\nhoodie.table.type=COPY_ON_WRITE\n")
+    def _hudi_branch():
+        ht = os.path.join(root, f"part_hudi_{_uuid.uuid4().hex}")
+        os.makedirs(os.path.join(ht, ".hoodie"), exist_ok=True)
+        with open(os.path.join(ht, ".hoodie", "hoodie.properties"), "w") as f:
+            f.write("hoodie.table.name=part\nhoodie.table.type=COPY_ON_WRITE\n")
 
-    def _hudi_commit(df_slice, instant):
-        stage = os.path.join(ht, f".stage-{instant}")
-        df_slice.repartition(1).write.mode("overwrite").parquet(stage)
-        for i, name in enumerate(sorted(os.listdir(stage))):
+        def _hudi_commit(df_slice, instant):
+            stage = os.path.join(ht, f".stage-{instant}")
+            df_slice.repartition(1).write.mode("overwrite").parquet(stage)
+            for i, name in enumerate(sorted(os.listdir(stage))):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage, name),
+                        os.path.join(
+                            ht, f"{_uuid.uuid4()}-{i}_0-1-0_{instant}.parquet"
+                        ),
+                    )
+            shutil.rmtree(stage, ignore_errors=True)
+            with open(os.path.join(ht, ".hoodie", f"{instant}.commit"), "w") as f:
+                f.write('{"partitionToWriteStats": {}}')
+
+        _hudi_commit(part.where("p_partkey % 2 = 0"), "20240101000000")
+        _hudi_commit(part.where("p_partkey % 2 = 1"), "20240102000000")
+        # ghost: staged by a "crashed writer" at a NEWER instant, no commit
+        ghost = part.limit(5).withColumn(
+            "p_partkey", _F.col("p_partkey") + 10_000_000
+        )
+        stage = os.path.join(ht, ".stage-ghost")
+        ghost.repartition(1).write.mode("overwrite").parquet(stage)
+        for name in sorted(os.listdir(stage)):
             if name.endswith(".parquet"):
                 os.rename(
                     os.path.join(stage, name),
-                    os.path.join(
-                        ht, f"{_uuid.uuid4()}-{i}_0-1-0_{instant}.parquet"
-                    ),
+                    os.path.join(ht, f"{_uuid.uuid4()}-0_0-1-0_20240103000000.parquet"),
                 )
         shutil.rmtree(stage, ignore_errors=True)
-        with open(os.path.join(ht, ".hoodie", f"{instant}.commit"), "w") as f:
-            f.write('{"partitionToWriteStats": {}}')
-
-    _hudi_commit(part.where("p_partkey % 2 = 0"), "20240101000000")
-    _hudi_commit(part.where("p_partkey % 2 = 1"), "20240102000000")
-    # ghost: staged by a "crashed writer" at a NEWER instant, no commit
-    ghost = part.limit(5).withColumn(
-        "p_partkey", _F.col("p_partkey") + 10_000_000
-    )
-    stage = os.path.join(ht, ".stage-ghost")
-    ghost.repartition(1).write.mode("overwrite").parquet(stage)
-    for name in sorted(os.listdir(stage)):
-        if name.endswith(".parquet"):
-            os.rename(
-                os.path.join(stage, name),
-                os.path.join(ht, f"{_uuid.uuid4()}-0_0-1-0_20240103000000.parquet"),
-            )
-    shutil.rmtree(stage, ignore_errors=True)
-    read_hudi_table(spark, ht).createOrReplaceTempView("part_hudi")
-    hudi_branch = spark.sql(_PART_PREDICATE.format(src="hudi", table="part_hudi"))
+        read_hudi_table(spark, ht).createOrReplaceTempView("part_hudi")
+        return spark.sql(_PART_PREDICATE.format(src="hudi", table="part_hudi"))
 
     # sixth/seventh branches (round 9): the deletion-vector LIFECYCLE
     # through the driver oracle — a DV DELETE (zero data bytes
@@ -229,25 +254,24 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ('dv'), then OPTIMIZE purges the vectors into plain rewrites and
     # the same rows must survive ('dvp').  Oracle: the predicate on
     # base parquet minus the deleted brand, twice.
-    from ballista_spark.sources.deltalog import delete_from_delta_table
-
-    dvt = os.path.join(root, f"part_dvlc_{_uuid.uuid4().hex}")
-    write_delta_table(part.repartition(2), dvt, mode="append")
-    if delete_from_delta_table(
-        spark, dvt, [("p_brand", "=", "Brand#1")], use_deletion_vectors=True
-    ) is None:
-        # the driver's testdata has single-digit brands (71 Brand#1 rows
-        # at sf0.01); a generator without them would make this branch a
-        # vacuous empty-vs-empty pass — fail loudly instead
-        raise RuntimeError(
-            "DV-lifecycle branch matched no rows: Brand#1 is absent "
-            "from this part table (fixture drift)"
-        )
-    read_delta_table(spark, dvt).createOrReplaceTempView("part_dv")
-    dv_branch = spark.sql(_PART_PREDICATE.format(src="dv", table="part_dv"))
-    compact_delta_table(spark, dvt, target_file_bytes=1 << 30)
-    read_delta_table(spark, dvt).createOrReplaceTempView("part_dvp")
-    dvp_branch = spark.sql(_PART_PREDICATE.format(src="dvp", table="part_dvp"))
+    def _dv_branches():
+        dvt = os.path.join(root, f"part_dvlc_{_uuid.uuid4().hex}")
+        write_delta_table(part.repartition(2), dvt, mode="append")
+        if delete_from_delta_table(
+            spark, dvt, [("p_brand", "=", "Brand#1")], use_deletion_vectors=True
+        ) is None:
+            # the driver's testdata has single-digit brands (71 Brand#1
+            # rows at sf0.01); a generator without them would make this
+            # branch a vacuous empty-vs-empty pass — fail loudly instead
+            raise RuntimeError(
+                "DV-lifecycle branch matched no rows: Brand#1 is absent "
+                "from this part table (fixture drift)"
+            )
+        read_delta_table(spark, dvt).createOrReplaceTempView("part_dv")
+        dv = spark.sql(_PART_PREDICATE.format(src="dv", table="part_dv"))
+        compact_delta_table(spark, dvt, target_file_bytes=1 << 30)
+        read_delta_table(spark, dvt).createOrReplaceTempView("part_dvp")
+        return dv, spark.sql(_PART_PREDICATE.format(src="dvp", table="part_dvp"))
 
     # eighth/ninth branches (round 10): the ICEBERG v2 position-delete
     # LIFECYCLE — the zero-rewrite DELETE twin of 'dv'/'dvp'.  A
@@ -257,29 +281,26 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tombstone anti-join ('ipd'), then compaction purges the
     # tombstones into a plain rewrite and the same rows must survive
     # ('ipdp').  Oracle: part minus the deleted brand, twice.
-    from ballista_spark.sources.iceberg import delete_from_iceberg_table
-
-    ipt = os.path.join(root, f"part_ipd_{_uuid.uuid4().hex}")
-    write_iceberg_table(part.repartition(2), ipt)
-    if delete_from_iceberg_table(
-        spark, ipt, [("p_brand", "=", "Brand#1")], use_position_deletes=True
-    ) is None:
-        raise RuntimeError(
-            "position-delete branch matched no rows: Brand#1 is absent "
-            "from this part table (fixture drift)"
-        )
-    read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipd")
-    ipd_branch = spark.sql(_PART_PREDICATE.format(src="ipd", table="part_ipd"))
-    compact_iceberg_table(spark, ipt, target_file_bytes=1 << 30)
-    from ballista_spark.sources.iceberg import read_iceberg_snapshot
-
-    if read_iceberg_snapshot(ipt).delete_files:
-        raise RuntimeError(
-            "compaction left position-delete tombstones live — the "
-            "'ipdp' branch would not grade the purge"
-        )
-    read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipdp")
-    ipdp_branch = spark.sql(_PART_PREDICATE.format(src="ipdp", table="part_ipdp"))
+    def _ipd_branches():
+        ipt = os.path.join(root, f"part_ipd_{_uuid.uuid4().hex}")
+        write_iceberg_table(part.repartition(2), ipt)
+        if delete_from_iceberg_table(
+            spark, ipt, [("p_brand", "=", "Brand#1")], use_position_deletes=True
+        ) is None:
+            raise RuntimeError(
+                "position-delete branch matched no rows: Brand#1 is absent "
+                "from this part table (fixture drift)"
+            )
+        read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipd")
+        ipd = spark.sql(_PART_PREDICATE.format(src="ipd", table="part_ipd"))
+        compact_iceberg_table(spark, ipt, target_file_bytes=1 << 30)
+        if read_iceberg_snapshot(ipt).delete_files:
+            raise RuntimeError(
+                "compaction left position-delete tombstones live — the "
+                "'ipdp' branch would not grade the purge"
+            )
+        read_iceberg_table(spark, ipt).createOrReplaceTempView("part_ipdp")
+        return ipd, spark.sql(_PART_PREDICATE.format(src="ipdp", table="part_ipdp"))
 
     # tenth branch (round 10): the ICEBERG v3 DELETION-VECTOR read
     # plane through the oracle — a spec-built format-version 3 table
@@ -291,25 +312,43 @@ def _csv_select_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.sources.iceberg import spark_to_iceberg_schema
     from ballista_spark.sources.iceberg_fixtures import build_v3_dv_table
 
-    it3 = os.path.join(root, f"part_ice3_{_uuid.uuid4().hex}")
-    ordered = part.repartition(1).sortWithinPartitions("p_partkey").toArrow()
-    positions = [
-        i
-        for i, b in enumerate(ordered["p_brand"].to_pylist())
-        if b == "Brand#1"
-    ]
-    if not positions:
-        raise RuntimeError(
-            "v3 DV branch matched no rows: Brand#1 absent (fixture drift)"
+    def _ice3_branch():
+        it3 = os.path.join(root, f"part_ice3_{_uuid.uuid4().hex}")
+        ordered = part.repartition(1).sortWithinPartitions("p_partkey").toArrow()
+        positions = [
+            i
+            for i, b in enumerate(ordered["p_brand"].to_pylist())
+            if b == "Brand#1"
+        ]
+        if not positions:
+            raise RuntimeError(
+                "v3 DV branch matched no rows: Brand#1 absent (fixture drift)"
+            )
+        build_v3_dv_table(
+            it3,
+            {"part-00000.parquet": ordered},
+            {"part-00000.parquet": positions},
+            spark_to_iceberg_schema(part.schema)[0],
         )
-    build_v3_dv_table(
-        it3,
-        {"part-00000.parquet": ordered},
-        {"part-00000.parquet": positions},
-        spark_to_iceberg_schema(part.schema)[0],
-    )
-    read_iceberg_table(spark, it3).createOrReplaceTempView("part_ice3")
-    ice3_branch = spark.sql(_PART_PREDICATE.format(src="ice3", table="part_ice3"))
+        read_iceberg_table(spark, it3).createOrReplaceTempView("part_ice3")
+        return spark.sql(_PART_PREDICATE.format(src="ice3", table="part_ice3"))
+
+    def _iceberg_group():
+        # one thread for every Iceberg-writer branch (conf-toggle note
+        # above); sequential within the thread
+        return _ice_branch(), _ipd_branches(), _ice3_branch()
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        csv_ext_f = pool.submit(_csv_ext_branches)
+        delta_f = pool.submit(_delta_branch)
+        ice_f = pool.submit(_iceberg_group)
+        hudi_f = pool.submit(_hudi_branch)
+        dv_f = pool.submit(_dv_branches)
+        csv_branch, ext_branch = csv_ext_f.result()
+        delta_branch = delta_f.result()
+        ice_branch, (ipd_branch, ipdp_branch), ice3_branch = ice_f.result()
+        hudi_branch = hudi_f.result()
+        dv_branch, dvp_branch = dv_f.result()
 
     # neg_price asc == p_retailprice desc: same order as each branch's sort
     return (
