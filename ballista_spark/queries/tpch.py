@@ -140,10 +140,31 @@ LIMIT 10
 
 _q(
     "tpch_q4",
-    "Order-priority checking (queries/q4.sql) — EXISTS correlated subquery "
-    "(Catalyst decorrelates to left-semi join); lateness modeled as "
-    "shipdate > orderdate + 60 days (no commit/receipt dates in schema).",
+    "Order-priority checking (queries/q4.sql) — EXISTS correlated subquery; "
+    "lateness modeled as shipdate > orderdate + 60 days (no commit/receipt "
+    "dates in schema).  The Spark side runs the aggregate form: EXISTS(a "
+    "lineitem with shipdate > X) ⟺ the order has lineitems AND its "
+    "MAX(l_shipdate) > X (MAX ignores NULLs; an all-NULL or empty group "
+    "fails both forms), so a map-side-partial MAX per order replaces the "
+    "left-semi join whose build side was a 600k-row lineitem broadcast — "
+    "r10: 0.97 s → 0.49 s at sf0.1, and at scale the partial aggregation "
+    "shrinks the shuffle ~rows-per-order-fold while the semi join shipped "
+    "every row.  The oracle keeps the classic EXISTS form, so the gate "
+    "re-checks the equivalence every run.",
     """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+JOIN (
+    SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_orderkey
+) lx ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1997-07-01'
+  AND o_orderdate < DATE '1997-07-01' + INTERVAL 3 MONTH
+  AND max_ship > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    oracle="""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= DATE '1997-07-01'
@@ -394,8 +415,28 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 _q(
     "tpch_q17",
     "Small-quantity-order revenue (queries/q17.sql) — correlated AVG scalar "
-    "subquery per part.",
+    "subquery per part.  The Spark side runs the single-scan window form: "
+    "Catalyst decorrelates the subquery into a SECOND, *unfiltered* "
+    "aggregation of the whole lineitem by partkey (a full-table shuffle at "
+    "100 TB); an AVG window over l_partkey on the Brand#3-joined rows "
+    "computes the same per-part mean on one scan — part is unique per "
+    "partkey, so the join drops no lineitem rows of a selected part and "
+    "the window partition is exactly the correlated set (r10: 0.39 s → "
+    "0.35 s at sf0.1; the scale win is the removed whole-table "
+    "aggregation).  The oracle keeps the classic correlated form, so the "
+    "gate re-checks the equivalence every run.",
     """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avgq
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3'
+) t
+WHERE l_quantity < 0.2 * avgq
+""",
+    oracle="""
 SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
        AS avg_yearly
 FROM lineitem, part
