@@ -1322,24 +1322,30 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     li = load_table(spark, sf_dir, "lineitem")
 
-    #: branch checkpoints deferred for one concurrent materialization pass
-    deferred_ckpts: list[DataFrame] = []
+    #: branch-checkpoint futures deferred for one concurrent
+    #: resolution + materialization pass before the union is assembled
+    deferred_ckpts: list = []
 
-    def _ckpt(df: DataFrame) -> DataFrame:
+    def _ckpt(df: DataFrame):
         """Deferred-eager localCheckpoint (r10, guide §2.6).
 
-        Returns the checkpointed DataFrame immediately (lazy) and
-        registers it; just before the builder returns, every deferred
-        checkpoint is forced by its own ``count()`` from a small thread
-        pool, so the ~14 independent branch materializations OVERLAP
-        instead of serializing ~25 tiny jobs on an idle cluster
-        (measured: 22.5 s → ~10 s warm build at sf0.01).  Semantics are
-        identical to ``localCheckpoint(eager=True)`` by the time any
-        consumer runs: each branch is fully materialized (plan truncated,
-        computed exactly once) before the entry's union executes."""
-        out = df.localCheckpoint(eager=False)
-        deferred_ckpts.append(out)
-        return out
+        Returns a *Future* of the lazily-checkpointed DataFrame: the
+        ``localCheckpoint(eager=False)`` call itself forces analysis +
+        physical planning (``toRdd``, measured ~0.5 s per branch on the
+        main thread), so it runs on a pool thread and overlaps with the
+        main thread's construction of the remaining branches.  Before
+        the builder returns, every checkpoint future is resolved and
+        then forced by its own ``count()`` from the same pool, so the
+        ~13 independent branch materializations OVERLAP instead of
+        serializing ~25 tiny jobs on an idle cluster (sequential eager
+        form measured 46 s cold / 22.5 s warm build at sf0.01).
+        Semantics are identical to ``localCheckpoint(eager=True)`` by
+        the time any consumer runs: each branch is fully materialized
+        (plan truncated, computed exactly once) before the entry's
+        union executes."""
+        fut = pool.submit(lambda: df.localCheckpoint(eager=False))
+        deferred_ckpts.append(fut)
+        return fut
 
     # the four ITERATIVE/fit constructions run eager internal checkpoints
     # (pagerank 7 rounds, Bradley-Terry 5, the lm/dsir fits one each —
@@ -1482,7 +1488,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry union, where the interpreted higher-order gram expressions
     # evaluate pathologically (~90 s observed for the quality branch vs
     # ~1 s standalone at sf0.001)
-    lm_g = _ckpt(
+    lm_g_f = _ckpt(
         ngram_lm_score(docs, lm)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -1490,25 +1496,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("n_tokens").alias("st"),
             F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
-        )
-    )
-    lm_rows = (
-        lm_g.select(
-            F.lit("lm_ppl").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        )
-        .unionAll(
-            lm_g.select(
-                F.lit("lm_ppl"), F.col("source"), F.lit("sum_tokens"),
-                F.col("st").cast("long"),
-            )
-        )
-        .unionAll(
-            lm_g.select(
-                F.lit("lm_ppl"), F.col("source"), F.lit("logp_1e4"), F.col("sl4")
-            )
         )
     )
 
@@ -1522,26 +1509,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
     )
     q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
-    q_g = _ckpt(
+    q_g_f = _ckpt(
         q_scored.groupBy("source")
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
             F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
-        )
-    )
-    q_rows = (
-        q_g.select(
-            F.lit("quality").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        )
-        .unionAll(
-            q_g.select(F.lit("quality"), F.col("source"), F.lit("n_above"), F.col("na"))
-        )
-        .unionAll(
-            q_g.select(F.lit("quality"), F.col("source"), F.lit("score_1e4"), F.col("s4"))
         )
     )
 
@@ -1551,7 +1524,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the log-weight sum at 1e-4 (same ulp discipline as lm_ppl).  The
     # oracle replays the identical md5-bucket counts from its qfeat CTE.
     dsm = dsm_f.result()  # constructed concurrently above
-    ds_g = _ckpt(
+    ds_g_f = _ckpt(
         dsir_log_weights(docs, dsm)
         .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
         .groupBy("source")
@@ -1559,23 +1532,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("n_grams").alias("sg"),
             F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
-        )
-    )
-    ds_rows = (
-        ds_g.select(
-            F.lit("dsir").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        )
-        .unionAll(
-            ds_g.select(
-                F.lit("dsir"), F.col("source"), F.lit("sum_grams"),
-                F.col("sg").cast("long"),
-            )
-        )
-        .unionAll(
-            ds_g.select(F.lit("dsir"), F.col("source"), F.lit("logw_1e4"), F.col("l4"))
         )
     )
 
@@ -1586,7 +1542,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh recall argument)
     from ballista_spark.operators.decontam import fuzzy_contaminated_keys
 
-    fz_g = _ckpt(
+    fz_g_f = _ckpt(
         fuzzy_contaminated_keys(
             docs.where(F.col("source") != "src0"), bench, threshold=0.8
         )
@@ -1594,17 +1550,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
-    )
-    fz_rows = fz_g.select(
-        F.lit("fuzzy_contam").alias("op"),
-        F.col("source").alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        fz_g.select(
-            F.lit("fuzzy_contam"), F.col("source"), F.lit("sum_ids"),
-            F.col("s").cast("long"),
-        )
     )
 
     # --- round-5 operator families folded into the driver window (round 6):
@@ -1740,22 +1685,13 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmodel = SoftmaxModel(
         weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
     )
-    lg_g = _ckpt(
+    lg_g_f = _ckpt(
         softmax_predict(docs, lmodel)
         .groupBy("source", "pred")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
         )
-    )
-    lg_k = F.concat(F.col("source"), F.lit("|"), F.col("pred"))
-    lg_rows = lg_g.select(
-        F.lit("langid").alias("op"),
-        lg_k.alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
     )
 
     # robots.txt permission gate (round 6): synthesized URLs over four
@@ -1852,7 +1788,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"k": ks + ["shape", "const_rows"], "metric": ms, "v": vs}
                 )
 
-    jp_rows = _ckpt(
+    jp_rows_f = _ckpt(
         jp_df.mapInPandas(_jp, "k string, metric string, v long")
         .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
     )
@@ -1861,7 +1797,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
     )
     pe = pdf_extract_text(pdf_df)
-    pdf_rows = _ckpt(
+    pdf_rows_f = _ckpt(
         pe.select(
             F.lit("pdf").alias("op"),
             F.lit("d0").alias("k"),
@@ -1878,7 +1814,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sent_df = spark.createDataFrame([(0, _SENT_KA_TEXT)], "doc_id long, text string")
     ss = split_sentences(sent_df)
-    sent_rows = _ckpt(
+    sent_rows_f = _ckpt(
         ss.select(
             F.lit("sent").alias("op"),
             F.col("sentence_id").cast("string").alias("k"),
@@ -1909,7 +1845,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
-    kw_rows = _ckpt(
+    kw_rows_f = _ckpt(
         kw_g.select(
             F.lit("kwscreen").alias("op"),
             kw_k.alias("k"),
@@ -1931,7 +1867,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.preference import bt_strengths
 
     bt = bt_f.result()  # constructed concurrently above
-    bt_rows = _ckpt(bt.select(
+    bt_rows_f = _ckpt(bt.select(
         F.lit("btrank").alias("op"),
         F.col("item").cast("string").alias("k"),
         F.lit("strength_1e6").alias("metric"),
@@ -1962,7 +1898,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
-    val_rows = _ckpt(
+    val_rows_f = _ckpt(
         report.select(
             F.lit("validate").alias("op"),
             vk.alias("k"),
@@ -2009,7 +1945,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(col).cast("long").alias("v"),
         )
 
-    cq_rows = _ckpt(
+    cq_rows_f = _ckpt(
         _cqm(cq_g, "sum_lines", "sl")
         .unionAll(_cqm(cq_g, "max_line", "ml"))
         .unionAll(_cqm(cq_g, "alnum_ok", "na"))
@@ -2032,7 +1968,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     afp_media = spark.createDataFrame(
         [_afp_row(1, afp_ref), _afp_row(2, afp_clip)], MEDIA_SCHEMA
     )
-    afp_rows = _ckpt(
+    afp_rows_f = _ckpt(
         audio_match_pairs(audio_fingerprints(afp_media), min_matches=8)
         .orderBy(F.desc("n_matches"), "offset")
         .limit(1)
@@ -2049,8 +1985,94 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs' tasks; each count() materializes its branch's LogicalRDD so
     # the union below reads truncated, computed-once plans exactly as
     # the old sequential eager checkpoints did)
+    # resolve every branch-planning future (planning ran on pool
+    # threads, overlapped with the construction above), then force the
+    # checkpoints concurrently and build the branch row projections
+    lm_g = lm_g_f.result()
+    q_g = q_g_f.result()
+    ds_g = ds_g_f.result()
+    fz_g = fz_g_f.result()
+    lg_g = lg_g_f.result()
+    jp_rows = jp_rows_f.result()
+    pdf_rows = pdf_rows_f.result()
+    sent_rows = sent_rows_f.result()
+    kw_rows = kw_rows_f.result()
+    bt_rows = bt_rows_f.result()
+    val_rows = val_rows_f.result()
+    cq_rows = cq_rows_f.result()
+    afp_rows = afp_rows_f.result()
+    lm_rows = (
+        lm_g.select(
+            F.lit("lm_ppl").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            lm_g.select(
+                F.lit("lm_ppl"), F.col("source"), F.lit("sum_tokens"),
+                F.col("st").cast("long"),
+            )
+        )
+        .unionAll(
+            lm_g.select(
+                F.lit("lm_ppl"), F.col("source"), F.lit("logp_1e4"), F.col("sl4")
+            )
+        )
+    )
+    q_rows = (
+        q_g.select(
+            F.lit("quality").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            q_g.select(F.lit("quality"), F.col("source"), F.lit("n_above"), F.col("na"))
+        )
+        .unionAll(
+            q_g.select(F.lit("quality"), F.col("source"), F.lit("score_1e4"), F.col("s4"))
+        )
+    )
+    ds_rows = (
+        ds_g.select(
+            F.lit("dsir").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        )
+        .unionAll(
+            ds_g.select(
+                F.lit("dsir"), F.col("source"), F.lit("sum_grams"),
+                F.col("sg").cast("long"),
+            )
+        )
+        .unionAll(
+            ds_g.select(F.lit("dsir"), F.col("source"), F.lit("logw_1e4"), F.col("l4"))
+        )
+    )
+    fz_rows = fz_g.select(
+        F.lit("fuzzy_contam").alias("op"),
+        F.col("source").alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        fz_g.select(
+            F.lit("fuzzy_contam"), F.col("source"), F.lit("sum_ids"),
+            F.col("s").cast("long"),
+        )
+    )
+    lg_k = F.concat(F.col("source"), F.lit("|"), F.col("pred"))
+    lg_rows = lg_g.select(
+        F.lit("langid").alias("op"),
+        lg_k.alias("k"),
+        F.lit("n").alias("metric"),
+        F.col("n").cast("long").alias("v"),
+    ).unionAll(
+        lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
+    )
     try:
-        list(pool.map(lambda d: d.count(), deferred_ckpts))
+        list(pool.map(lambda f: f.result().count(), deferred_ckpts))
     finally:
         pool.shutdown()
 
