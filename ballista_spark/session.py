@@ -38,6 +38,14 @@ DEFAULT_CONF: dict[str, str] = {
     # inside whole-stage codegen; the default cutoff is 100 fields
     "spark.sql.codegen.maxFields": "256",
     "spark.sql.ui.explainMode": "formatted",
+    # PySpark 4's per-call origin capture wraps every DataFrame API call
+    # with getActiveSession + a conf read + PySparkCurrentOrigin set/clear
+    # (~4 extra py4j round-trips per call, pyspark/errors/utils.py): it
+    # only enriches error messages with user-code line numbers, at a
+    # measured ~10% of driver-side plan-construction time on
+    # expression-heavy builds.  Off in production; re-enable when
+    # debugging a failing query.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 #: Conf safe to set on a live session (no SparkContext restart needed).
@@ -48,6 +56,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.codegen.maxFields": "256",
+    # best-effort on a handed session: pyspark caches this flag at the
+    # first wrapped DataFrame call, so it only takes effect if set
+    # before any DataFrame work ran in this Python process
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
