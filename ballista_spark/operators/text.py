@@ -137,7 +137,13 @@ def quality_score_sql(text: str, toks: str) -> str:
 
 def lang_id(text="text") -> F.Column:
     """Stopword-list language ID with fixed precedence tie-break (en > fr >
-    de > es > zh).  Exact integer scores → deterministic prediction."""
+    de > es > zh).  Exact integer scores → deterministic prediction.
+
+    Column-name inputs take the SQL-text construction path (one parse
+    instead of ~60 py4j round-trips — see the module note above); the
+    two forms parse to the same expression tree."""
+    if isinstance(text, str):
+        return F.expr(lang_id_sql(text))
     scores = {lang: stopword_hits(text, ws) for lang, ws in LANG_STOPWORDS.items()}
     order = list(LANG_STOPWORDS)
     expr = None
@@ -152,6 +158,22 @@ def lang_id(text="text") -> F.Column:
         branch = F.lit(lang)
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     return expr.otherwise(F.lit(order[0]))
+
+
+def lang_id_sql(text: str) -> str:
+    """SQL text of :func:`lang_id` over a text column name — the same
+    precedence CASE chain the Column form builds."""
+    scores = {
+        lang: f"({_stopword_hits_sql(text, ws)})"
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    order = list(LANG_STOPWORDS)
+    whens = []
+    for i, lang in enumerate(order):
+        conds = [f"{scores[lang]} >= {scores[other]}" for other in order[i + 1 :]]
+        conds += [f"{scores[lang]} > {scores[prev]}" for prev in order[:i]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(whens)} ELSE '{order[0]}' END"
 
 
 def fingerprint(text="text") -> F.Column:
@@ -661,8 +683,10 @@ def keyword_hits(
     ``terms`` is a list[str] or a single-column DataFrame.
     """
     spark = df.sparkSession
+    py_terms: list | None = None
     if not isinstance(terms, DataFrame):
-        terms = spark.createDataFrame([(t,) for t in terms], "term string")
+        py_terms = list(terms)
+        terms = spark.createDataFrame([(t,) for t in py_terms], "term string")
     else:
         terms = terms.select(F.col(terms.columns[0]).alias("term"))
     norm_terms = (
@@ -672,14 +696,32 @@ def keyword_hits(
         .where(F.col("term") != "")
         .distinct()
     )
-    lengths = [
-        int(r["n"])
-        for r in norm_terms.select(
-            F.size(F.split(F.col("term"), " ")).alias("n")
-        )
-        .distinct()
-        .collect()
-    ]
+    if py_terms is not None and all(
+        isinstance(t, str) and t.isascii() for t in py_terms
+    ):
+        # plain ASCII list input (the common case): the distinct phrase
+        # lengths are derivable driver-side with zero Spark jobs — on
+        # ASCII, [^\p{L}\p{N}]+ is exactly [^A-Za-z0-9]+ and Java/Python
+        # lowercase agree, so this reproduces the collect() below
+        # bit-for-bit (guide §1.2: the lengths probe was a blocking
+        # driver job paid on every plan build)
+        import re as _re
+
+        normed = {
+            " ".join(w for w in _re.split(r"[^A-Za-z0-9]+", t.lower()) if w)
+            for t in py_terms
+        }
+        normed.discard("")
+        lengths = sorted({t.count(" ") + 1 for t in normed})
+    else:
+        lengths = [
+            int(r["n"])
+            for r in norm_terms.select(
+                F.size(F.split(F.col("term"), " ")).alias("n")
+            )
+            .distinct()
+            .collect()
+        ]
     if not lengths:
         return df.sparkSession.createDataFrame(
             [], f"key {df.schema[key_col].dataType.simpleString()}, "

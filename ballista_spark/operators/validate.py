@@ -142,7 +142,13 @@ def _observed_exprs(checks: list[Check]) -> list:
             e = F.avg(col)
         elif c.kind == "row_count":
             e = F.count(F.lit(1))
-        else:  # unique / referential handled by their own passes
+        elif c.kind == "unique":
+            # rides the shared pass too (r10): COUNT(col)/COUNT(DISTINCT col)
+            # ignore NULLs exactly like the old where(isNotNull) second job,
+            # so the report is identical with one data pass instead of two
+            exprs.append(F.count(col).alias(f"__nn{i}"))
+            e = F.countDistinct(col)
+        else:  # referential needs its own anti-join pass
             continue
         exprs.append(e.alias(f"__c{i}"))
     return exprs
@@ -192,12 +198,9 @@ def validate(
                 (c.name, c.column, f"mean={mean}", f"[{c.lo},{c.hi}]", ok)
             )
         elif c.kind == "unique":
-            # exact two-phase distinct vs total (NULLs excluded per SQL)
-            r = df.where(F.col(c.column).isNotNull()).agg(
-                F.count(c.column).alias("n"),
-                F.countDistinct(c.column).alias("d"),
-            ).collect()[0]
-            dups = r["n"] - r["d"]
+            # exact distinct vs total (NULLs excluded per SQL), computed
+            # in the shared single agg pass
+            dups = (agg_row[f"__nn{i}"] or 0) - (agg_row[f"__c{i}"] or 0)
             ok = dups == 0
             rows.append((c.name, c.column, f"{dups} duplicate rows", "0", ok))
         elif c.kind == "referential":

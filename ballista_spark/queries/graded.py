@@ -1357,7 +1357,28 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.graph import pagerank
     from ballista_spark.operators.preference import bt_strengths
 
-    pool = ThreadPoolExecutor(max_workers=8)
+    # 16 workers: branch CONSTRUCTION tasks (r10 pass 4, below) mostly
+    # block on py4j sockets, and a handful additionally block on the fit
+    # futures above — those fits are submitted FIRST so they are already
+    # running when any dependent task starts waiting (no cycle, no
+    # starvation)
+    pool = ThreadPoolExecutor(max_workers=16)
+
+    def sub(fn):
+        """Branch construction on a pool thread (r10 pass 4, guide §2.6).
+
+        The profiled residual of the warm build was ~3.6 s of *serial*
+        py4j round-trips on the main thread (8k calls) assembling ~25
+        independent branch expression trees.  DataFrames are immutable
+        and py4j gives each thread its own gateway connection, so the
+        construction itself parallelizes: each branch builds its tree
+        (and, where it always did, runs its tiny probe jobs) on a pool
+        thread, and the main thread only resolves futures in the same
+        order it used to build in — the assembled plan is bit-identical
+        because expression construction is deterministic and
+        order-independent across branches."""
+        return pool.submit(fn)
+
     _d = F.col("doc_id")
     lm_fit_f = pool.submit(
         lambda: ngram_lm_fit(docs.where(F.col("source") == "src1"), n=2)
@@ -1404,72 +1425,85 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds for any data the driver could regenerate, not just the two
     # scale factors it was observed on — a sketch-accuracy miss must not
     # poison the 12 exact sampling/decontam checks unioned into this entry
-    hll = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
-        F.countDistinct("l_partkey").alias("ex"),
-    )
-    hll_rows = hll.select(
-        F.lit("hll").alias("op"),
-        F.col("l_returnflag").alias("k"),
-        F.lit("exact_parts").alias("metric"),
-        F.col("ex").cast("long").alias("v"),
-    ).unionAll(
-        hll.select(
-            F.lit("hll"),
-            F.col("l_returnflag"),
-            F.lit("within_10pct"),
-            (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.10).cast("long"),
+    def _hll_branch():
+        hll = li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+            F.countDistinct("l_partkey").alias("ex"),
         )
-    )
+        return hll.select(
+            F.lit("hll").alias("op"),
+            F.col("l_returnflag").alias("k"),
+            F.lit("exact_parts").alias("metric"),
+            F.col("ex").cast("long").alias("v"),
+        ).unionAll(
+            hll.select(
+                F.lit("hll"),
+                F.col("l_returnflag"),
+                F.lit("within_10pct"),
+                (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.10).cast("long"),
+            )
+        )
+
+    hll_rows_f = sub(_hll_branch)
 
     bench = docs.where(F.col("source") == "src0")
-    stats = contamination_stats(docs, bench)
-    contam_rows = (
-        stats.join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
-        .groupBy("source")
-        .agg(F.sum("n_hits").alias("h"), F.sum("n_ngrams").alias("g"))
-    )
-    contam_tagged = contam_rows.select(
-        F.lit("contam").alias("op"),
-        F.col("source").alias("k"),
-        F.lit("hits").alias("metric"),
-        F.col("h").cast("long").alias("v"),
-    ).unionAll(
-        contam_rows.select(
-            F.lit("contam"), F.col("source"), F.lit("ngrams"), F.col("g").cast("long")
-        )
-    )
+    # contamination_stats feeds BOTH the contam branch and the final
+    # union's decontaminate(...) — built once, on a pool thread
+    stats_f = sub(lambda: contamination_stats(docs, bench))
 
-    packed = pack_contiguous(
-        docs.withColumn("__nt", F.size(F.split(F.trim("text"), " "))),
-        "__nt",
-        "doc_id",
-        512,
-        n_buckets=8,
-    )
-    pack_g = packed.groupBy("source").agg(
-        F.sum("pack_first").alias("sf"),
-        F.sum("pack_offset").alias("so"),
-        F.max("pack_last").alias("ml"),
-    )
-    pack_rows = (
-        pack_g.select(
-            F.lit("pack").alias("op"),
+    def _contam_branch():
+        contam_rows = (
+            stats_f.result()
+            .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+            .groupBy("source")
+            .agg(F.sum("n_hits").alias("h"), F.sum("n_ngrams").alias("g"))
+        )
+        return contam_rows.select(
+            F.lit("contam").alias("op"),
             F.col("source").alias("k"),
-            F.lit("sum_first").alias("metric"),
-            F.col("sf").cast("long").alias("v"),
-        )
-        .unionAll(
-            pack_g.select(
-                F.lit("pack"), F.col("source"), F.lit("sum_off"), F.col("so").cast("long")
+            F.lit("hits").alias("metric"),
+            F.col("h").cast("long").alias("v"),
+        ).unionAll(
+            contam_rows.select(
+                F.lit("contam"), F.col("source"), F.lit("ngrams"), F.col("g").cast("long")
             )
         )
-        .unionAll(
+
+    contam_tagged_f = sub(_contam_branch)
+
+    def _pack_branch():
+        packed = pack_contiguous(
+            docs.withColumn("__nt", F.size(F.split(F.trim("text"), " "))),
+            "__nt",
+            "doc_id",
+            512,
+            n_buckets=8,
+        )
+        pack_g = packed.groupBy("source").agg(
+            F.sum("pack_first").alias("sf"),
+            F.sum("pack_offset").alias("so"),
+            F.max("pack_last").alias("ml"),
+        )
+        return (
             pack_g.select(
-                F.lit("pack"), F.col("source"), F.lit("max_last"), F.col("ml").cast("long")
+                F.lit("pack").alias("op"),
+                F.col("source").alias("k"),
+                F.lit("sum_first").alias("metric"),
+                F.col("sf").cast("long").alias("v"),
+            )
+            .unionAll(
+                pack_g.select(
+                    F.lit("pack"), F.col("source"), F.lit("sum_off"), F.col("so").cast("long")
+                )
+            )
+            .unionAll(
+                pack_g.select(
+                    F.lit("pack"), F.col("source"), F.lit("max_last"), F.col("ml").cast("long")
+                )
             )
         )
-    )
+
+    pack_rows_f = sub(_pack_branch)
 
     # stupid-backoff bigram LM trained on src1 only, scored over ALL docs,
     # so cross-source scoring exercises every path: bigram hit, unigram
@@ -1480,7 +1514,6 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enough that any formula/backoff/count error lands far outside it.
     # The n=3 ladder and exact (unrounded) scores are pytest-mirrored in
     # test_lm.py; n=2 keeps the oracle's candidate/fit CTEs compact.
-    lm = lm_fit_f.result()  # constructed concurrently above
     # eager checkpoint (via _ckpt, which defers the materialization and
     # then runs all branch materializations CONCURRENTLY): the
     # per-source aggregate is <= n_sources rows but its subtree would
@@ -1488,16 +1521,20 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry union, where the interpreted higher-order gram expressions
     # evaluate pathologically (~90 s observed for the quality branch vs
     # ~1 s standalone at sf0.001)
-    lm_g_f = _ckpt(
-        ngram_lm_score(docs, lm)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_tokens").alias("st"),
-            F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
+    def _lm_branch():
+        lm = lm_fit_f.result()  # fit submitted first, already running
+        return _ckpt(
+            ngram_lm_score(docs, lm)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").alias("st"),
+                F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
+            )
         )
-    )
+
+    lm_b_f = sub(_lm_branch)
 
     # quality-classifier SCORING path (training is iterative → pytest):
     # a fixed literal-gram weight model whose buckets both engines derive
@@ -1505,35 +1542,41 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed-features + broadcast-margin + sigmoid pipeline.  Pins per
     # source: n docs, count above the 0.5 keep-threshold, and the score
     # sum at 1e-4 (same ulp discipline as lm_ppl).
-    wdf = spark.createDataFrame(_QUALITY_WEIGHTS, "gram string, w double").select(
-        (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
-    )
-    q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
-    q_g_f = _ckpt(
-        q_scored.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
-            F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
+    def _quality_branch():
+        wdf = spark.createDataFrame(_QUALITY_WEIGHTS, "gram string, w double").select(
+            (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
         )
-    )
+        q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
+        return _ckpt(
+            q_scored.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
+                F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
+            )
+        )
+
+    q_b_f = sub(_quality_branch)
 
     # DSIR importance weights (operators/dsir.py): full fit+score path —
     # target = src1 docs, raw = ALL docs, Laplace-smoothed hashed-bigram
     # log ratios — pinned per source by n docs, exact gram totals, and
     # the log-weight sum at 1e-4 (same ulp discipline as lm_ppl).  The
     # oracle replays the identical md5-bucket counts from its qfeat CTE.
-    dsm = dsm_f.result()  # constructed concurrently above
-    ds_g_f = _ckpt(
-        dsir_log_weights(docs, dsm)
-        .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_grams").alias("sg"),
-            F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
+    def _dsir_branch():
+        dsm = dsm_f.result()  # fit submitted first, already running
+        return _ckpt(
+            dsir_log_weights(docs, dsm)
+            .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_grams").alias("sg"),
+                F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
+            )
         )
-    )
+
+    ds_b_f = sub(_dsir_branch)
 
     # fuzzy decontamination (operators/decontam.py:fuzzy_contaminated_keys,
     # MinHash-LSH against src0 as the benchmark): the flagged set is pinned
@@ -1542,15 +1585,18 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh recall argument)
     from ballista_spark.operators.decontam import fuzzy_contaminated_keys
 
-    fz_g_f = _ckpt(
-        fuzzy_contaminated_keys(
-            docs.where(F.col("source") != "src0"), bench, threshold=0.8
+    def _fuzzy_branch():
+        return _ckpt(
+            fuzzy_contaminated_keys(
+                docs.where(F.col("source") != "src0"), bench, threshold=0.8
+            )
+            .withColumn("doc_id", F.col("key").cast("long"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
         )
-        .withColumn("doc_id", F.col("key").cast("long"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
-    )
+
+    fz_b_f = sub(_fuzzy_branch)
 
     # --- round-5 operator families folded into the driver window (round 6):
     # url_canon / chat render+stats+validate / pagerank — each pinned
@@ -1560,112 +1606,122 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.url import canonicalize_url
 
     d = F.col("doc_id")
-    # synthetic URLs exercising every canonicalization rule: mixed-case
-    # scheme/host, userinfo, default + non-default ports, empty and
-    # trailing-slash paths, tracking + empty query tokens needing a sort,
-    # fragments, and unparseable strings (the passthrough branch)
-    raw_url = F.when(
-        d % 7 == 0, F.concat(F.lit("not a url "), d.cast("string"))
-    ).otherwise(
-        F.concat(
-            F.lit("HTTPS://User:pw@WWW.Site"),
-            (d % 37).cast("string"),
-            F.lit(".Example.COM"),
-            F.when(d % 3 == 0, F.lit(":443"))
-            .when(d % 3 == 1, F.lit(":8443"))
-            .otherwise(F.lit("")),
-            F.when(d % 4 == 0, F.lit("")).otherwise(
-                F.concat(
-                    F.lit("/Path/"),
-                    (d % 11).cast("string"),
-                    F.when(d % 5 == 0, F.lit("//")).otherwise(F.lit("")),
-                )
-            ),
-            F.lit("?utm_source=n&b=2&fbclid=x&a=1&"),
-            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+
+    def _url_branch():
+        # synthetic URLs exercising every canonicalization rule: mixed-case
+        # scheme/host, userinfo, default + non-default ports, empty and
+        # trailing-slash paths, tracking + empty query tokens needing a sort,
+        # fragments, and unparseable strings (the passthrough branch)
+        raw_url = F.when(
+            d % 7 == 0, F.concat(F.lit("not a url "), d.cast("string"))
+        ).otherwise(
+            F.concat(
+                F.lit("HTTPS://User:pw@WWW.Site"),
+                (d % 37).cast("string"),
+                F.lit(".Example.COM"),
+                F.when(d % 3 == 0, F.lit(":443"))
+                .when(d % 3 == 1, F.lit(":8443"))
+                .otherwise(F.lit("")),
+                F.when(d % 4 == 0, F.lit("")).otherwise(
+                    F.concat(
+                        F.lit("/Path/"),
+                        (d % 11).cast("string"),
+                        F.when(d % 5 == 0, F.lit("//")).otherwise(F.lit("")),
+                    )
+                ),
+                F.lit("?utm_source=n&b=2&fbclid=x&a=1&"),
+                F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            )
         )
-    )
-    uc_g = (
-        docs.select("source", canonicalize_url(raw_url).alias("cu"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(md5_long(F.col("cu")) % 1000000).alias("h"),
+        uc_g = (
+            docs.select("source", canonicalize_url(raw_url).alias("cu"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(md5_long(F.col("cu")) % 1000000).alias("h"),
+            )
         )
-    )
-    url_rows = uc_g.select(
-        F.lit("url_canon").alias("op"),
-        F.col("source").alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        uc_g.select(
-            F.lit("url_canon"), F.col("source"), F.lit("md5_1e6"),
-            F.col("h").cast("long"),
+        return uc_g.select(
+            F.lit("url_canon").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        ).unionAll(
+            uc_g.select(
+                F.lit("url_canon"), F.col("source"), F.lit("md5_1e6"),
+                F.col("h").cast("long"),
+            )
         )
-    )
+
+    url_rows_f = sub(_url_branch)
 
     # conversations synthesized from the documents (token halves as one
     # user/assistant exchange) through the real chat operators; the
     # rendered-template hash pins render_chat byte-for-byte
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    nt = F.size(toks)
-    half = F.floor(nt / 2).cast("int")
-    msgs = F.array(
-        F.struct(
-            F.lit("user").alias("role"),
-            F.array_join(F.slice(toks, F.lit(1), half), " ").alias("content"),
-        ),
-        F.struct(
-            F.lit("assistant").alias("role"),
-            F.array_join(F.slice(toks, half + F.lit(1), nt - half), " ").alias(
-                "content"
+    def _chat_branch():
+        toks = F.split(F.trim(F.col("text")), "\\s+")
+        nt = F.size(toks)
+        half = F.floor(nt / 2).cast("int")
+        msgs = F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.array_join(F.slice(toks, F.lit(1), half), " ").alias("content"),
             ),
-        ),
-    )
-    ch_g = (
-        docs.select("source", msgs.alias("messages"))
-        .select(
-            "source",
-            render_chat("messages").alias("r"),
-            chat_stats("messages").alias("s"),
-            is_valid_chat("messages").cast("long").alias("valid"),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.array_join(F.slice(toks, half + F.lit(1), nt - half), " ").alias(
+                    "content"
+                ),
+            ),
         )
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("valid").alias("nv"),
-            F.sum(md5_long(F.col("r")) % 1000000).alias("hr"),
-            F.sum(F.col("s.content_chars")).alias("cc"),
-            F.sum(F.col("s.n_empty").cast("long")).alias("ne"),
-        )
-    )
-
-    def chat_metric(metric: str, col: str) -> DataFrame:
-        return ch_g.select(
-            F.lit("chat").alias("op"),
-            F.col("source").alias("k"),
-            F.lit(metric).alias("metric"),
-            F.col(col).cast("long").alias("v"),
+        ch_g = (
+            docs.select("source", msgs.alias("messages"))
+            .select(
+                "source",
+                render_chat("messages").alias("r"),
+                chat_stats("messages").alias("s"),
+                is_valid_chat("messages").cast("long").alias("valid"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("valid").alias("nv"),
+                F.sum(md5_long(F.col("r")) % 1000000).alias("hr"),
+                F.sum(F.col("s.content_chars")).alias("cc"),
+                F.sum(F.col("s.n_empty").cast("long")).alias("ne"),
+            )
         )
 
-    chat_rows = (
-        chat_metric("n", "n")
-        .unionAll(chat_metric("n_valid", "nv"))
-        .unionAll(chat_metric("render_md5_1e6", "hr"))
-        .unionAll(chat_metric("content_chars", "cc"))
-        .unionAll(chat_metric("n_empty", "ne"))
-    )
+        def chat_metric(metric: str, col: str) -> DataFrame:
+            return ch_g.select(
+                F.lit("chat").alias("op"),
+                F.col("source").alias("k"),
+                F.lit(metric).alias("metric"),
+                F.col(col).cast("long").alias("v"),
+            )
+
+        return (
+            chat_metric("n", "n")
+            .unionAll(chat_metric("n_valid", "nv"))
+            .unionAll(chat_metric("render_md5_1e6", "hr"))
+            .unionAll(chat_metric("content_chars", "cc"))
+            .unionAll(chat_metric("n_empty", "ne"))
+        )
+
+    chat_rows_f = sub(_chat_branch)
 
     # PageRank over a doc-derived digraph (multi-edges + dangling nodes
     # by construction); tol=0 pins exactly _PR_ITERS power iterations so
     # the oracle's unrolled CTE ladder computes the identical iterate
-    pr_rows = pr_f.result().select(  # constructed concurrently above
-        F.lit("pagerank").alias("op"),
-        F.col("node").cast("string").alias("k"),
-        F.lit("rank_1e6").alias("metric"),
-        F.round(F.col("rank") * 1000000).cast("long").alias("v"),
-    )
+    def _pr_branch():
+        return pr_f.result().select(  # fit submitted first, already running
+            F.lit("pagerank").alias("op"),
+            F.col("node").cast("string").alias("k"),
+            F.lit("rank_1e6").alias("metric"),
+            F.round(F.col("rank") * 1000000).cast("long").alias("v"),
+        )
+
+    pr_rows_f = sub(_pr_branch)
 
     # trained-langid SERVING path (training is iterative → pytest): a
     # fixed literal-gram softmax head scored through the real
@@ -1679,20 +1735,23 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         softmax_predict,
     )
 
-    lw = spark.createDataFrame(
-        _LANGID_WEIGHTS, "y string, gram string, w double"
-    ).select("y", F.pmod(md5_long("gram"), F.lit(_LG_NF)).alias("bucket"), "w")
-    lmodel = SoftmaxModel(
-        weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
-    )
-    lg_g_f = _ckpt(
-        softmax_predict(docs, lmodel)
-        .groupBy("source", "pred")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
+    def _langid_branch():
+        lw = spark.createDataFrame(
+            _LANGID_WEIGHTS, "y string, gram string, w double"
+        ).select("y", F.pmod(md5_long("gram"), F.lit(_LG_NF)).alias("bucket"), "w")
+        lmodel = SoftmaxModel(
+            weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
         )
-    )
+        return _ckpt(
+            softmax_predict(docs, lmodel)
+            .groupBy("source", "pred")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
+            )
+        )
+
+    lg_b_f = sub(_langid_branch)
 
     # robots.txt permission gate (round 6): synthesized URLs over four
     # hosts × three path classes run through the REAL parser + longest-
@@ -1703,48 +1762,51 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # /*.pdf$ anchors) — a known-answer check of the generic machinery.
     from ballista_spark.operators.robots import filter_robots_allowed, parse_robots
 
-    rb_path = (
-        F.when(d % 3 == 0, F.concat(F.lit("/private/x"), (d % 5).cast("string")))
-        .when(d % 3 == 1, F.lit("/private/pub/y"))
-        .otherwise(F.concat(F.lit("/p"), (d % 7).cast("string"), F.lit(".pdf")))
-    )
-    rb_urls = docs.select(
-        "source",
-        F.concat(
-            F.lit("https://host"), (d % 4).cast("string"), F.lit(".ex.com"), rb_path
-        ).alias("url"),
-    )
-    star_body = (
-        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
-        "Disallow: /*.pdf$"
-    )
-    rb_bodies = spark.createDataFrame(
-        [
-            ("host0.ex.com", star_body),
-            ("host1.ex.com", "User-agent: engine\nDisallow: /\nUser-agent: *\nAllow: /"),
-            ("host2.ex.com", star_body),
-        ],
-        "host string, robots_txt string",
-    )
-    rb_g = (
-        filter_robots_allowed(rb_urls, parse_robots(rb_bodies), agent="engine")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(md5_long(F.col("url")) % 1000000).alias("h"),
+    def _robots_branch():
+        rb_path = (
+            F.when(d % 3 == 0, F.concat(F.lit("/private/x"), (d % 5).cast("string")))
+            .when(d % 3 == 1, F.lit("/private/pub/y"))
+            .otherwise(F.concat(F.lit("/p"), (d % 7).cast("string"), F.lit(".pdf")))
         )
-    )
-    rb_rows = rb_g.select(
-        F.lit("robots").alias("op"),
-        F.col("source").alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        rb_g.select(
-            F.lit("robots"), F.col("source"), F.lit("md5_1e6"),
-            F.col("h").cast("long"),
+        rb_urls = docs.select(
+            "source",
+            F.concat(
+                F.lit("https://host"), (d % 4).cast("string"), F.lit(".ex.com"), rb_path
+            ).alias("url"),
         )
-    )
+        star_body = (
+            "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+            "Disallow: /*.pdf$"
+        )
+        rb_bodies = spark.createDataFrame(
+            [
+                ("host0.ex.com", star_body),
+                ("host1.ex.com", "User-agent: engine\nDisallow: /\nUser-agent: *\nAllow: /"),
+                ("host2.ex.com", star_body),
+            ],
+            "host string, robots_txt string",
+        )
+        rb_g = (
+            filter_robots_allowed(rb_urls, parse_robots(rb_bodies), agent="engine")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(md5_long(F.col("url")) % 1000000).alias("h"),
+            )
+        )
+        return rb_g.select(
+            F.lit("robots").alias("op"),
+            F.col("source").alias("k"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("long").alias("v"),
+        ).unionAll(
+            rb_g.select(
+                F.lit("robots"), F.col("source"), F.lit("md5_1e6"),
+                F.col("h").cast("long"),
+            )
+        )
+
+    rb_rows_f = sub(_robots_branch)
 
     # --- round-6 codec/document families folded into the driver window
     # (round 7): baseline JPEG decode, stdlib PDF extraction, rule-based
@@ -1766,67 +1828,78 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.pdf import pdf_extract_text
     from ballista_spark.operators.text import split_sentences
 
-    jp_df = spark.createDataFrame(
-        [(bytes.fromhex(_JPEG_KA_HEX),)], "payload binary"
-    )
-
-    def _jp(batches):
-        import pandas as _pd
-
-        from ballista_spark.operators.jpeg import decode_jpeg
-
-        for b in batches:
-            for p in b["payload"]:
-                img = decode_jpeg(bytes(p))
-                ks = [f"c{j}" for j in range(img.shape[1])]
-                ms = ["px"] * img.shape[1] + ["meta", "meta"]
-                vs = [int(x) for x in img[0]] + [
-                    img.shape[0] * 1000 + img.shape[1],
-                    int(bool((img == img[0:1, :]).all())),
-                ]
-                yield _pd.DataFrame(
-                    {"k": ks + ["shape", "const_rows"], "metric": ms, "v": vs}
-                )
-
-    jp_rows_f = _ckpt(
-        jp_df.mapInPandas(_jp, "k string, metric string, v long")
-        .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
-    )
-
-    pdf_df = spark.createDataFrame(
-        [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
-    )
-    pe = pdf_extract_text(pdf_df)
-    pdf_rows_f = _ckpt(
-        pe.select(
-            F.lit("pdf").alias("op"),
-            F.lit("d0").alias("k"),
-            F.lit("md5_1e6").alias("metric"),
-            (md5_long("text") % 1000000).cast("long").alias("v"),
+    def _jpeg_branch():
+        jp_df = spark.createDataFrame(
+            [(bytes.fromhex(_JPEG_KA_HEX),)], "payload binary"
         )
-        .unionAll(
+
+        def _jp(batches):
+            import pandas as _pd
+
+            from ballista_spark.operators.jpeg import decode_jpeg
+
+            for b in batches:
+                for p in b["payload"]:
+                    img = decode_jpeg(bytes(p))
+                    ks = [f"c{j}" for j in range(img.shape[1])]
+                    ms = ["px"] * img.shape[1] + ["meta", "meta"]
+                    vs = [int(x) for x in img[0]] + [
+                        img.shape[0] * 1000 + img.shape[1],
+                        int(bool((img == img[0:1, :]).all())),
+                    ]
+                    yield _pd.DataFrame(
+                        {"k": ks + ["shape", "const_rows"], "metric": ms, "v": vs}
+                    )
+
+        return _ckpt(
+            jp_df.mapInPandas(_jp, "k string, metric string, v long")
+            .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
+        )
+
+    jp_b_f = sub(_jpeg_branch)
+
+    def _pdf_branch():
+        pdf_df = spark.createDataFrame(
+            [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
+        )
+        pe = pdf_extract_text(pdf_df)
+        return _ckpt(
             pe.select(
-                F.lit("pdf"), F.lit("d0"), F.lit("n_pages"),
-                F.col("n_pages").cast("long"),
+                F.lit("pdf").alias("op"),
+                F.lit("d0").alias("k"),
+                F.lit("md5_1e6").alias("metric"),
+                (md5_long("text") % 1000000).cast("long").alias("v"),
+            )
+            .unionAll(
+                pe.select(
+                    F.lit("pdf"), F.lit("d0"), F.lit("n_pages"),
+                    F.col("n_pages").cast("long"),
+                )
             )
         )
-    )
 
-    sent_df = spark.createDataFrame([(0, _SENT_KA_TEXT)], "doc_id long, text string")
-    ss = split_sentences(sent_df)
-    sent_rows_f = _ckpt(
-        ss.select(
-            F.lit("sent").alias("op"),
-            F.col("sentence_id").cast("string").alias("k"),
-            F.lit("md5_1e6").alias("metric"),
-            (md5_long("sentence") % 1000000).cast("long").alias("v"),
+    pdf_b_f = sub(_pdf_branch)
+
+    def _sent_branch():
+        sent_df = spark.createDataFrame(
+            [(0, _SENT_KA_TEXT)], "doc_id long, text string"
         )
-        .unionAll(
-            ss.agg(F.count("*").alias("n")).select(
-                F.lit("sent"), F.lit("all"), F.lit("n"), F.col("n").cast("long")
+        ss = split_sentences(sent_df)
+        return _ckpt(
+            ss.select(
+                F.lit("sent").alias("op"),
+                F.col("sentence_id").cast("string").alias("k"),
+                F.lit("md5_1e6").alias("metric"),
+                (md5_long("sentence") % 1000000).cast("long").alias("v"),
+            )
+            .unionAll(
+                ss.agg(F.count("*").alias("n")).select(
+                    F.lit("sent"), F.lit("all"), F.lit("n"), F.col("n").cast("long")
+                )
             )
         )
-    )
+
+    sent_b_f = sub(_sent_branch)
 
     # banned-term keyword screen (round 7, operators/text.py): fixed
     # word + phrase terms over the real documents text through the REAL
@@ -1835,29 +1908,32 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lowercase ASCII, so [^a-z0-9]+ == Spark's \\p{L}\\p{N} here).
     from ballista_spark.operators.text import keyword_hits
 
-    kw = keyword_hits(docs, list(_KW_TERMS))
-    kw_g = (
-        kw.join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
-        .groupBy("source", "term")
-        .agg(
-            F.sum("n_occurrences").alias("occ"),
-            F.countDistinct("key").alias("nd"),
-        )
-    )
-    kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
-    kw_rows_f = _ckpt(
-        kw_g.select(
-            F.lit("kwscreen").alias("op"),
-            kw_k.alias("k"),
-            F.lit("occ").alias("metric"),
-            F.col("occ").cast("long").alias("v"),
-        )
-        .unionAll(
-            kw_g.select(
-                F.lit("kwscreen"), kw_k, F.lit("docs"), F.col("nd").cast("long")
+    def _kw_branch():
+        kw = keyword_hits(docs, list(_KW_TERMS))
+        kw_g = (
+            kw.join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
+            .groupBy("source", "term")
+            .agg(
+                F.sum("n_occurrences").alias("occ"),
+                F.countDistinct("key").alias("nd"),
             )
         )
-    )
+        kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
+        return _ckpt(
+            kw_g.select(
+                F.lit("kwscreen").alias("op"),
+                kw_k.alias("k"),
+                F.lit("occ").alias("metric"),
+                F.col("occ").cast("long").alias("v"),
+            )
+            .unionAll(
+                kw_g.select(
+                    F.lit("kwscreen"), kw_k, F.lit("docs"), F.col("nd").cast("long")
+                )
+            )
+        )
+
+    kw_b_f = sub(_kw_branch)
 
     # Bradley-Terry strengths (round 7, operators/preference.py): a
     # synthetic pairwise-comparison table derived from doc_id runs
@@ -1866,13 +1942,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical update as chained CTEs — the pagerank discipline.
     from ballista_spark.operators.preference import bt_strengths
 
-    bt = bt_f.result()  # constructed concurrently above
-    bt_rows_f = _ckpt(bt.select(
-        F.lit("btrank").alias("op"),
-        F.col("item").cast("string").alias("k"),
-        F.lit("strength_1e6").alias("metric"),
-        F.round(F.col("strength") * 1000000).cast("long").alias("v"),
-    ))
+    def _bt_branch():
+        bt = bt_f.result()  # fit submitted first, already running
+        return _ckpt(bt.select(
+            F.lit("btrank").alias("op"),
+            F.col("item").cast("string").alias("k"),
+            F.lit("strength_1e6").alias("metric"),
+            F.round(F.col("strength") * 1000000).cast("long").alias("v"),
+        ))
+
+    bt_b_f = sub(_bt_branch)
 
     # data-contract validation (round 7, operators/validate.py): the
     # REAL one-pass contract runs over documents; per check the report's
@@ -1887,33 +1966,38 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate,
     )
 
-    report, _ok = validate(
-        docs,
-        [
-            row_count(lo=1),
-            not_null("text", max_null_frac=0.5),
-            unique("doc_id"),
-            in_range("doc_id", 0, 1099511627776),
-            matches_regex("source", "^src[0-9]+$"),
-        ],
-    )
-    vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
-    val_rows_f = _ckpt(
-        report.select(
-            F.lit("validate").alias("op"),
-            vk.alias("k"),
-            F.lit("passed").alias("metric"),
-            F.col("passed").cast("long").alias("v"),
+    def _validate_branch():
+        # validate() runs its single contract-agg job during construction
+        # — on this pool thread it overlaps the other branches' builds
+        report, _ok = validate(
+            docs,
+            [
+                row_count(lo=1),
+                not_null("text", max_null_frac=0.5),
+                unique("doc_id"),
+                in_range("doc_id", 0, 1099511627776),
+                matches_regex("source", "^src[0-9]+$"),
+            ],
         )
-        .unionAll(
+        vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
+        return _ckpt(
             report.select(
-                F.lit("validate"),
-                vk,
-                F.lit("obs"),
-                F.regexp_extract("observed", r"^(-?\d+)", 1).cast("long"),
+                F.lit("validate").alias("op"),
+                vk.alias("k"),
+                F.lit("passed").alias("metric"),
+                F.col("passed").cast("long").alias("v"),
+            )
+            .unionAll(
+                report.select(
+                    F.lit("validate"),
+                    vk,
+                    F.lit("obs"),
+                    F.regexp_extract("observed", r"^(-?\d+)", 1).cast("long"),
+                )
             )
         )
-    )
+
+    val_b_f = sub(_validate_branch)
 
     # code-curation quality stats (round 7, operators/code.py): the
     # StarCoder line-geometry pass + the published filter defaults over
@@ -1924,59 +2008,92 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_code_quality,
     )
 
-    cq = code_quality_stats(docs)
-    cq_g = cq.groupBy("source").agg(
-        F.sum("n_lines").alias("sl"),
-        F.max("max_line_len").alias("ml"),
-        F.sum((F.col("frac_alnum") >= 0.25).cast("long")).alias("na"),
-        F.sum(F.col("is_autogen").cast("long")).alias("ng"),
-    )
-    kept_g = (
-        filter_code_quality(docs)
-        .groupBy("source")
-        .agg(F.count("*").alias("nk"))
-    )
-
-    def _cqm(g, metric, col):
-        return g.select(
-            F.lit("codequal").alias("op"),
-            F.col("source").alias("k"),
-            F.lit(metric).alias("metric"),
-            F.col(col).cast("long").alias("v"),
+    def _codequal_branch():
+        cq = code_quality_stats(docs)
+        cq_g = cq.groupBy("source").agg(
+            F.sum("n_lines").alias("sl"),
+            F.max("max_line_len").alias("ml"),
+            F.sum((F.col("frac_alnum") >= 0.25).cast("long")).alias("na"),
+            F.sum(F.col("is_autogen").cast("long")).alias("ng"),
+        )
+        kept_g = (
+            filter_code_quality(docs)
+            .groupBy("source")
+            .agg(F.count("*").alias("nk"))
         )
 
-    cq_rows_f = _ckpt(
-        _cqm(cq_g, "sum_lines", "sl")
-        .unionAll(_cqm(cq_g, "max_line", "ml"))
-        .unionAll(_cqm(cq_g, "alnum_ok", "na"))
-        .unionAll(_cqm(cq_g, "autogen", "ng"))
-        .unionAll(_cqm(kept_g, "kept", "nk"))
-    )
+        def _cqm(g, metric, col):
+            return g.select(
+                F.lit("codequal").alias("op"),
+                F.col("source").alias("k"),
+                F.lit(metric).alias("metric"),
+                F.col(col).cast("long").alias("v"),
+            )
 
-    afp_ref, afp_clip = _afp_signals(HOP)
-
-    def _afp_row(mid, sig):
-        return (
-            mid,
-            bytearray(encode_wav(sig, _AFP_RATE)),
-            {
-                "modality": "audio", "mime": "audio/wav",
-                "width": None, "height": None, "duration_ms": None,
-            },
+        return _ckpt(
+            _cqm(cq_g, "sum_lines", "sl")
+            .unionAll(_cqm(cq_g, "max_line", "ml"))
+            .unionAll(_cqm(cq_g, "alnum_ok", "na"))
+            .unionAll(_cqm(cq_g, "autogen", "ng"))
+            .unionAll(_cqm(kept_g, "kept", "nk"))
         )
 
-    afp_media = spark.createDataFrame(
-        [_afp_row(1, afp_ref), _afp_row(2, afp_clip)], MEDIA_SCHEMA
+    cq_b_f = sub(_codequal_branch)
+
+    def _afp_branch():
+        afp_ref, afp_clip = _afp_signals(HOP)
+
+        def _afp_row(mid, sig):
+            return (
+                mid,
+                bytearray(encode_wav(sig, _AFP_RATE)),
+                {
+                    "modality": "audio", "mime": "audio/wav",
+                    "width": None, "height": None, "duration_ms": None,
+                },
+            )
+
+        afp_media = spark.createDataFrame(
+            [_afp_row(1, afp_ref), _afp_row(2, afp_clip)], MEDIA_SCHEMA
+        )
+        return _ckpt(
+            audio_match_pairs(audio_fingerprints(afp_media), min_matches=8)
+            .orderBy(F.desc("n_matches"), "offset")
+            .limit(1)
+            .select(
+                F.lit("audiofp").alias("op"),
+                F.concat_ws("|", "key_a", "key_b").alias("k"),
+                F.lit("offset").alias("metric"),
+                F.col("offset").cast("long").alias("v"),
+            )
+        )
+
+    afp_b_f = sub(_afp_branch)
+
+    # the six sampling/decontam branches of the final union build on pool
+    # threads too (each is a moderate expression tree over docs/bench)
+    sb_f = sub(lambda: two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
+    ss_f = sub(
+        lambda: two(
+            stratified_sample(
+                docs,
+                "source",
+                {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                ["doc_id"],
+                default_rate=0.1,
+            ),
+            "sample_stratified",
+        )
     )
-    afp_rows_f = _ckpt(
-        audio_match_pairs(audio_fingerprints(afp_media), min_matches=8)
-        .orderBy(F.desc("n_matches"), "offset")
-        .limit(1)
-        .select(
-            F.lit("audiofp").alias("op"),
-            F.concat_ws("|", "key_a", "key_b").alias("k"),
-            F.lit("offset").alias("metric"),
-            F.col("offset").cast("long").alias("v"),
+    ts_f = sub(lambda: two(temperature_sample(docs, "source", 0.5, ["doc_id"]), "temp_sample"))
+    gc_f = sub(lambda: two(group_cap(docs, ["source"], 5, ["doc_id"]), "group_cap"))
+    dk_f = sub(
+        lambda: two(decontaminate(docs, bench, 0.2, stats=stats_f.result()), "decontam_keep")
+    )
+    da_f = sub(
+        lambda: two(
+            dedup_against(docs.where(F.col("source") != "src0"), bench),
+            "dedup_against",
         )
     )
 
@@ -1985,22 +2102,31 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs' tasks; each count() materializes its branch's LogicalRDD so
     # the union below reads truncated, computed-once plans exactly as
     # the old sequential eager checkpoints did)
-    # resolve every branch-planning future (planning ran on pool
-    # threads, overlapped with the construction above), then force the
-    # checkpoints concurrently and build the branch row projections
-    lm_g = lm_g_f.result()
-    q_g = q_g_f.result()
-    ds_g = ds_g_f.result()
-    fz_g = fz_g_f.result()
-    lg_g = lg_g_f.result()
-    jp_rows = jp_rows_f.result()
-    pdf_rows = pdf_rows_f.result()
-    sent_rows = sent_rows_f.result()
-    kw_rows = kw_rows_f.result()
-    bt_rows = bt_rows_f.result()
-    val_rows = val_rows_f.result()
-    cq_rows = cq_rows_f.result()
-    afp_rows = afp_rows_f.result()
+    # resolve every branch-CONSTRUCTION future (construction ran on pool
+    # threads, overlapping the ~8k py4j round-trips that used to
+    # serialize on the main thread); checkpointing branches yield their
+    # _ckpt planning future, resolved in turn.  Then force the
+    # checkpoints concurrently and build the branch row projections.
+    hll_rows = hll_rows_f.result()
+    contam_tagged = contam_tagged_f.result()
+    pack_rows = pack_rows_f.result()
+    url_rows = url_rows_f.result()
+    chat_rows = chat_rows_f.result()
+    pr_rows = pr_rows_f.result()
+    rb_rows = rb_rows_f.result()
+    lm_g = lm_b_f.result().result()
+    q_g = q_b_f.result().result()
+    ds_g = ds_b_f.result().result()
+    fz_g = fz_b_f.result().result()
+    lg_g = lg_b_f.result().result()
+    jp_rows = jp_b_f.result().result()
+    pdf_rows = pdf_b_f.result().result()
+    sent_rows = sent_b_f.result().result()
+    kw_rows = kw_b_f.result().result()
+    bt_rows = bt_b_f.result().result()
+    val_rows = val_b_f.result().result()
+    cq_rows = cq_b_f.result().result()
+    afp_rows = afp_b_f.result().result()
     lm_rows = (
         lm_g.select(
             F.lit("lm_ppl").alias("op"),
@@ -2077,28 +2203,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool.shutdown()
 
     return (
-        hll_rows.unionAll(two(hash_sample(docs, ["doc_id"], 0.3), "sample_bernoulli"))
-        .unionAll(
-            two(
-                stratified_sample(
-                    docs,
-                    "source",
-                    {"src0": 1.0, "src1": 0.5, "src2": 0.25},
-                    ["doc_id"],
-                    default_rate=0.1,
-                ),
-                "sample_stratified",
-            )
-        )
-        .unionAll(two(temperature_sample(docs, "source", 0.5, ["doc_id"]), "temp_sample"))
-        .unionAll(two(group_cap(docs, ["source"], 5, ["doc_id"]), "group_cap"))
-        .unionAll(two(decontaminate(docs, bench, 0.2, stats=stats), "decontam_keep"))
-        .unionAll(
-            two(
-                dedup_against(docs.where(F.col("source") != "src0"), bench),
-                "dedup_against",
-            )
-        )
+        hll_rows.unionAll(sb_f.result())
+        .unionAll(ss_f.result())
+        .unionAll(ts_f.result())
+        .unionAll(gc_f.result())
+        .unionAll(dk_f.result())
+        .unionAll(da_f.result())
         .unionAll(contam_tagged)
         .unionAll(fz_rows)
         .unionAll(pack_rows)
