@@ -16,10 +16,18 @@ Spark-idiomatic shape — the textbook distributed power iteration:
   groupBy(dst) sum — two hash shuffles, both edge-sized — plus two
   node-sized scalar actions (dangling mass, L1 delta).  No corpus-sized
   driver state: ranks live distributed; the driver sees only scalars.
-- each round ends in an EAGER ``localCheckpoint`` — the
-  ``connected_components`` discipline: a lazy persist would silently
-  re-execute the whole lineage every round AND for every later consumer
-  (a measured 3×+ regression class in this repo).
+- each round ends in a ``localCheckpoint`` that is MATERIALIZED by the
+  round's own scalar action (r10): the checkpoint is declared lazy, and
+  the L1-delta/dangling-mass aggregation — a full pass over every
+  partition — computes it, caches it, and truncates lineage
+  (``SparkContext.runJob`` calls ``rdd.doCheckpoint()`` after every
+  action).  One action per round instead of two; semantically identical
+  to the eager form — the next round still reads a materialized,
+  lineage-free iterate.  The ``connected_components`` discipline still
+  holds: a bare lazy *persist* without an immediate covering action
+  would silently re-execute the whole lineage every round (a measured
+  3×+ regression class in this repo) — the covering action is the
+  load-bearing part.
 
 Semantics (pinned by the numpy mirror in tests/test_graph.py):
 
@@ -81,11 +89,13 @@ def pagerank(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    # per-edge transition weight, derived once and reused every round
+    # per-edge transition weight, derived once and reused every round;
+    # lazily checkpointed — round 1's aggregation (the first action that
+    # touches it) materializes it, after which every round reads cache
     weighted = (
         e.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # has_out rides on the rank frame so the dangling-mass scalar is a
     # filter+sum over ranks, not a join per round
@@ -97,11 +107,51 @@ def pagerank(
     n = flagged.count()
     if n == 0:
         return nodes.select("node", F.lit(1.0).alias("rank"))
-    ranks = flagged.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = flagged.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=False)
     base = (1.0 - damping) / n
-    # one scalar action per round: the checkpoint materializes `stepped`,
-    # and a single agg reads back this round's L1 delta together with the
-    # NEXT round's dangling mass (both node-sized reductions)
+
+    if tol <= 0:
+        # Fixed-iteration mode (r10): with tol <= 0 the convergence check
+        # can never fire, so no round needs a driver scalar at all.  The
+        # dangling mass rides as a ONE-ROW aggregate cross-joined onto the
+        # update (constant data volume at any scale; the 1-row broadcast
+        # pattern planlint allows) and every round is DECLARED lazily —
+        # each ``localCheckpoint(eager=False)`` truncates the *plan* at
+        # declaration time while the chained RDDs materialize together in
+        # the caller's first action, stage-pipelined inside one job
+        # instead of 2 driver-blocking jobs per round.  Arithmetic is
+        # identical to the scalar path: the same Spark SUM, the same
+        # ``/ n`` double division — only performed executor-side.
+        for _ in range(max_iters):
+            dm = ranks.agg(
+                (
+                    F.coalesce(
+                        F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+                    )
+                    / F.lit(float(n))
+                ).alias("__dangling")
+            )
+            contrib = (
+                ranks.join(weighted, ranks["node"] == weighted["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
+            )
+            ranks = (
+                ranks.join(contrib, "node", "left")
+                .crossJoin(dm)
+                .select(
+                    "node",
+                    "has_out",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce("__in", F.lit(0.0)) + F.col("__dangling"))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select("node", "rank")
+
     dangling_sum = float(
         ranks.agg(
             F.coalesce(
@@ -127,7 +177,7 @@ def pagerank(
                     + F.lit(damping) * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         [row] = stepped.agg(
             F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"),

@@ -14,17 +14,22 @@ That update is exactly one aggregation over the comparison graph per
 round — the same distributed shape as ``graph.pagerank``:
 
 - comparisons collapse ONCE into undirected per-pair totals
-  (lo, hi, n_games, wins_lo) and are eagerly checkpointed; every round
-  reuses that frame.
+  (lo, hi, n_games, wins_lo) and are checkpointed; every round reuses
+  that frame.
 - one round = TWO edge-sized hash joins (both endpoint strengths onto
   the pair list — BT needs pi_i + pi_j, unlike PageRank's source-only
   rank) + ONE groupBy(item) sum, then a node-sized update join and ONE
   scalar action (normalizer + L1 delta together).  The driver sees only
   scalars; strengths live distributed.
-- every round ends in an EAGER ``localCheckpoint`` — the
-  ``connected_components`` / ``pagerank`` discipline (a lazy persist
-  silently re-executes the whole lineage per round, a measured 3×+
-  regression class in this repo).
+- every round ends in a ``localCheckpoint`` MATERIALIZED by the round's
+  own scalar action (r10, the ``pagerank`` shape): the checkpoint is
+  declared lazy and the normalizer/L1-delta aggregation — a full pass —
+  computes it, caches it, and truncates lineage (``doCheckpoint`` runs
+  after every action).  One action per round instead of two.  The
+  ``connected_components`` discipline still holds: a bare lazy persist
+  with no covering action re-executes the whole lineage per round (a
+  measured 3×+ regression class in this repo) — the immediately
+  following full-pass action is what makes the lazy form safe.
 
 Identifiability and disconnected graphs: the MM update is only defined
 on a strongly connected comparison graph (an undefeated item's strength
@@ -102,8 +107,10 @@ def bt_strengths(
         raise ValueError(
             f"smoothing must be > 0 (identifiability anchor), got {smoothing}"
         )
+    # lazily checkpointed: the state.count() below is a full-pass action
+    # whose lineage includes totals, so ONE job materializes both
     totals = _pair_totals(pairs, key_a, key_b, wins_a, wins_b).localCheckpoint(
-        eager=True
+        eager=False
     )
     items = (
         totals.select(F.col("lo").alias("item"))
@@ -128,11 +135,66 @@ def bt_strengths(
             (F.coalesce("__wins", F.lit(0.0)) + F.lit(smoothing)).alias("__wins"),
             F.lit(1.0).alias("pi"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_items = state.count()
     if n_items == 0:
         return items.select("item", F.lit(1.0).alias("strength"))
+
+    if tol <= 0:
+        # Fixed-iteration mode (r10, the ``pagerank`` twin): tol <= 0
+        # disarms the convergence check, so no round needs a driver
+        # scalar — the normalizer rides as a ONE-ROW aggregate
+        # cross-joined onto the update (constant volume at any scale)
+        # and every round is declared lazily; the chained checkpointed
+        # RDDs materialize together in the caller's first action.
+        # Arithmetic is identical to the scalar path: the same Spark
+        # SUM, the same ``/ n_items`` then ``__raw / scale`` double ops,
+        # performed executor-side.
+        for _ in range(max_iters):
+            lo_pi = state.select(F.col("item").alias("lo"), F.col("pi").alias("__plo"))
+            hi_pi = state.select(F.col("item").alias("hi"), F.col("pi").alias("__phi"))
+            joined = totals.join(lo_pi, "lo").join(hi_pi, "hi")
+            denom_part = F.col("n") / (F.col("__plo") + F.col("__phi"))
+            denom = (
+                joined.select(F.col("lo").alias("item"), denom_part.alias("__d"))
+                .unionAll(
+                    joined.select(F.col("hi").alias("item"), denom_part.alias("__d"))
+                )
+                .groupBy("item")
+                .agg(F.sum("__d").alias("__den"))
+            )
+            stepped = (
+                state.join(denom, "item", "left")
+                .select(
+                    "item",
+                    "__wins",
+                    (
+                        F.col("__wins")
+                        / (
+                            F.coalesce("__den", F.lit(0.0))
+                            # virtual anchor: one win + one loss vs strength 1
+                            + F.lit(2.0 * smoothing) / (F.col("pi") + F.lit(1.0))
+                        )
+                    ).alias("__raw"),
+                )
+                # checkpointed so its two consumers (the normalizer agg and
+                # the update select) read ONE computed copy, not two
+                .localCheckpoint(eager=False)
+            )
+            scale = stepped.agg(
+                (F.sum("__raw") / F.lit(float(n_items))).alias("__scale")
+            )
+            state = (
+                stepped.crossJoin(scale)
+                .select(
+                    "item",
+                    "__wins",
+                    (F.col("__raw") / F.col("__scale")).alias("pi"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return state.select("item", F.col("pi").alias("strength"))
 
     for _ in range(max_iters):
         lo_pi = state.select(F.col("item").alias("lo"), F.col("pi").alias("__plo"))
@@ -162,9 +224,10 @@ def bt_strengths(
                     )
                 ).alias("__raw"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # ONE scalar action: normalizer and convergence delta together
+        # ONE action per round: the scalar agg computes normalizer +
+        # convergence delta AND materializes the lazy checkpoint above
         [row] = stepped.agg(
             F.sum("__raw").alias("s"),
             F.sum(F.abs(F.col("__raw") - F.col("__prev"))).alias("d"),

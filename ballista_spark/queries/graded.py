@@ -2197,8 +2197,23 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
     )
+    # force every deferred branch checkpoint with ONE action (r10 pass 5):
+    # a count over the union of 1-column projections of all branches puts
+    # every marked RDD on a single job's lineage, so the DAG scheduler
+    # computes all branches' partitions inside one job (independent
+    # stages run concurrently) and doCheckpoint materializes every one —
+    # 13 concurrent count() jobs previously spent ~3 s fighting over
+    # driver-side planning; schemas differ across branches, hence the
+    # lit(1) projection.  Semantics unchanged: each branch is fully
+    # materialized, plan truncated, computed exactly once before the
+    # entry's union executes.
     try:
-        list(pool.map(lambda f: f.result().count(), deferred_ckpts))
+        probes = [f.result().select(F.lit(1).alias("one")) for f in deferred_ckpts]
+        if probes:
+            u = probes[0]
+            for p in probes[1:]:
+                u = u.unionAll(p)
+            u.count()
     finally:
         pool.shutdown()
 

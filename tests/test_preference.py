@@ -150,3 +150,23 @@ def test_self_comparisons_ignored(spark):
     assert win_rate_table(df).count() == 1
     got = {r["item"] for r in bt_strengths(df).collect()}
     assert got == {0, 1}
+
+
+def test_fixed_iteration_lazy_path_matches_scalar_path(spark):
+    """tol <= 0 takes the r10 fully-declarative round path (normalizer as
+    a one-row cross join, zero per-round driver actions); strengths must
+    equal the scalar-action path bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    pairs = docs.select(
+        F.pmod(d, F.lit(7)).alias("key_a"),
+        F.pmod(F.pmod(d * 13 + 5, F.lit(11)), F.lit(7)).alias("key_b"),
+        F.pmod(d, F.lit(2)).cast("double").alias("wins_a"),
+    )
+    lazy = {r.item: r.strength for r in bt_strengths(pairs, max_iters=5, tol=0.0).collect()}
+    scalar = {
+        r.item: r.strength for r in bt_strengths(pairs, max_iters=5, tol=1e-300).collect()
+    }
+    assert lazy == scalar
