@@ -127,12 +127,13 @@ def _parallelized(df: DataFrame, key_col: str) -> DataFrame:
     A single small parquet file arrives as one partition and would serialize
     the whole pipeline on one core; at 100 TB the source is already
     many-partitioned and this hash repartition is a no-op-sized shuffle that
-    also pre-keys the downstream groupBys.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key_col)
-    return df
+    also pre-keys the downstream groupBys.  The partition probe is cached
+    per (session, plan semantic hash) — see
+    ``partitioning.probe_num_partitions`` (the raw ``df.rdd`` probe forces
+    full physical planning per query build)."""
+    from ballista_spark.operators.partitioning import spread_to_cluster
+
+    return spread_to_cluster(df, key_col)
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
@@ -853,19 +854,25 @@ def simhash_signatures(
         F.col(key_col).alias("key"),
         F.explode(_tokens(text_col)).alias("tok"),
     ).withColumn("th", md5_long("tok"))
+    # the 60 vote sums and the 60-term signature fold are built as SQL
+    # text (one parse each) rather than ~3.7k Column-API py4j round-trips
+    # — measured 0.60 → 0.07 s of driver-side build per query (r10, the
+    # operators/text.py discipline); the parsed trees compute identical
+    # values (integer CASE/shift arithmetic, pinned by the oracle)
     votes = toks.groupBy("key").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{j}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(th, {j}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b{j}"
+            )
             for j in range(bits)
         ]
     )
-    sim = functools.reduce(
-        lambda acc, j: acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0),
-        range(bits),
-        F.lit(0).cast("long"),
+    sim = F.expr(
+        "cast(0 as bigint) + "
+        + " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(bits)
+        )
     )
     return votes.select("key", sim.alias("simhash"))
 
@@ -885,11 +892,13 @@ def simhash_pairs(
     sig = simhash_signatures(df, text_col, key_col)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+    chunks = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(simhash, {c * chunk_bits}) & {mask}"
             for c in range(SIMHASH_CHUNKS)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(
         "key", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")

@@ -30,11 +30,11 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     vector-math-heavy stages (same rationale as dedup._parallelized): a
     small parquet arrives as ONE partition and would serialize every
     signature/dot-product on one core; at 100 TB the source is already
-    many-partitioned and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key_col)
-    return df
+    many-partitioned and this is a no-op.  The partition probe is cached
+    per (session, plan semantic hash) — ``partitioning.probe_num_partitions``."""
+    from ballista_spark.operators.partitioning import spread_to_cluster
+
+    return spread_to_cluster(df, key_col)
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -166,6 +166,14 @@ def _dot_sql(vcol: str, vals: list[float]) -> str:
     return f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 
+#: parsed bucket-array Columns keyed by (JVM app id, vcol, dim, planes,
+#: tables) — the generated SQL string embeds n_tables*n_planes literal
+#: 64-double hyperplane arrays (~hundreds of KB) and the JVM parse costs
+#: 0.25-0.75 s; the parsed tree is an immutable unresolved expression, so
+#: one Column object is safely reused across query builds (r10)
+_BUCKET_EXPR_CACHE: dict = {}
+
+
 def _lsh_bucket_array(vcol: str, dim: int, n_planes: int, n_tables: int) -> F.Column:
     """All ``n_tables`` LSH bucket ids as ONE parsed SQL array expression.
 
@@ -173,9 +181,18 @@ def _lsh_bucket_array(vcol: str, dim: int, n_planes: int, n_tables: int) -> F.Co
     as a single ``F.expr`` string: constructing the same tree column-by-
     column costs one py4j round-trip per node — measured ~4 s of driver
     time per lsh_ann_topk call at the 4×8×64 defaults — while Spark parses
-    the generated text in milliseconds.  The ``t << 32`` offset keeps
-    buckets from different tables disjoint in one join key space.
+    the generated text once per (session, parameters) and the parsed
+    Column is cached (see ``_BUCKET_EXPR_CACHE``).  The ``t << 32`` offset
+    keeps buckets from different tables disjoint in one join key space.
     """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    key = (app, vcol, dim, n_planes, n_tables)
+    col = _BUCKET_EXPR_CACHE.get(key)
+    if col is not None:
+        return col
     tables = []
     for t in range(n_tables):
         bits = " + ".join(
@@ -184,7 +201,9 @@ def _lsh_bucket_array(vcol: str, dim: int, n_planes: int, n_tables: int) -> F.Co
             for p in range(n_planes)
         )
         tables.append(f"({bits}) + {t << 32}L")
-    return F.expr("array(" + ", ".join(tables) + ")")
+    col = F.expr("array(" + ", ".join(tables) + ")")
+    _BUCKET_EXPR_CACHE[key] = col
+    return col
 
 
 def lsh_ann_topk(
@@ -367,18 +386,26 @@ def _nearest_centroids(
             F.collect_list(F.struct("centroid_id", "centroid_v")).alias("__cents")
         )
     )
-
-    def keyed(s: F.Column) -> F.Column:
-        sim = _cosine(
-            _dot(F.col(vec_alias), s.getField("centroid_v")),
-            _norm(F.col(vec_alias)) * _norm(s.getField("centroid_v")),
-        )
-        return F.struct(
-            (-F.coalesce(sim, F.lit(-2.0))).alias("k"),
-            s.getField("centroid_id").alias("centroid_id"),
-        )
-
-    top = F.slice(F.array_sort(F.transform(F.col("__cents"), keyed)), 1, n_probe)
+    # one SQL parse for the per-centroid scoring struct (r10, the
+    # operators/text.py discipline) — the same fold/CASE tree the Column
+    # chain built, identical values (pinned by tests/test_pq.py /
+    # test_api ANN round-trips and the ivf_ann_topk oracle)
+    dot = (
+        f"aggregate(zip_with(`{vec_alias}`, s.centroid_v, (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+    np_sql = (
+        f"(sqrt(aggregate(`{vec_alias}`, 0.0D, (acc, x) -> acc + x * x))"
+        f" * sqrt(aggregate(s.centroid_v, 0.0D, (acc, x) -> acc + x * x)))"
+    )
+    keyed_sql = (
+        f"named_struct('k', -coalesce(CASE WHEN {np_sql} != 0.0D"
+        f" THEN {dot} / {np_sql} END, -2.0D),"
+        f" 'centroid_id', s.centroid_id)"
+    )
+    top = F.expr(
+        f"slice(array_sort(transform(__cents, s -> {keyed_sql})), 1, {n_probe})"
+    )
     cols = vecs.columns
     return (
         vecs.crossJoin(packed)
@@ -936,32 +963,30 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     packed = _pack_codebooks(df.sparkSession, codebooks)
-    v = _as_double(F.col(vec_col))
+    # the m per-subspace argmin chains are built as ONE SQL parse instead
+    # of ~m*30 Column-API py4j round-trips (r10, the operators/text.py
+    # discipline); the parsed trees compute identical values — pinned by
+    # tests/test_pq.py round-trips and the pq_adc_topk oracle
+    v_sql = f"transform(`{vec_col}`, x -> cast(x as double))"
 
-    def code_for(j: int) -> F.Column:
-        sub = F.slice(v, j * dsub + 1, dsub)
-        cands = F.filter(F.col("__cb"), lambda s: s.getField("sub") == F.lit(j))
-        keyed = F.transform(
-            cands,
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(sub, s.getField("cv"), lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                s.getField("code").alias("code"),
-            ),
+    def code_sql(j: int) -> str:
+        sub = f"slice({v_sql}, {j * dsub + 1}, {dsub})"
+        return (
+            f"array_min(transform(filter(__cb, s -> s.sub = {j}), "
+            f"s -> struct(aggregate(zip_with({sub}, s.cv, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x) AS d, "
+            f"s.code AS code))).code"
         )
-        return F.array_min(keyed).getField("code")
 
     cols = df.columns
-    return (
-        df.crossJoin(packed)
-        .select(
-            *cols,
-            F.array(*[code_for(j) for j in range(m)]).alias("pq_code"),
-            _norm(v).alias("vec_norm"),
-        )
+    return df.crossJoin(packed).select(
+        *cols,
+        F.expr("array(" + ", ".join(code_sql(j) for j in range(m)) + ")").alias(
+            "pq_code"
+        ),
+        F.expr(
+            f"sqrt(aggregate({v_sql}, 0.0D, (acc, x) -> acc + x * x))"
+        ).alias("vec_norm"),
     )
 
 
@@ -992,12 +1017,11 @@ def _query_luts(
     :func:`ivfpq_ann_topk`."""
     dsub = len(codebooks[0][0])
     packed = _pack_codebooks(queries.sparkSession, codebooks)
-    lut = F.transform(
-        F.col("__cb"),
-        lambda s: _dot(
-            F.slice(F.col("qv"), s.getField("sub") * F.lit(dsub) + 1, dsub),
-            s.getField("cv"),
-        ),
+    # one SQL parse per projection (see pq_encode) — identical values
+    lut_sql = (
+        f"transform(__cb, s -> aggregate(zip_with("
+        f"slice(qv, s.sub * {dsub} + 1, {dsub}), s.cv, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x))"
     )
     return (
         queries.select(
@@ -1005,22 +1029,22 @@ def _query_luts(
         )
         .crossJoin(packed)
         .select(
-            "query_id", lut.alias("__lut"), _norm(F.col("qv")).alias("__qnorm")
+            "query_id",
+            F.expr(lut_sql).alias("__lut"),
+            F.expr("sqrt(aggregate(qv, 0.0D, (acc, x) -> acc + x * x))").alias(
+                "__qnorm"
+            ),
         )
     )
 
 
 def _adc_sum(m: int, ksub: int) -> F.Column:
     """Approximate dot product: m one-byte LUT lookups over ``pq_code``
-    against the row's ``__lut``."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("pq_code"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: F.element_at(F.col("__lut"), j * F.lit(ksub) + code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    against the row's ``__lut`` (one SQL parse — see pq_encode)."""
+    return F.expr(
+        f"aggregate(zip_with(pq_code, sequence(0, {m - 1}), "
+        f"(code, j) -> element_at(__lut, j * {ksub} + code + 1)), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 

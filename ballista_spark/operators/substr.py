@@ -86,7 +86,10 @@ def _with_window_strings(
     Every intermediate is pre-sliced so ``zip_with`` never pads.
     """
     toks = _tokens(text_col)
-    join2 = lambda x, y: F.concat_ws(" ", x, y)  # noqa: E731
+    # every level's expression is handed to the SQL parser as ONE string
+    # (r10, the operators/text.py discipline — ~15 Column-API py4j
+    # round-trips per level otherwise); parsed trees compute identical
+    # values, pinned by tests/test_substr.py
     base = (
         _parallelized(df, key_col)
         .where(F.size(toks) >= w)
@@ -96,24 +99,31 @@ def _with_window_strings(
         return base.withColumnRenamed("__t1", out_col)
     p = 1
     while p * 2 <= w:
-        a = F.col(f"__t{p}")
-        n = F.greatest(F.size(a) - F.lit(p), F.lit(0))
+        n = f"greatest(size(__t{p}) - {p}, 0)"
         base = base.withColumn(
-            f"__t{p * 2}", F.zip_with(F.slice(a, 1, n), F.slice(a, p + 1, n), join2)
+            f"__t{p * 2}",
+            F.expr(
+                f"zip_with(slice(__t{p}, 1, {n}), slice(__t{p}, {p + 1}, {n}),"
+                f" (x, y) -> concat_ws(' ', x, y))"
+            ),
         )
         p *= 2
-    target = F.greatest(F.size(F.col("__t1")) - F.lit(w - 1), F.lit(0))
+    target = f"greatest(size(__t1) - {w - 1}, 0)"
     out = None
     offset = 0  # tokens already composed into `out`
     pw = p
     while pw >= 1:
         if ((w - offset) & pw) != 0:  # pw is in w's binary decomposition
-            piece = F.slice(F.col(f"__t{pw}"), offset + 1, target)
+            piece = f"slice(__t{pw}, {offset + 1}, {target})"
             # single reference to each operand -> evaluated once per row
-            out = piece if out is None else F.zip_with(out, piece, join2)
+            out = (
+                piece
+                if out is None
+                else f"zip_with({out}, {piece}, (x, y) -> concat_ws(' ', x, y))"
+            )
             offset += pw
         pw //= 2
-    return base.withColumn(out_col, out).select("key", out_col)
+    return base.withColumn(out_col, F.expr(out)).select("key", out_col)
 
 
 def window_occurrences(
@@ -134,7 +144,7 @@ def window_occurrences(
     buys is the expensive part — the corpus-token-sized shuffle.
     """
     base = _with_window_strings(df, text_col, key_col, w, "__ws")
-    hashed = F.transform(F.col("__ws"), lambda s: F.md5(s))
+    hashed = F.expr("transform(__ws, s -> md5(s))")
     occ = base.select(
         "key", F.posexplode(hashed).alias("p0", "gh")
     ).select("key", (F.col("p0") + 1).alias("pos"), "gh")
@@ -256,28 +266,30 @@ def strip_duplicated_spans(
     per_doc = spans.groupBy("key").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     ).withColumnRenamed("key", "__sd_key")
-    toks = _tokens(text_col)
-    indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i")))
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.exists(
-            F.col("__spans"),
-            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
-        ),
+    # SQL-text construction (one parse per projection — see
+    # _with_window_strings); values identical, pinned by test_substr.py
+    kept = (
+        f"filter(transform(split(trim(`{text_col}`), ' '),"
+        f" (t, i) -> named_struct('t', t, 'i', i + 1)),"
+        f" s -> NOT exists(__spans,"
+        f" sp -> s.i >= sp.span_start AND s.i <= sp.span_end))"
     )
-    removed = F.aggregate(
-        "__spans",
-        F.lit(0).cast("long"),
-        lambda acc, sp: acc + (sp["span_end"] - sp["span_start"] + F.lit(1)),
+    removed = (
+        "aggregate(__spans, cast(0 as bigint),"
+        " (acc, sp) -> acc + (sp.span_end - sp.span_start + 1))"
     )
     return (
         df.join(per_doc, F.col(key_col) == F.col("__sd_key"), "left")
         .withColumn(
             "text_dedup",
-            F.when(F.col("__sd_key").isNull(), F.col(text_col)).otherwise(
-                F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+            F.expr(
+                f"CASE WHEN __sd_key IS NULL THEN `{text_col}`"
+                f" ELSE concat_ws(' ', transform({kept}, s -> s.t)) END"
             ),
         )
-        .withColumn("n_tokens_removed", F.coalesce(removed, F.lit(0).cast("long")))
+        .withColumn(
+            "n_tokens_removed",
+            F.expr(f"coalesce({removed}, cast(0 as bigint))"),
+        )
         .drop("__sd_key", "__spans")
     )
