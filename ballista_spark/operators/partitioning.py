@@ -56,14 +56,26 @@ def probe_num_partitions(df: DataFrame) -> int:
     return n
 
 
-def spread_to_cluster(df: DataFrame, key_col: str) -> DataFrame:
-    """Hash-spread an under-partitioned input across the cluster before a
+def spread_to_cluster(df: DataFrame, key_col: str, by_range: bool = False) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before a
     CPU-heavy stage (the shared body of ``dedup._parallelized`` /
     ``similarity._spread``): a small parquet arrives as ONE partition and
     would serialize the pipeline on one core; at 100 TB the source is
-    already many-partitioned and this is a no-op (no exchange added)."""
+    already many-partitioned and this is a no-op (no exchange added).
+
+    ``by_range=True`` spreads with a RANGE partitioning on ``key_col``
+    instead of hash — for map-shaped pipelines whose terminal operation is
+    ``orderBy(key_col)``: Project preserves the range partitioning, so the
+    final sort's ``OrderedDistribution`` is already satisfied and the sort
+    runs partition-local — ONE exchange where hash-spread + global sort
+    paid two (guide §2.4: two operations keyed the same way share one
+    exchange).  The range variant pays a one-task sampling pass over the
+    (small, under-partitioned) input to pick bounds; hash stays the right
+    choice when downstream re-keys by hash (groupBy/join on ``key_col``)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if probe_num_partitions(df) < target:
+        if by_range:
+            return df.repartitionByRange(target, key_col)
         return df.repartition(target, key_col)
     return df
 

@@ -31,6 +31,17 @@ def _b(name: str, doc: str, builder, oracle: str | None) -> None:
     PIPELINE_QUERIES[name] = Query(doc=doc, builder=builder, oracle=oracle)
 
 
+def _range_spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Probe-gated RANGE spread (r10, guide §2.4): parallelize a
+    single-row-group gate scan before a CPU-heavy map stage, keyed so the
+    entry's terminal ``orderBy(key_col)`` reuses the spread's partitioning
+    (the sort runs partition-local — no second exchange).  A no-op on
+    already-partitioned inputs, i.e. at production scale."""
+    from ballista_spark.operators.partitioning import spread_to_cluster
+
+    return spread_to_cluster(df, key_col, by_range=True)
+
+
 # DuckDB shingle CTE shared by the jaccard oracles (3-gram, space tokens —
 # must mirror operators.dedup.shingle_sets exactly).
 _SHINGLE_CTE = """
@@ -660,13 +671,14 @@ _b(
 # --- text analysis ----------------------------------------------------------
 
 def _text_stats_builder(spark: SparkSession, sf: str) -> DataFrame:
-    from ballista_spark.operators.dedup import _parallelized
-
     # spread an under-partitioned scan before the (interpreted higher-order
     # array) metric expressions — a small parquet arrives as ONE partition
     # and would evaluate every metric on one core; at 100 TB the scan is
-    # already many-partitioned and this is a no-op (no extra exchange)
-    docs = _parallelized(load_table(spark, sf, "documents"), "doc_id")
+    # already many-partitioned and this is a no-op (no extra exchange).
+    # RANGE spread on doc_id (not hash): the terminal orderBy(doc_id) is
+    # then satisfied by the spread's own partitioning, so the plan carries
+    # ONE exchange instead of two (spread + global sort) — guide §2.4
+    docs = _range_spread(load_table(spark, sf, "documents"), "doc_id")
     # materialize the token array ONCE and let every metric reference it:
     # the naive form tokenizes per metric (4 split+trim passes per row —
     # r10: 0.23 s → 0.19 s at sf0.1, bit-exact).  Two selects stay two
@@ -775,7 +787,12 @@ _b(
     "precedence tie-break; the oracle CASE chain is generated from the same "
     "stopword table.",
     lambda spark, sf: (
-        load_table(spark, sf, "documents").select(
+        # range-spread before the (wide stopword CASE-chain) projection:
+        # the single-row-group gate file otherwise evaluates every score on
+        # ONE core, and the terminal orderBy(doc_id) reuses the spread's
+        # range partitioning — same exchange count, 32× the map parallelism
+        _range_spread(load_table(spark, sf, "documents"), "doc_id")
+        .select(
             "doc_id",
             "lang",
             X.lang_id("text").alias("predicted_lang"),
@@ -793,7 +810,13 @@ _b(
     "Binary payload plumbing (operators.multimodal.attach_media): byte "
     "length + content hash over the binary column.",
     lambda spark, sf: (
-        M.attach_media(load_table(spark, sf, "documents"))
+        # range-spread on doc_id: attach_media aliases doc_id → media_id and
+        # Project's alias-aware output partitioning carries the range
+        # partitioning through, so the terminal orderBy(media_id) reuses it
+        # while the sha2 projection runs on every core
+        M.attach_media(
+            _range_spread(load_table(spark, sf, "documents"), "doc_id")
+        )
         .select(
             "media_id",
             F.octet_length("payload").cast("bigint").alias("n_bytes"),
@@ -824,6 +847,11 @@ _b(
     "regex over the text.  Full histogram checked vs a Python reference "
     "in tests.",
     lambda spark, sf: (
+        # measured and REJECTED (r10): hash-spreading the scan before the
+        # mapInPandas ran 4.6× SLOWER warm at sf0.1 (0.82 → 3.74 s noop;
+        # cold 3.7 → 25.6 s) — 32 concurrent Python workers each paying
+        # Arrow round-trip + startup on a ~156-row slice cost far more
+        # than the single-task batch loop.  The one-task shape stays.
         M.extract_features(M.attach_media(load_table(spark, sf, "documents")))
         .select("media_id", "n_bytes", F.element_at("features", 7).alias("f7"))
         .orderBy("media_id")
@@ -844,7 +872,10 @@ _b(
     "BPE-ish regex token counting (operators.text.token_count_regex — "
     "letter/digit/punct runs) next to the whitespace count.",
     lambda spark, sf: (
-        load_table(spark, sf, "documents").select(
+        # range-spread: parallelize the regexp_extract_all projection,
+        # terminal sort reuses the partitioning (see text_langid)
+        _range_spread(load_table(spark, sf, "documents"), "doc_id")
+        .select(
             "doc_id",
             X.token_count("text").alias("n_ws_tokens"),
             X.token_count_regex("text").alias("n_bpe_tokens"),
@@ -866,6 +897,10 @@ _b(
     "dimension mean) — the vector-analytics building block for IVF "
     "coarse quantizers.",
     lambda spark, sf: (
+        # measured and REJECTED (r10): hash-spreading on vec_id before the
+        # posexplode ran 1.7× SLOWER warm at sf0.1 (0.44 → 0.74 s noop) —
+        # the added exchange ships every raw float vector, which costs more
+        # than the one-task explode + decimal partial-agg it parallelizes.
         load_table(spark, sf, "embeddings")
         .select("label", F.posexplode("embedding").alias("dim", "v"))
         .where(F.col("dim") < 8)

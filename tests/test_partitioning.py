@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ballista_spark.operators.partitioning import (
     salted_agg,
     salted_join,
+    spread_to_cluster,
     write_bucketed,
 )
 from ballista_spark.plans.explain import plan_summary
@@ -46,6 +47,41 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert joined.count() == load_table(spark, SF_SMOKE, "lineitem").count()
+
+
+def test_range_spread_folds_into_terminal_sort(spark):
+    """``spread_to_cluster(by_range=True)`` on the sort key leaves exactly
+    ONE shuffle in a map + ``orderBy(key)`` pipeline — the spread's range
+    partitioning satisfies the terminal sort's OrderedDistribution, so the
+    sort runs partition-local (guide §2.4; the r10 text_stats/text_langid/
+    multimodal_meta shape).  The hash variant pays a second (range)
+    exchange for the global sort.  Results are identical."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def pipe(spread):
+        return spread.select("doc_id", F.length("text").alias("n")).orderBy(
+            "doc_id"
+        )
+
+    rng = pipe(spread_to_cluster(docs, "doc_id", by_range=True))
+    hsh = pipe(spread_to_cluster(docs, "doc_id"))
+    assert plan_summary(rng).n_shuffles == 1, "range spread must fold the sort"
+    assert plan_summary(hsh).n_shuffles == 2
+    assert rng.collect() == hsh.collect()
+
+
+def test_range_spread_carries_through_alias(spark):
+    """Project's alias-aware output partitioning keeps the fold when the
+    spread key is renamed downstream (attach_media's doc_id → media_id)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    renamed = (
+        spread_to_cluster(docs, "doc_id", by_range=True)
+        .select(F.col("doc_id").alias("media_id"), F.length("text").alias("n"))
+        .orderBy("media_id")
+    )
+    assert plan_summary(renamed).n_shuffles == 1
+    rows = renamed.collect()
+    assert [r.media_id for r in rows] == sorted(r.media_id for r in rows)
 
 
 def test_salted_agg_matches_plain(spark):
