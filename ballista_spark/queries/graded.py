@@ -1342,10 +1342,36 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         Semantics are identical to ``localCheckpoint(eager=True)`` by
         the time any consumer runs: each branch is fully materialized
         (plan truncated, computed exactly once) before the entry's
-        union executes."""
-        fut = pool.submit(lambda: df.localCheckpoint(eager=False))
-        deferred_ckpts.append(fut)
-        return fut
+        union executes.
+
+        Consumers receive a ``coalesce(1)`` VIEW of the checkpoint
+        (r10 session 4): every _ckpt'ed branch is a per-source
+        aggregate of ≤ ~30 rows by construction of this graded entry,
+        but each checkpoint RDD inherits the final agg's
+        ``spark.sql.shuffle.partitions`` near-empty partitions — 13
+        branches × 32 = a ~200-task map stage in the final union's
+        exchange on every execution (pure scheduling overhead; AQE
+        cannot coalesce LogicalRDD leaves).  The coalesce sits ABOVE
+        the checkpoint: the probe union still materializes the raw
+        32-partition RDD at full parallelism (coalescing *below* the
+        checkpoint measured 2.5 → 8.6 s materialization — it folds the
+        branch's whole final stage into one task), while consumers
+        merge the already-cached partitions for ~free — the union's
+        map stage drops to one task per branch (measured warm noop
+        5.9 → 3.5 s at sf0.01)."""
+        raw = pool.submit(lambda: df.localCheckpoint(eager=False))
+        deferred_ckpts.append(raw)
+
+        class _CoalescedView:
+            __slots__ = ("_raw",)
+
+            def __init__(self, r):
+                self._raw = r
+
+            def result(self):
+                return self._raw.result().coalesce(1)
+
+        return _CoalescedView(raw)
 
     # the four ITERATIVE/fit constructions run eager internal checkpoints
     # (pagerank 7 rounds, Bradley-Terry 5, the lm/dsir fits one each —
@@ -1377,6 +1403,22 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         order it used to build in — the assembled plan is bit-identical
         because expression construction is deterministic and
         order-independent across branches."""
+        if os.environ.get("BS_SKETCH_TIMING"):
+            import sys as _s
+            import time as _t
+
+            def timed():
+                t0 = _t.perf_counter()
+                try:
+                    return fn()
+                finally:
+                    print(
+                        f"BS_BRANCH {getattr(fn, '__qualname__', fn)} "
+                        f"{_t.perf_counter() - t0:.2f}s",
+                        file=_s.stderr,
+                    )
+
+            return pool.submit(timed)
         return pool.submit(fn)
 
     _d = F.col("doc_id")
@@ -2107,6 +2149,8 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serialize on the main thread); checkpointing branches yield their
     # _ckpt planning future, resolved in turn.  Then force the
     # checkpoints concurrently and build the branch row projections.
+    import time as _time
+    _tt = [("resolve_start", _time.perf_counter())] if os.environ.get("BS_SKETCH_TIMING") else None
     hll_rows = hll_rows_f.result()
     contam_tagged = contam_tagged_f.result()
     pack_rows = pack_rows_f.result()
@@ -2207,8 +2251,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lit(1) projection.  Semantics unchanged: each branch is fully
     # materialized, plan truncated, computed exactly once before the
     # entry's union executes.
+    if _tt is not None:
+        _tt.append(("branches_resolved", _time.perf_counter()))
     try:
         probes = [f.result().select(F.lit(1).alias("one")) for f in deferred_ckpts]
+        if _tt is not None:
+            _tt.append(("ckpts_resolved", _time.perf_counter()))
         if probes:
             u = probes[0]
             for p in probes[1:]:
@@ -2216,6 +2264,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             u.count()
     finally:
         pool.shutdown()
+    if _tt is not None:
+        _tt.append(("ckpts_materialized", _time.perf_counter()))
+        import sys as _sys
+        print(
+            "BS_SKETCH_TIMING "
+            + " ".join(
+                f"{b[0]}={b[1] - a[1]:.2f}s" for a, b in zip(_tt, _tt[1:])
+            ),
+            file=_sys.stderr,
+        )
 
     return (
         hll_rows.unionAll(sb_f.result())
