@@ -1322,6 +1322,23 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     li = load_table(spark, sf_dir, "lineitem")
 
+    # r11 (guide §2.6/§5): every branch now emits its final
+    # (op, k, metric, v) ROWS with each heavy subtree referenced exactly
+    # ONCE (``F.stack`` generators replace the unionAll-of-projections
+    # fan-out, which copied the branch aggregate once per metric), so
+    # the 13 heavy branches checkpoint their finished rows directly and
+    # the final union is one small leg per branch.  A single GROUPED
+    # checkpoint of all 13 row-frames was measured and REJECTED in the
+    # same window: its one ``toRdd`` planning ran 6.5 s SERIAL on the
+    # main thread after the last branch resolved (warm build 16.5 s vs
+    # 11.0 s for this design) — the per-branch plannings below do the
+    # same total work but start on pool threads the moment each branch
+    # finishes construction, overlapping the other branches' py4j
+    # construction and the fits.  The r8 pathology (interpreted
+    # higher-order gram expressions re-evaluated inside the giant entry
+    # union, ~90 s observed for the quality branch at sf0.001) stays
+    # fenced off by the checkpoints exactly as before.
+
     #: branch-checkpoint futures deferred for one concurrent
     #: resolution + materialization pass before the union is assembled
     deferred_ckpts: list = []
@@ -1335,30 +1352,22 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         main thread), so it runs on a pool thread and overlaps with the
         main thread's construction of the remaining branches.  Before
         the builder returns, every checkpoint future is resolved and
-        then forced by its own ``count()`` from the same pool, so the
-        ~13 independent branch materializations OVERLAP instead of
-        serializing ~25 tiny jobs on an idle cluster (sequential eager
-        form measured 46 s cold / 22.5 s warm build at sf0.01).
-        Semantics are identical to ``localCheckpoint(eager=True)`` by
-        the time any consumer runs: each branch is fully materialized
-        (plan truncated, computed exactly once) before the entry's
-        union executes.
+        all marked RDDs are forced by ONE covering count (r10 pass 5),
+        whose single job computes every branch's partitions with
+        independent stages running concurrently.  Semantics are
+        identical to ``localCheckpoint(eager=True)`` by the time any
+        consumer runs: each branch is fully materialized (plan
+        truncated, computed exactly once) before the entry's union
+        executes.
 
         Consumers receive a ``coalesce(1)`` VIEW of the checkpoint
-        (r10 session 4): every _ckpt'ed branch is a per-source
-        aggregate of ≤ ~30 rows by construction of this graded entry,
-        but each checkpoint RDD inherits the final agg's
-        ``spark.sql.shuffle.partitions`` near-empty partitions — 13
-        branches × 32 = a ~200-task map stage in the final union's
-        exchange on every execution (pure scheduling overhead; AQE
-        cannot coalesce LogicalRDD leaves).  The coalesce sits ABOVE
-        the checkpoint: the probe union still materializes the raw
-        32-partition RDD at full parallelism (coalescing *below* the
-        checkpoint measured 2.5 → 8.6 s materialization — it folds the
-        branch's whole final stage into one task), while consumers
-        merge the already-cached partitions for ~free — the union's
-        map stage drops to one task per branch (measured warm noop
-        5.9 → 3.5 s at sf0.01)."""
+        (r10 session 4): every branch is ≤ ~60 rows by construction of
+        this graded entry, but each checkpoint RDD inherits near-empty
+        shuffle partitions that AQE cannot coalesce (LogicalRDD
+        leaves).  The coalesce sits ABOVE the checkpoint: the probe
+        union still materializes the raw RDD at full parallelism
+        (coalescing *below* measured 2.5 → 8.6 s materialization),
+        while consumers merge the cached partitions for ~free."""
         raw = pool.submit(lambda: df.localCheckpoint(eager=False))
         deferred_ckpts.append(raw)
 
@@ -1450,17 +1459,29 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    def _metric_rows(g: DataFrame, op: str, k_col, pairs) -> DataFrame:
+        """(op, k, metric, v) rows via ONE ``stack`` generator (r11):
+        the branch's aggregate subtree is referenced exactly once, where
+        the old unionAll-of-projections form copied it once per metric —
+        the copies either re-executed per run or forced a per-branch
+        checkpoint purely to deduplicate them.  Row multiset is
+        identical (same metrics, same casts); the terminal
+        orderBy(op, k, metric) fixes the order either way."""
+        args = [F.lit(len(pairs))]
+        for metric, vcol in pairs:
+            args += [F.lit(metric), vcol.cast("long")]
+        return g.select(
+            F.lit(op).alias("op"),
+            k_col.alias("k"),
+            F.stack(*args).alias("metric", "v"),
+        )
+
     def two(df: DataFrame, op: str) -> DataFrame:
         g = df.groupBy("source").agg(
             F.count("*").alias("n"), F.sum("doc_id").alias("s")
         )
-        return g.select(
-            F.lit(op).alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        ).unionAll(
-            g.select(F.lit(op), F.col("source"), F.lit("sum_ids"), F.col("s").cast("long"))
+        return _metric_rows(
+            g, op, F.col("source"), [("n", F.col("n")), ("sum_ids", F.col("s"))]
         )
 
     # within_10pct, not 5: rsd=0.02 puts 10% at ~5 sigma, so the predicate
@@ -1472,18 +1493,17 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
             F.countDistinct("l_partkey").alias("ex"),
         )
-        return hll.select(
-            F.lit("hll").alias("op"),
-            F.col("l_returnflag").alias("k"),
-            F.lit("exact_parts").alias("metric"),
-            F.col("ex").cast("long").alias("v"),
-        ).unionAll(
-            hll.select(
-                F.lit("hll"),
-                F.col("l_returnflag"),
-                F.lit("within_10pct"),
-                (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.10).cast("long"),
-            )
+        return _metric_rows(
+            hll,
+            "hll",
+            F.col("l_returnflag"),
+            [
+                ("exact_parts", F.col("ex")),
+                (
+                    "within_10pct",
+                    (F.abs(F.col("ap") - F.col("ex")) <= F.col("ex") * 0.10),
+                ),
+            ],
         )
 
     hll_rows_f = sub(_hll_branch)
@@ -1500,15 +1520,11 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.sum("n_hits").alias("h"), F.sum("n_ngrams").alias("g"))
         )
-        return contam_rows.select(
-            F.lit("contam").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("hits").alias("metric"),
-            F.col("h").cast("long").alias("v"),
-        ).unionAll(
-            contam_rows.select(
-                F.lit("contam"), F.col("source"), F.lit("ngrams"), F.col("g").cast("long")
-            )
+        return _metric_rows(
+            contam_rows,
+            "contam",
+            F.col("source"),
+            [("hits", F.col("h")), ("ngrams", F.col("g"))],
         )
 
     contam_tagged_f = sub(_contam_branch)
@@ -1526,23 +1542,15 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pack_offset").alias("so"),
             F.max("pack_last").alias("ml"),
         )
-        return (
-            pack_g.select(
-                F.lit("pack").alias("op"),
-                F.col("source").alias("k"),
-                F.lit("sum_first").alias("metric"),
-                F.col("sf").cast("long").alias("v"),
-            )
-            .unionAll(
-                pack_g.select(
-                    F.lit("pack"), F.col("source"), F.lit("sum_off"), F.col("so").cast("long")
-                )
-            )
-            .unionAll(
-                pack_g.select(
-                    F.lit("pack"), F.col("source"), F.lit("max_last"), F.col("ml").cast("long")
-                )
-            )
+        return _metric_rows(
+            pack_g,
+            "pack",
+            F.col("source"),
+            [
+                ("sum_first", F.col("sf")),
+                ("sum_off", F.col("so")),
+                ("max_last", F.col("ml")),
+            ],
         )
 
     pack_rows_f = sub(_pack_branch)
@@ -1556,16 +1564,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enough that any formula/backoff/count error lands far outside it.
     # The n=3 ladder and exact (unrounded) scores are pytest-mirrored in
     # test_lm.py; n=2 keeps the oracle's candidate/fit CTEs compact.
-    # eager checkpoint (via _ckpt, which defers the materialization and
-    # then runs all branch materializations CONCURRENTLY): the
-    # per-source aggregate is <= n_sources rows but its subtree would
-    # otherwise be copied once per metric AND planned inside the giant
-    # entry union, where the interpreted higher-order gram expressions
-    # evaluate pathologically (~90 s observed for the quality branch vs
-    # ~1 s standalone at sf0.001)
+    # rides the grouped checkpoint (r11): the per-source aggregate is
+    # <= n_sources rows but the interpreted higher-order gram
+    # expressions evaluate pathologically when planned inside the giant
+    # entry union (~90 s observed for the quality branch vs ~1 s
+    # standalone at sf0.001) — the ONE grouped checkpoint below fences
+    # the heavy branches off exactly as the 13 per-branch checkpoints
+    # did, at one toRdd instead of 13
     def _lm_branch():
         lm = lm_fit_f.result()  # fit submitted first, already running
-        return _ckpt(
+        lm_g = (
             ngram_lm_score(docs, lm)
             .join(docs.select("doc_id", "source"), "doc_id")
             .groupBy("source")
@@ -1575,6 +1583,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("avg_logp") * 10000).cast("long").alias("sl4"),
             )
         )
+        return _ckpt(_metric_rows(
+            lm_g,
+            "lm_ppl",
+            F.col("source"),
+            [
+                ("n", F.col("n")),
+                ("sum_tokens", F.col("st")),
+                ("logp_1e4", F.col("sl4")),
+            ],
+        ))
 
     lm_b_f = sub(_lm_branch)
 
@@ -1589,14 +1607,17 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (md5_long("gram") % N_FEATURES).alias("bucket"), "w"
         )
         q_scored = quality_classifier_score(docs, LogRegModel(wdf, _QUALITY_BIAS))
-        return _ckpt(
-            q_scored.groupBy("source")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
-                F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
-            )
+        q_g = q_scored.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("na"),
+            F.round(F.sum("quality_prob") * 10000).cast("long").alias("s4"),
         )
+        return _ckpt(_metric_rows(
+            q_g,
+            "quality",
+            F.col("source"),
+            [("n", F.col("n")), ("n_above", F.col("na")), ("score_1e4", F.col("s4"))],
+        ))
 
     q_b_f = sub(_quality_branch)
 
@@ -1607,7 +1628,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle replays the identical md5-bucket counts from its qfeat CTE.
     def _dsir_branch():
         dsm = dsm_f.result()  # fit submitted first, already running
-        return _ckpt(
+        ds_g = (
             dsir_log_weights(docs, dsm)
             .join(docs.select(F.col("doc_id").alias("key"), "source"), "key")
             .groupBy("source")
@@ -1617,6 +1638,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("log_w") * 10000).cast("long").alias("l4"),
             )
         )
+        return _ckpt(_metric_rows(
+            ds_g,
+            "dsir",
+            F.col("source"),
+            [("n", F.col("n")), ("sum_grams", F.col("sg")), ("logw_1e4", F.col("l4"))],
+        ))
 
     ds_b_f = sub(_dsir_branch)
 
@@ -1628,7 +1655,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_spark.operators.decontam import fuzzy_contaminated_keys
 
     def _fuzzy_branch():
-        return _ckpt(
+        fz_g = (
             fuzzy_contaminated_keys(
                 docs.where(F.col("source") != "src0"), bench, threshold=0.8
             )
@@ -1637,6 +1664,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
         )
+        return _ckpt(_metric_rows(
+            fz_g,
+            "fuzzy_contam",
+            F.col("source"),
+            [("n", F.col("n")), ("sum_ids", F.col("s"))],
+        ))
 
     fz_b_f = sub(_fuzzy_branch)
 
@@ -1683,16 +1716,11 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(md5_long(F.col("cu")) % 1000000).alias("h"),
             )
         )
-        return uc_g.select(
-            F.lit("url_canon").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        ).unionAll(
-            uc_g.select(
-                F.lit("url_canon"), F.col("source"), F.lit("md5_1e6"),
-                F.col("h").cast("long"),
-            )
+        return _metric_rows(
+            uc_g,
+            "url_canon",
+            F.col("source"),
+            [("n", F.col("n")), ("md5_1e6", F.col("h"))],
         )
 
     url_rows_f = sub(_url_branch)
@@ -1734,20 +1762,17 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        def chat_metric(metric: str, col: str) -> DataFrame:
-            return ch_g.select(
-                F.lit("chat").alias("op"),
-                F.col("source").alias("k"),
-                F.lit(metric).alias("metric"),
-                F.col(col).cast("long").alias("v"),
-            )
-
-        return (
-            chat_metric("n", "n")
-            .unionAll(chat_metric("n_valid", "nv"))
-            .unionAll(chat_metric("render_md5_1e6", "hr"))
-            .unionAll(chat_metric("content_chars", "cc"))
-            .unionAll(chat_metric("n_empty", "ne"))
+        return _metric_rows(
+            ch_g,
+            "chat",
+            F.col("source"),
+            [
+                ("n", F.col("n")),
+                ("n_valid", F.col("nv")),
+                ("render_md5_1e6", F.col("hr")),
+                ("content_chars", F.col("cc")),
+                ("n_empty", F.col("ne")),
+            ],
         )
 
     chat_rows_f = sub(_chat_branch)
@@ -1784,7 +1809,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         lmodel = SoftmaxModel(
             weights=lw, biases=dict(_LANGID_BIASES), n_features=_LG_NF, ngrams=(1, 2, 3)
         )
-        return _ckpt(
+        lg_g = (
             softmax_predict(docs, lmodel)
             .groupBy("source", "pred")
             .agg(
@@ -1792,6 +1817,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("prob") * 10000).cast("long").alias("p4"),
             )
         )
+        return _ckpt(_metric_rows(
+            lg_g,
+            "langid",
+            F.concat(F.col("source"), F.lit("|"), F.col("pred")),
+            [("n", F.col("n")), ("prob_1e4", F.col("p4"))],
+        ))
 
     lg_b_f = sub(_langid_branch)
 
@@ -1836,16 +1867,11 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(md5_long(F.col("url")) % 1000000).alias("h"),
             )
         )
-        return rb_g.select(
-            F.lit("robots").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        ).unionAll(
-            rb_g.select(
-                F.lit("robots"), F.col("source"), F.lit("md5_1e6"),
-                F.col("h").cast("long"),
-            )
+        return _metric_rows(
+            rb_g,
+            "robots",
+            F.col("source"),
+            [("n", F.col("n")), ("md5_1e6", F.col("h"))],
         )
 
     rb_rows_f = sub(_robots_branch)
@@ -1894,8 +1920,9 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
         return _ckpt(
-            jp_df.mapInPandas(_jp, "k string, metric string, v long")
-            .select(F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long"))
+            jp_df.mapInPandas(_jp, "k string, metric string, v long").select(
+                F.lit("jpeg").alias("op"), "k", "metric", F.col("v").cast("long")
+            )
         )
 
     jp_b_f = sub(_jpeg_branch)
@@ -1905,20 +1932,12 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(0, bytes.fromhex(_PDF_KA_HEX))], "doc_id long, payload binary"
         )
         pe = pdf_extract_text(pdf_df)
-        return _ckpt(
-            pe.select(
-                F.lit("pdf").alias("op"),
-                F.lit("d0").alias("k"),
-                F.lit("md5_1e6").alias("metric"),
-                (md5_long("text") % 1000000).cast("long").alias("v"),
-            )
-            .unionAll(
-                pe.select(
-                    F.lit("pdf"), F.lit("d0"), F.lit("n_pages"),
-                    F.col("n_pages").cast("long"),
-                )
-            )
-        )
+        return _ckpt(_metric_rows(
+            pe,
+            "pdf",
+            F.lit("d0"),
+            [("md5_1e6", md5_long("text") % 1000000), ("n_pages", F.col("n_pages"))],
+        ))
 
     pdf_b_f = sub(_pdf_branch)
 
@@ -1926,6 +1945,8 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         sent_df = spark.createDataFrame(
             [(0, _SENT_KA_TEXT)], "doc_id long, text string"
         )
+        # ss is referenced twice (per-sentence rows + the count agg) —
+        # a 1-row literal source, so the duplicate subtree is free
         ss = split_sentences(sent_df)
         return _ckpt(
             ss.select(
@@ -1933,8 +1954,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sentence_id").cast("string").alias("k"),
                 F.lit("md5_1e6").alias("metric"),
                 (md5_long("sentence") % 1000000).cast("long").alias("v"),
-            )
-            .unionAll(
+            ).unionAll(
                 ss.agg(F.count("*").alias("n")).select(
                     F.lit("sent"), F.lit("all"), F.lit("n"), F.col("n").cast("long")
                 )
@@ -1961,19 +1981,9 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         kw_k = F.concat(F.col("source"), F.lit("|"), F.col("term"))
-        return _ckpt(
-            kw_g.select(
-                F.lit("kwscreen").alias("op"),
-                kw_k.alias("k"),
-                F.lit("occ").alias("metric"),
-                F.col("occ").cast("long").alias("v"),
-            )
-            .unionAll(
-                kw_g.select(
-                    F.lit("kwscreen"), kw_k, F.lit("docs"), F.col("nd").cast("long")
-                )
-            )
-        )
+        return _ckpt(_metric_rows(
+            kw_g, "kwscreen", kw_k, [("occ", F.col("occ")), ("docs", F.col("nd"))]
+        ))
 
     kw_b_f = sub(_kw_branch)
 
@@ -2022,22 +2032,15 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         vk = F.concat_ws("|", "check", F.coalesce(F.col("column"), F.lit("-")))
-        return _ckpt(
-            report.select(
-                F.lit("validate").alias("op"),
-                vk.alias("k"),
-                F.lit("passed").alias("metric"),
-                F.col("passed").cast("long").alias("v"),
-            )
-            .unionAll(
-                report.select(
-                    F.lit("validate"),
-                    vk,
-                    F.lit("obs"),
-                    F.regexp_extract("observed", r"^(-?\d+)", 1).cast("long"),
-                )
-            )
-        )
+        return _ckpt(_metric_rows(
+            report,
+            "validate",
+            vk,
+            [
+                ("passed", F.col("passed")),
+                ("obs", F.regexp_extract("observed", r"^(-?\d+)", 1)),
+            ],
+        ))
 
     val_b_f = sub(_validate_branch)
 
@@ -2064,20 +2067,20 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("nk"))
         )
 
-        def _cqm(g, metric, col):
-            return g.select(
-                F.lit("codequal").alias("op"),
-                F.col("source").alias("k"),
-                F.lit(metric).alias("metric"),
-                F.col(col).cast("long").alias("v"),
-            )
-
         return _ckpt(
-            _cqm(cq_g, "sum_lines", "sl")
-            .unionAll(_cqm(cq_g, "max_line", "ml"))
-            .unionAll(_cqm(cq_g, "alnum_ok", "na"))
-            .unionAll(_cqm(cq_g, "autogen", "ng"))
-            .unionAll(_cqm(kept_g, "kept", "nk"))
+            _metric_rows(
+                cq_g,
+                "codequal",
+                F.col("source"),
+                [
+                    ("sum_lines", F.col("sl")),
+                    ("max_line", F.col("ml")),
+                    ("alnum_ok", F.col("na")),
+                    ("autogen", F.col("ng")),
+                ],
+            ).unionAll(
+                _metric_rows(kept_g, "codequal", F.col("source"), [("kept", F.col("nk"))])
+            )
         )
 
     cq_b_f = sub(_codequal_branch)
@@ -2139,16 +2142,16 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # force every deferred branch checkpoint CONCURRENTLY (guide §2.6:
-    # Spark's FIFO scheduler back-fills idle executors with the later
-    # jobs' tasks; each count() materializes its branch's LogicalRDD so
-    # the union below reads truncated, computed-once plans exactly as
-    # the old sequential eager checkpoints did)
     # resolve every branch-CONSTRUCTION future (construction ran on pool
     # threads, overlapping the ~8k py4j round-trips that used to
     # serialize on the main thread); checkpointing branches yield their
-    # _ckpt planning future, resolved in turn.  Then force the
-    # checkpoints concurrently and build the branch row projections.
+    # _ckpt planning future, resolved in turn.  Then force every marked
+    # RDD with ONE covering count over the union of the raw checkpoints
+    # (r10 pass 5: a single job whose independent stages run
+    # concurrently; every heavy branch is fully materialized, plan
+    # truncated, computed exactly once before the entry's union
+    # executes).  All branches share the (op, k, metric, v) schema
+    # since the r11 stack rewrite, so the raw frames union directly.
     import time as _time
     _tt = [("resolve_start", _time.perf_counter())] if os.environ.get("BS_SKETCH_TIMING") else None
     hll_rows = hll_rows_f.result()
@@ -2158,109 +2161,23 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     chat_rows = chat_rows_f.result()
     pr_rows = pr_rows_f.result()
     rb_rows = rb_rows_f.result()
-    lm_g = lm_b_f.result().result()
-    q_g = q_b_f.result().result()
-    ds_g = ds_b_f.result().result()
-    fz_g = fz_b_f.result().result()
-    lg_g = lg_b_f.result().result()
-    jp_rows = jp_b_f.result().result()
-    pdf_rows = pdf_b_f.result().result()
-    sent_rows = sent_b_f.result().result()
-    kw_rows = kw_b_f.result().result()
-    bt_rows = bt_b_f.result().result()
-    val_rows = val_b_f.result().result()
-    cq_rows = cq_b_f.result().result()
-    afp_rows = afp_b_f.result().result()
-    lm_rows = (
-        lm_g.select(
-            F.lit("lm_ppl").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
+    heavy_views = [
+        f.result()
+        for f in (
+            lm_b_f, q_b_f, ds_b_f, fz_b_f, lg_b_f, jp_b_f, pdf_b_f,
+            sent_b_f, kw_b_f, bt_b_f, val_b_f, cq_b_f, afp_b_f,
         )
-        .unionAll(
-            lm_g.select(
-                F.lit("lm_ppl"), F.col("source"), F.lit("sum_tokens"),
-                F.col("st").cast("long"),
-            )
-        )
-        .unionAll(
-            lm_g.select(
-                F.lit("lm_ppl"), F.col("source"), F.lit("logp_1e4"), F.col("sl4")
-            )
-        )
-    )
-    q_rows = (
-        q_g.select(
-            F.lit("quality").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        )
-        .unionAll(
-            q_g.select(F.lit("quality"), F.col("source"), F.lit("n_above"), F.col("na"))
-        )
-        .unionAll(
-            q_g.select(F.lit("quality"), F.col("source"), F.lit("score_1e4"), F.col("s4"))
-        )
-    )
-    ds_rows = (
-        ds_g.select(
-            F.lit("dsir").alias("op"),
-            F.col("source").alias("k"),
-            F.lit("n").alias("metric"),
-            F.col("n").cast("long").alias("v"),
-        )
-        .unionAll(
-            ds_g.select(
-                F.lit("dsir"), F.col("source"), F.lit("sum_grams"),
-                F.col("sg").cast("long"),
-            )
-        )
-        .unionAll(
-            ds_g.select(F.lit("dsir"), F.col("source"), F.lit("logw_1e4"), F.col("l4"))
-        )
-    )
-    fz_rows = fz_g.select(
-        F.lit("fuzzy_contam").alias("op"),
-        F.col("source").alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        fz_g.select(
-            F.lit("fuzzy_contam"), F.col("source"), F.lit("sum_ids"),
-            F.col("s").cast("long"),
-        )
-    )
-    lg_k = F.concat(F.col("source"), F.lit("|"), F.col("pred"))
-    lg_rows = lg_g.select(
-        F.lit("langid").alias("op"),
-        lg_k.alias("k"),
-        F.lit("n").alias("metric"),
-        F.col("n").cast("long").alias("v"),
-    ).unionAll(
-        lg_g.select(F.lit("langid"), lg_k, F.lit("prob_1e4"), F.col("p4"))
-    )
-    # force every deferred branch checkpoint with ONE action (r10 pass 5):
-    # a count over the union of 1-column projections of all branches puts
-    # every marked RDD on a single job's lineage, so the DAG scheduler
-    # computes all branches' partitions inside one job (independent
-    # stages run concurrently) and doCheckpoint materializes every one —
-    # 13 concurrent count() jobs previously spent ~3 s fighting over
-    # driver-side planning; schemas differ across branches, hence the
-    # lit(1) projection.  Semantics unchanged: each branch is fully
-    # materialized, plan truncated, computed exactly once before the
-    # entry's union executes.
+    ]
     if _tt is not None:
         _tt.append(("branches_resolved", _time.perf_counter()))
     try:
-        probes = [f.result().select(F.lit(1).alias("one")) for f in deferred_ckpts]
+        raws = [f.result() for f in deferred_ckpts]
         if _tt is not None:
             _tt.append(("ckpts_resolved", _time.perf_counter()))
-        if probes:
-            u = probes[0]
-            for p in probes[1:]:
-                u = u.unionAll(p)
+        if raws:
+            u = raws[0]
+            for r in raws[1:]:
+                u = u.unionAll(r)
             u.count()
     finally:
         pool.shutdown()
@@ -2275,7 +2192,7 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             file=_sys.stderr,
         )
 
-    return (
+    out = (
         hll_rows.unionAll(sb_f.result())
         .unionAll(ss_f.result())
         .unionAll(ts_f.result())
@@ -2283,26 +2200,18 @@ def _sketch_sampling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(dk_f.result())
         .unionAll(da_f.result())
         .unionAll(contam_tagged)
-        .unionAll(fz_rows)
         .unionAll(pack_rows)
-        .unionAll(lm_rows)
-        .unionAll(q_rows)
-        .unionAll(ds_rows)
         .unionAll(url_rows)
         .unionAll(chat_rows)
         .unionAll(pr_rows)
-        .unionAll(lg_rows)
         .unionAll(rb_rows)
-        .unionAll(jp_rows)
-        .unionAll(pdf_rows)
-        .unionAll(sent_rows)
-        .unionAll(afp_rows)
-        .unionAll(bt_rows)
-        .unionAll(kw_rows)
-        .unionAll(val_rows)
-        .unionAll(cq_rows)
-        .orderBy("op", "k", "metric")
     )
+    # the 13 heavy branches ride their checkpoints; each coalesce(1)
+    # view merges the near-empty cached partitions into one task (the
+    # coalesce must sit ABOVE the checkpoint — r10 session 4)
+    for view in heavy_views:
+        out = out.unionAll(view.result())
+    return out.orderBy("op", "k", "metric")
 
 
 #: hand-assembled baseline-JPEG bitstream (the single-AC-coefficient

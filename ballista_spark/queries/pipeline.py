@@ -968,12 +968,18 @@ def _tfidf_builder(spark, sf):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar driver-side constant (table size, not data)
+    # n_docs rides as a one-row aggregate cross join (the 1-row broadcast
+    # pattern planlint allows) instead of a driver-side count(): the old
+    # form ran a Spark job per *query build* (r11, guide §5 — no driver
+    # jobs in query paths).  Arithmetic is identical: the same exact
+    # integer count cast to double, divided in the same order.
+    n = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).desc(), F.col("term")
+        (F.col("tf") * (F.col("__n_docs") / F.col("df"))).desc(), F.col("term")
     )
     return (
         tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
         .select("doc_id", "rank", "term")

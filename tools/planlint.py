@@ -59,6 +59,9 @@ ALLOW_BNLJ = ALLOW_CARTESIAN | {
                             # graded join types
     "cov_sketch_sampling",  # scalar one-row cross joins (corpus totals
                             # feeding DSIR ratios / packing offsets)
+    "text_tfidf_top_terms",  # n_docs one-row broadcast (r11: the idf
+                            # scalar rides the query instead of a
+                            # driver-side count() job per build)
 }
 
 
