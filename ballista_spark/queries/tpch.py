@@ -66,25 +66,33 @@ _q(
     "of the scalar subquery scans the lineitem-supplier-nation-region "
     "EUROPE join TWICE (once for the outer rows, once aggregated for the "
     "per-part minimum); a MIN window over l_partkey computes the same "
-    "minimum on one scan — the outer query restricts parts to p_size=15 "
-    "but the correlated minimum ranges over ALL EUROPE lineitems of that "
-    "partkey, which is exactly the window partition (r10: 0.48 s → 0.39 s "
-    "at sf0.1, 10 → 6 jobs).  The oracle keeps the classic correlated "
-    "form, so the gate re-checks the equivalence every run.",
+    "minimum on one scan — the correlated minimum ranges over ALL EUROPE "
+    "lineitems of the partkey, which is exactly the window partition "
+    "(r10: 0.48 s → 0.39 s at sf0.1, 10 → 6 jobs).  r11 moves the "
+    "p_size=15 part join BELOW the window (the q17 argument: p_partkey "
+    "is unique, the join key is the window partition key, and p_size "
+    "filters whole partitions — every partition's row set is unchanged), "
+    "so the window exchange carries only the ~2% of rows whose partkey "
+    "survives the part filter instead of the whole EUROPE join — the "
+    "r10 form's full-width window shuffle was measured flat-to-slower "
+    "than classic at SF10 (guide §2.3: shuffle fewer bytes).  The oracle "
+    "keeps the classic correlated form, so the gate re-checks the "
+    "equivalence every run.",
     """
 SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
        l_extendedprice AS min_price
 FROM (
-  SELECT l_partkey, s_acctbal, s_name, n_name, l_extendedprice,
+  SELECT p_partkey, p_name, s_acctbal, s_name, n_name, l_extendedprice,
          MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS minp
-  FROM lineitem, supplier, nation, region
+  FROM lineitem, supplier, nation, region, part
   WHERE s_suppkey = l_suppkey
     AND n_nationkey = s_nationkey
     AND r_regionkey = n_regionkey
     AND r_name = 'EUROPE'
+    AND p_partkey = l_partkey
+    AND p_size = 15
 ) eur
-JOIN part ON p_partkey = l_partkey
-WHERE p_size = 15 AND l_extendedprice = minp
+WHERE l_extendedprice = minp
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
