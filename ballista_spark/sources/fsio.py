@@ -217,10 +217,28 @@ class SqliteLogStore(LogStore):
                 #     history, a rebuilt db) slipped in between the
                 #     fast pre-check and the claim — honor
                 #     put-if-absent, never clobber committed history.
-                try:
-                    published_ours = read_bytes(path) == data
-                except OSError:
-                    published_ours = False
+                # the read must tolerate racing a LIVE loser's _recover
+                # mid-publish: write_bytes makes the path visible at
+                # open time (empty/partial until close) on both the
+                # posix and mock filesystems, so a single read here can
+                # observe torn bytes and misclassify OUR OWN published
+                # commit as foreign — observed once as an all-losers
+                # outcome in the 12-writer race test under heavy host
+                # load (r11).  Only in-protocol writers exist for a
+                # claimed path and they all carry OUR staged bytes, so
+                # retry briefly before deciding; a durably-foreign
+                # object (case b) still refuses after ~0.1 s.
+                published_ours = False
+                for _ in range(5):
+                    try:
+                        published_ours = read_bytes(path) == data
+                    except OSError:
+                        published_ours = False
+                    if published_ours:
+                        break
+                    import time as _t
+
+                    _t.sleep(0.02)
                 with con:
                     con.execute(
                         "UPDATE commits SET complete = 1 WHERE path = ?",

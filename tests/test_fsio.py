@@ -672,6 +672,40 @@ def test_sqlite_log_store_winner_completed_by_racing_loser(
     assert fsio.read_bytes(path) == b"mine"
 
 
+def test_sqlite_log_store_winner_survives_torn_recovery_read(
+    sqlite_store, monkeypatch
+):
+    """r11 robustness: write_bytes makes a path visible at open time
+    (empty/partial until close), so a winner racing a loser's _recover
+    mid-publish can READ TORN BYTES of its own commit.  The winner's
+    classification must retry past the transient mismatch and report
+    success — an all-losers outcome was observed once in the 12-writer
+    race under heavy host load."""
+    path = "mock://tbl/_delta_log/00000000000000000011.json"
+    real_write = fsio.write_bytes
+    real_read = fsio.read_bytes
+    torn = {"reads": 0}
+
+    def write_and_mirror(p, data):
+        real_write(p, data)
+        if ".tmp-" in p:
+            # racing loser mid-publish: the object exists...
+            real_write(path, data)
+
+    def torn_then_real(p):
+        if p == path and torn["reads"] < 2:
+            torn["reads"] += 1
+            return b""  # ...but its bytes are not all visible yet
+        return real_read(p)
+
+    monkeypatch.setattr(fsio, "write_bytes", write_and_mirror)
+    monkeypatch.setattr(fsio, "read_bytes", torn_then_real)
+    sqlite_store.put_if_absent(path, b"mine")  # must NOT raise
+    monkeypatch.setattr(fsio, "write_bytes", real_write)
+    monkeypatch.setattr(fsio, "read_bytes", real_read)
+    assert fsio.read_bytes(path) == b"mine"
+
+
 def test_sqlite_log_store_never_clobbers_foreign_commit(
     sqlite_store, monkeypatch
 ):
